@@ -1,0 +1,187 @@
+"""Deduplication operator family (SURVEY.md §2.9 X1/X2).
+
+Four tiers, all DataFrame-native (no Python UDFs — hashing via
+``xxhash64``/``md5``, set math via higher-order array functions, so
+everything stays in whole-stage codegen):
+
+  exact            hash-groupBy on the text digest
+  ngram-jaccard    exact Jaccard over word n-gram sets, blocked
+  minhash-LSH      banded MinHash signatures -> candidate buckets ->
+                   exact Jaccard verification
+  simhash          64-bit sign fingerprint, hamming-ball candidates via
+                   band buckets + bit_count verification
+
+Scale shape (the whole point): every tier turns the quadratic
+all-pairs problem into groupBy-on-a-key. Exact/ngram block on
+(lang, source) or a digest; MinHash buckets on (band_id, band_hash);
+SimHash buckets on 16-bit chunks. At 100 TB the bucket join is the
+only shuffle and its width is the signature, not the document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic universal-hash family for MinHash: h_j(x) = (a_j*x+b_j)
+# mod p over 31-bit reduced base hashes. 31-bit operands keep every
+# product under 2^63 (Spark runs ANSI mode: silent wraparound is an
+# error, so the classic 64-bit mix constants are out). LCG-generated,
+# stable across runs — the test contract needs reproducibility.
+_MH_PRIME = (1 << 61) - 1
+
+
+def _mh_params(n: int, seed: int = 1234567) -> list[tuple[int, int]]:
+    state, out = seed, []
+    for _ in range(n):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state | 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        out.append((a, state))
+    return out
+
+
+def word_shingles(col, n: int = 3):
+    """Word n-gram array (distinct), empty when the doc is too short.
+    All higher-order built-ins — no UDF."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>")))
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return docs.withColumn("shingles", word_shingles(F.col(text_col), n))
+
+
+def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """X1: dropDuplicates on explicit keys."""
+    return df.dropDuplicates(keys)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
+                        n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within blocks.
+
+    Self-join on the blocking key (id < id kills mirror pairs), then
+    set intersection/union sizes. The block join is the only shuffle;
+    block sizes bound the quadratic term."""
+    s = with_shingles(docs).select(id_col, *block_cols, "shingles")
+    a = s.select(*block_cols, F.col(id_col).alias("id_a"),
+                 F.col("shingles").alias("sh_a"))
+    b = s.select(*block_cols, F.col(id_col).alias("id_b"),
+                 F.col("shingles").alias("sh_b"))
+    pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (pairs.select(*block_cols, "id_a", "id_b", jac.alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 64,
+                       id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature per doc: one xxhash64 pass over the shingle
+    set, then ``n_hashes`` affine permutations (a*h+b wraps in int64 —
+    deterministic), min-reduced per permutation."""
+    s = with_shingles(docs)
+    # one hash pass per shingle, reduced to 31 bits; n_hashes cheap
+    # affine permutations over it
+    base = F.transform("shingles",
+                       lambda g: F.shiftrightunsigned(F.xxhash64(g), 33))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)))
+        for a, b in _mh_params(n_hashes)])
+    return s.select(id_col, F.when(F.size("shingles") > 0, sig)
+                    .alias("signature"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3) -> DataFrame:
+    """X2: banded-LSH candidate generation + exact Jaccard verification.
+
+    bands=16 over 64 hashes -> r=4 rows/band; candidate iff any band
+    hash collides. Explode bands (16 rows/doc), groupBy-join on
+    (band_id, band_hash), verify candidates exactly."""
+    r = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, id_col).filter(
+        F.col("signature").isNotNull())
+    banded = sigs.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(F.slice("signature", b * r + 1, r),
+                                     lambda v: v.cast("string"))))
+                 .alias("band_hash")))).alias("band"))
+    banded = banded.select(id_col, "band.band_id", "band.band_hash")
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    cand = (a.join(b, ["band_id", "band_hash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
+    cand = (cand
+            .join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("shingles").alias("sh_a")), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"),
+                            F.col("shingles").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (cand.select("id_a", "id_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of token-hash bits. Explode +
+    two-level aggregate keeps it a plain shuffle on doc_id."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                  r"\s+")).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_votes = [
+        F.sum(((F.shiftrightunsigned(h, i) % 2) * 2 - 1)).alias(f"b{i}")
+        for i in range(64)]
+    votes = toks.groupBy(id_col).agg(*bit_votes)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"b{i}") > 0,
+                           F.lit(1).cast("long") * (2 ** i if i < 63
+                                                    else -(2 ** 63))).otherwise(0)
+    return votes.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
+                       id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup candidates: band the 64 bits into 4 16-bit
+    chunks (pigeonhole: hamming<=max implies >=1 equal chunk when
+    max_hamming < 4... candidates only, verified by bit_count), then
+    verify exact hamming distance."""
+    sh = simhash64(docs, id_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk_id"),
+                     (F.shiftrightunsigned("simhash", i * 16) % 65536)
+                     .alias("chunk_val"))
+            for i in range(4)])).alias("c"))
+    chunks = chunks.select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+    a = chunks.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sim_a"), "chunk_id", "chunk_val")
+    b = chunks.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sim_b"), "chunk_id", "chunk_val")
+    cand = (a.join(b, ["chunk_id", "chunk_val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,104 @@
+"""Multimodal column plumbing (SURVEY.md §2.9 X5).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct (schemas.MULTIMODAL_ASSET). Feature extraction runs as
+Arrow-batched ``mapInPandas`` — the pattern for any per-asset Python
+work at scale: explicit output schema, batch-shaped UDF, no driver
+collect. Real codecs (PIL/librosa/ffmpeg) are not in this container,
+so decode is STUBBED: ``decode_stub_features`` derives deterministic
+fake dimensions from the payload bytes (keeps the plumbing testable and
+the oracle expressible); ``decode_real`` raises NotImplementedError
+unless a codec library is importable.
+
+Scale notes: binary columns ride parquet page compression; partition by
+modality + size bucket so mapInPandas batches are memory-bounded
+(spark.sql.execution.arrow.maxRecordsPerBatch caps rows/batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MODALITIES = ("image", "audio", "video")
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("modality", T.StringType(), True),
+    T.StructField("byte_len", T.LongType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+])
+
+
+def docs_to_assets(docs: DataFrame) -> DataFrame:
+    """Build a multimodal asset table from the documents fixture:
+    payload = utf-8 bytes, modality round-robins by doc_id."""
+    modality = (F.when(F.col("doc_id") % 3 == 0, _MODALITIES[0])
+                 .when(F.col("doc_id") % 3 == 1, _MODALITIES[1])
+                 .otherwise(_MODALITIES[2]))
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"))
+
+
+def decode_stub_features(assets: DataFrame) -> DataFrame:
+    """Deterministic fake decode via mapInPandas (Arrow batches).
+
+    Fake geometry derived from payload length — stable, cheap, and
+    reproducible in the SQL oracle, so the distributed plumbing
+    (schema, batching, partition behavior) is what the test certifies.
+    """
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            lens = pdf["payload"].map(lambda b: 0 if b is None else len(b))
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "byte_len": lens.astype("int64"),
+                "width": (lens % 640 + 1).astype("int32"),
+                "height": (lens % 480 + 1).astype("int32"),
+                "n_channels": pd.Series([3] * len(pdf), dtype="int32"),
+            })
+
+    return assets.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def decode_real(assets: DataFrame) -> DataFrame:
+    """Real decode path — gated on codec availability (not shipped in
+    this container)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real decode requires an image codec (PIL); this environment "
+            "ships none — use decode_stub_features for plumbing tests"
+        ) from exc
+    raise NotImplementedError("real decode not implemented yet")
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (asset, frame_ts) the
+    decoder would extract — pure DataFrame math (sequence + explode),
+    decode itself stubbed. Fake duration: byte_len milliseconds."""
+    with_dur = assets.withColumn(
+        "duration_ms", F.length("payload").cast("long"))
+    return (with_dur
+            .filter(F.col("modality") == "video")
+            .select("asset_id",
+                    F.explode(F.sequence(
+                        F.lit(0).cast("long"), F.col("duration_ms"),
+                        F.lit(every_ms).cast("long"))).alias("frame_ts_ms")))

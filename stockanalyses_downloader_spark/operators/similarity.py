@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9 X3).
+
+Two tiers:
+
+  brute-force top-k   exact cosine against a broadcast query set —
+                      the small-query-set / full-scan baseline. The
+                      fact side streams partition-parallel; the only
+                      shuffle is the final per-query top-k window over
+                      (n_queries x k) rows.
+  sign-LSH buckets    random-hyperplane signatures bucket candidates;
+                      exact rerank inside buckets. The 100 TB path:
+                      signature build is a linear scan, the bucket
+                      join replaces the cross product.
+
+Dot products use sequential double folds over the vector arrays
+(F.aggregate — JVM codegen, left-to-right), which the DuckDB oracle
+reproduces exactly with list_reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold — deterministic."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query id; queries are
+    excluded from the candidate set. Output: query_id, neighbor_id,
+    cosine, rank."""
+    e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("norm", l2_norm(F.col("v")))
+    q = (e.filter(F.col(id_col).isin(query_ids))
+          .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                  F.col("norm").alias("qnorm")))
+    c = (e.filter(~F.col(id_col).isin(query_ids))
+          .select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+                  F.col("norm").alias("cnorm")))
+    scored = (c.crossJoin(F.broadcast(q))
+               .select("query_id", "neighbor_id",
+                       (dot(F.col("qv"), F.col("cv"))
+                        / (F.col("qnorm") * F.col("cnorm"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — stable across
+    runs/platforms without numpy RNG version drift)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def signlsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                 n_planes: int = 16, n_bands: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: random-hyperplane signature, banded buckets,
+    exact cosine rerank within buckets.
+
+    n_planes=16 split into n_bands bands of 4 bits; a candidate shares
+    >=1 band with the query. Recall tested against cosine_topk."""
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    planes = _hyperplanes(n_planes, dim_row["d"])
+    plane_cols = F.array(*[
+        F.array(*[F.lit(x) for x in row]) for row in planes])
+
+    e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("norm", l2_norm(F.col("v")))
+    bits = F.transform(plane_cols, lambda p: (dot(p, F.col("v")) >= 0).cast("int"))
+    r = n_planes // n_bands
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws("", F.transform(F.slice(bits, b * r + 1, r),
+                                        lambda v: v.cast("string")))
+             .alias("band_key")))
+    sig = e.select(id_col, "v", "norm", F.explode(bands).alias("band")) \
+           .select(id_col, "v", "norm", "band.band_id", "band.band_key")
+
+    q = (sig.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                    F.col("norm").alias("qnorm"), "band_id", "band_key"))
+    c = (sig.filter(~F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+                    F.col("norm").alias("cnorm"), "band_id", "band_key"))
+    cand = (c.join(q, ["band_id", "band_key"])
+             .select("query_id", "neighbor_id", "qv", "qnorm", "cv", "cnorm")
+             .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("qv"), F.col("cv"))
+         / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))

@@ -1,0 +1,248 @@
+"""Queries exercising the reference's pipeline semantics (SURVEY.md
+§2.3-§2.7) end-to-end on the deterministic synthetic feeds.
+
+Every Spark side composes the operators in ``operators/``; every oracle
+recomputes the same relation in portable ANSI SQL over the same events
+table + inline currency dim, so a hash match certifies the operator
+chain, not just the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dims.currency import currency_dim, currency_values_sql
+from ..operators import candles, pipeline, state_machine
+from ..sources import synthetic
+from . import Q
+
+_DIM = currency_values_sql()
+
+_MSG_COLS = ["tick_id", "exchange", "isin", "pair", "base", "quote",
+             "bid", "ask", "mid", "last_price", "volume", "ts"]
+
+
+def _resolved_ok_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared prefix: ticks -> P2 status filter -> J1 broadcast dim join
+    -> P8 mid."""
+    t = synthetic.ticks(spark, sf_dir)
+    t = pipeline.validate_http(t)
+    t = pipeline.resolve_pair(t, currency_dim(spark))
+    return pipeline.with_mid(t)
+
+
+_RESOLVED_SQL = f"""(
+  SELECT t.tick_id, t.exchange, t.isin, d.pair, d.base, d.quote,
+         t.bid, t.ask, (t.bid + t.ask) / 2 AS mid,
+         t.last_price, t.volume, t.ts
+  FROM {synthetic.TICKS_SQL} t
+  JOIN {_DIM} d ON t.isin = d.isin
+  WHERE t.status = 200
+)"""
+
+
+def flagship_latest_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: current (latest) mid-price quote per currency pair
+    — scan -> filter -> broadcast join -> derive -> window top-1."""
+    df = _resolved_ok_ticks(spark, sf_dir)
+    df = pipeline.latest_per_key(df, "pair", order="ts", tiebreak="tick_id")
+    return df.select(*_MSG_COLS)
+
+
+_FLAGSHIP_SQL = f"""
+WITH ranked AS (
+  SELECT r.*, row_number() OVER (PARTITION BY pair
+                                 ORDER BY ts DESC, tick_id DESC) AS rn
+  FROM {_RESOLVED_SQL} r
+)
+SELECT {', '.join(_MSG_COLS)} FROM ranked WHERE rn = 1
+"""
+
+
+def jobs_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = synthetic.jobs(spark, sf_dir)
+    j = pipeline.filter_actionable_jobs(j, rest_only=True)
+    j = pipeline.parse_job_value(j)
+    j = pipeline.dispatch_exchange(j)
+    return j.select("downloader_jq_id", "exchange", "isin", "transport")
+
+
+_JOBS_PARSE_SQL = f"""
+SELECT downloader_jq_id,
+       string_split(value, '#')[1] AS exchange,
+       string_split(value, '#')[2] AS isin,
+       CASE string_split(value, '#')[1]
+            WHEN 'btsp' THEN 'rest' WHEN 'btfx' THEN 'wss' END AS transport
+FROM {synthetic.JOBS_SQL}
+WHERE downloader_jq_id <> 0 AND action = 1000 AND type_idtype = 2
+"""
+
+
+def jobs_resolve_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 on the job feed: unknown ISINs (85..97) drop via the inner
+    broadcast join, mirroring the reference's KeyError discard."""
+    j = synthetic.jobs(spark, sf_dir)
+    j = pipeline.filter_actionable_jobs(j)
+    j = pipeline.parse_job_value(j)
+    j = pipeline.resolve_pair(j, currency_dim(spark))
+    return j.select("downloader_jq_id", "exchange", "isin",
+                    "base", "quote", "pair")
+
+
+_JOBS_RESOLVE_SQL = f"""
+WITH parsed AS (
+  SELECT downloader_jq_id,
+         string_split(value, '#')[1] AS exchange,
+         string_split(value, '#')[2] AS isin
+  FROM {synthetic.JOBS_SQL}
+  WHERE downloader_jq_id <> 0 AND action = 1000
+)
+SELECT p.downloader_jq_id, p.exchange, p.isin, d.base, d.quote, d.pair
+FROM parsed p JOIN {_DIM} d ON p.isin = d.isin
+"""
+
+
+def rest_pipeline_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 batch pipeline: every successful fetch becomes one enriched
+    message row (pre-serialization; JSON formatting is engine-specific
+    and covered by unit tests instead)."""
+    return _resolved_ok_ticks(spark, sf_dir).select(*_MSG_COLS)
+
+
+def dead_letter_by_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: failed fetches per exchange and status code."""
+    t = pipeline.dead_letter(synthetic.ticks(spark, sf_dir))
+    return (t.groupBy("exchange", "status")
+             .agg(F.count("*").alias("n_failed")))
+
+
+_DEAD_LETTER_SQL = f"""
+SELECT exchange, status, count(*) AS n_failed
+FROM {synthetic.TICKS_SQL} WHERE status <> 200
+GROUP BY exchange, status
+"""
+
+
+def job_state_claim_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: batch claim transition (1000->1100) + state census."""
+    j = state_machine.claim(synthetic.jobs(spark, sf_dir))
+    return state_machine.transition_counts(j)
+
+
+_CLAIM_SQL = f"""
+SELECT CASE WHEN downloader_jq_id <> 0 AND action = 1000
+            THEN 1100 ELSE action END AS action,
+       count(*) AS n_jobs
+FROM {synthetic.JOBS_SQL}
+GROUP BY 1
+"""
+
+
+def job_state_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full state-machine cycle: claim, then merge fetch/publish
+    outcomes (fetch ok = HTTP 200; every 13th publish fails) ->
+    1300 on success, 1900 on any failure (main.py:328-353)."""
+    jobs = pipeline.filter_actionable_jobs(synthetic.jobs(spark, sf_dir))
+    jobs = state_machine.claim(jobs)
+    t = synthetic.ticks(spark, sf_dir)
+    outcomes = t.select(
+        F.col("tick_id").alias("downloader_jq_id"),
+        (F.col("status") == 200).alias("fetch_ok"),
+        (F.col("tick_id") % 13 != 0).alias("publish_ok"))
+    out = state_machine.apply_outcomes(jobs, outcomes)
+    return out.groupBy("action").agg(F.count("*").alias("n_jobs"))
+
+
+_OUTCOMES_SQL = f"""
+WITH claimed AS (
+  SELECT downloader_jq_id FROM {synthetic.JOBS_SQL}
+  WHERE downloader_jq_id <> 0 AND action = 1000
+), outcomes AS (
+  SELECT tick_id AS downloader_jq_id,
+         status = 200 AS fetch_ok,
+         tick_id % 13 <> 0 AS publish_ok
+  FROM {synthetic.TICKS_SQL}
+)
+SELECT CASE WHEN o.fetch_ok IS NULL THEN 1100
+            WHEN NOT o.fetch_ok THEN 1900
+            WHEN o.publish_ok IS NULL OR NOT o.publish_ok THEN 1900
+            ELSE 1300 END AS action,
+       count(*) AS n_jobs
+FROM claimed c LEFT JOIN outcomes o USING (downloader_jq_id)
+GROUP BY 1
+"""
+
+
+def wss_enriched_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 streaming-path transform on the wire-format feed: positional
+    projection (P7) -> reverse pair->ISIN check (J2) -> mid (P8)."""
+    raw = synthetic.wss_ticks_raw(spark, sf_dir)
+    named = pipeline.project_wss_tick(raw.drop("isin"))
+    named = pipeline.resolve_isin(named, currency_dim(spark))
+    named = pipeline.with_mid(named)
+    return named.select("tick_id", "pair", "isin", "bid", "ask", "mid",
+                        "daily_change", "daily_change_pct",
+                        "last_price", "volume", "high", "low", "ts")
+
+
+_WSS_SQL = f"""
+WITH base AS (
+  SELECT event_id AS tick_id,
+         {synthetic.ISIN_SQL} AS isin,
+         value,
+         epoch_us(ts) / 1000000.0 AS ts
+  FROM events
+)
+SELECT b.tick_id, d.pair, d.isin,
+       b.value * 0.999 AS bid, b.value * 1.001 AS ask,
+       (b.value * 0.999 + b.value * 1.001) / 2 AS mid,
+       b.value * 0.001 AS daily_change,
+       b.value * 0.0001 AS daily_change_pct,
+       b.value AS last_price, abs(b.value) AS volume,
+       b.value * 1.002 AS high, b.value * 0.998 AS low, b.ts
+FROM base b JOIN {_DIM} d ON b.isin = d.isin
+"""
+
+
+def weekly_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: weekly OHLCV candles per ISIN over successful ticks."""
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    return candles.ohlc_candles(t, key="isin", width="7 days")
+
+
+_WEEK_US = candles.WEEK_US
+_CANDLES_SQL = f"""
+WITH t AS (
+  SELECT * FROM {synthetic.TICKS_SQL} WHERE status = 200
+), b AS (
+  SELECT *, epoch_us(ts) // {_WEEK_US} AS bucket FROM t
+), fw AS (
+  SELECT *,
+    first_value(last_price) OVER (PARTITION BY isin, bucket ORDER BY ts, tick_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+    last_value(last_price) OVER (PARTITION BY isin, bucket ORDER BY ts, tick_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+  FROM b
+)
+SELECT isin, make_timestamp(bucket * {_WEEK_US}) AS bucket_start,
+       min(o) AS open, max(last_price) AS high, min(last_price) AS low,
+       min(c) AS close,
+       CAST(SUM(CAST(volume AS DECIMAL(25,10))) AS DOUBLE) AS volume,
+       count(*) AS n_ticks
+FROM fw GROUP BY isin, bucket
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "flagship_latest_mid": Q(flagship_latest_mid, _FLAGSHIP_SQL),
+    "jobs_parse_dispatch": Q(jobs_parse_dispatch, _JOBS_PARSE_SQL),
+    "jobs_resolve_pair": Q(jobs_resolve_pair, _JOBS_RESOLVE_SQL),
+    "rest_pipeline_messages": Q(rest_pipeline_messages,
+                                f"SELECT {', '.join(_MSG_COLS)} FROM {_RESOLVED_SQL} r"),
+    "dead_letter_by_exchange": Q(dead_letter_by_exchange, _DEAD_LETTER_SQL),
+    "job_state_claim_counts": Q(job_state_claim_counts, _CLAIM_SQL),
+    "job_state_outcomes": Q(job_state_outcomes, _OUTCOMES_SQL),
+    "wss_enriched_messages": Q(wss_enriched_messages, _WSS_SQL),
+    "weekly_ohlc_candles": Q(weekly_ohlc_candles, _CANDLES_SQL),
+}

@@ -1,0 +1,441 @@
+"""Standard relational surface over the TPC-H-ish driver tables:
+aggregations, multi-way joins, semi/anti joins, windows, sorts/limits,
+set ops, rollup/cube, pivot, JSON extraction (SURVEY.md §2.4-§2.6).
+
+All DataFrame-native; Catalyst handles pushdown/pruning/join planning.
+Float aggregates follow the helpers.py exactness recipe so the DuckDB
+hash compare is bit-stable. Every ordered/limited query carries a full
+deterministic sort key (ties broken by primary key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Q
+from .helpers import davg, davg_sql, dsum, dsum_sql
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1-style pricing summary (hash aggregate, partial+final) --------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+                 dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 dsum(disc_price).alias("sum_disc_price"),
+                 dsum(charge).alias("sum_charge"),
+                 davg(F.col("l_quantity")).alias("avg_qty"),
+                 davg(F.col("l_extendedprice")).alias("avg_price"),
+                 davg(F.col("l_discount")).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       {davg_sql('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style: 3-way join + agg + top-k ------------------------------------
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(cu, o.o_custkey == cu.c_custkey)
+              .groupBy("l_orderkey", "o_orderdate")
+              .agg(dsum(rev).alias("revenue"))
+              .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+              .limit(10))
+
+
+_SHIPPING_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5-style: 6-way star join with small-dim broadcasts -------------------
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation: lineitem⋈orders⋈customer⋈supplier⋈nation⋈region.
+    nation/region are broadcast (tiny dims); customer/supplier co-shuffle
+    with the facts; AQE reorders/coalesces at runtime."""
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(cu, o.o_custkey == cu.c_custkey)
+              .join(su, (li.l_suppkey == su.s_suppkey)
+                    & (cu.c_nationkey == su.s_nationkey))
+              .join(n, su.s_nationkey == n.n_nationkey)
+              .join(r, n.n_regionkey == r.r_regionkey)
+              .groupBy("n_name")
+              .agg(dsum(rev).alias("revenue")))
+
+
+_REGIONAL_SQL = f"""
+SELECT n_name, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- semi / anti joins -----------------------------------------------------
+
+def priority_orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS): orders having at least one lineitem shipped
+    after the order date + 90 days window start."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-09-01")
+    sel = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+    return (sel.groupBy("o_orderpriority")
+               .agg(F.count("*").alias("order_count")))
+
+
+_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1997-09-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti (NOT EXISTS): customers who never ordered."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (cu.join(o, cu.c_custkey == o.o_custkey, "left_anti")
+              .select("c_custkey", "c_name", "c_acctbal"))
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- sorts / limits --------------------------------------------------------
+
+def top_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    return (cu.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+              .limit(25)
+              .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+
+
+_TOPCUST_SQL = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 25
+"""
+
+
+# --- window functions ------------------------------------------------------
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (o.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"))
+
+
+_LATEST_ORDER_SQL = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM ranked WHERE rn = 1
+"""
+
+
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer in order-date order — running-sum
+    frame; decimal accumulation keeps the prefix sums exact."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).over(w)
+         .cast("double").alias("running_spend"))
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+"""
+
+
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via lag(): a >30-minute gap starts a new session;
+    emit sessions per user with tick counts. Lag/cumulative-sum pattern
+    — the batch analogue of streaming session windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0))
+    with_sid = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+                  .rowsBetween(Window.unboundedPreceding, 0)))
+    return (with_sid.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+_SESSION_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sids AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sids GROUP BY user_id, session_seq
+"""
+
+
+# --- set operations --------------------------------------------------------
+
+def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1996 and 1999."""
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y99 = o.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    return y96.intersect(y99)
+
+
+_REPEAT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+"""
+
+
+def churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: active in 1996, gone by 2000."""
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y00 = o.filter(F.year("o_orderdate") >= 2000).select("o_custkey")
+    return y96.exceptAll(y96.join(y00, "o_custkey", "left_semi")).distinct()
+
+
+_CHURN_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 2000
+"""
+
+
+def all_party_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key domains with a tag column."""
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"), F.lit("customer").alias("kind"))
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"), F.lit("supplier").alias("kind"))
+    return cu.union(su).distinct()
+
+
+_PARTY_SQL = """
+SELECT c_custkey AS party_key, 'customer' AS kind FROM customer
+UNION
+SELECT s_suppkey AS party_key, 'supplier' AS kind FROM supplier
+"""
+
+
+# --- grouping sets / rollup / cube ----------------------------------------
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, year): per-group, per-status and grand totals."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+             .rollup("o_orderstatus", "order_year")
+             .agg(dsum(F.col("o_totalprice")).alias("total_price"),
+                  F.count("*").alias("n_orders")))
+
+
+_ROLLUP_SQL = f"""
+SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+       {dsum_sql('o_totalprice')} AS total_price, count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, CAST(year(o_orderdate) AS INT))
+"""
+
+
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count("*").alias("n_orders"),
+                  dsum(F.col("o_totalprice")).alias("total_price")))
+
+
+_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- pivot -----------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts into one column per event type (explicit value
+    list — never let pivot scan for distinct values at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("event_day", F.date_format("ts", "yyyy-MM-dd"))
+              .groupBy("event_day")
+              .pivot("event_type", _EVENT_TYPES)
+              .agg(F.count(F.lit(1)))
+              .na.fill(0, _EVENT_TYPES))
+
+
+_PIVOT_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+       {', '.join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                  for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+# --- distinct & approximate aggregates -------------------------------------
+
+def distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (p.groupBy("p_brand")
+             .agg(F.countDistinct("p_type").alias("n_types"),
+                  F.countDistinct("p_size").alias("n_sizes"),
+                  F.count("*").alias("n_parts")))
+
+
+_DISTINCT_SQL = """
+SELECT p_brand, count(DISTINCT p_type) AS n_types,
+       count(DISTINCT p_size) AS n_sizes, count(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch count (approx_count_distinct). No oracle: DuckDB's
+    approx sketch differs; driver records rows-only. The exactness
+    cross-check lives in tests (approx within 5% of exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                   F.count("*").alias("n_events")))
+
+
+# --- JSON ------------------------------------------------------------------
+
+def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 JSON parse over the props column: extract $.k, aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.withColumn("k", k)
+              .groupBy("event_type")
+              .agg(F.count("k").alias("n_with_k"),
+                   F.sum(F.col("k").cast("long")).alias("sum_k"),
+                   F.min("k").alias("min_k"),
+                   F.max("k").alias("max_k")))
+
+
+_JSON_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "pricing_summary": Q(pricing_summary, _PRICING_SQL),
+    "shipping_priority": Q(shipping_priority, _SHIPPING_SQL),
+    "regional_revenue": Q(regional_revenue, _REGIONAL_SQL),
+    "priority_orders_with_late_items": Q(priority_orders_with_late_items, _SEMI_SQL),
+    "customers_without_orders": Q(customers_without_orders, _ANTI_SQL),
+    "top_customers_by_balance": Q(top_customers_by_balance, _TOPCUST_SQL),
+    "latest_order_per_customer": Q(latest_order_per_customer, _LATEST_ORDER_SQL),
+    "customer_running_spend": Q(customer_running_spend, _RUNNING_SQL),
+    "event_sessionization": Q(event_sessionization, _SESSION_SQL),
+    "repeat_buyers": Q(repeat_buyers, _REPEAT_SQL),
+    "churned_buyers": Q(churned_buyers, _CHURN_SQL),
+    "all_party_keys": Q(all_party_keys, _PARTY_SQL),
+    "revenue_rollup": Q(revenue_rollup, _ROLLUP_SQL),
+    "status_priority_cube": Q(status_priority_cube, _CUBE_SQL),
+    "event_type_pivot": Q(event_type_pivot, _PIVOT_SQL),
+    "distinct_parts_per_brand": Q(distinct_parts_per_brand, _DISTINCT_SQL),
+    "approx_distinct_users": Q(approx_distinct_users, None),
+    "event_props_extract": Q(event_props_extract, _JSON_SQL),
+}

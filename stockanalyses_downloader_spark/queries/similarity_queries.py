@@ -1,0 +1,181 @@
+"""Similarity-search, near-dup, and multimodal queries (SURVEY.md §2.9
+X2/X3/X5) over ``embeddings`` / ``documents``.
+
+Oracle-matched where ANSI SQL can express the math (exact cosine via
+sequential list folds, n-gram Jaccard via list set ops, stub decode
+arithmetic); hash-family operators (MinHash/SimHash/sign-LSH) are
+rows-only for the driver and get recall/property tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity
+from ..sources.tables import load_table
+from . import Q
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_TOPK = 10
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = similarity.as_double(F.col("embedding"))
+    return e.select("vec_id", "label",
+                    F.size("embedding").alias("n_dims"),
+                    similarity.l2_norm(v).alias("l2_norm"))
+
+
+_NORMS_SQL = """
+SELECT vec_id, label, len(embedding) AS n_dims,
+       sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            (a, b) -> a + b)) AS l2_norm
+FROM embeddings
+"""
+
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, _QUERY_IDS, k=_TOPK)
+
+
+_COSINE_SQL = f"""
+WITH ev AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS norm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM ev
+  WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv, norm AS cnorm FROM ev
+  WHERE vec_id NOT IN ({', '.join(map(str, _QUERY_IDS))})
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_transform(list_zip(qv, cv),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+           (a, b) -> a + b) / (qnorm * cnorm) AS cosine
+  FROM c, q
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def signlsh_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via sign-LSH buckets (no SQL oracle — hash
+    family; recall vs brute force asserted in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.signlsh_topk(e, _QUERY_IDS, k=_TOPK)
+
+
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, block_cols=["lang", "source"],
+                                     n=3, threshold=0.3)
+
+
+_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id, lang, source,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+), pairs AS (
+  SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         a.shingles AS sh_a, b.shingles AS sh_b
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+                      AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT lang, source, id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+              THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                     / len(list_distinct(list_concat(sh_a, sh_b)))
+              ELSE 0.0 END AS jaccard
+  FROM pairs
+)
+SELECT lang, source, id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3
+"""
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only: xxhash64 family has no
+    DuckDB equivalent; candidate-vs-exact recall asserted in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.3)
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball pairs (rows-only, same reason)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=12)
+
+
+# --- multimodal ------------------------------------------------------------
+
+def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    assets = multimodal.docs_to_assets(d)
+    return (assets.groupBy("modality")
+            .agg(F.count("*").alias("n_assets"),
+                 F.sum(F.length("payload").cast("long")).alias("total_bytes"),
+                 F.min(F.length("payload")).alias("min_bytes"),
+                 F.max(F.length("payload")).alias("max_bytes")))
+
+
+_ASSET_SQL = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+       count(*) AS n_assets,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MIN(octet_length(encode(text))) AS INT) AS min_bytes,
+       CAST(MAX(octet_length(encode(text))) AS INT) AS max_bytes
+FROM documents GROUP BY 1
+"""
+
+
+def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas plumbing certificate: the Arrow-batched stub decode's
+    deterministic geometry is recomputed by the oracle, so a hash match
+    proves schema/batching/values survive the Python boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_stub_features(multimodal.docs_to_assets(d))
+
+
+_STUB_SQL = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+       3 AS n_channels
+FROM documents
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "embedding_norms": Q(embedding_norms, _NORMS_SQL),
+    "cosine_topk_bruteforce": Q(cosine_topk_bruteforce, _COSINE_SQL),
+    "signlsh_topk_approx": Q(signlsh_topk_approx, None),
+    "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),
+    "minhash_near_dups": Q(minhash_near_dups, None),
+    "simhash_near_pairs": Q(simhash_near_pairs, None),
+    "multimodal_asset_stats": Q(multimodal_asset_stats, _ASSET_SQL),
+    "multimodal_stub_features": Q(multimodal_stub_features, _STUB_SQL),
+}

@@ -1,0 +1,186 @@
+"""Text-analysis & dedup operators over the ``documents`` table
+(SURVEY.md §2.9 X1/X4 — the training-data-pipeline surface).
+
+All hot-path expressions are JVM built-ins (split/regexp/md5/aggregate)
+— no Python UDFs — so they whole-stage-codegen and scale linearly with
+input bytes. Near-dup operators that need hashing families live in
+``operators/dedup.py``; the SQL-expressible ones are oracled here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import Q
+
+_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is")
+_SW_ARRAY = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- X1: exact dedup -------------------------------------------------------
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full text: keep the lowest doc_id per distinct
+    text, count the duplicates it absorbs. Hash-aggregate on the text
+    key — at 100 TB the groupBy key would be a 128-bit text digest
+    instead of the raw string to shrink shuffle width (see
+    doc_fingerprints), semantics identical."""
+    d = _docs(spark, sf_dir)
+    return (d.groupBy("text")
+             .agg(F.min("doc_id").alias("keeper_doc_id"),
+                  F.count("*").alias("n_copies"))
+             .select("keeper_doc_id", "n_copies"))
+
+
+_DEDUP_SQL = """
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# --- X4: token counting ----------------------------------------------------
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + char statistics per document."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("double")
+         / F.size(toks)).alias("avg_token_len"))
+
+
+_TOKEN_SQL = r"""
+SELECT doc_id, lang,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\s+')) AS avg_token_len
+FROM documents
+"""
+
+
+# --- X4: quality scoring ---------------------------------------------------
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword ratio (fluency proxy), mean
+    token length, and a length prior, combined linearly. Deterministic
+    double arithmetic — identical in the oracle."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    sw_ratio = sw.cast("double") / n_tokens
+    mean_len = F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tokens
+    length_prior = F.least(F.length("text").cast("double") / 500.0, F.lit(1.0))
+    score = sw_ratio * 0.4 + (mean_len / 10.0) * 0.3 + length_prior * 0.3
+    return d.select("doc_id", "lang",
+                    sw_ratio.alias("stopword_ratio"),
+                    mean_len.alias("mean_token_len"),
+                    score.alias("quality_score"))
+
+
+_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS solid_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks, x -> x IN ({_SW_ARRAY}))) AS DOUBLE)
+           / len(toks) AS stopword_ratio,
+         solid_chars / len(toks) AS mean_token_len,
+         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_prior
+  FROM t
+)
+SELECT doc_id, lang, stopword_ratio, mean_token_len,
+       stopword_ratio * 0.4 + (mean_token_len / 10.0) * 0.3
+         + length_prior * 0.3 AS quality_score
+FROM s
+"""
+
+
+# --- X4: fingerprinting ----------------------------------------------------
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form digest per document (lowercase, whitespace
+    collapsed -> md5) + how many documents share each digest. The
+    digest is the scale-out dedup key: 16 bytes shuffled instead of
+    full text."""
+    d = _docs(spark, sf_dir)
+    canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    with_fp = d.select("doc_id", F.md5(canon.cast("binary")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return with_fp.withColumn("n_sharing", F.count("*").over(w).cast("long"))
+
+
+_FP_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_sharing
+FROM fp
+"""
+
+
+# --- X4: language-ID heuristic ---------------------------------------------
+
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|in|that|it)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu)\b",
+    "fr": r"\b(le|la|les|et|est|un|une|dans)\b",
+    "es": r"\b(el|la|los|las|es|y|un|una|en)\b",
+}
+
+
+def doc_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language ID: per-language stopword-marker hit counts
+    + argmax prediction (deterministic tie order en>de>fr>es)."""
+    d = _docs(spark, sf_dir)
+    lowered = F.lower("text")
+    cols = {lang: F.size(F.regexp_extract_all(lowered, F.lit(rx), 0))
+            for lang, rx in _LANG_MARKERS.items()}
+    scored = d.select("doc_id", F.col("lang").alias("labeled_lang"),
+                      *[c.alias(f"score_{lang}") for lang, c in cols.items()])
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    best = F.greatest(*s.values())
+    pred = (F.when(s["en"] == best, "en").when(s["de"] == best, "de")
+             .when(s["fr"] == best, "fr").otherwise("es"))
+    return scored.withColumn("predicted_lang", pred)
+
+
+_LANG_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {', '.join(f"len(regexp_extract_all(lower(text), '{rx}')) AS score_{lang}"
+                    for lang, rx in _LANG_MARKERS.items())}
+  FROM documents
+)
+SELECT *,
+       CASE WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+            WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+            WHEN score_fr >= score_es THEN 'fr'
+            ELSE 'es' END AS predicted_lang
+FROM scored
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "exact_dedup_docs": Q(exact_dedup_docs, _DEDUP_SQL),
+    "doc_token_stats": Q(doc_token_stats, _TOKEN_SQL),
+    "doc_quality_scores": Q(doc_quality_scores, _QUALITY_SQL),
+    "doc_fingerprints": Q(doc_fingerprints, _FP_SQL),
+    "doc_language_scores": Q(doc_language_scores, _LANG_SQL),
+}

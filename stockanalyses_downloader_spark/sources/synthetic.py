@@ -60,6 +60,7 @@ def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") * 0.999).alias("bid"),
         (F.col("value") * 1.001).alias("ask"),
         F.col("value").alias("last_price"),
+        F.abs(F.col("value")).alias("volume"),
         F.col("ts"),
     )
 
@@ -72,6 +73,7 @@ TICKS_SQL = f"""(
          value * 0.999 AS bid,
          value * 1.001 AS ask,
          value AS last_price,
+         abs(value) AS volume,
          ts
   FROM events
 )"""
@@ -95,6 +97,29 @@ def jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(eid % NON_CRYPTO_EVERY == 0, F.lit(1)).otherwise(F.lit(2))
          .cast("int").alias("type_idtype"),
     )
+
+
+def wss_ticks_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format WSS tick stream: positional array-of-arrays + epoch
+    seconds, the shape drained from the reference's queue
+    (main.py:398-415). Pair resolved through the broadcast dim."""
+    from ..dims.currency import currency_dim
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id").alias("tick_id"),
+        _isin_col(F.col("user_id")).alias("isin"),
+        "value", "ts")
+    v = F.col("value")
+    return (base
+            .join(F.broadcast(currency_dim(spark)), "isin", "inner")
+            .select(
+                "tick_id", "isin", "pair",
+                F.array(F.array(
+                    v * 0.999, F.lit(0.0), v * 1.001, F.lit(0.0),
+                    v * 0.001, v * 0.0001, v, F.abs(v),
+                    v * 1.002, v * 0.998)).alias("tick"),
+                (F.unix_micros("ts") / F.lit(1000000.0)).alias("ts")))
 
 
 JOBS_SQL = f"""(

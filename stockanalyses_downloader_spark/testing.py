@@ -44,9 +44,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             df[c] = s.map(lambda v: v.hex() if isinstance(v, (bytes, bytearray))
                           else str(v) if isinstance(v, list) else v)
-    sort_cols = [c for c in df.columns
-                 if not pd.api.types.is_float_dtype(df[c])] or list(df.columns)
-    return df.sort_values(by=sort_cols, kind="mergesort").reset_index(drop=True)
+    # sort by every column (values are compared engine-to-engine, so
+    # identical data sorts identically; floats only tie-break exact keys)
+    return (df.sort_values(by=list(df.columns), kind="mergesort",
+                           na_position="last")
+              .reset_index(drop=True))
 
 
 def _values_equal(a, b, rel: float = 1e-9) -> bool:
