@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query is forced through the noop sink (full materialization of
+every output column — count() alone lets Catalyst prune the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stockanalyses_downloader_spark.queries import all_queries  # noqa: E402
+from stockanalyses_downloader_spark.session import (DEFAULT_SF_DIR,  # noqa: E402
+                                                    get_session)
+
+HEADLINE = [
+    "flagship_latest_mid",
+    "rest_pipeline_messages",
+    "weekly_ohlc_candles",
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "event_sessionization",
+    "exact_dedup_docs",
+    "doc_fingerprints",
+    "ngram_jaccard_near_dups",
+    "minhash_near_dups",
+    "cosine_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_session("bench")
+    registry = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        start = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
