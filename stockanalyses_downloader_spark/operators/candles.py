@@ -52,18 +52,25 @@ def ohlc_candles(ticks: DataFrame, key: str = "isin",
 
 def streaming_ohlc(ticks: DataFrame, key: str = "isin",
                    width: str = "7 days", price: str = "last_price",
-                   ts: str = "ts", watermark: str = "10 minutes") -> DataFrame:
+                   ts: str = "ts", tiebreak: str = "tick_id",
+                   watermark: str = "10 minutes") -> DataFrame:
     """Streaming variant: watermark bounds candle state (ST5); open and
-    close use min_by/max_by on event time (window functions are not
-    supported on streams). Late ticks beyond the watermark drop."""
+    close use min_by/max_by over (event time, tiebreak) — window
+    functions are not supported on streams, and the struct order key
+    keeps results identical to the batch transform under duplicate
+    timestamps. Volume sums in decimal (order-independent), so a
+    replayed/re-partitioned stream emits bit-identical candles. Late
+    ticks beyond the watermark drop."""
+    order_key = F.struct(ts, tiebreak)
     return (ticks
             .withWatermark(ts, watermark)
             .groupBy(key, F.window(ts, width).alias("__w"))
-            .agg(F.min_by(price, ts).alias("open"),
+            .agg(F.min_by(price, order_key).alias("open"),
                  F.max(price).alias("high"),
                  F.min(price).alias("low"),
-                 F.max_by(price, ts).alias("close"),
-                 F.sum("volume").alias("volume"),
+                 F.max_by(price, order_key).alias("close"),
+                 F.sum(F.col("volume").cast("decimal(25,10)"))
+                  .cast("double").alias("volume"),
                  F.count("*").alias("n_ticks"))
             .select(key, F.col("__w.start").alias("bucket_start"),
                     "open", "high", "low", "close", "volume", "n_ticks"))

@@ -1,0 +1,155 @@
+"""Structured Streaming tests: the same operator fns bound to stream
+sources (ST7), watermarked OHLC, foreachBatch publish with per-partition
+connections, dedup-based effective exactly-once, job-state writeback."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stockanalyses_downloader_spark.dims.currency import currency_dim
+from stockanalyses_downloader_spark.operators import candles, pipeline
+from stockanalyses_downloader_spark.sources import synthetic
+from stockanalyses_downloader_spark.streaming import sinks, sources
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_available_now(writer):
+    q = writer.start()
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_matches_batch_projection(spark, tmp_path):
+    """The WSS pipeline transform produces identical rows batch vs
+    stream (write once, bind twice)."""
+    raw = synthetic.wss_ticks_raw(spark, SF)
+    src_dir = str(tmp_path / "raw")
+    raw.write.parquet(src_dir)
+
+    def transform(df):
+        named = pipeline.project_wss_tick(df.drop("isin"))
+        named = pipeline.resolve_isin(named, currency_dim(spark))
+        return pipeline.with_mid(named)
+
+    batch_rows = transform(spark.read.parquet(src_dir)).collect()
+
+    stream = sources.file_tick_stream(spark, src_dir, schema=raw.schema)
+    q = _run_available_now(
+        transform(stream).writeStream.format("memory")
+        .queryName("proj").trigger(availableNow=True))
+    stream_rows = spark.sql("SELECT * FROM proj").collect()
+    q.stop()
+
+    assert sorted(map(tuple, stream_rows)) == sorted(map(tuple, batch_rows))
+    assert len(batch_rows) > 0
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    ticks = pipeline.validate_http(synthetic.ticks(spark, SF))
+    src_dir = str(tmp_path / "ticks")
+    ticks.write.parquet(src_dir)
+
+    batch = {tuple(r) for r in candles.ohlc_candles(
+        spark.read.parquet(src_dir)).collect()}
+
+    stream = sources.file_tick_stream(spark, src_dir, schema=ticks.schema)
+    agg = candles.streaming_ohlc(stream, watermark="1 minute")
+    q = _run_available_now(
+        agg.writeStream.format("memory").queryName("ohlc")
+        .outputMode("complete").trigger(availableNow=True))
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM ohlc").collect()}
+    q.stop()
+
+    assert streamed == batch
+    assert len(batch) > 0
+
+
+def test_foreach_batch_publish_connection_reuse(spark, tmp_path):
+    """K1 fix: connections opened = partitions with data, not messages."""
+    msgs = pipeline.with_mid(
+        pipeline.validate_http(synthetic.ticks(spark, SF)))
+    src_dir = str(tmp_path / "msgs")
+    msgs.repartition(4).write.parquet(src_dir)
+    out_dir = str(tmp_path / "queue")
+
+    stream = sources.file_tick_stream(spark, src_dir, schema=msgs.schema)
+    publish = sinks.foreach_batch_publish(
+        stream, lambda: sinks.FileQueueClient(out_dir))
+    q = _run_available_now(
+        stream.writeStream.foreachBatch(publish).trigger(availableNow=True))
+    q.stop()
+
+    files = glob.glob(os.path.join(out_dir, "conn-*.jsonl"))
+    n_messages = sum(1 for f in files for _ in open(f))
+    assert n_messages == msgs.count()
+    # far fewer connections than messages — the reference opened one per message
+    assert 0 < len(files) <= 16
+
+
+def test_streaming_dedup_effective_exactly_once(spark, tmp_path):
+    ticks = synthetic.ticks(spark, SF).limit(200)
+    doubled = ticks.union(ticks)  # simulate redelivery
+    src_dir = str(tmp_path / "dup")
+    doubled.write.parquet(src_dir)
+
+    stream = sources.file_tick_stream(spark, src_dir, schema=doubled.schema)
+    deduped = sinks.dedup_for_effective_exactly_once(
+        stream, ["tick_id"], ts_col="ts", watermark="0 seconds")
+    q = _run_available_now(
+        deduped.writeStream.format("memory").queryName("dedup")
+        .outputMode("append").trigger(availableNow=True))
+    n = spark.sql("SELECT count(*) AS n FROM dedup").first()["n"]
+    q.stop()
+    assert n == 200
+
+
+def test_jobs_state_writeback_merge(spark, tmp_path):
+    path = str(tmp_path / "jobs_table")
+    writeback = sinks.jobs_state_writeback(path)
+
+    b0 = spark.createDataFrame(
+        [(1, 1100, "btsp#XFC000000001", 2), (2, 1100, "btfx#XFC000000002", 2)],
+        "downloader_jq_id long, action int, value string, type_idtype int")
+    writeback(b0, 0)
+    b1 = spark.createDataFrame(
+        [(1, 1300), (3, 1900)], "downloader_jq_id long, action int")
+    writeback(b1, 1)
+
+    final = {r["downloader_jq_id"]: r["action"]
+             for r in spark.read.parquet(path).collect()}
+    assert final == {1: 1300, 2: 1100, 3: 1900}
+
+
+def test_rate_source_smoke(spark):
+    stream = sources.rate_tick_stream(spark, rows_per_second=50)
+    q = (stream.writeStream.format("memory").queryName("rate_smoke")
+         .trigger(processingTime="1 second").start())
+    try:
+        import time
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM rate_smoke").first()["n"]
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+    finally:
+        q.stop()
+
+
+def test_serialize_message_roundtrip(spark):
+    """P11: the queue payload is valid JSON carrying every column."""
+    import json
+    df = pipeline.with_mid(pipeline.validate_http(
+        synthetic.ticks(spark, SF))).limit(5)
+    ser = pipeline.serialize_message(df)
+    for row in ser.collect():
+        payload = json.loads(row["message"])
+        assert payload["tick_id"] == row["tick_id"]
+        assert abs(payload["mid"] - row["mid"]) < 1e-12
