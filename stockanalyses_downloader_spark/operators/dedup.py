@@ -26,9 +26,12 @@ from pyspark.sql import functions as F
 # deterministic universal-hash family for MinHash: h_j(x) = (a_j*x+b_j)
 # mod p over 31-bit reduced base hashes. 31-bit operands keep every
 # product under 2^63 (Spark runs ANSI mode: silent wraparound is an
-# error, so the classic 64-bit mix constants are out). LCG-generated,
+# error, so the classic 64-bit mix constants are out). p MUST be close
+# to the base-hash range (2^31-1, Mersenne): with a larger modulus the
+# affine map never wraps, stays monotonic in h, and every "permutation"
+# degenerates to picking the same minimum element. LCG-generated,
 # stable across runs — the test contract needs reproducibility.
-_MH_PRIME = (1 << 61) - 1
+_MH_PRIME = (1 << 31) - 1
 
 
 def _mh_params(n: int, seed: int = 1234567) -> list[tuple[int, int]]:

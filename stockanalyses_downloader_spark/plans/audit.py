@@ -1,0 +1,72 @@
+"""Physical-plan audit helpers.
+
+"Would this plan survive a 100x scale-up?" is checkable: filters must
+reach the parquet scan (PushedFilters), small dims must broadcast, no
+accidental cartesian products, Python UDFs must not interrupt codegen.
+These helpers turn those properties into assertions so tests pin them
+— a plan regression (e.g. a broadcast silently becoming a sort-merge
+join over a shuffle) fails CI instead of surfacing as a cluster fire.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def assert_pushed_filters(df: DataFrame, *needles: str) -> str:
+    """Assert the scan carries pushed filters (optionally matching
+    substrings, e.g. a column name)."""
+    plan = explain_str(df)
+    assert "PushedFilters: [" in plan, f"no pushed filters in plan:\n{plan}"
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    joined = "\n".join(pushed)
+    assert not joined.strip().endswith("PushedFilters: []"), joined
+    for needle in needles:
+        assert any(needle in ln for ln in pushed), (
+            f"filter on {needle!r} not pushed:\n{joined}")
+    return plan
+
+
+def assert_broadcast_join(df: DataFrame, n_expected: int = 1) -> str:
+    plan = explain_str(df)
+    n = plan.count("BroadcastHashJoin")
+    assert n >= n_expected, (
+        f"expected >= {n_expected} broadcast hash joins, found {n}:\n{plan}")
+    return plan
+
+
+def assert_no_cartesian(df: DataFrame) -> str:
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, f"cartesian product:\n{plan}"
+    return plan
+
+
+def plan_report(df: DataFrame) -> dict[str, object]:
+    """Summary counters for plan-quality dashboards/tests."""
+    plan = explain_str(df)
+    simple = explain_str(df, mode="simple")
+    tree = plan.split("\n\n", 1)[0]   # operator tree only, no detail section
+    return {
+        "broadcast_hash_joins": tree.count("BroadcastHashJoin"),
+        "sort_merge_joins": tree.count("SortMergeJoin"),
+        "shuffles": tree.count("Exchange") - tree.count("BroadcastExchange"),
+        # only meaningful on final plans (AQE pre-execution plans hide
+        # codegen stars until isFinalPlan=true)
+        "wholestage_codegen_spans": simple.count("*("),
+        "python_evals": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+        "has_pushed_filters": "PushedFilters: [" in plan
+                              and not all(ln.strip().endswith("PushedFilters: []")
+                                          for ln in plan.splitlines()
+                                          if "PushedFilters" in ln),
+        "cartesian": "CartesianProduct" in plan,
+    }

@@ -1,0 +1,162 @@
+"""Operator-level tests: ticker source boundary, candle invariants,
+LSH recall against exact answers, property tests (hypothesis) for the
+pipeline scalar ops."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stockanalyses_downloader_spark.dims.currency import currency_dim
+from stockanalyses_downloader_spark.operators import (candles, dedup,
+                                                      pipeline, similarity)
+from stockanalyses_downloader_spark.sources import synthetic, ticker
+from stockanalyses_downloader_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- ticker source boundary (S4/S5) ---------------------------------------
+
+def test_ticker_url_builder(spark):
+    pairs = currency_dim(spark).limit(4).withColumn("exchange", F.lit("btsp"))
+    urls = {r["pair"]: r["url"]
+            for r in ticker.build_ticker_urls(pairs).collect()}
+    assert urls["btceur"] == "https://www.bitstamp.net/api/v2/ticker/btceur"
+    pairs_bf = currency_dim(spark).limit(1).withColumn("exchange", F.lit("btfx"))
+    url = ticker.build_ticker_urls(pairs_bf).first()["url"]
+    assert url.startswith("https://api.bitfinex.com/v1/pubticker/")
+
+
+def test_fixture_fetcher_casts_to_typed_columns(spark):
+    pairs = currency_dim(spark).withColumn("exchange", F.lit("btsp"))
+    snap = ticker.fixture_fetcher(ticker.build_ticker_urls(pairs))
+    dtypes = dict(snap.dtypes)
+    assert dtypes["bid"] == "double" and dtypes["ask"] == "double"
+    assert dtypes["ts"] == "timestamp"
+    rows = snap.collect()
+    assert len(rows) == 84
+    for r in rows[:10]:
+        assert r["bid"] < r["ask"]          # fixture spread
+        assert r["status"] == 200
+
+
+def test_http_fetcher_is_gated(spark):
+    import pytest
+    pairs = ticker.build_ticker_urls(
+        currency_dim(spark).limit(1).withColumn("exchange", F.lit("btsp")))
+    try:
+        import requests  # noqa: F401
+        pytest.skip("requests present; live path not exercised in tests")
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            ticker.http_fetcher(pairs)
+
+
+# --- candle invariants -----------------------------------------------------
+
+def test_candle_invariants(spark):
+    t = pipeline.validate_http(synthetic.ticks(spark, SF))
+    c = candles.ohlc_candles(t).collect()
+    assert len(c) > 0
+    for row in c:
+        assert row["low"] <= row["open"] <= row["high"]
+        assert row["low"] <= row["close"] <= row["high"]
+        assert row["volume"] >= 0
+        assert row["n_ticks"] >= 1
+    assert sum(r["n_ticks"] for r in c) == t.count()
+
+
+# --- LSH recall vs exact ---------------------------------------------------
+
+def test_signlsh_recall_vs_bruteforce(spark):
+    e = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(e, qids, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.signlsh_topk(e, qids, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"sign-LSH recall collapsed: {recall}"
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """Plant near-identical copies (one token appended) of 20 docs;
+    banded MinHash must surface every planted pair."""
+    d = load_table(spark, SF, "documents").limit(20)
+    copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      F.concat("text", F.lit(" zz")).alias("text"),
+                      "lang", "source", "n_chars")
+    corpus = d.unionByName(copies)
+    pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in d.collect()}
+    missing = expected - found
+    assert not missing, f"planted near-dups missed: {missing}"
+
+
+def test_simhash_planted_near_dups(spark):
+    d = load_table(spark, SF, "documents").limit(20)
+    copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      F.concat("text", F.lit(" zz")).alias("text"),
+                      "lang", "source", "n_chars")
+    corpus = d.unionByName(copies)
+    pairs = dedup.simhash_near_pairs(corpus, max_hamming=6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in d.collect()}
+    assert len(expected & found) >= int(0.9 * len(expected)), (
+        f"simhash missed too many planted dups: {len(expected & found)}/20")
+
+
+def test_dedup_idempotence(spark):
+    d = load_table(spark, SF, "documents")
+    once = dedup.exact_dedup(d, ["text"])
+    twice = dedup.exact_dedup(once, ["text"])
+    assert once.count() == twice.count()
+
+
+# --- property tests (hypothesis drives the data, one Spark job each) -------
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["btsp", "btfx", "x"]),
+                          st.text(alphabet="ABC0123456789", min_size=1,
+                                  max_size=12),
+                          st.booleans()),
+                min_size=1, max_size=30))
+def test_parse_job_value_property(spark, jobs_data):
+    rows = [(i, 1000, f"{ex}#{isin}" if has_hash else ex, 2)
+            for i, (ex, isin, has_hash) in enumerate(jobs_data, start=1)]
+    df = spark.createDataFrame(
+        rows, "downloader_jq_id long, action int, value string, type_idtype int")
+    parsed = pipeline.parse_job_value(df).collect()
+    for row, (ex, isin, has_hash) in zip(sorted(parsed, key=lambda r: r[0]),
+                                         jobs_data):
+        assert row["exchange"] == ex
+        assert row["isin"] == (isin if has_hash else None)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)),
+    min_size=1, max_size=50))
+def test_mid_price_property(spark, quotes):
+    df = spark.createDataFrame(
+        [(i, b, a) for i, (b, a) in enumerate(quotes)],
+        "tick_id long, bid double, ask double")
+    for row in pipeline.with_mid(df).collect():
+        b, a = quotes[row["tick_id"]]
+        assert math.isclose(row["mid"], (b + a) / 2, rel_tol=0, abs_tol=0)
+
+
+def test_join_cardinality_one_to_one(spark):
+    """Every known ISIN resolves exactly once against the 84-row dim
+    (1:1 cardinality — currency.py keys are unique)."""
+    t = synthetic.ticks(spark, SF)
+    resolved = pipeline.resolve_pair(t, currency_dim(spark))
+    known = t.filter(
+        F.regexp_extract("isin", r"XFC0*(\d+)", 1).cast("int") <= 84)
+    assert resolved.count() == known.count()

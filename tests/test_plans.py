@@ -1,0 +1,72 @@
+"""Plan-quality pins: pushdown, broadcast discipline, codegen, no
+cartesian joins — the properties that keep these plans viable at
+1000 executors / 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockanalyses_downloader_spark.dims.currency import currency_dim
+from stockanalyses_downloader_spark.operators import pipeline
+from stockanalyses_downloader_spark.plans import (assert_broadcast_join,
+                                                  assert_no_cartesian,
+                                                  assert_pushed_filters,
+                                                  plan_report)
+from stockanalyses_downloader_spark.queries import all_queries
+from stockanalyses_downloader_spark.sources import synthetic
+from stockanalyses_downloader_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_table(spark, SF, "lineitem")
+    q = (li.filter(F.col("l_shipdate") <= "1998-09-02")
+           .select("l_orderkey", "l_quantity"))
+    assert_pushed_filters(q, "l_shipdate")
+
+
+def test_column_pruning(spark):
+    from stockanalyses_downloader_spark.plans import explain_str
+    li = load_table(spark, SF, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = explain_str(q)
+    scan_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_schema and "l_extendedprice" not in scan_schema[0], scan_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    t = pipeline.resolve_pair(synthetic.ticks(spark, SF), currency_dim(spark))
+    assert_broadcast_join(t)
+
+
+def test_flagship_plan_quality(spark):
+    q = all_queries()["flagship_latest_mid"].spark(spark, SF)
+    report = plan_report(q)
+    assert report["broadcast_hash_joins"] >= 1     # dim join stays map-side
+    assert report["python_evals"] == 0             # all-JVM pipeline
+    assert not report["cartesian"]
+    # exactly one real shuffle: the per-pair top-1 window (and the
+    # WindowGroupLimit partial runs map-side before it)
+    assert report["shuffles"] <= 1, report
+
+
+def test_no_python_eval_in_hot_paths(spark):
+    """Every oracled relational/reference/text query stays JVM-side
+    (multimodal stub is the sanctioned mapInPandas exception)."""
+    for name, q in all_queries().items():
+        if name.startswith("multimodal_stub"):
+            continue
+        report = plan_report(q.spark(spark, SF))
+        assert report["python_evals"] == 0, f"{name} leaves the JVM"
+
+
+def test_topk_similarity_no_cartesian_for_lsh(spark):
+    q = all_queries()["signlsh_topk_approx"].spark(spark, SF)
+    assert_no_cartesian(q)
+
+
+def test_shipping_priority_pushdown_all_tables(spark):
+    q = all_queries()["shipping_priority"].spark(spark, SF)
+    plan = assert_pushed_filters(q, "o_orderdate")
+    assert "l_shipdate" in plan and "c_mktsegment" in plan
