@@ -44,6 +44,17 @@ def _mh_params(n: int, seed: int = 1234567) -> list[tuple[int, int]]:
     return out
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the cluster's parallelism before
+    CPU-heavy per-row work. Small local fixtures arrive as one parquet
+    split (one task = one core); at 100 TB inputs are already
+    thousands of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(col, n: int = 3):
     """Word n-gram array (distinct), empty when the doc is too short.
     All higher-order built-ins — no UDF."""
@@ -59,6 +70,19 @@ def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     return docs.withColumn("shingles", word_shingles(F.col(text_col), n))
 
 
+def with_hashed_shingles(docs: DataFrame, text_col: str = "text",
+                         n: int = 3) -> DataFrame:
+    """Shingle set as distinct int64 hashes: set operations on 8-byte
+    ints instead of ~20-byte strings (the Jaccard hot path is dominated
+    by string hashing/compares). A pairwise Jaccard computed on hashes
+    equals the string-set Jaccard unless xxhash64 collides within one
+    pair's union (~n²/2^65 per pair — negligible)."""
+    return docs.withColumn(
+        "shingles",
+        F.array_distinct(F.transform(word_shingles(F.col(text_col), n),
+                                     lambda s: F.xxhash64(s))))
+
+
 def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
     """X1: dropDuplicates on explicit keys."""
     return df.dropDuplicates(keys)
@@ -66,13 +90,17 @@ def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
                         n: int = 3, threshold: float = 0.5,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        hashed: bool = False) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocks.
 
     Self-join on the blocking key (id < id kills mirror pairs), then
     set intersection/union sizes. The block join is the only shuffle;
-    block sizes bound the quadratic term."""
-    s = with_shingles(docs).select(id_col, *block_cols, "shingles")
+    block sizes bound the quadratic term. ``hashed=True`` runs the set
+    math on int64 shingle hashes — same result modulo a ~2^-65
+    per-pair collision chance, several times faster."""
+    make = with_hashed_shingles if hashed else with_shingles
+    s = make(spread(docs), "text", n).select(id_col, *block_cols, "shingles")
     a = s.select(*block_cols, F.col(id_col).alias("id_a"),
                  F.col("shingles").alias("sh_a"))
     b = s.select(*block_cols, F.col(id_col).alias("id_b"),
@@ -88,19 +116,29 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
 def minhash_signatures(docs: DataFrame, n_hashes: int = 64,
                        id_col: str = "doc_id") -> DataFrame:
     """MinHash signature per doc: one xxhash64 pass over the shingle
-    set, then ``n_hashes`` affine permutations (a*h+b wraps in int64 —
-    deterministic), min-reduced per permutation."""
-    s = with_shingles(docs)
-    # one hash pass per shingle, reduced to 31 bits; n_hashes cheap
-    # affine permutations over it
-    base = F.transform("shingles",
-                       lambda g: F.shiftrightunsigned(F.xxhash64(g), 33))
-    sig = F.array(*[
-        F.array_min(F.transform(
-            base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)))
-        for a, b in _mh_params(n_hashes)])
-    return s.select(id_col, F.when(F.size("shingles") > 0, sig)
-                    .alias("signature"))
+    set, then ``n_hashes`` affine permutations (universal-hash family),
+    min-reduced per permutation.
+
+    Docs too short to shingle are dropped HERE (cheap size filter);
+    filtering on the signature column downstream would re-evaluate the
+    whole fold in the predicate — measured 5x slower."""
+    s = with_hashed_shingles(spread(docs)).filter(F.size("shingles") > 0)
+    # shingles are already int64 hashes; reduce to 31 bits, then fold
+    # ONCE over the shingle array updating all n_hashes minimums per
+    # element. (n_hashes separate array_min(transform(...)) exprs would
+    # re-evaluate the shingle pipeline per permutation — CollapseProject
+    # inlines the shared subexpression — measured 6x slower.)
+    params = _mh_params(n_hashes)
+    base = F.transform("shingles", lambda h: F.shiftrightunsigned(h, 33))
+    init = F.array_repeat(F.lit(_MH_PRIME).cast("long"), n_hashes)
+
+    def step(acc, h):
+        perms = F.array(*[(h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+                          for a, b in params])
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
+
+    sig = F.aggregate(base, init, step)
+    return s.select(id_col, sig.alias("signature"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
@@ -112,8 +150,11 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
     hash collides. Explode bands (16 rows/doc), groupBy-join on
     (band_id, band_hash), verify candidates exactly."""
     r = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, id_col).filter(
-        F.col("signature").isNotNull())
+    # persist = materialization barrier: the band explode references
+    # the signature column 16x, and CollapseProject would otherwise
+    # inline (re-evaluate) the whole 64-permutation fold per band —
+    # measured 5x slower. Signatures are 64 longs/doc, safe to cache.
+    sigs = minhash_signatures(docs, n_hashes, id_col).persist()
     banded = sigs.select(
         id_col,
         F.explode(F.transform(
@@ -124,13 +165,24 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
                     ",", F.transform(F.slice("signature", b * r + 1, r),
                                      lambda v: v.cast("string"))))
                  .alias("band_hash")))).alias("band"))
-    banded = banded.select(id_col, "band.band_id", "band.band_hash")
+    # persist: banded feeds both sides of the self-join and cand feeds
+    # three consumers — without it the signature fold re-runs per
+    # consumer (lazy DAG). Both are signature-width, not document-width
+    # (~200 bytes/doc), so MEMORY_AND_DISK is safe at any corpus size.
+    banded = (banded.select(id_col, "band.band_id", "band.band_hash")
+              .persist())
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     cand = (a.join(b, ["band_id", "band_hash"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
-    sh = with_shingles(docs, text_col, n).select(id_col, "shingles")
+             .select("id_a", "id_b").distinct()
+             .persist())
+    # verify only the docs that appear in candidate pairs: shingle
+    # recomputation is proportional to candidates, not corpus
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col))).distinct())
+    involved = docs.join(cand_ids, id_col, "left_semi")
+    sh = with_hashed_shingles(spread(involved), text_col, n).select(id_col, "shingles")
     cand = (cand
             .join(sh.select(F.col(id_col).alias("id_a"),
                             F.col("shingles").alias("sh_a")), "id_a")
@@ -147,7 +199,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc: sign-sum of token-hash bits. Explode +
     two-level aggregate keeps it a plain shuffle on doc_id."""
-    toks = docs.select(
+    toks = spread(docs).select(
         id_col, F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                   r"\s+")).alias("tok"))
     h = F.xxhash64("tok")

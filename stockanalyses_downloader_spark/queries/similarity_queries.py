@@ -82,7 +82,7 @@ def signlsh_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, block_cols=["lang", "source"],
-                                     n=3, threshold=0.3)
+                                     n=3, threshold=0.3, hashed=True)
 
 
 _JACCARD_SQL = r"""
