@@ -368,6 +368,103 @@ FROM events GROUP BY 1
 """
 
 
+# --- outer joins -----------------------------------------------------------
+
+def customer_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER: every customer, with 0/NULL-safe order stats."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 dsum(F.col("o_totalprice")).alias("spend")))
+    return (cu.join(agg, cu.c_custkey == agg.o_custkey, "left")
+              .select("c_custkey", "c_mktsegment",
+                      F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                      F.coalesce("spend", F.lit(0.0)).alias("spend")))
+
+
+_LEFT_SQL = f"""
+WITH agg AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         {dsum_sql('o_totalprice')} AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_mktsegment,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(spend, 0.0) AS spend
+FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+"""
+
+
+def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER between per-nation customer and supplier censuses —
+    nations can exist on either side only."""
+    cu = (_t(spark, sf_dir, "customer").groupBy("c_nationkey")
+          .agg(F.count("*").alias("n_customers")))
+    su = (_t(spark, sf_dir, "supplier").groupBy("s_nationkey")
+          .agg(F.count("*").alias("n_suppliers")))
+    return (cu.join(su, cu.c_nationkey == su.s_nationkey, "full_outer")
+              .select(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+                      F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                      F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers")))
+
+
+_FULL_SQL = """
+WITH cu AS (SELECT c_nationkey, count(*) AS n_customers
+            FROM customer GROUP BY c_nationkey),
+     su AS (SELECT s_nationkey, count(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM cu FULL OUTER JOIN su ON c_nationkey = s_nationkey
+"""
+
+
+# --- grouping sets (explicit, beyond rollup/cube) --------------------------
+
+_GSETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty, count(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Catalyst Expand
+    operator as rollup/cube; one shuffle for all three groupings)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GSETS_SQL)
+
+
+# --- ranking window family -------------------------------------------------
+
+def order_value_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / lag in one per-customer window
+    (full deterministic sort key: totalprice desc, orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.rank().over(w).cast("int").alias("price_rank"),
+        F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.lag("o_totalprice").over(w).alias("next_higher_price"))
+
+
+_RANKING_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rank() OVER w AS INT) AS price_rank,
+       CAST(dense_rank() OVER w AS INT) AS price_dense_rank,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       lag(o_totalprice) OVER w AS next_higher_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
 # --- distinct & approximate aggregates -------------------------------------
 
 def distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +532,10 @@ QUERIES: dict[str, Q] = {
     "revenue_rollup": Q(revenue_rollup, _ROLLUP_SQL),
     "status_priority_cube": Q(status_priority_cube, _CUBE_SQL),
     "event_type_pivot": Q(event_type_pivot, _PIVOT_SQL),
+    "customer_order_counts_left": Q(customer_order_counts_left, _LEFT_SQL),
+    "nation_presence_full_outer": Q(nation_presence_full_outer, _FULL_SQL),
+    "lineitem_grouping_sets": Q(lineitem_grouping_sets, _GSETS_SQL),
+    "order_value_ranking": Q(order_value_ranking, _RANKING_SQL),
     "distinct_parts_per_brand": Q(distinct_parts_per_brand, _DISTINCT_SQL),
     "approx_distinct_users": Q(approx_distinct_users, None),
     "event_props_extract": Q(event_props_extract, _JSON_SQL),

@@ -72,6 +72,23 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
+def embedding_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 over vectors: bit-identical embedding dedup (group by the
+    full array value; at 100 TB the groupBy key becomes a vector digest
+    — same shape as doc_fingerprints)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (e.groupBy("embedding")
+             .agg(F.min("vec_id").alias("keeper_vec_id"),
+                  F.count("*").alias("n_copies"))
+             .select("keeper_vec_id", "n_copies"))
+
+
+_EMB_DUP_SQL = """
+SELECT min(vec_id) AS keeper_vec_id, count(*) AS n_copies
+FROM embeddings GROUP BY embedding
+"""
+
+
 def signlsh_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via sign-LSH buckets (no SQL oracle — hash
     family; recall vs brute force asserted in tests)."""
@@ -171,6 +188,7 @@ FROM documents
 
 QUERIES: dict[str, Q] = {
     "embedding_norms": Q(embedding_norms, _NORMS_SQL),
+    "embedding_exact_dups": Q(embedding_exact_dups, _EMB_DUP_SQL),
     "cosine_topk_bruteforce": Q(cosine_topk_bruteforce, _COSINE_SQL),
     "signlsh_topk_approx": Q(signlsh_topk_approx, None),
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),

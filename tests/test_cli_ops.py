@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from stockanalyses_downloader_spark.__main__ import main
+from stockanalyses_downloader_spark.ops import HeartbeatListener, instance_info
+
+
+def test_cli_list(capsys):
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "flagship_latest_mid" in out and "[oracled]" in out
+
+
+def test_cli_unknown_query(capsys):
+    assert main(["-q", "nope"]) == 2
+
+
+def test_cli_runs_flagship(spark, tmp_path, capsys):
+    rc = main(["-q", "flagship_latest_mid",
+               "--sf-dir", "/root/testdata/sf0.001",
+               "-o", str(tmp_path / "out"), "-f", "json"])
+    assert rc == 0
+    assert (tmp_path / "out").exists()
+
+
+def test_cli_explain(capsys):
+    rc = main(["-q", "pricing_summary", "--sf-dir", "/root/testdata/sf0.001",
+               "--explain"])
+    assert rc == 0
+    assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_instance_info():
+    info = instance_info()
+    assert info.hostname and info.instance_id and info.state == "running"
+
+
+def test_heartbeat_listener_collects(spark, tmp_path):
+    from stockanalyses_downloader_spark.sources import synthetic
+    from stockanalyses_downloader_spark.streaming import sources as ssrc
+
+    listener = HeartbeatListener()
+    spark.streams.addListener(listener)
+    try:
+        ticks = synthetic.ticks(spark, "/root/testdata/sf0.001")
+        src = str(tmp_path / "src")
+        ticks.write.parquet(src)
+        stream = ssrc.file_tick_stream(spark, src, schema=ticks.schema)
+        q = (stream.writeStream.format("noop")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(90)
+        q.stop()
+        import time
+        deadline = time.time() + 10
+        while time.time() < deadline and not any(
+                r["event"] == "heartbeat" for r in listener.records):
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    events = {r["event"] for r in listener.records}
+    assert "started" in events and "heartbeat" in events
+    mf = listener.metrics_frame(spark)
+    assert mf.count() == len(listener.records)
+    assert "instance_id" in mf.columns
