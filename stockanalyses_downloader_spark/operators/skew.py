@@ -1,0 +1,52 @@
+"""Skew-mitigation utilities for hot keys.
+
+AQE's skew-join splitting handles most cases at runtime; these helpers
+cover the two patterns AQE can't: a skewed high-cardinality aggregation
+whose partial aggregation still funnels one key into one reducer
+(salted two-phase aggregate), and a shuffle join against a
+medium-sized build side that is too big to broadcast (salt-replicate
+join). Salts are deterministic (hash of carried columns), keeping
+results reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(cols: list[str], n_salts: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
+def salted_sum(df: DataFrame, key: str, value: str, n_salts: int = 16,
+               salt_by: list[str] | None = None) -> DataFrame:
+    """Two-phase aggregate: partial sums on (key, salt) spread one hot
+    key over n_salts reducers; the final combine handles n_salts rows
+    per key. Decimal accumulation keeps the result identical to the
+    unsalted plan."""
+    dec = F.col(value).cast("decimal(30,10)")
+    partial = (df.withColumn("__salt", _salt(salt_by or [value], n_salts))
+                 .groupBy(key, "__salt")
+                 .agg(F.sum(dec).alias("__part"), F.count("*").alias("__n")))
+    return (partial.groupBy(key)
+            .agg(F.sum("__part").cast("double").alias(f"sum_{value}"),
+                 F.sum("__n").alias("n_rows")))
+
+
+def salt_replicate_join(facts: DataFrame, dim: DataFrame, key: str,
+                        n_salts: int = 8,
+                        fact_salt_by: list[str] | None = None) -> DataFrame:
+    """Equi-join where one fact key is hot and the build side can't
+    broadcast: replicate each dim row n_salts times, salt the facts
+    deterministically, join on (key, salt). Row multiplicity is
+    preserved exactly; dim replication is the (bounded) cost."""
+    # salt must vary WITHIN a key (salting by the key itself would send
+    # the hot key to one reducer again) — default: hash of the full row
+    salted_facts = facts.withColumn(
+        "__salt", _salt(fact_salt_by or list(facts.columns), n_salts))
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))
+                            .cast("array<bigint>")))
+    return (salted_facts.join(replicated, [key, "__salt"], "inner")
+            .drop("__salt"))

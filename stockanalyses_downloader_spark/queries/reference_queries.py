@@ -234,8 +234,28 @@ FROM fw GROUP BY isin, bucket
 """
 
 
+def rest_fetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 source path end-to-end on the offline fixture fetcher:
+    dim -> per-exchange URL build (P6) -> fetch -> boundary cast ->
+    status filter (P2) -> mid (P8). Rows-only for the driver (the
+    fixture payload is xxhash64-derived, not SQL-reproducible); URL
+    and cast semantics are pinned by unit tests."""
+    from ..dims.currency import currency_dim
+    from ..sources import ticker
+
+    dim = currency_dim(spark)
+    pairs = dim.withColumn(
+        "exchange", F.when(F.col("isin").substr(-1, 1).cast("int") % 2 == 0,
+                           "btsp").otherwise("btfx"))
+    snap = ticker.fixture_fetcher(ticker.build_ticker_urls(pairs))
+    ok = pipeline.validate_http(snap)
+    return pipeline.with_mid(ok).select(
+        "exchange", "isin", "pair", "bid", "ask", "mid", "last", "ts")
+
+
 QUERIES: dict[str, Q] = {
     "flagship_latest_mid": Q(flagship_latest_mid, _FLAGSHIP_SQL),
+    "rest_fetch_pipeline": Q(rest_fetch_pipeline, None),
     "jobs_parse_dispatch": Q(jobs_parse_dispatch, _JOBS_PARSE_SQL),
     "jobs_resolve_pair": Q(jobs_resolve_pair, _JOBS_RESOLVE_SQL),
     "rest_pipeline_messages": Q(rest_pipeline_messages,

@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from stockanalyses_downloader_spark.operators import skew
+from stockanalyses_downloader_spark.queries.helpers import dsum
+from stockanalyses_downloader_spark.sources import jobs_feed, synthetic
+from stockanalyses_downloader_spark.streaming import sinks
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_jobs_json_normalizes_actions(spark, tmp_path):
+    feed = tmp_path / "jobs.jsonl"
+    feed.write_text("\n".join([
+        json.dumps({"downloader_jq_id": 1, "action": "1000",
+                    "value": "btsp#XFC000000001", "type_idtype": "2"}),
+        json.dumps({"downloader_jq_id": 2, "action": 1100,
+                    "value": "btfx#XFC000000002", "type_idtype": 2}),
+        json.dumps({"action": "oops", "value": "x"}),
+    ]))
+    jobs = jobs_feed.read_jobs_json(spark, str(feed))
+    rows = {r["downloader_jq_id"]: r for r in jobs.collect()}
+    assert rows[1]["action"] == 1000 and rows[1]["type_idtype"] == 2
+    assert rows[2]["action"] == 1100
+    assert rows[0]["action"] == 0          # malformed -> sentinel, not crash
+    assert dict(jobs.dtypes)["action"] == "int"
+
+
+def test_empty_jobs_schema(spark):
+    df = jobs_feed.empty_jobs(spark)
+    assert df.count() == 0
+    assert df.columns == ["downloader_jq_id", "action", "value", "type_idtype"]
+
+
+def test_salted_sum_matches_plain(spark):
+    ev = synthetic.ticks(spark, SF)
+    plain = {(r["isin"]): r["s"] for r in
+             ev.groupBy("isin").agg(dsum(F.col("volume")).alias("s")).collect()}
+    salted = {r["isin"]: r["sum_volume"] for r in
+              skew.salted_sum(ev, "isin", "volume").collect()}
+    assert salted == plain        # decimal accumulation -> bit-identical
+
+
+def test_salt_replicate_join_matches_plain(spark):
+    from stockanalyses_downloader_spark.dims.currency import currency_dim
+    t = synthetic.ticks(spark, SF)
+    dim = currency_dim(spark)
+    plain = t.join(dim, "isin", "inner")
+    salted = skew.salt_replicate_join(t, dim, "isin", n_salts=4)
+    assert salted.count() == plain.count()
+    pk = {(r["tick_id"], r["pair"]) for r in plain.select("tick_id", "pair").collect()}
+    sk = {(r["tick_id"], r["pair"]) for r in salted.select("tick_id", "pair").collect()}
+    assert pk == sk
+
+
+def test_jobs_writeback_idempotent_replay(spark, tmp_path):
+    """ST4/claim idempotence: replaying the same micro-batch leaves the
+    jobs table unchanged (checkpoint replay safety)."""
+    path = str(tmp_path / "jobs_table")
+    wb = sinks.jobs_state_writeback(path)
+    b = spark.createDataFrame([(1, 1300), (2, 1900)],
+                              "downloader_jq_id long, action int")
+    wb(b, 0)
+    first = sorted(map(tuple, spark.read.parquet(path).collect()))
+    wb(b, 0)   # replay
+    second = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert first == second
