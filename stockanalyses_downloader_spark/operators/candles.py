@@ -31,14 +31,18 @@ def ohlc_candles(ticks: DataFrame, key: str = "isin",
                  ts: str = "ts", tiebreak: str = "tick_id") -> DataFrame:
     """Tumbling OHLCV candles per key. Columns:
     key, bucket_start, open, high, low, close, volume, n_ticks."""
-    w = (Window.partitionBy(key, F.window(ts, width))
+    # materialize the bucket as a column FIRST so the window and the
+    # groupBy share one attribute -> Catalyst reuses a single shuffle
+    # on (key, bucket) instead of re-exchanging per operator
+    ticks = ticks.withColumn("__w", F.window(ts, width))
+    w = (Window.partitionBy(key, "__w")
                .orderBy(ts, tiebreak)
                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     enriched = (ticks
                 .withColumn("__open", F.first(price).over(w))
                 .withColumn("__close", F.last(price).over(w)))
     return (enriched
-            .groupBy(key, F.window(ts, width).alias("__w"))
+            .groupBy(key, "__w")
             .agg(F.min("__open").alias("open"),
                  F.max(price).alias("high"),
                  F.min(price).alias("low"),

@@ -74,7 +74,10 @@ def decode_stub_features(assets: DataFrame) -> DataFrame:
                 "n_channels": pd.Series([3] * len(pdf), dtype="int32"),
             })
 
-    return assets.mapInPandas(_extract, FEATURE_SCHEMA)
+    from .dedup import spread
+    # fan single-split fixtures across cores: mapInPandas parallelism
+    # is partition parallelism
+    return spread(assets).mapInPandas(_extract, FEATURE_SCHEMA)
 
 
 def decode_real(assets: DataFrame) -> DataFrame:
