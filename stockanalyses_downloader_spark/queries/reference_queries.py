@@ -234,6 +234,43 @@ FROM fw GROUP BY isin, bucket
 """
 
 
+def ticks_asof_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every successful tick against the latest 'official
+    quote' (every 10th tick) at or before its event time, per ISIN —
+    the point-in-time enrichment a market-data engine lives on."""
+    from ..operators.asof import asof_join
+
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    quotes = (t.filter(F.col("tick_id") % 10 == 0)
+               .select("isin", F.col("ts").alias("quote_ts"),
+                       F.col("tick_id").alias("quote_id"),
+                       F.col("last_price").alias("quote_price")))
+    joined = asof_join(t.select("tick_id", "isin", "ts", "last_price"),
+                       quotes, on="isin", left_ts="ts",
+                       right_ts="quote_ts", how="inner")
+    return joined.select(
+        "tick_id", "isin", "ts", "last_price",
+        "quote_id", "quote_price",
+        (F.col("last_price") - F.col("quote_price")).alias("drift"))
+
+
+_ASOF_SQL = f"""
+WITH t AS (
+  SELECT tick_id, isin, ts, last_price FROM {synthetic.TICKS_SQL}
+  WHERE status = 200
+), quotes AS (
+  SELECT isin, ts AS quote_ts, tick_id AS quote_id,
+         last_price AS quote_price
+  FROM {synthetic.TICKS_SQL} WHERE status = 200 AND tick_id % 10 = 0
+)
+SELECT t.tick_id, t.isin, t.ts, t.last_price,
+       q.quote_id, q.quote_price,
+       t.last_price - q.quote_price AS drift
+FROM t ASOF JOIN quotes q
+  ON t.isin = q.isin AND t.ts >= q.quote_ts
+"""
+
+
 def rest_fetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5 source path end-to-end on the offline fixture fetcher:
     dim -> per-exchange URL build (P6) -> fetch -> boundary cast ->
@@ -256,6 +293,7 @@ def rest_fetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Q] = {
     "flagship_latest_mid": Q(flagship_latest_mid, _FLAGSHIP_SQL),
     "rest_fetch_pipeline": Q(rest_fetch_pipeline, None),
+    "ticks_asof_quotes": Q(ticks_asof_quotes, _ASOF_SQL),
     "jobs_parse_dispatch": Q(jobs_parse_dispatch, _JOBS_PARSE_SQL),
     "jobs_resolve_pair": Q(jobs_resolve_pair, _JOBS_RESOLVE_SQL),
     "rest_pipeline_messages": Q(rest_pipeline_messages,

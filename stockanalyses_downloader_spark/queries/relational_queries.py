@@ -492,6 +492,54 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_events")))
 
 
+# --- percentiles & histograms ----------------------------------------------
+
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per status (sort-based; for the
+    100 TB path swap in approx_percentile with a documented error
+    bound — kept exact here for the oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.percentile("o_totalprice", 0.5).alias("p50"),
+                  F.percentile("o_totalprice", 0.9).alias("p90"),
+                  F.percentile("o_totalprice", 0.99).alias("p99"),
+                  F.count("*").alias("n_orders")))
+
+
+_PCT_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram via width_bucket (bucket 0 / n+1 catch
+    out-of-range) — single shuffle on the bucket id."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.when(F.col("value") < 0.0, 0)
+               .when(F.col("value") >= 200.0, 21)
+               .otherwise(F.floor(F.col("value") / 10.0) + 1))
+    return (ev.withColumn("bucket", bucket.cast("int"))
+              .groupBy("bucket")
+              .agg(F.count("*").alias("n_events"),
+                   F.min("value").alias("min_value"),
+                   F.max("value").alias("max_value")))
+
+
+_HIST_SQL = """
+SELECT CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 200.0 THEN 21
+                 ELSE floor(value / 10.0) + 1 END AS INT) AS bucket,
+       count(*) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
 # --- JSON ------------------------------------------------------------------
 
 def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,5 +586,7 @@ QUERIES: dict[str, Q] = {
     "order_value_ranking": Q(order_value_ranking, _RANKING_SQL),
     "distinct_parts_per_brand": Q(distinct_parts_per_brand, _DISTINCT_SQL),
     "approx_distinct_users": Q(approx_distinct_users, None),
+    "order_value_percentiles": Q(order_value_percentiles, _PCT_SQL),
+    "event_value_histogram": Q(event_value_histogram, _HIST_SQL),
     "event_props_extract": Q(event_props_extract, _JSON_SQL),
 }
