@@ -1,0 +1,71 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(reference ST6 — the per-key job/tick state the reference keeps in
+process memory, main.py:293-353).
+
+``running_pair_stats`` maintains per-key cumulative tick statistics
+(count, volume, last price, min/max) across micro-batches — the
+streaming-native generalization of the reference's mutable per-job
+dict. State is explicit, checkpointed, and bounded per key; a timeout
+would evict idle pairs (GroupStateTimeout.ProcessingTimeTimeout) — kept
+NoTimeout here so tests are deterministic.
+
+This is the sanctioned escape hatch when windowed aggregation can't
+express the semantics (cross-window running state). Everything that CAN
+be a window/groupBy stays one (candles.py) — state here is a last
+resort, exactly as the engine's UDF policy demands.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+STATS_SCHEMA = T.StructType([
+    T.StructField("pair", T.StringType(), False),
+    T.StructField("n_ticks", T.LongType(), True),
+    T.StructField("total_volume", T.DoubleType(), True),
+    T.StructField("last_price", T.DoubleType(), True),
+    T.StructField("min_price", T.DoubleType(), True),
+    T.StructField("max_price", T.DoubleType(), True),
+])
+
+_STATE_SCHEMA = ("n_ticks long, total_volume double, last_price double, "
+                 "min_price double, max_price double")
+
+
+def _update(key: tuple, batches: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+    (pair,) = key
+    if state.exists:
+        n, vol, last, mn, mx = state.get
+    else:
+        n, vol, last, mn, mx = 0, 0.0, None, None, None
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "last_price"])
+        n += len(pdf)
+        vol += float(pdf["volume"].sum())
+        last = float(pdf["last_price"].iloc[-1])
+        lo = float(pdf["last_price"].min())
+        hi = float(pdf["last_price"].max())
+        mn = lo if mn is None else min(mn, lo)
+        mx = hi if mx is None else max(mx, hi)
+    state.update((n, vol, last, mn, mx))
+    yield pd.DataFrame([{"pair": pair, "n_ticks": n, "total_volume": vol,
+                         "last_price": last, "min_price": mn,
+                         "max_price": mx}])
+
+
+def running_pair_stats(ticks: DataFrame, key: str = "pair") -> DataFrame:
+    """Streaming DataFrame in (pair, bid/ask/last_price/volume/ts) ->
+    one updated stats row per key per micro-batch (update output mode)."""
+    return (ticks.groupBy(key)
+            .applyInPandasWithState(
+                _update,
+                outputStructType=STATS_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -153,3 +153,44 @@ def test_serialize_message_roundtrip(spark):
         payload = json.loads(row["message"])
         assert payload["tick_id"] == row["tick_id"]
         assert abs(payload["mid"] - row["mid"]) < 1e-12
+
+
+def test_stateful_running_pair_stats(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: two
+    batches of the same pairs end in combined totals."""
+    from pyspark.sql import functions as F
+    from stockanalyses_downloader_spark.streaming import stateful
+
+    ticks = pipeline.with_mid(pipeline.validate_http(
+        synthetic.ticks(spark, SF)))
+    named = pipeline.resolve_pair(ticks, currency_dim(spark)) \
+        .select("pair", "bid", "ask", "last_price", "volume", "ts")
+    src = str(tmp_path / "state_src")
+    # two files -> maxFilesPerTrigger=1 forces >= 2 micro-batches
+    named.filter(F.col("pair") < "m").coalesce(1).write.parquet(src)
+    named.filter(F.col("pair") >= "m").coalesce(1).write.mode("append").parquet(src)
+
+    stream = sources.file_tick_stream(spark, src, schema=named.schema,
+                                      max_files_per_trigger=1)
+    stats = stateful.running_pair_stats(stream)
+    q = _run_available_now(
+        stats.writeStream.format("memory").queryName("pairstats")
+        .outputMode("update").trigger(availableNow=True))
+    rows = spark.sql("SELECT * FROM pairstats").collect()
+    q.stop()
+
+    # latest state row per pair must equal the batch aggregate
+    latest = {}
+    for r in rows:
+        latest[r["pair"]] = r  # memory sink appends updates in batch order
+    expected = {r["pair"]: r for r in
+                named.groupBy("pair").agg(
+                    F.count("*").alias("n"),
+                    F.min("last_price").alias("mn"),
+                    F.max("last_price").alias("mx")).collect()}
+    assert set(latest) == set(expected)
+    for pair, exp in expected.items():
+        got = latest[pair]
+        assert got["n_ticks"] == exp["n"]
+        assert got["min_price"] == exp["mn"]
+        assert got["max_price"] == exp["mx"]
