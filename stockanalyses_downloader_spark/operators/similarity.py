@@ -61,6 +61,59 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, probe only the ``n_probe`` lists nearest
+    each query, exact-rerank inside them.
+
+    Centroids are a deterministic sample of the corpus itself (every
+    floor(N/n_centroids)-th vector by id) — at 100 TB you'd k-means
+    them, but assignment, probing, and rerank (the distributed parts)
+    are identical. The corpus scan computes one cheap argmin vs a
+    broadcast centroid set; the probe join replaces the cross product,
+    so per-query work is corpus/n_centroids * n_probe."""
+    e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("norm", l2_norm(F.col("v"))).persist()
+
+    stride = max(1, e.count() // n_centroids)
+    cent = (e.filter(F.col(id_col) % stride == 0)
+             .limit(n_centroids)
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+
+    def nearest(frame: DataFrame, n: int, out: str) -> DataFrame:
+        scored = (frame.crossJoin(F.broadcast(cent))
+                  .select(frame[id_col], "v", "norm", "centroid_id",
+                          (dot(F.col("v"), F.col("cv"))
+                           / (F.col("norm") * F.col("cnorm"))).alias("csim")))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("csim").desc(), F.col("centroid_id"))
+        return (scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= n)
+                .select(id_col, "v", "norm",
+                        F.col("centroid_id").alias(out)))
+
+    lists = nearest(e.filter(~F.col(id_col).isin(query_ids)), 1, "list_id")
+    probes = nearest(e.filter(F.col(id_col).isin(query_ids)), n_probe, "list_id")
+    q = probes.select(F.col(id_col).alias("query_id"),
+                      F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
+                      "list_id")
+    c = lists.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("v").alias("cv2"), F.col("norm").alias("cnorm2"),
+                     "list_id")
+    scored = (c.join(q, "list_id")
+              .select("query_id", "neighbor_id",
+                      (dot(F.col("qv"), F.col("cv2"))
+                       / (F.col("qnorm") * F.col("cnorm2"))).alias("cosine"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — stable across
     runs/platforms without numpy RNG version drift)."""

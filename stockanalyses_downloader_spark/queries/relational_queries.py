@@ -492,6 +492,77 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_events")))
 
 
+# --- correlated / scalar subquery patterns ---------------------------------
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style correlated scalar subquery: revenue locked in lineitems
+    whose quantity is under 20% of that part's average. Decorrelated as
+    a per-part aggregate join (what Catalyst does to the subquery form
+    anyway — written explicitly so the join strategy is visible)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                  .agg((dsum(F.col("l_quantity")) / F.count("*") * 0.2)
+                       .alias("qty_threshold")))
+    return (li.join(per_part, li.l_partkey == per_part.pk)
+              .filter(F.col("l_quantity") < F.col("qty_threshold"))
+              .agg(dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+                   F.count("*").alias("n_lineitems")))
+
+
+_Q17_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         {dsum_sql('l_quantity')} / count(*) * 0.2 AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {dsum_sql('l_extendedprice')} AS small_qty_revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE l_quantity < qty_threshold
+"""
+
+
+def above_average_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: suppliers with balance above the
+    global mean — the scalar broadcast-crossjoins (no collect)."""
+    su = _t(spark, sf_dir, "supplier")
+    mean = su.agg(davg(F.col("s_acctbal")).alias("mean_bal"))
+    return (su.crossJoin(F.broadcast(mean))
+              .filter(F.col("s_acctbal") > F.col("mean_bal"))
+              .select("s_suppkey", "s_name", "s_acctbal"))
+
+
+_SCALAR_SQL = f"""
+SELECT s_suppkey, s_name, s_acctbal FROM supplier
+WHERE s_acctbal > (SELECT {davg_sql('s_acctbal')} FROM supplier)
+"""
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated comparison against the per-customer mean, decorrelated
+    via a window (single shuffle, no self-join)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (F.sum(F.col("o_totalprice").cast("decimal(30,10)")).over(w)
+                .cast("double") / F.count("*").over(w))
+    return (o.withColumn("cust_avg", cust_avg)
+             .filter(F.col("o_totalprice") > F.col("cust_avg"))
+             .select("o_custkey", "o_orderkey", "o_totalprice", "cust_avg"))
+
+
+_CORR_SQL = """
+WITH w AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+              OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, cust_avg
+FROM w WHERE o_totalprice > cust_avg
+"""
+
+
 # --- percentiles & histograms ----------------------------------------------
 
 def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,6 +657,9 @@ QUERIES: dict[str, Q] = {
     "order_value_ranking": Q(order_value_ranking, _RANKING_SQL),
     "distinct_parts_per_brand": Q(distinct_parts_per_brand, _DISTINCT_SQL),
     "approx_distinct_users": Q(approx_distinct_users, None),
+    "small_quantity_revenue": Q(small_quantity_revenue, _Q17_SQL),
+    "above_average_suppliers": Q(above_average_suppliers, _SCALAR_SQL),
+    "orders_above_customer_avg": Q(orders_above_customer_avg, _CORR_SQL),
     "order_value_percentiles": Q(order_value_percentiles, _PCT_SQL),
     "event_value_histogram": Q(event_value_histogram, _HIST_SQL),
     "event_props_extract": Q(event_props_extract, _JSON_SQL),

@@ -96,6 +96,12 @@ def signlsh_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.signlsh_topk(e, _QUERY_IDS, k=_TOPK)
 
 
+def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only; recall vs brute force in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, _QUERY_IDS, k=_TOPK)
+
+
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, block_cols=["lang", "source"],
@@ -191,6 +197,7 @@ QUERIES: dict[str, Q] = {
     "embedding_exact_dups": Q(embedding_exact_dups, _EMB_DUP_SQL),
     "cosine_topk_bruteforce": Q(cosine_topk_bruteforce, _COSINE_SQL),
     "signlsh_topk_approx": Q(signlsh_topk_approx, None),
+    "ivf_topk_approx": Q(ivf_topk_approx, None),
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),
     "minhash_near_dups": Q(minhash_near_dups, None),
     "simhash_near_pairs": Q(simhash_near_pairs, None),

@@ -160,3 +160,15 @@ def test_join_cardinality_one_to_one(spark):
     known = t.filter(
         F.regexp_extract("isin", r"XFC0*(\d+)", 1).cast("int") <= 84)
     assert resolved.count() == known.count()
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    e = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(e, qids, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.ivf_topk(e, qids, k=10, n_centroids=16,
+                                           n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
