@@ -271,6 +271,30 @@ FROM t ASOF JOIN quotes q
 """
 
 
+def vwap_by_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per ISIN (the ticker feed's vwap
+    field recomputed from ticks — bitstamp payload parity). Exact
+    decimal products/sums; double division at the end."""
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    pv = (F.col("last_price") * F.col("volume")).cast("decimal(30,10)")
+    return (t.groupBy("isin")
+             .agg((F.sum(pv).cast("double")
+                   / F.sum(F.col("volume").cast("decimal(30,10)"))
+                      .cast("double")).alias("vwap"),
+                  F.count("*").alias("n_ticks")))
+
+
+_VWAP_SQL = f"""
+SELECT isin,
+       CAST(SUM(CAST(last_price * volume AS DECIMAL(30,10))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE) AS vwap,
+       count(*) AS n_ticks
+FROM {synthetic.TICKS_SQL}
+WHERE status = 200
+GROUP BY isin
+"""
+
+
 def rest_fetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5 source path end-to-end on the offline fixture fetcher:
     dim -> per-exchange URL build (P6) -> fetch -> boundary cast ->
@@ -294,6 +318,7 @@ QUERIES: dict[str, Q] = {
     "flagship_latest_mid": Q(flagship_latest_mid, _FLAGSHIP_SQL),
     "rest_fetch_pipeline": Q(rest_fetch_pipeline, None),
     "ticks_asof_quotes": Q(ticks_asof_quotes, _ASOF_SQL),
+    "vwap_by_isin": Q(vwap_by_isin, _VWAP_SQL),
     "jobs_parse_dispatch": Q(jobs_parse_dispatch, _JOBS_PARSE_SQL),
     "jobs_resolve_pair": Q(jobs_resolve_pair, _JOBS_RESOLVE_SQL),
     "rest_pipeline_messages": Q(rest_pipeline_messages,

@@ -149,6 +149,46 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(d, max_hamming=12)
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: pairs above 0.95 cosine,
+    blocked by label (the cheap prefilter standing in for an LSH/IVF
+    bucket — swap the block key for ivf list_id at scale). Exact
+    sequential-fold cosine, so the oracle hash-matches."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label",
+                 similarity.as_double(F.col("embedding")).alias("v"))
+    v = v.withColumn("norm", similarity.l2_norm(F.col("v")))
+    a = v.select(F.col("label"), F.col("vec_id").alias("id_a"),
+                 F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(F.col("label"), F.col("vec_id").alias("id_b"),
+                 F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    cos = (similarity.dot(F.col("va"), F.col("vb"))
+           / (F.col("na") * F.col("nb")))
+    return (pairs.select("label", "id_a", "id_b", cos.alias("cosine"))
+                 .filter(F.col("cosine") >= 0.95))
+
+
+_EMB_NEAR_SQL = """
+WITH ev AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS norm
+  FROM embeddings
+)
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       list_reduce(list_transform(list_zip(a.v, b.v),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+         (x, y) -> x + y) / (a.norm * b.norm) AS cosine
+FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(list_zip(a.v, b.v),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        (x, y) -> x + y) / (a.norm * b.norm) >= 0.95
+"""
+
+
 # --- multimodal ------------------------------------------------------------
 
 def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,6 +238,7 @@ QUERIES: dict[str, Q] = {
     "cosine_topk_bruteforce": Q(cosine_topk_bruteforce, _COSINE_SQL),
     "signlsh_topk_approx": Q(signlsh_topk_approx, None),
     "ivf_topk_approx": Q(ivf_topk_approx, None),
+    "embedding_near_dup_pairs": Q(embedding_near_dup_pairs, _EMB_NEAR_SQL),
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),
     "minhash_near_dups": Q(minhash_near_dups, None),
     "simhash_near_pairs": Q(simhash_near_pairs, None),

@@ -123,6 +123,16 @@ def jobs_state_writeback(jobs_table_path: str, key: str = "downloader_jq_id"):
     return _writeback
 
 
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Storage-layout sink: directory-partitioned parquet so downstream
+    scans prune partitions (the 100 TB layout — e.g. candles by
+    bucket date, messages by exchange/date). Readers filtering on the
+    partition columns never touch excluded directories."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def parquet_sink(df: DataFrame, path: str, checkpoint: str,
                  trigger_available_now: bool = True):
     """Batch-parity sink: append to a parquet table with checkpointed

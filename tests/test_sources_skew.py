@@ -68,3 +68,23 @@ def test_jobs_writeback_idempotent_replay(spark, tmp_path):
     wb(b, 0)   # replay
     second = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert first == second
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    """Partitioned layout + partition pruning: a filter on the
+    partition column scans only that directory."""
+    from stockanalyses_downloader_spark.operators import pipeline
+    from stockanalyses_downloader_spark.plans import explain_str
+
+    t = pipeline.validate_http(synthetic.ticks(spark, SF))
+    path = str(tmp_path / "by_exchange")
+    sinks.write_partitioned(t, path, ["exchange"])
+
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("exchange=")) == \
+        ["exchange=btfx", "exchange=btsp"]
+
+    rd = spark.read.parquet(path).filter(F.col("exchange") == "btsp")
+    plan = explain_str(rd)
+    assert "PartitionFilters" in plan and "btsp" in plan
+    assert rd.count() == t.filter(F.col("exchange") == "btsp").count()
