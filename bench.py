@@ -23,6 +23,8 @@ from stockanalyses_downloader_spark.session import (DEFAULT_SF_DIR,  # noqa: E40
 HEADLINE = [
     "flagship_latest_mid",
     "rest_pipeline_messages",
+    "ticks_asof_quotes",
+    "vwap_by_isin",
     "weekly_ohlc_candles",
     "pricing_summary",
     "shipping_priority",

@@ -119,10 +119,12 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 64,
     set, then ``n_hashes`` affine permutations (universal-hash family),
     min-reduced per permutation.
 
-    Docs too short to shingle are dropped HERE (cheap size filter);
-    filtering on the signature column downstream would re-evaluate the
-    whole fold in the predicate — measured 5x slower."""
-    s = with_hashed_shingles(spread(docs)).filter(F.size("shingles") > 0)
+    Docs too short to shingle are dropped HERE, and on the cheap token
+    count (filtering on size(shingles) would re-evaluate the whole
+    shingle pipeline in the pushed-down predicate; filtering on the
+    signature column would re-evaluate the fold — measured 5x slower)."""
+    shingleable = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3
+    s = with_hashed_shingles(spread(docs).filter(shingleable))
     # shingles are already int64 hashes; reduce to 31 bits, then fold
     # ONCE over the shingle array updating all n_hashes minimums per
     # element. (n_hashes separate array_min(transform(...)) exprs would

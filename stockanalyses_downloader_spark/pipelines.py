@@ -1,0 +1,88 @@
+"""End-to-end pipeline runners — the engine's equivalents of the
+reference's two hard-wired pipelines (SURVEY.md §3):
+
+  run_rest_batch    E2 (main.py:264-355): jobs -> filter/claim ->
+                    parse -> dim resolve -> fetch -> validate -> mid ->
+                    enrich -> publish -> state writeback
+  run_wss_stream    E3 (main.py:357-434): wire ticks -> positional
+                    projection -> reverse ISIN lookup -> mid ->
+                    foreachBatch publish
+
+Everything between source and sink is the operator library — these
+runners only compose. The REST fetch defaults to the offline fixture
+fetcher; pass ``fetcher=ticker.http_fetcher`` for the live path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dims.currency import currency_dim
+from .operators import pipeline, state_machine
+from .sources import ticker
+from .streaming import sinks
+
+
+def run_rest_batch(spark: SparkSession, jobs: DataFrame,
+                   queue_dir: str, jobs_table_path: str,
+                   fetcher: Callable[[DataFrame], DataFrame] | None = None,
+                   ) -> dict[str, int]:
+    """One batch cycle over a jobs frame. Returns row-count telemetry.
+
+    State semantics per reference main.py:328-353: fetch ok -> publish
+    -> 1300; fetch failed -> 1900; never-attempted jobs keep their
+    action."""
+    fetcher = fetcher or ticker.fixture_fetcher
+    dim = currency_dim(spark)
+
+    actionable = pipeline.filter_actionable_jobs(jobs, rest_only=True)
+    claimed = state_machine.claim(actionable)
+    parsed = pipeline.parse_job_value(claimed)
+    resolved = pipeline.resolve_pair(parsed, dim)
+
+    snapshots = fetcher(ticker.build_ticker_urls(resolved))
+    ok = pipeline.with_mid(pipeline.validate_http(snapshots))
+    failed = pipeline.dead_letter(snapshots)
+
+    messages = pipeline.serialize_message(
+        ok.select("downloader_jq_id", "exchange", "isin", "pair",
+                  "bid", "ask", "mid", "last", "ts"))
+    messages.foreachPartition(
+        lambda rows: sinks.publish_partition(
+            rows, lambda: sinks.FileQueueClient(queue_dir)))
+
+    outcomes = (snapshots.select(
+        "downloader_jq_id",
+        (F.col("status") == 200).alias("fetch_ok"),
+        (F.col("status") == 200).alias("publish_ok")))
+    final = state_machine.apply_outcomes(claimed, outcomes)
+    sinks.jobs_state_writeback(jobs_table_path)(final, batch_id=0)
+
+    return {"jobs_in": jobs.count(),
+            "actionable": actionable.count(),
+            "published": ok.count(),
+            "dead_letter": failed.count()}
+
+
+def run_wss_stream(spark: SparkSession, raw_stream: DataFrame,
+                   queue_dir: str, checkpoint: str):
+    """Bind the streaming WSS path; returns the StreamingQuery.
+    ``raw_stream`` carries the wire shape (pair, tick array, ts)."""
+    dim = currency_dim(spark)
+
+    def transform(df: DataFrame) -> DataFrame:
+        named = pipeline.project_wss_tick(df)
+        named = pipeline.resolve_isin(named, dim)
+        return pipeline.with_mid(named)
+
+    publish = sinks.foreach_batch_publish(
+        raw_stream, lambda: sinks.FileQueueClient(queue_dir),
+        transform=transform)
+    return (raw_stream.writeStream
+            .foreachBatch(publish)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
