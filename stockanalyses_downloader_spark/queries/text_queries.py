@@ -177,7 +177,30 @@ FROM scored
 """
 
 
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/unnest + aggregate + deterministic top-k: the corpus
+    vocabulary histogram (generator -> shuffle on token -> top 50)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (d.select(F.explode(toks).alias("token"))
+             .groupBy("token")
+             .agg(F.count("*").alias("n_occurrences"))
+             .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+             .limit(50))
+
+
+_TOP_TOKENS_SQL = r"""
+SELECT token, count(*) AS n_occurrences
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "top_tokens": Q(top_tokens, _TOP_TOKENS_SQL),
     "exact_dedup_docs": Q(exact_dedup_docs, _DEDUP_SQL),
     "doc_token_stats": Q(doc_token_stats, _TOKEN_SQL),
     "doc_quality_scores": Q(doc_quality_scores, _QUALITY_SQL),
