@@ -93,6 +93,23 @@ def decode_real(assets: DataFrame) -> DataFrame:
     raise NotImplementedError("real decode not implemented yet")
 
 
+def resize_stub(features: DataFrame, target_w: int = 224,
+                target_h: int = 224) -> DataFrame:
+    """Resize stage over extracted features: emits the letterboxed
+    target geometry + scale factor. Pure column math (the pixel work
+    would live in the decode UDF); deterministic so tests/oracles can
+    pin it."""
+    scale = F.least(F.lit(float(target_w)) / F.col("width"),
+                    F.lit(float(target_h)) / F.col("height"))
+    return features.select(
+        "asset_id", "modality",
+        F.lit(target_w).cast("int").alias("target_w"),
+        F.lit(target_h).cast("int").alias("target_h"),
+        scale.alias("scale"),
+        F.floor(F.col("width") * scale).cast("int").alias("scaled_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("scaled_h"))
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (asset, frame_ts) the
     decoder would extract — pure DataFrame math (sequence + explode),

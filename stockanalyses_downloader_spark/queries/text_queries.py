@@ -177,6 +177,42 @@ FROM scored
 """
 
 
+#: BPE-style pretokenizer classes: letter runs, digit runs, single
+#: non-space symbols (RE2-safe: no lookarounds, works in Spark's Java
+#: regex and DuckDB's RE2 identically)
+_BPE_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting per doc (the tokenizer-budget
+    estimate a training pipeline runs before the real BPE pass):
+    pretoken count, distinct pretokens, alpha/digit/symbol split."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RX), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_pretokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_pretokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+         .alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+         .alias("n_digit"))
+
+
+_BPE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_BPE_RX}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_pretokens,
+       len(list_distinct(toks)) AS n_distinct_pretokens,
+       len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_alpha,
+       len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS n_digit
+FROM t
+"""
+
+
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode/unnest + aggregate + deterministic top-k: the corpus
     vocabulary histogram (generator -> shuffle on token -> top 50)."""
@@ -201,6 +237,7 @@ LIMIT 50
 
 QUERIES: dict[str, Q] = {
     "top_tokens": Q(top_tokens, _TOP_TOKENS_SQL),
+    "doc_bpe_token_stats": Q(doc_bpe_token_stats, _BPE_SQL),
     "exact_dedup_docs": Q(exact_dedup_docs, _DEDUP_SQL),
     "doc_token_stats": Q(doc_token_stats, _TOKEN_SQL),
     "doc_quality_scores": Q(doc_quality_scores, _QUALITY_SQL),

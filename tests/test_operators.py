@@ -172,3 +172,21 @@ def test_ivf_recall_vs_bruteforce(spark):
                                            n_probe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from stockanalyses_downloader_spark.operators import multimodal
+    d = load_table(spark, SF, "documents").limit(30)
+    assets = multimodal.docs_to_assets(d)
+    feats = multimodal.decode_stub_features(assets)
+    resized = multimodal.resize_stub(feats).collect()
+    assert len(resized) == 30
+    for r in resized:
+        assert max(r["scaled_w"], r["scaled_h"]) <= 224
+        assert r["scale"] > 0
+    frames = multimodal.frame_sample_plan(assets, every_ms=100)
+    per_asset = frames.groupBy("asset_id").count().collect()
+    assert per_asset and all(r["count"] >= 1 for r in per_asset)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(assets)

@@ -88,3 +88,36 @@ def test_write_partitioned_prunes(spark, tmp_path):
     plan = explain_str(rd)
     assert "PartitionFilters" in plan and "btsp" in plan
     assert rd.count() == t.filter(F.col("exchange") == "btsp").count()
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT a shuffle —
+    the write-once co-location contract."""
+    from stockanalyses_downloader_spark.plans import explain_str
+    from stockanalyses_downloader_spark.sources.tables import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    sinks.write_bucketed(orders, "b_orders", "o_custkey", 8)
+    sinks.write_bucketed(customer, "b_customer", "c_custkey", 8)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("b_orders")
+             .join(spark.table("b_customer"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment").count())
+        plan = explain_str(j)
+        tree = plan.split("\n\n", 1)[0]
+        n_exchanges = tree.count("Exchange") - tree.count("BroadcastExchange")
+        # the join itself must be exchange-free; only the final
+        # mktsegment aggregation may shuffle
+        assert n_exchanges <= 1, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
