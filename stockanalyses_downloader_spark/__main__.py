@@ -29,6 +29,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("-f", "--format", default="parquet",
                         choices=["parquet", "json", "csv"])
     parser.add_argument("--config", default=None, help="config.ini path")
+    parser.add_argument("--sql", default=None,
+                        help="run this SQL over the registered test tables "
+                             "instead of a named query")
     parser.add_argument("--list", action="store_true",
                         help="list available queries and exit")
     parser.add_argument("--explain", action="store_true",
@@ -43,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}  [{kind}]")
         return 0
 
-    if args.query not in registry:
+    if args.sql is None and args.query not in registry:
         print(f"unknown query {args.query!r}; --list shows options",
               file=sys.stderr)
         return 2
@@ -52,7 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     check_schema_version(actual=cfg.database_version, cfg=cfg)
 
     spark = get_session(f"cli:{args.query}")
-    df = registry[args.query].spark(spark, args.sf_dir)
+    if args.sql is not None:
+        from .sources.tables import register_views
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.sql)
+    else:
+        df = registry[args.query].spark(spark, args.sf_dir)
 
     if args.explain:
         df.explain(mode="formatted")

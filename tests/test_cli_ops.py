@@ -61,3 +61,10 @@ def test_heartbeat_listener_collects(spark, tmp_path):
     mf = listener.metrics_frame(spark)
     assert mf.count() == len(listener.records)
     assert "instance_id" in mf.columns
+
+
+def test_cli_sql_mode(capsys):
+    rc = main(["--sql", "SELECT count(*) AS n FROM region",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    assert "5" in capsys.readouterr().out
