@@ -125,6 +125,84 @@ GROUP BY n_name
 """
 
 
+# --- Q7-style: nation-pair trade volume ------------------------------------
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-like: revenue between (supplier nation, customer nation)
+    pairs for two named nations, by year. Two broadcast dim joins on
+    different roles of the same nation table."""
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")))
+    su = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(su, li.l_suppkey == su.s_suppkey)
+                .join(cu, o.o_custkey == cu.c_custkey)
+                .join(n1, su.s_nationkey == F.col("supp_nk"))
+                .join(n2, cu.c_nationkey == F.col("cust_nk"))
+                .filter(F.col("supp_nation").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5", "NATION_6", "NATION_7", "NATION_8", "NATION_9")
+                        & F.col("cust_nation").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5", "NATION_6", "NATION_7", "NATION_8", "NATION_9")
+                        & (F.col("supp_nation") != F.col("cust_nation"))))
+    return (joined
+            .withColumn("ship_year", F.year("l_shipdate").cast("int"))
+            .groupBy("supp_nation", "cust_nation", "ship_year")
+            .agg(dsum(rev).alias("revenue")))
+
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7', 'NATION_8', 'NATION_9')
+  AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7', 'NATION_8', 'NATION_9')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-like: profit proxy (revenue - retailprice*qty share) per
+    supplier nation and year, parts filtered by name substring."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    su = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") * 0.01)
+    return (li.join(p, li.l_partkey == p.p_partkey)
+              .join(su, li.l_suppkey == su.s_suppkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(n, su.s_nationkey == n.n_nationkey)
+              .withColumn("order_year", F.year("o_orderdate").cast("int"))
+              .groupBy(F.col("n_name").alias("nation"), "order_year")
+              .agg(dsum(profit).alias("profit")))
+
+
+_Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01')} AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+"""
+
+
 # --- semi / anti joins -----------------------------------------------------
 
 def priority_orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,16 +229,19 @@ GROUP BY o_orderpriority
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti (NOT EXISTS): customers who never ordered."""
+    """Left-anti (NOT EXISTS): customers with no orders since 2000
+    (every fixture customer has SOME order, so the unscoped variant is
+    vacuously empty — churn-since-a-date is the meaningful form)."""
     cu = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
     return (cu.join(o, cu.c_custkey == o.o_custkey, "left_anti")
               .select("c_custkey", "c_name", "c_acctbal"))
 
 
 _ANTI_SQL = """
 SELECT c_custkey, c_name, c_acctbal FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 """
 
 
@@ -639,6 +720,8 @@ QUERIES: dict[str, Q] = {
     "pricing_summary": Q(pricing_summary, _PRICING_SQL),
     "shipping_priority": Q(shipping_priority, _SHIPPING_SQL),
     "regional_revenue": Q(regional_revenue, _REGIONAL_SQL),
+    "nation_trade_volume": Q(nation_trade_volume, _Q7_SQL),
+    "product_profit_by_nation_year": Q(product_profit_by_nation_year, _Q9_SQL),
     "priority_orders_with_late_items": Q(priority_orders_with_late_items, _SEMI_SQL),
     "customers_without_orders": Q(customers_without_orders, _ANTI_SQL),
     "top_customers_by_balance": Q(top_customers_by_balance, _TOPCUST_SQL),

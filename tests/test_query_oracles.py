@@ -26,3 +26,12 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+
+def test_no_query_is_vacuously_empty(spark, sf_dir):
+    """A query whose result AND oracle are both empty passes the hash
+    compare without testing anything — pin non-emptiness so filters
+    that match nothing (wrong literals, dead predicates) surface."""
+    empties = [name for name, q in _ALL.items()
+               if q.spark(spark, sf_dir).limit(1).count() == 0]
+    assert not empties, f"vacuously empty queries: {empties}"
