@@ -143,6 +143,48 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 64,
     return s.select(id_col, sig.alias("signature"))
 
 
+def minhash_signatures_vectorized(docs: DataFrame, n_hashes: int = 64,
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Arrow-vectorized signature build: same universal-hash family and
+    bit-identical output as :func:`minhash_signatures` (asserted in
+    tests), computed in numpy via mapInPandas.
+
+    Why it exists: Spark's higher-order array functions (aggregate/
+    transform/zip_with) evaluate interpreted, outside whole-stage
+    codegen, so numpy CAN beat them — but only when the per-row work
+    amortizes the Arrow transfer. Measured on the fixture (~50 shingles
+    x 64 perms/doc) the JVM fold wins (1.1 s vs 2.1 s at sf0.1); for
+    book-length documents the balance flips. The JVM fold stays the
+    default (zero-Python plans); this is the measured alternative, kept
+    because the comparison itself is the lesson."""
+    import numpy as np
+    import pandas as pd
+
+    params = _mh_params(n_hashes)
+    a = np.array([p[0] for p in params], dtype=np.int64)
+    b = np.array([p[1] for p in params], dtype=np.int64)
+    shingleable = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3
+    hashed = with_hashed_shingles(spread(docs).filter(shingleable))
+    base = hashed.select(
+        id_col,
+        F.transform("shingles", lambda h: F.shiftrightunsigned(h, 33))
+         .alias("base31"))
+
+    def _sign(batches):
+        for pdf in batches:
+            sigs = []
+            for arr in pdf["base31"]:
+                h = np.asarray(arr, dtype=np.int64)
+                # (n_shingles x n_hashes); products < 2^62, exact int64
+                sigs.append(((h[:, None] * a[None, :] + b[None, :])
+                             % _MH_PRIME).min(axis=0))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "signature": [s.tolist() for s in sigs]})
+
+    out_schema = f"{id_col} long, signature array<long>"
+    return base.mapInPandas(_sign, out_schema)
+
+
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3) -> DataFrame:

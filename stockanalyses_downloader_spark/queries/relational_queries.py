@@ -644,6 +644,68 @@ FROM w WHERE o_totalprice > cust_avg
 """
 
 
+def top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-like: suppliers achieving the maximum period revenue —
+    aggregate, broadcast the scalar max back, equality filter (exact
+    decimal revenue makes the equality safe)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+    su = _t(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey")
+             .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (rev.crossJoin(F.broadcast(mx))
+               .filter(F.col("total_revenue") == F.col("max_revenue"))
+               .join(su, F.col("l_suppkey") == su.s_suppkey)
+               .select("s_suppkey", "s_name", "total_revenue"))
+
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-like: above-average-balance customers with no recent orders
+    — scalar subquery + anti join composed, grouped by segment."""
+    cu = _t(spark, sf_dir, "customer")
+    avg_bal = (cu.filter(F.col("c_acctbal") > 0.0)
+                 .agg(davg(F.col("c_acctbal")).alias("avg_bal")))
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01")
+    rich = (cu.crossJoin(F.broadcast(avg_bal))
+              .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    inactive = rich.join(recent, rich.c_custkey == recent.o_custkey,
+                         "left_anti")
+    return (inactive.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 dsum(F.col("c_acctbal")).alias("total_balance")))
+
+
+_Q22_SQL = f"""
+SELECT c_mktsegment, count(*) AS n_customers,
+       {dsum_sql('c_acctbal')} AS total_balance
+FROM customer
+WHERE c_acctbal > (SELECT {davg_sql('c_acctbal')} FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
 # --- percentiles & histograms ----------------------------------------------
 
 def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +805,8 @@ QUERIES: dict[str, Q] = {
     "small_quantity_revenue": Q(small_quantity_revenue, _Q17_SQL),
     "above_average_suppliers": Q(above_average_suppliers, _SCALAR_SQL),
     "orders_above_customer_avg": Q(orders_above_customer_avg, _CORR_SQL),
+    "top_suppliers_by_revenue": Q(top_suppliers_by_revenue, _Q15_SQL),
+    "rich_inactive_customers": Q(rich_inactive_customers, _Q22_SQL),
     "order_value_percentiles": Q(order_value_percentiles, _PCT_SQL),
     "event_value_histogram": Q(event_value_histogram, _HIST_SQL),
     "event_props_extract": Q(event_props_extract, _JSON_SQL),

@@ -190,3 +190,14 @@ def test_multimodal_resize_and_frame_sample(spark):
     import pytest
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(assets)
+
+
+def test_vectorized_minhash_matches_jvm(spark):
+    """The Arrow/numpy signature path is bit-identical to the JVM
+    higher-order-function fold (same universal-hash family)."""
+    d = load_table(spark, SF, "documents").limit(100)
+    jvm = {r["doc_id"]: tuple(r["signature"])
+           for r in dedup.minhash_signatures(d).collect()}
+    vec = {r["doc_id"]: tuple(r["signature"])
+           for r in dedup.minhash_signatures_vectorized(d).collect()}
+    assert jvm == vec and len(jvm) == 100
