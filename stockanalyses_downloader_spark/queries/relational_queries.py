@@ -338,7 +338,8 @@ WITH gaps AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM gaps
 )
-SELECT user_id, session_seq, count(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sids GROUP BY user_id, session_seq
 """

@@ -74,6 +74,20 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
         f"row count mismatch: spark={len(actual)} oracle={len(expected)}")
 
     a, e = _normalize(actual), _normalize(expected)
+    # The driver's value hash is dtype-KIND-sensitive: DuckDB HUGEINT
+    # surfaces as float64 and hashes 1.0 != Spark bigint 1 (r1's
+    # event_sessionization red cell), while int32 vs int64 of the same
+    # value hash identically (r1's doc_token_stats passed with Spark
+    # int32 vs DuckDB BIGINT). Mirror exactly that: compare numpy dtype
+    # kind (int vs float vs object vs datetime), not width.
+    def _kind(dt) -> str:
+        k = dt.kind
+        return "i" if k == "u" else k
+    for col in a.columns:
+        assert _kind(a[col].dtype) == _kind(e[col].dtype), (
+            f"dtype kind mismatch in column {col!r}: "
+            f"spark={a[col].dtype} oracle={e[col].dtype} "
+            "(driver value-hash would fail; add explicit casts)")
     for col in a.columns:
         av, ev = list(a[col]), list(e[col])
         bad = [(i, x, y) for i, (x, y) in enumerate(zip(av, ev))
