@@ -42,18 +42,28 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     l_tagged = left.withColumn("__ats", F.col(left_ts)).withColumn(
         "__side", F.lit(1))
-    r_tagged = (right.select(on, F.col(right_ts).alias("__ats"), *payload)
+    # The whole right payload travels as ONE struct (never NULL on a
+    # right row, even when every payload field is NULL), so
+    # last(ignorenulls) carries the most recent right ROW atomically.
+    # Per-column carry would leak an OLDER row's value into a field
+    # the matching row holds as NULL; first-payload-column match
+    # detection additionally IndexErrors on a payload-less right side.
+    # The struct's __match_ts field doubles as the match marker.
+    r_tagged = (right.select(
+                    on, F.col(right_ts).alias("__ats"),
+                    F.struct(F.col(right_ts).alias("__match_ts"), *payload)
+                     .alias("__rpay"))
                 .withColumn("__side", F.lit(0)))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     w = (Window.partitionBy(on).orderBy("__ats", "__side")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned
-    for c in payload:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    carried = unioned.withColumn(
+        "__rpay", F.last("__rpay", ignorenulls=True).over(w))
 
-    out = (carried.filter(F.col("__side") == 1)
-                  .drop("__side", "__ats"))
+    out = carried.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col(payload[0]).isNotNull())
+        out = out.filter(F.col("__rpay").isNotNull())
+    out = out.select(*left.columns,
+                     *[F.col(f"__rpay.{c}").alias(c) for c in payload])
     return out

@@ -91,56 +91,102 @@ def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
                         n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id",
-                        hashed: bool = False) -> DataFrame:
+                        hashed: bool = False,
+                        max_block_size: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocks.
 
     Self-join on the blocking key (id < id kills mirror pairs), then
     set intersection/union sizes. The block join is the only shuffle;
     block sizes bound the quadratic term. ``hashed=True`` runs the set
     math on int64 shingle hashes — same result modulo a ~2^-65
-    per-pair collision chance, several times faster."""
+    per-pair collision chance, several times faster.
+
+    Two guards against the quadratic term:
+
+    - **length prefilter** (always on, exactness preserved): Jaccard
+      >= t implies min(|A|,|B|) >= t * max(|A|,|B|), so pairs whose
+      shingle-set sizes alone rule out the threshold are dropped
+      BEFORE the O(|A|+|B|) set ops — only sizes are compared.
+    - **max_block_size** (opt-in — changes results, so off in the
+      oracled query): blocks holding more than this many docs are
+      routed to the banded MinHash-LSH path instead of exact
+      all-pairs, capping candidate generation at O(block * bands)
+      instead of O(block^2). This is the 100 TB switch: one hot
+      (lang, source) block of 10^9 docs must never hit the self-join.
+      Pairs from routed blocks carry LSH's estimate-verified exact
+      jaccard (same verify expression), so downstream semantics match.
+    """
     make = with_hashed_shingles if hashed else with_shingles
     s = make(spread(docs), "text", n).select(id_col, *block_cols, "shingles")
-    a = s.select(*block_cols, F.col(id_col).alias("id_a"),
-                 F.col("shingles").alias("sh_a"))
-    b = s.select(*block_cols, F.col(id_col).alias("id_b"),
-                 F.col("shingles").alias("sh_b"))
-    pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    if max_block_size is not None:
+        # one tiny agg on the block key decides routing; the count
+        # join is a broadcast (distinct block keys are few by
+        # construction — they're the blocking dimension)
+        sizes = s.groupBy(*block_cols).agg(F.count("*").alias("__bn"))
+        s = s.join(F.broadcast(sizes), block_cols)
+        exact_side = s.filter(F.col("__bn") <= max_block_size).drop("__bn")
+        hot_docs = (docs.join(F.broadcast(
+                        sizes.filter(F.col("__bn") > max_block_size)
+                             .select(*block_cols)), block_cols, "left_semi"))
+        lsh = minhash_lsh_pairs(hot_docs, threshold=threshold,
+                                id_col=id_col, n=n)
+        lsh = lsh.join(docs.select(F.col(id_col).alias("id_a"), *block_cols),
+                       "id_a")
+        lsh = lsh.select(*block_cols, "id_a", "id_b", "jaccard")
+        s = exact_side
+    pre = s.withColumn("__nsh", F.size("shingles"))
+    a = pre.select(*block_cols, F.col(id_col).alias("id_a"),
+                   F.col("shingles").alias("sh_a"),
+                   F.col("__nsh").alias("__na"))
+    b = pre.select(*block_cols, F.col(id_col).alias("id_b"),
+                   F.col("shingles").alias("sh_b"),
+                   F.col("__nsh").alias("__nb"))
+    pairs = (a.join(b, block_cols)
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.least("__na", "__nb").cast("double")
+                     >= F.lit(threshold) * F.greatest("__na", "__nb")))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
-    return (pairs.select(*block_cols, "id_a", "id_b", jac.alias("jaccard"))
-                 .filter(F.col("jaccard") >= threshold))
+    out = (pairs.select(*block_cols, "id_a", "id_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    if max_block_size is not None:
+        out = out.unionByName(lsh)
+    return out
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 64,
-                       id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature per doc: one xxhash64 pass over the shingle
-    set, then ``n_hashes`` affine permutations (universal-hash family),
-    min-reduced per permutation.
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3) -> DataFrame:
+    """MinHash signature per doc: explode the shingle stream to
+    (doc_id, 31-bit base hash) rows, then reduce with one hash
+    aggregate computing all ``n_hashes`` permutation minimums as
+    separate codegen'd ``min()`` columns.
 
-    Docs too short to shingle are dropped HERE, and on the cheap token
-    count (filtering on size(shingles) would re-evaluate the whole
-    shingle pipeline in the pushed-down predicate; filtering on the
-    signature column would re-evaluate the fold — measured 5x slower)."""
-    shingleable = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3
-    s = with_hashed_shingles(spread(docs).filter(shingleable))
-    # shingles are already int64 hashes; reduce to 31 bits, then fold
-    # ONCE over the shingle array updating all n_hashes minimums per
-    # element. (n_hashes separate array_min(transform(...)) exprs would
-    # re-evaluate the shingle pipeline per permutation — CollapseProject
-    # inlines the shared subexpression — measured 6x slower.)
+    Why explode+agg and not a higher-order fold over the shingle
+    array: F.aggregate/zip_with evaluate interpreted, outside
+    whole-stage codegen — the fold variant measured ~4s at sf0.1 where
+    this shape runs in well under 1s. Map-side partial aggregation
+    means the shuffle carries one n_hashes-wide row per doc per map
+    partition, so at 100 TB the explode never hits the wire. Output is
+    bit-identical to the fold (min is duplicate-insensitive; same
+    universal-hash family) — pinned by the vectorized-parity test.
+
+    Docs too short to shingle produce no exploded rows and drop out,
+    same contract as before."""
     params = _mh_params(n_hashes)
-    base = F.transform("shingles", lambda h: F.shiftrightunsigned(h, 33))
-    init = F.array_repeat(F.lit(_MH_PRIME).cast("long"), n_hashes)
-
-    def step(acc, h):
-        perms = F.array(*[(h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
-                          for a, b in params])
-        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
-
-    sig = F.aggregate(base, init, step)
-    return s.select(id_col, sig.alias("signature"))
+    ex = (spread(docs)
+          .select(id_col,
+                  F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+          .select(id_col,
+                  F.shiftrightunsigned(F.xxhash64("gram"), 33).alias("h31")))
+    mins = [F.min((F.col("h31") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME))
+             .alias(f"__m{j}")
+            for j, (a, b) in enumerate(params)]
+    return (ex.groupBy(id_col).agg(*mins)
+            .select(id_col,
+                    F.array(*[f"__m{j}" for j in range(n_hashes)])
+                     .alias("signature")))
 
 
 def minhash_signatures_vectorized(docs: DataFrame, n_hashes: int = 64,
@@ -194,11 +240,11 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
     hash collides. Explode bands (16 rows/doc), groupBy-join on
     (band_id, band_hash), verify candidates exactly."""
     r = n_hashes // bands
-    # persist = materialization barrier: the band explode references
-    # the signature column 16x, and CollapseProject would otherwise
-    # inline (re-evaluate) the whole 64-permutation fold per band —
-    # measured 5x slower. Signatures are 64 longs/doc, safe to cache.
-    sigs = minhash_signatures(docs, n_hashes, id_col).persist()
+    # The signature build ends in an aggregate, so the 16 band
+    # expressions above it only re-slice the agg output — no
+    # re-evaluation hazard (unlike the old fold-based build, where a
+    # persist barrier was load-bearing against CollapseProject).
+    sigs = minhash_signatures(docs, n_hashes, id_col)
     banded = sigs.select(
         id_col,
         F.explode(F.transform(
@@ -261,18 +307,35 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
                        id_col: str = "doc_id") -> DataFrame:
-    """SimHash near-dup candidates: band the 64 bits into 4 16-bit
-    chunks (pigeonhole: hamming<=max implies >=1 equal chunk when
-    max_hamming < 4... candidates only, verified by bit_count), then
-    verify exact hamming distance."""
+    """SimHash near-dup pairs: band the 64 bits into ``max_hamming+1``
+    near-equal chunks, bucket-join on any shared chunk, verify exact
+    hamming via bit_count.
+
+    Pigeonhole guarantee: a pair with hamming <= max_hamming has
+    fewer differing bits than chunks, so at least one chunk is
+    untouched and the pair lands in a shared bucket — candidate
+    recall is 1.0 for the requested radius, for ANY max_hamming up to
+    63. (The round-1 version fixed 4 x 16-bit chunks, which only
+    guarantees hamming <= 3; wider radii silently lost pairs.)
+    Trade-off: larger radii mean narrower chunks, hence fuller
+    buckets — the candidate volume grows as radius/selectivity
+    trade, which is inherent to hamming LSH, not this encoding."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0)
+              for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sh = simhash64(docs, id_col)
     chunks = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk_id"),
-                     (F.shiftrightunsigned("simhash", i * 16) % 65536)
+                     (F.shiftrightunsigned("simhash", offsets[i])
+                      % (1 << widths[i]) if widths[i] < 64
+                      else F.col("simhash"))
                      .alias("chunk_val"))
-            for i in range(4)])).alias("c"))
+            for i in range(n_chunks)])).alias("c"))
     chunks = chunks.select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
     a = chunks.select(F.col(id_col).alias("id_a"),
                       F.col("simhash").alias("sim_a"), "chunk_id", "chunk_val")

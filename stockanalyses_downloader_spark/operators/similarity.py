@@ -77,8 +77,13 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
     e = e.withColumn("norm", l2_norm(F.col("v"))).persist()
 
-    stride = max(1, e.count() // n_centroids)
-    cent = (e.filter(F.col(id_col) % stride == 0)
+    # centroids = n_centroids pseudo-random corpus vectors, selected by
+    # a distributed TakeOrdered on a hash of the id — deterministic,
+    # and crucially LAZY: no count()/collect() fires during query
+    # construction (pinned by the no-job-during-construction test).
+    # At 100 TB you'd k-means these; assignment/probe/rerank below are
+    # identical either way.
+    cent = (e.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
              .limit(n_centroids)
              .select(F.col(id_col).alias("centroid_id"),
                      F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
@@ -114,18 +119,31 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
-def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (LCG — stable across
-    runs/platforms without numpy RNG version drift)."""
-    state = seed & 0x7FFFFFFF
-    planes = []
-    for _ in range(n_planes):
-        row = []
-        for _ in range(dim):
-            state = (1103515245 * state + 12345) % (1 << 31)
-            row.append(state / float(1 << 31) * 2.0 - 1.0)
-        planes.append(row)
-    return planes
+def _plane_dot(v: Column, plane_id: int, seed: int = 42) -> Column:
+    """Dot(v, r_plane) where the plane's i-th component is a
+    deterministic pseudo-random double in [-1, 1) derived from
+    xxhash64(seed, plane_id, i).
+
+    The plane is generated IN-EXPRESSION via the index-aware transform
+    lambda, so it adapts to the vector's dimensionality per row — no
+    driver-side ``.first()`` dim probe, nothing runs at plan-build
+    time, and the signature stage stays a linear scan."""
+    prods = F.transform(v, lambda x, i: x * (
+        F.shiftrightunsigned(F.xxhash64(F.lit(seed), F.lit(plane_id), i), 40)
+         .cast("double") / F.lit(float(1 << 24)) * 2.0 - 1.0))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def _band_structs(bits: Column, n_planes: int, n_bands: int) -> Column:
+    """Split a bit array into n_bands band-key structs."""
+    r = n_planes // n_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws("", F.transform(F.slice(bits, b * r + 1, r),
+                                        lambda v: v.cast("string")))
+             .alias("band_key")))
 
 
 def signlsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
@@ -136,22 +154,11 @@ def signlsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
 
     n_planes=16 split into n_bands bands of 4 bits; a candidate shares
     >=1 band with the query. Recall tested against cosine_topk."""
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    planes = _hyperplanes(n_planes, dim_row["d"])
-    plane_cols = F.array(*[
-        F.array(*[F.lit(x) for x in row]) for row in planes])
-
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
     e = e.withColumn("norm", l2_norm(F.col("v")))
-    bits = F.transform(plane_cols, lambda p: (dot(p, F.col("v")) >= 0).cast("int"))
-    r = n_planes // n_bands
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.concat_ws("", F.transform(F.slice(bits, b * r + 1, r),
-                                        lambda v: v.cast("string")))
-             .alias("band_key")))
+    bits = F.array(*[(_plane_dot(F.col("v"), j) >= 0).cast("int")
+                     for j in range(n_planes)])
+    bands = _band_structs(bits, n_planes, n_bands)
     sig = e.select(id_col, "v", "norm", F.explode(bands).alias("band")) \
            .select(id_col, "v", "norm", "band.band_id", "band.band_key")
 
@@ -172,3 +179,63 @@ def signlsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, block_cols: list[str],
+                          threshold: float, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          max_block_size: int | None = None,
+                          n_planes: int = 16, n_bands: int = 4) -> DataFrame:
+    """All pairs with cosine >= threshold, blocked on ``block_cols``.
+
+    Exact within blocks (self-join + sequential-fold cosine — the
+    oracle-matched path). ``max_block_size`` is the 100 TB guard:
+    blocks larger than it are routed through sign-LSH banding —
+    candidates = pairs sharing (block, band_id, band_key), then the
+    SAME exact-cosine verify — capping candidate generation at
+    O(block * bands * bucket_width) instead of O(block^2). Routed
+    blocks trade exact recall for boundedness (documented LSH miss
+    rate); the oracled query keeps the guard off.
+
+    Output: *block_cols, id_a, id_b, cosine."""
+    v = embeddings.select(*block_cols, id_col,
+                          as_double(F.col(vec_col)).alias("v"))
+    v = v.withColumn("norm", l2_norm(F.col("v")))
+    if max_block_size is not None:
+        sizes = v.groupBy(*block_cols).agg(F.count("*").alias("__bn"))
+        v = v.join(F.broadcast(sizes), block_cols)
+        hot = v.filter(F.col("__bn") > max_block_size).drop("__bn")
+        v = v.filter(F.col("__bn") <= max_block_size).drop("__bn")
+        bits = F.array(*[(_plane_dot(F.col("v"), j) >= 0).cast("int")
+                         for j in range(n_planes)])
+        banded = (hot.select(*block_cols, id_col, "v", "norm",
+                             F.explode(_band_structs(bits, n_planes, n_bands))
+                              .alias("band"))
+                  .select(*block_cols, id_col, "v", "norm",
+                          "band.band_id", "band.band_key"))
+        ha = banded.select(*block_cols, "band_id", "band_key",
+                           F.col(id_col).alias("id_a"),
+                           F.col("v").alias("va"), F.col("norm").alias("na"))
+        hb = banded.select(*block_cols, "band_id", "band_key",
+                           F.col(id_col).alias("id_b"),
+                           F.col("v").alias("vb"), F.col("norm").alias("nb"))
+        hot_pairs = (ha.join(hb, [*block_cols, "band_id", "band_key"])
+                     .filter(F.col("id_a") < F.col("id_b"))
+                     .dropDuplicates([*block_cols, "id_a", "id_b"]))
+        hot_out = (hot_pairs.select(
+                       *block_cols, "id_a", "id_b",
+                       (dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb"))).alias("cosine"))
+                   .filter(F.col("cosine") >= threshold))
+    a = v.select(*block_cols, F.col(id_col).alias("id_a"),
+                 F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = v.select(*block_cols, F.col(id_col).alias("id_b"),
+                 F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    out = (pairs.select(*block_cols, "id_a", "id_b",
+                        (dot(F.col("va"), F.col("vb"))
+                         / (F.col("na") * F.col("nb"))).alias("cosine"))
+           .filter(F.col("cosine") >= threshold))
+    if max_block_size is not None:
+        out = out.unionByName(hot_out)
+    return out

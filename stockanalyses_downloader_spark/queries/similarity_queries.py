@@ -152,23 +152,13 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: pairs above 0.35 cosine
     (the fixture embeddings are near-orthogonal random vectors; real
-    corpora use 0.9+),
-    blocked by label (the cheap prefilter standing in for an LSH/IVF
-    bucket — swap the block key for ivf list_id at scale). Exact
-    sequential-fold cosine, so the oracle hash-matches."""
+    corpora use 0.9+), blocked by label. Exact sequential-fold cosine,
+    so the oracle hash-matches — which is why the operator's
+    ``max_block_size`` hot-block LSH routing stays OFF here (it trades
+    exactness for boundedness; the scale guard is pinned separately in
+    the operator tests)."""
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", "label",
-                 similarity.as_double(F.col("embedding")).alias("v"))
-    v = v.withColumn("norm", similarity.l2_norm(F.col("v")))
-    a = v.select(F.col("label"), F.col("vec_id").alias("id_a"),
-                 F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = v.select(F.col("label"), F.col("vec_id").alias("id_b"),
-                 F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
-    cos = (similarity.dot(F.col("va"), F.col("vb"))
-           / (F.col("na") * F.col("nb")))
-    return (pairs.select("label", "id_a", "id_b", cos.alias("cosine"))
-                 .filter(F.col("cosine") >= 0.35))
+    return similarity.cosine_near_dup_pairs(e, ["label"], threshold=0.35)
 
 
 _EMB_NEAR_SQL = """

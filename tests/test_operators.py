@@ -192,6 +192,131 @@ def test_multimodal_resize_and_frame_sample(spark):
         multimodal.decode_real(assets)
 
 
+def test_asof_null_payload_and_inner_semantics(spark):
+    """The most recent right row wins ATOMICALLY: a NULL field in the
+    matching row must come through as NULL (not an older row's value),
+    and inner mode keeps a left row whenever ANY prior right row
+    exists — even an all-NULL-payload one."""
+    from stockanalyses_downloader_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [("k", 5), ("k", 15), ("j", 5)], "k string, ts int")
+    right = spark.createDataFrame(
+        [("k", 1, 10.0, "x"), ("k", 12, None, "y")],
+        "k string, ts int, quote double, src string")
+    out = {(r["k"], r["ts"]): (r["quote"], r["src"])
+           for r in asof_join(left, right, on="k").collect()}
+    assert out[("k", 5)] == (10.0, "x")
+    # ts=15 matches the ts=12 row: quote must be NULL, not the stale 10.0
+    assert out[("k", 15)] == (None, "y")
+    assert ("j", 5) not in out          # no prior right row -> dropped
+    left_kept = asof_join(left, right, on="k", how="left").count()
+    assert left_kept == 3
+
+
+def test_asof_payloadless_right_side(spark):
+    """A right side carrying only (key, ts) — pure existence as-of —
+    must work (round-1 version IndexError'd on payload[0])."""
+    from stockanalyses_downloader_spark.operators.asof import asof_join
+    left = spark.createDataFrame([("k", 5), ("k", 1)], "k string, ts int")
+    right = spark.createDataFrame([("k", 3)], "k string, ts int")
+    rows = asof_join(left, right, on="k").collect()
+    assert [(r["k"], r["ts"]) for r in rows] == [("k", 5)]
+
+
+def test_ngram_hot_block_routes_to_lsh(spark, monkeypatch):
+    """max_block_size guard: a block above the cap never reaches the
+    exact self-join — exactly its docs are handed to the LSH path."""
+    routed = {}
+    real_lsh = dedup.minhash_lsh_pairs
+
+    def spy(docs, **kw):
+        routed["ids"] = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        return real_lsh(docs, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_lsh_pairs", spy)
+    d = load_table(spark, SF, "documents").limit(80)
+    hot = d.withColumn("lang", F.lit("xx")).withColumn("source", F.lit("hot"))
+    cold = (d.limit(10)
+            .select((F.col("doc_id") + 500_000).alias("doc_id"), "text",
+                    F.lit("yy").alias("lang"), F.lit("cold").alias("source"),
+                    "n_chars"))
+    corpus = hot.unionByName(cold)
+    out = dedup.ngram_jaccard_pairs(corpus, ["lang", "source"], threshold=0.3,
+                                    hashed=True, max_block_size=50)
+    out.collect()
+    assert routed["ids"] == {r["doc_id"] for r in hot.collect()}
+
+
+def test_ngram_prefilter_preserves_exactness(spark):
+    """The size prefilter only removes pairs that cannot reach the
+    threshold: results with and without it... the prefilter is always
+    on, so pin equivalence against a threshold-0 run filtered in
+    pandas instead."""
+    d = load_table(spark, SF, "documents").limit(60)
+    strict = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in dedup.ngram_jaccard_pairs(
+                  d, ["lang"], threshold=0.3, hashed=True).collect()}
+    loose = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(
+                 d, ["lang"], threshold=0.0, hashed=True).collect()
+             if r["jaccard"] >= 0.3}
+    assert strict == loose
+
+
+def test_embedding_hot_block_guard_bounded_and_finds_dups(spark):
+    """cosine_near_dup_pairs with max_block_size: planted exact dups
+    inside a hot block still surface through the LSH route (identical
+    vectors share every band)."""
+    e = load_table(spark, SF, "embeddings").limit(60)
+    hot = e.withColumn("label", F.lit("hot"))
+    dups = hot.limit(5).select((F.col("vec_id") + 900_000).alias("vec_id"),
+                               "embedding", "label")
+    corpus = hot.unionByName(dups.select("vec_id", "label", "embedding"),
+                             allowMissingColumns=False)
+    pairs = similarity.cosine_near_dup_pairs(
+        corpus, ["label"], threshold=0.999, max_block_size=30)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(r["vec_id"], r["vec_id"] + 900_000)
+                for r in hot.limit(5).collect()}
+    assert expected <= found, f"missing planted dups: {expected - found}"
+
+
+def test_ann_construction_triggers_no_jobs(spark):
+    """IVF/sign-LSH query CONSTRUCTION must be fully lazy — no
+    count()/first() probes firing Spark jobs at plan-build time (they
+    serialize the pipeline; at scale a stray count() is a full scan)."""
+    e = load_table(spark, SF, "embeddings")
+    spark.sparkContext.setJobGroup("ann-construct", "lazy check")
+    try:
+        similarity.ivf_topk(e, [0, 1], k=5)
+        similarity.signlsh_topk(e, [0, 1], k=5)
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+            "ann-construct")
+        assert not jobs, f"construction ran Spark jobs: {jobs}"
+    finally:
+        spark.sparkContext.setJobGroup("post-construct", "reset job group")
+
+
+def test_simhash_radius_guarantee(spark):
+    """Candidate recall 1.0 within the requested hamming radius: every
+    pair with bit_count(xor) <= max_hamming appears — checked against
+    a brute-force pandas cross product of the simhash values."""
+    from itertools import combinations
+    d = load_table(spark, SF, "documents").limit(40)
+    sims = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash64(d).collect()}
+    for radius in (6, 12):
+        expected = {tuple(sorted((a, b)))
+                    for a, b in combinations(sims, 2)
+                    if bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+                    <= radius}
+        got = {tuple(sorted((r["id_a"], r["id_b"])))
+               for r in dedup.simhash_near_pairs(d, max_hamming=radius)
+               .collect()}
+        assert expected == got, (
+            f"radius {radius}: missed {expected - got}, extra {got - expected}")
+
+
 def test_vectorized_minhash_matches_jvm(spark):
     """The Arrow/numpy signature path is bit-identical to the JVM
     higher-order-function fold (same universal-hash family)."""
