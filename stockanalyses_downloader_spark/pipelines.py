@@ -29,13 +29,18 @@ from .streaming import sinks
 def run_rest_batch(spark: SparkSession, jobs: DataFrame,
                    queue_dir: str, jobs_table_path: str,
                    fetcher: Callable[[DataFrame], DataFrame] | None = None,
+                   client_factory: Callable[[], sinks.MessageQueueClient]
+                   | None = None,
                    ) -> dict[str, int]:
     """One batch cycle over a jobs frame. Returns row-count telemetry.
 
     State semantics per reference main.py:328-353: fetch ok -> publish
-    -> 1300; fetch failed -> 1900; never-attempted jobs keep their
-    action."""
+    -> 1300; fetch failed OR publish failed -> 1900; never-attempted
+    jobs keep their action. ``client_factory`` builds the queue client
+    per partition (default: file-backed queue at ``queue_dir``)."""
     fetcher = fetcher or ticker.fixture_fetcher
+    client_factory = client_factory or (
+        lambda: sinks.FileQueueClient(queue_dir))
     dim = currency_dim(spark)
 
     actionable = pipeline.filter_actionable_jobs(jobs, rest_only=True)
@@ -43,28 +48,41 @@ def run_rest_batch(spark: SparkSession, jobs: DataFrame,
     parsed = pipeline.parse_job_value(claimed)
     resolved = pipeline.resolve_pair(parsed, dim)
 
-    snapshots = fetcher(ticker.build_ticker_urls(resolved))
+    # persist: snapshots feed four consumers (publish, dead-letter,
+    # outcomes, telemetry) — without the barrier each one re-runs the
+    # fetcher, i.e. re-downloads (round-1 defect). The snapshot batch
+    # is one row per in-flight job: always cacheable.
+    snapshots = fetcher(ticker.build_ticker_urls(resolved)).persist()
     ok = pipeline.with_mid(pipeline.validate_http(snapshots))
     failed = pipeline.dead_letter(snapshots)
 
     messages = pipeline.serialize_message(
         ok.select("downloader_jq_id", "exchange", "isin", "pair",
                   "bid", "ask", "mid", "last", "ts"))
-    messages.foreachPartition(
-        lambda rows: sinks.publish_partition(
-            rows, lambda: sinks.FileQueueClient(queue_dir)))
+    # publish once, capture per-message success; the persist+count IS
+    # the publish action (publish_with_outcomes is lazy)
+    pub = sinks.publish_with_outcomes(messages, client_factory).persist()
+    n_published_ok = pub.filter(F.col("publish_ok")).count()
 
+    # real feedback edge (main.py:339-345): fetch ok comes from the
+    # HTTP status, publish ok from the queue client — a failed publish
+    # lands 1900 even when the fetch succeeded.
     outcomes = (snapshots.select(
         "downloader_jq_id",
-        (F.col("status") == 200).alias("fetch_ok"),
-        (F.col("status") == 200).alias("publish_ok")))
+        (F.col("status") == 200).alias("fetch_ok"))
+        .join(pub, "downloader_jq_id", "left")
+        .withColumn("publish_ok", F.coalesce(F.col("publish_ok"),
+                                             F.lit(False))))
     final = state_machine.apply_outcomes(claimed, outcomes)
     sinks.jobs_state_writeback(jobs_table_path)(final, batch_id=0)
 
-    return {"jobs_in": jobs.count(),
-            "actionable": actionable.count(),
-            "published": ok.count(),
-            "dead_letter": failed.count()}
+    stats = {"jobs_in": jobs.count(),
+             "actionable": actionable.count(),
+             "published": n_published_ok,
+             "dead_letter": failed.count()}
+    snapshots.unpersist()
+    pub.unpersist()
+    return stats
 
 
 def run_wss_stream(spark: SparkSession, raw_stream: DataFrame,

@@ -95,18 +95,37 @@ def dedup_for_effective_exactly_once(df: DataFrame, key_cols: list[str],
     return df.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def _is_path_not_found(exc: Exception) -> bool:
+    msg = str(exc)
+    return ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+            or "FileNotFoundException" in msg)
+
+
 def jobs_state_writeback(jobs_table_path: str, key: str = "downloader_jq_id"):
     """K2: per-micro-batch job-state upsert. The jobs table is control
     plane (rows = in-flight jobs, not fact data), so a read-merge-
     rewrite per batch is proportionate; on a lakehouse this is a Delta
     ``MERGE`` keyed on the job id. Idempotent across batch replays:
-    the merge keeps the latest action per key."""
+    the merge keeps the latest action per key.
+
+    Crash safety: the merged table is fully written to a sibling temp
+    directory FIRST (reading the still-intact source — no
+    cache-eviction recompute hazard), then swapped in with directory
+    renames (atomic on a local/HDFS-style FS; on an object store this
+    protocol is exactly what a lakehouse table format replaces). Only
+    a genuinely-missing table path is treated as "first batch" —
+    any other read error propagates instead of silently truncating
+    history to the current batch's keys."""
     def _writeback(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch_df.sparkSession
         updates = batch_df.select(key, "action").dropDuplicates([key])
         try:
             current = spark.read.parquet(jobs_table_path)
-        except Exception:  # first batch: table does not exist yet
+        except Exception as exc:
+            if not _is_path_not_found(exc):
+                raise
             updates.write.mode("overwrite").parquet(jobs_table_path)
             return
         merged = (current.join(updates.select(F.col(key),
@@ -117,10 +136,52 @@ def jobs_state_writeback(jobs_table_path: str, key: str = "downloader_jq_id"):
                   .drop("__new"))
         new_keys = updates.join(current.select(key), key, "left_anti")
         out = merged.unionByName(new_keys, allowMissingColumns=True)
-        out.cache().count()  # materialize before overwriting the source
-        out.write.mode("overwrite").parquet(jobs_table_path)
-        out.unpersist()
+        token = uuid.uuid4().hex
+        tmp = f"{jobs_table_path.rstrip('/')}.__tmp-{token}"
+        old = f"{jobs_table_path.rstrip('/')}.__old-{token}"
+        out.write.mode("overwrite").parquet(tmp)
+        os.rename(jobs_table_path, old)
+        os.rename(tmp, jobs_table_path)
+        shutil.rmtree(old, ignore_errors=True)
     return _writeback
+
+
+def publish_with_outcomes(messages: DataFrame,
+                          client_factory: Callable[[], MessageQueueClient],
+                          id_col: str = "downloader_jq_id",
+                          message_col: str = "message") -> DataFrame:
+    """Publish partition-parallel AND report per-message success —
+    the feedback edge the reference wires at main.py:339-345 (publish
+    ok -> 1300, failure -> 1900).
+
+    mapInPandas with one connection per partition (Arrow-batched in,
+    tiny (id, bool) frame out); a per-message publish exception marks
+    that row failed instead of killing the task, so one poison message
+    dead-letters itself rather than failing the batch. The returned
+    frame is LAZY — evaluating it performs the publish, so the caller
+    must materialize it exactly once (persist + count) before using it
+    in downstream plans."""
+    import pandas as pd
+
+    def _publish(batches):
+        client = client_factory()
+        opened = False
+        for pdf in batches:
+            oks = []
+            for msg in pdf[message_col]:
+                try:
+                    if not opened:
+                        client.open()
+                        opened = True
+                    client.publish(msg)
+                    oks.append(True)
+                except Exception:
+                    oks.append(False)
+            yield pd.DataFrame({id_col: pdf[id_col], "publish_ok": oks})
+        if opened:
+            client.close()
+
+    return messages.mapInPandas(_publish, f"{id_col} long, publish_ok boolean")
 
 
 def write_partitioned(df: DataFrame, path: str,

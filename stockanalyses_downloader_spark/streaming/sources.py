@@ -11,9 +11,14 @@ the same pipeline binds to:
   rate_tick_stream   synthetic rate source shaped like the tick schema
                      — connectivity/perf smoke without data at rest
 
-A production Kafka/socket binding plugs in the same way (readStream
-.format("kafka") -> from_json(value) -> same columns); not shipped
-because this container has no broker to integrate against.
+  kafka_tick_stream  Kafka-SHAPED binding: records arrive in Kafka's
+                     exact wire schema (key/value binary, topic,
+                     partition, offset, timestamp) and the tick is
+                     from_json-parsed out of the value column — the
+                     complete S6 production path minus only the
+                     ``.format("kafka")`` literal (no broker in this
+                     container; swap the reader line and nothing else
+                     changes).
 
 Empty micro-batches (reference ST2 ``queue.Empty: pass``) are native
 no-ops in Structured Streaming.
@@ -23,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import TICK_WSS_RAW
 
@@ -36,6 +42,62 @@ def file_tick_stream(spark: SparkSession, path: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)
+
+
+#: Kafka source wire schema — byte-for-byte what readStream
+#: .format("kafka") emits (key/value are binary; the payload schema
+#: is the consumer's contract, applied via from_json).
+KAFKA_WIRE = T.StructType([
+    T.StructField("key", T.BinaryType(), True),
+    T.StructField("value", T.BinaryType(), False),
+    T.StructField("topic", T.StringType(), True),
+    T.StructField("partition", T.IntegerType(), True),
+    T.StructField("offset", T.LongType(), True),
+    T.StructField("timestamp", T.TimestampType(), True),
+    T.StructField("timestampType", T.IntegerType(), True),
+])
+
+
+def encode_kafka_fixture(ticks: DataFrame, topic: str = "ticks",
+                         key_col: str = "pair",
+                         ts_col: str = "ts") -> DataFrame:
+    """Encode a tick frame into Kafka's record shape (the fixture
+    producer): key = partition key bytes, value = the full row as
+    JSON bytes. Keying by pair mirrors the production layout where a
+    pair's ticks land in one Kafka partition (per-key ordering)."""
+    return ticks.select(
+        F.encode(F.col(key_col), "utf-8").alias("key"),
+        F.encode(F.to_json(F.struct(*ticks.columns)), "utf-8").alias("value"),
+        F.lit(topic).alias("topic"),
+        (F.abs(F.xxhash64(key_col)) % 8).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.timestamp_seconds(ts_col).alias("timestamp"),
+        F.lit(0).alias("timestampType"))
+
+
+def kafka_tick_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Kafka-shaped stream over a fixture directory. In production the
+    body is ``spark.readStream.format("kafka").option(...)`` — same
+    output schema, so decode_kafka_ticks and everything downstream are
+    identical."""
+    reader = spark.readStream.schema(KAFKA_WIRE)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def decode_kafka_ticks(records: DataFrame,
+                       payload_schema: T.StructType = TICK_WSS_RAW) -> DataFrame:
+    """from_json over the value column (S6's parse step,
+    main.py:398-415's dict access made schema-checked): malformed
+    payloads decode to NULL columns instead of killing the stream —
+    filter ``pair IS NULL`` into a dead-letter branch if the topic is
+    untrusted."""
+    return (records
+            .select(F.from_json(F.col("value").cast("string"),
+                                payload_schema).alias("r"))
+            .select("r.*"))
 
 
 def rate_tick_stream(spark: SparkSession, rows_per_second: int = 100,

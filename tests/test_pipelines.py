@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from stockanalyses_downloader_spark import pipelines
 from stockanalyses_downloader_spark.operators import state_machine
 from stockanalyses_downloader_spark.sources import synthetic
+from stockanalyses_downloader_spark.streaming import sinks
 from stockanalyses_downloader_spark.streaming import sources as ssrc
 
 SF = "/root/testdata/sf0.001"
@@ -39,6 +40,41 @@ def test_run_rest_batch_end_to_end(spark, tmp_path):
     assert final.count() == stats["actionable"]
 
 
+def test_publish_failure_lands_1900(spark, tmp_path):
+    jobs = synthetic.jobs(spark, SF).limit(300)
+    queue_dir = str(tmp_path / "queue")
+    jobs_table = str(tmp_path / "jobs_table")
+
+    # defined in-function so cloudpickle ships the class by value to
+    # the Python workers (module-scope test classes pickle by name,
+    # which workers cannot import)
+    class FlakyQueueClient(sinks.FileQueueClient):
+        """Rejects every even-job-id message — publish failures must
+        feed back into the state machine, not be assumed from fetch
+        status."""
+
+        def publish(self, message: str) -> None:
+            if json.loads(message)["downloader_jq_id"] % 2 == 0:
+                raise RuntimeError("broker rejected message")
+            super().publish(message)
+
+    stats = pipelines.run_rest_batch(
+        spark, jobs, queue_dir, jobs_table,
+        client_factory=lambda: FlakyQueueClient(queue_dir))
+
+    final = {r["downloader_jq_id"]: r["action"]
+             for r in spark.read.parquet(jobs_table).collect()}
+    assert final, "no jobs written back"
+    errs = {j for j, a in final.items() if a == state_machine.ERROR}
+    pubs = {j for j, a in final.items() if a == state_machine.PUBLISHED}
+    assert errs and all(j % 2 == 0 for j in errs)
+    assert pubs and all(j % 2 == 1 for j in pubs)
+    # telemetry counts only the messages that actually landed
+    files = glob.glob(os.path.join(queue_dir, "conn-*.jsonl"))
+    msgs = [json.loads(line) for f in files for line in open(f)]
+    assert len(msgs) == stats["published"] == len(pubs)
+
+
 def test_run_wss_stream_end_to_end(spark, tmp_path):
     raw = synthetic.wss_ticks_raw(spark, SF).drop("isin")
     src = str(tmp_path / "wss_src")
@@ -57,3 +93,38 @@ def test_run_wss_stream_end_to_end(spark, tmp_path):
     sample = msgs[0]
     assert abs(sample["mid"] - (sample["bid"] + sample["ask"]) / 2) < 1e-9
     assert "isin" in sample and "pair" in sample
+
+
+def test_kafka_shaped_stream_matches_batch(spark, tmp_path):
+    """S6 parity binding: ticks encoded into Kafka's wire schema,
+    streamed, from_json-decoded, and run through the SAME pipeline as
+    the plain file binding — per-tick output must match the batch
+    transform exactly."""
+    from stockanalyses_downloader_spark.dims.currency import currency_dim
+    from stockanalyses_downloader_spark.operators import pipeline as pops
+
+    raw = synthetic.wss_ticks_raw(spark, SF).drop("isin", "tick_id")
+    wire = ssrc.encode_kafka_fixture(raw)
+    assert [f.name for f in wire.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp",
+        "timestampType"]
+    src = str(tmp_path / "kafka_src")
+    wire.write.parquet(src)
+    queue_dir = str(tmp_path / "kafka_queue")
+
+    stream = ssrc.decode_kafka_ticks(ssrc.kafka_tick_stream(spark, src))
+    q = pipelines.run_wss_stream(spark, stream, queue_dir,
+                                 str(tmp_path / "kafka_ckpt"))
+    q.awaitTermination(120)
+    q.stop()
+
+    files = glob.glob(os.path.join(queue_dir, "conn-*.jsonl"))
+    got = sorted(
+        ((m["pair"], round(m["ts"], 6), round(m["mid"], 9))
+         for f in files for m in map(json.loads, map(str.strip, open(f)))),
+    )
+    dim = currency_dim(spark)
+    batch = pops.with_mid(pops.resolve_isin(pops.project_wss_tick(raw), dim))
+    want = sorted((r["pair"], round(r["ts"], 6), round(r["mid"], 9))
+                  for r in batch.collect())
+    assert got == want and len(got) == raw.count()
