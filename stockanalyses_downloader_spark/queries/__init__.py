@@ -36,6 +36,7 @@ _WINDOW = [
     "flagship_latest_mid",
     "rest_fetch_pipeline",
     "ticks_asof_quotes",
+    "ticks_in_candle_ranges",   # range/interval join (bucketed)
     "vwap_by_isin",
     "jobs_parse_dispatch",
     "jobs_resolve_pair",
@@ -77,7 +78,6 @@ _WINDOW = [
     "customer_running_spend",           # window running frame
     "event_sessionization",             # window lag + cumulative sum
     "all_party_keys",           # union
-    "repeat_buyers",            # intersect
     "churned_buyers",           # except
     "revenue_rollup",           # rollup
     "lineitem_grouping_sets",   # grouping sets
@@ -92,6 +92,9 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "repeat_buyers",                # intersect — set-op class stays
+                                    # represented by union + except;
+                                    # slot yielded to the range join
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets

@@ -314,8 +314,46 @@ def rest_fetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exchange", "isin", "pair", "bid", "ask", "mid", "last", "ts")
 
 
+def ticks_in_candle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every successful tick against the weekly
+    OHLC candle whose [start, start+7d) window CONTAINS its event time,
+    per ISIN — the containment sibling of the as-of join. Daily buckets
+    (1/7th of the interval) force the multi-bucket explode path of
+    ``operators/rangejoin.range_join``."""
+    from ..operators.rangejoin import range_join
+
+    t = (pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+         .select("tick_id", "isin", "ts", "last_price"))
+    c = candles.ohlc_candles(pipeline.validate_http(
+        synthetic.ticks(spark, sf_dir)), key="isin", width="7 days")
+    intervals = c.select(
+        "isin", F.col("bucket_start").alias("win_start"),
+        (F.col("bucket_start") + F.expr("INTERVAL 7 DAYS")).alias("win_end"),
+        F.col("open").alias("wk_open"), F.col("high").alias("wk_high"),
+        F.col("low").alias("wk_low"), F.col("close").alias("wk_close"))
+    rj = range_join(t, intervals, left_ts="ts",
+                    right_start="win_start", right_end="win_end",
+                    keys=["isin"], bucket_width_s=86_400)
+    return rj.select("tick_id", "isin", "ts", "last_price",
+                     "wk_open", "wk_high", "wk_low", "wk_close")
+
+
+_RANGE_SQL = f"""
+WITH c AS ({_CANDLES_SQL})
+SELECT t.tick_id, t.isin, t.ts, t.last_price,
+       c.open AS wk_open, c.high AS wk_high,
+       c.low AS wk_low, c.close AS wk_close
+FROM {synthetic.TICKS_SQL} t
+JOIN c ON t.isin = c.isin
+      AND t.ts >= c.bucket_start
+      AND t.ts < c.bucket_start + INTERVAL 7 DAY
+WHERE t.status = 200
+"""
+
+
 QUERIES: dict[str, Q] = {
     "flagship_latest_mid": Q(flagship_latest_mid, _FLAGSHIP_SQL),
+    "ticks_in_candle_ranges": Q(ticks_in_candle_ranges, _RANGE_SQL),
     "rest_fetch_pipeline": Q(rest_fetch_pipeline, None),
     "ticks_asof_quotes": Q(ticks_asof_quotes, _ASOF_SQL),
     "vwap_by_isin": Q(vwap_by_isin, _VWAP_SQL),

@@ -317,6 +317,48 @@ def test_simhash_radius_guarantee(spark):
             f"radius {radius}: missed {expected - got}, extra {got - expected}")
 
 
+def test_range_join_semantics(spark):
+    """Containment semantics: closed-open bounds, overlapping
+    intervals each match, no duplicates from the multi-bucket
+    explode, unmatched left rows drop (inner)."""
+    from stockanalyses_downloader_spark.operators.rangejoin import range_join
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:00"), (2, "k", "2024-01-03 12:00:00"),
+         (3, "k", "2024-01-10 00:00:00"), (4, "x", "2024-01-02 00:00:00")],
+        "id long, k string, ts string").withColumn(
+            "ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", "2024-01-05 00:00:00", "a"),
+         ("k", "2024-01-03 00:00:00", "2024-01-04 00:00:00", "b"),
+         ("x", "2024-01-01 00:00:00", "2024-01-03 00:00:00", "c")],
+        "k string, s string, e string, tag string").select(
+            "k", F.to_timestamp("s").alias("s"),
+            F.to_timestamp("e").alias("e"), "tag")
+    out = range_join(left, right, left_ts="ts", right_start="s",
+                     right_end="e", keys=["k"], bucket_width_s=86_400)
+    got = sorted((r["id"], r["tag"]) for r in out.collect())
+    # id1 in a (start boundary inclusive); id2 in a AND b (overlap);
+    # id3 matches nothing; id4 in c; end boundary exclusive everywhere
+    assert got == [(1, "a"), (2, "a"), (2, "b"), (4, "c")]
+
+
+def test_range_join_bucket_cap_guard(spark):
+    import pytest
+    from stockanalyses_downloader_spark.operators.rangejoin import range_join
+    left = spark.createDataFrame([(1, "2024-01-01 00:00:00")],
+                                 "id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2030-01-01 00:00:00")],
+        "s string, e string").select(F.to_timestamp("s").alias("s"),
+                                     F.to_timestamp("e").alias("e"))
+    guarded = range_join(left, right, "ts", "s", "e",
+                         bucket_width_s=86_400,
+                         max_buckets_per_interval=100)
+    with pytest.raises(Exception, match="too many buckets"):
+        guarded.collect()
+
+
 def test_vectorized_minhash_matches_jvm(spark):
     """The Arrow/numpy signature path is bit-identical to the JVM
     higher-order-function fold (same universal-hash family)."""

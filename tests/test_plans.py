@@ -61,6 +61,13 @@ def test_no_python_eval_in_hot_paths(spark):
         assert report["python_evals"] == 0, f"{name} leaves the JVM"
 
 
+def test_range_join_is_equi_join(spark):
+    """The bucketed interval join must plan as an equi-join on
+    (keys, bucket) — never a nested-loop/cartesian range join."""
+    q = all_queries()["ticks_in_candle_ranges"].spark(spark, SF)
+    assert_no_cartesian(q)
+
+
 def test_topk_similarity_no_cartesian_for_lsh(spark):
     q = all_queries()["signlsh_topk_approx"].spark(spark, SF)
     assert_no_cartesian(q)
