@@ -52,6 +52,7 @@ _WINDOW = [
     "cosine_topk_bruteforce",
     "embedding_near_dup_pairs",
     "ngram_jaccard_near_dups",
+    "near_dup_components",      # transitive dedup keeper selection
     "multimodal_asset_stats",
     "multimodal_stub_features",
     "minhash_near_dups",
@@ -78,7 +79,6 @@ _WINDOW = [
     "customer_running_spend",           # window running frame
     "event_sessionization",             # window lag + cumulative sum
     "all_party_keys",           # union
-    "churned_buyers",           # except
     "revenue_rollup",           # rollup
     "lineitem_grouping_sets",   # grouping sets
     "event_type_pivot",         # pivot
@@ -92,9 +92,11 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
-    "repeat_buyers",                # intersect — set-op class stays
-                                    # represented by union + except;
+    "repeat_buyers",                # intersect — set-op class keeps its
+                                    # union representative in the window;
                                     # slot yielded to the range join
+    "churned_buyers",               # except — same; slot yielded to
+                                    # near_dup_components
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets

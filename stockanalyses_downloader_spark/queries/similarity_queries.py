@@ -136,6 +136,41 @@ SELECT lang, source, id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3
 """
 
 
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keeper selection: transitive closure over the exact
+    n-gram-Jaccard near-dup pairs (A~B, B~C collapse to one group even
+    when A~C was never scored), every doc mapped to the surviving id.
+    Spark side = iterative min-label propagation
+    (operators/graph.connected_components); oracle = recursive CTE —
+    a hash match certifies the whole pairs->components->keepers
+    chain."""
+    from ..operators import graph
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, block_cols=["lang", "source"],
+                                      n=3, threshold=0.3, hashed=True)
+    return graph.dedup_keepers(d, pairs.select("id_a", "id_b"))
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a AS a, id_b AS b FROM ({_JACCARD_SQL.strip()}) fwd
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM ({_JACCARD_SQL.strip()}) rev
+),
+reach AS (
+  SELECT DISTINCT a AS id, a AS comp FROM edges
+  UNION
+  SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON r.id = e.a
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS keeper_id,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_kept
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: xxhash64 family has no
     DuckDB equivalent; candidate-vs-exact recall asserted in tests)."""
@@ -232,6 +267,7 @@ QUERIES: dict[str, Q] = {
     "ivf_topk_approx": Q(ivf_topk_approx, None),
     "embedding_near_dup_pairs": Q(embedding_near_dup_pairs, _EMB_NEAR_SQL),
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),
+    "near_dup_components": Q(near_dup_components, _COMPONENTS_SQL),
     "minhash_near_dups": Q(minhash_near_dups, None),
     "simhash_near_pairs": Q(simhash_near_pairs, None),
     "multimodal_asset_stats": Q(multimodal_asset_stats, _ASSET_SQL),

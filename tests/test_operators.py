@@ -317,6 +317,26 @@ def test_simhash_radius_guarantee(spark):
             f"radius {radius}: missed {expected - got}, extra {got - expected}")
 
 
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, C~D collapse to one component labeled with the min
+    id, disjoint pairs stay separate, isolated docs keep themselves."""
+    from stockanalyses_downloader_spark.operators import graph
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in graph.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)],
+                                 "doc_id long")
+    keep = {r["doc_id"]: (r["keeper_id"], r["is_kept"])
+            for r in graph.dedup_keepers(docs, edges).collect()}
+    assert keep[99] == (99, True)          # isolated doc keeps itself
+    assert keep[4] == (1, False)
+    assert keep[1] == (1, True)
+    assert sum(1 for _, kept in keep.values() if kept) == 3  # {1,10,99}
+
+
 def test_range_join_semantics(spark):
     """Containment semantics: closed-open bounds, overlapping
     intervals each match, no duplicates from the multi-bucket
