@@ -59,7 +59,9 @@ _WINDOW = [
     "simhash_near_pairs",
     "signlsh_topk_approx",
     "ivf_topk_approx",
-    # text analysis (X1/X4)
+    # text analysis (X1/X4) + deterministic sampling
+    "doc_split_assignment",     # md5-prefix train/val/test assignment
+    "stratified_docs_by_lang",  # hash-ordered per-stratum sample
     "top_tokens",
     "doc_bpe_token_stats",
     "exact_dedup_docs",
@@ -80,11 +82,9 @@ _WINDOW = [
     "event_sessionization",             # window lag + cumulative sum
     "all_party_keys",           # union
     "revenue_rollup",           # rollup
-    "lineitem_grouping_sets",   # grouping sets
     "event_type_pivot",         # pivot
     "distinct_parts_per_brand", # count_distinct
     "small_quantity_revenue",   # correlated scalar subquery (Q17)
-    "top_suppliers_by_revenue", # scalar-max subquery (Q15)
     "order_value_percentiles",  # percentile_cont
 ]
 
@@ -97,6 +97,12 @@ _TAIL = [
                                     # slot yielded to the range join
     "churned_buyers",               # except — same; slot yielded to
                                     # near_dup_components
+    "lineitem_grouping_sets",       # grouping-set family stays repped
+                                    # by rollup; slot yielded to
+                                    # doc_split_assignment
+    "top_suppliers_by_revenue",     # scalar-subquery family stays
+                                    # repped by Q17; slot yielded to
+                                    # stratified_docs_by_lang
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets

@@ -235,8 +235,62 @@ LIMIT 50
 """
 
 
+# --- deterministic sampling / split assignment -----------------------------
+
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment (80/10/10), decided per doc_id by an
+    md5-prefix hash — run- and engine-stable (the oracle recomputes
+    the identical assignment in DuckDB; a hash match certifies splits
+    never drift between engines, the leakage guard a training
+    pipeline needs)."""
+    from ..operators import sampling
+    d = _docs(spark, sf_dir)
+    return sampling.assign_splits(d, key="doc_id").select(
+        "doc_id", "lang", "split")
+
+
+def _split_case_sql() -> str:
+    from ..operators.sampling import _threshold_hex
+    h = "substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8)"
+    return (f"CASE WHEN {h} < '{_threshold_hex(0.8)}' THEN 'train' "
+            f"WHEN {h} < '{_threshold_hex(0.9)}' THEN 'val' "
+            f"ELSE 'test' END")
+
+
+_SPLIT_SQL = f"""
+SELECT doc_id, lang, {_split_case_sql()} AS split
+FROM documents
+"""
+
+
+def stratified_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-doc sample per language (hash-ordered top-n
+    per stratum — class-balanced subset whose membership survives
+    reruns and repartitioning)."""
+    from ..operators import sampling
+    d = _docs(spark, sf_dir)
+    return (sampling.stratified_sample(d, stratum_col="lang",
+                                       n_per_stratum=20, key="doc_id")
+            .select("doc_id", "lang"))
+
+
+_STRATIFIED_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8),
+                    doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 20
+"""
+
+
 QUERIES: dict[str, Q] = {
     "top_tokens": Q(top_tokens, _TOP_TOKENS_SQL),
+    "doc_split_assignment": Q(doc_split_assignment, _SPLIT_SQL),
+    "stratified_docs_by_lang": Q(stratified_docs_by_lang, _STRATIFIED_SQL),
     "doc_bpe_token_stats": Q(doc_bpe_token_stats, _BPE_SQL),
     "exact_dedup_docs": Q(exact_dedup_docs, _DEDUP_SQL),
     "doc_token_stats": Q(doc_token_stats, _TOKEN_SQL),

@@ -317,6 +317,40 @@ def test_simhash_radius_guarantee(spark):
             f"radius {radius}: missed {expected - got}, extra {got - expected}")
 
 
+def test_deterministic_sampling_properties(spark):
+    """Rate lands near target, membership survives repartitioning
+    (partition-layout independence is the whole point vs rand(seed)),
+    splits are disjoint+exhaustive, different salts draw independent
+    samples."""
+    from stockanalyses_downloader_spark.operators import sampling
+    d = load_table(spark, SF, "documents")
+    n = d.count()
+
+    s = sampling.deterministic_sample(d, 0.3, key="doc_id")
+    k = s.count()
+    assert abs(k / n - 0.3) < 0.15, f"sample rate off: {k}/{n}"
+    ids_a = {r["doc_id"] for r in s.collect()}
+    ids_b = {r["doc_id"] for r in
+             sampling.deterministic_sample(d.repartition(13), 0.3,
+                                           key="doc_id").collect()}
+    assert ids_a == ids_b, "membership changed under repartitioning"
+    ids_salted = {r["doc_id"] for r in
+                  sampling.deterministic_sample(d, 0.3, "doc_id",
+                                                salt="v2").collect()}
+    assert ids_salted != ids_a, "salt did not change the draw"
+
+    splits = sampling.assign_splits(d, key="doc_id")
+    by_split = {r["split"]: r["n"] for r in
+                splits.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by_split) == {"train", "val", "test"}
+    assert sum(by_split.values()) == n                 # exhaustive
+    assert by_split["train"] > by_split["val"]         # ~80/10/10
+
+    strat = sampling.stratified_sample(d, "lang", 5, key="doc_id")
+    per = strat.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    assert per and all(r["n"] <= 5 for r in per)
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C, C~D collapse to one component labeled with the min
     id, disjoint pairs stay separate, isolated docs keep themselves."""
