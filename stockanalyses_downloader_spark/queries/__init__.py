@@ -60,6 +60,7 @@ _WINDOW = [
     "signlsh_topk_approx",
     "ivf_topk_approx",
     # text analysis (X1/X4) + deterministic sampling
+    "doc_tfidf_top_terms",      # TF-IDF characteristic terms
     "doc_split_assignment",     # md5-prefix train/val/test assignment
     "stratified_docs_by_lang",  # hash-ordered per-stratum sample
     "top_tokens",
@@ -75,7 +76,6 @@ _WINDOW = [
     "regional_revenue",         # 6-way inner join (Q5)
     "priority_orders_with_late_items",  # left semi
     "customers_without_orders",         # left anti
-    "customer_order_counts_left",       # left outer
     "nation_presence_full_outer",       # full outer
     "latest_order_per_customer",        # window row_number
     "customer_running_spend",           # window running frame
@@ -103,6 +103,9 @@ _TAIL = [
     "top_suppliers_by_revenue",     # scalar-subquery family stays
                                     # repped by Q17; slot yielded to
                                     # stratified_docs_by_lang
+    "customer_order_counts_left",   # left outer — outer-join family
+                                    # stays repped by full outer; slot
+                                    # yielded to doc_tfidf_top_terms
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets

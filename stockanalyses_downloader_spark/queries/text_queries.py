@@ -235,6 +235,61 @@ LIMIT 50
 """
 
 
+# --- X4: TF-IDF ------------------------------------------------------------
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF: explode ->
+    (doc, token) counts -> token document frequency -> score -> window
+    top-k. Two shuffles (token agg, per-doc top-k) + one broadcast
+    scalar (corpus size).
+
+    idf is the plain ratio N/df, not ln(N/df): multiplication and
+    division are IEEE-correctly-rounded so Spark and DuckDB produce
+    bit-identical doubles, while Math.log vs libm log may differ in
+    the last ulp and break the value hash. Ordering/ranking is
+    identical either way (ln is monotonic)."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                       r"\s+")).alias("token")))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(df_, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.col("tf")
+                          * (F.col("n_docs").cast("double") / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 5)
+            .select("doc_id", "token", "tf", "df", "tfidf", "rank"))
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * (CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df)
+           AS tfidf
+  FROM tf JOIN df USING (token)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # --- deterministic sampling / split assignment -----------------------------
 
 def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,6 +344,7 @@ SELECT doc_id, lang FROM ranked WHERE rn <= 20
 
 QUERIES: dict[str, Q] = {
     "top_tokens": Q(top_tokens, _TOP_TOKENS_SQL),
+    "doc_tfidf_top_terms": Q(doc_tfidf_top_terms, _TFIDF_SQL),
     "doc_split_assignment": Q(doc_split_assignment, _SPLIT_SQL),
     "stratified_docs_by_lang": Q(stratified_docs_by_lang, _STRATIFIED_SQL),
     "doc_bpe_token_stats": Q(doc_bpe_token_stats, _BPE_SQL),
