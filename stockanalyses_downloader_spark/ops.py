@@ -75,10 +75,34 @@ class HeartbeatListener(StreamingQueryListener):
             del self.records[: len(self.records) - self._max]
 
     def metrics_frame(self, spark: SparkSession) -> DataFrame:
-        schema = ("hostname string, ipaddr string, instance_id string, "
-                  "state string, event string, query_id string, "
-                  "batch_id long, num_input_rows long, timestamp string")
         rows = [{**{"batch_id": None, "num_input_rows": None,
                     "timestamp": None}, **r} for r in self.records]
-        return spark.createDataFrame(rows, schema) if rows else \
-            spark.createDataFrame([], schema)
+        return spark.createDataFrame(rows, _METRICS_SCHEMA) if rows else \
+            spark.createDataFrame([], _METRICS_SCHEMA)
+
+
+_METRICS_SCHEMA = ("hostname string, ipaddr string, instance_id string, "
+                   "state string, event string, query_id string, "
+                   "batch_id long, num_input_rows long, timestamp string")
+
+
+class MetricsParquetListener(HeartbeatListener):
+    """K3 durable upgrade: every lifecycle/heartbeat record also
+    appends to a parquet metrics table — the ops-plane equivalent of
+    the reference's service-API PUT loop, but a queryable table
+    instead of a fire-and-forget HTTP call. One tiny file per event
+    is fine at heartbeat cadence; partition by date and compact if a
+    fleet of queries shares the table."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 max_records: int = 10_000):
+        super().__init__(max_records)
+        self._spark = spark
+        self._path = path
+
+    def _push(self, rec: dict) -> None:
+        super()._push(rec)
+        row = {**{"batch_id": None, "num_input_rows": None,
+                  "timestamp": None}, **self.records[-1]}
+        (self._spark.createDataFrame([row], _METRICS_SCHEMA)
+         .write.mode("append").parquet(self._path))

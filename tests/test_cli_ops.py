@@ -68,3 +68,41 @@ def test_cli_sql_mode(capsys):
                "--sf-dir", "/root/testdata/sf0.001"])
     assert rc == 0
     assert "5" in capsys.readouterr().out
+
+
+def test_metrics_parquet_listener_durable(spark, tmp_path):
+    from stockanalyses_downloader_spark.ops import MetricsParquetListener
+    from stockanalyses_downloader_spark.sources import synthetic
+    from stockanalyses_downloader_spark.streaming import sources as ssrc
+
+    metrics_path = str(tmp_path / "metrics")
+    listener = MetricsParquetListener(spark, metrics_path)
+    spark.streams.addListener(listener)
+    try:
+        ticks = synthetic.ticks(spark, "/root/testdata/sf0.001")
+        src = str(tmp_path / "src")
+        ticks.write.parquet(src)
+        stream = ssrc.file_tick_stream(spark, src, schema=ticks.schema)
+        q = (stream.writeStream.format("noop")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(90)
+        q.stop()
+        import time
+
+        def stored_events() -> set:
+            try:
+                return {r["event"]
+                        for r in spark.read.parquet(metrics_path).collect()}
+            except Exception:
+                return set()
+
+        # listener-bus appends are async; poll the TABLE, not memory
+        deadline = time.time() + 15
+        while (time.time() < deadline
+               and not {"started", "heartbeat"} <= stored_events()):
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert {"started", "heartbeat"} <= stored_events()
+    stored = spark.read.parquet(metrics_path)
+    assert "instance_id" in stored.columns and stored.count() > 0
