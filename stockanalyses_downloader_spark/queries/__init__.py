@@ -106,6 +106,9 @@ _TAIL = [
     "customer_order_counts_left",   # left outer — outer-join family
                                     # stays repped by full outer; slot
                                     # yielded to doc_tfidf_top_terms
+    "event_session_windows",        # native session_window variant of
+                                    # event_sessionization (which holds
+                                    # the family's driver slot)
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets

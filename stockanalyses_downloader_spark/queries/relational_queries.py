@@ -345,6 +345,46 @@ FROM sids GROUP BY user_id, session_seq
 """
 
 
+def event_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window — the
+    streaming-capable form of event_sessionization (same transform
+    binds to readStream + watermark; parity pinned in
+    test_streaming). Window start = first event, end = last event +
+    gap; events merge while each starts strictly before the previous
+    window's end (i.e. a gap of exactly 30:00 starts a NEW session —
+    note the >= in the oracle vs the lag-based query's >)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("first_event"),
+                 F.max("ts").alias("last_event"))
+            .select("user_id",
+                    F.col("session_window.start").alias("win_start"),
+                    F.col("session_window.end").alias("win_end"),
+                    "n_events", "first_event", "last_event"))
+
+
+_SESSION_WINDOW_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sids AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id, min(ts) AS win_start,
+       max(ts) + INTERVAL 30 MINUTE AS win_end,
+       count(*) AS n_events,
+       min(ts) AS first_event, max(ts) AS last_event
+FROM sids GROUP BY user_id, session_seq
+"""
+
+
 # --- set operations --------------------------------------------------------
 
 def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,6 +831,7 @@ QUERIES: dict[str, Q] = {
     "latest_order_per_customer": Q(latest_order_per_customer, _LATEST_ORDER_SQL),
     "customer_running_spend": Q(customer_running_spend, _RUNNING_SQL),
     "event_sessionization": Q(event_sessionization, _SESSION_SQL),
+    "event_session_windows": Q(event_session_windows, _SESSION_WINDOW_SQL),
     "repeat_buyers": Q(repeat_buyers, _REPEAT_SQL),
     "churned_buyers": Q(churned_buyers, _CHURN_SQL),
     "all_party_keys": Q(all_party_keys, _PARTY_SQL),

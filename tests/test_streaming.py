@@ -194,3 +194,37 @@ def test_stateful_running_pair_stats(spark, tmp_path):
         assert got["n_ticks"] == exp["n"]
         assert got["min_price"] == exp["mn"]
         assert got["max_price"] == exp["mx"]
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Native session_window sessionization: the SAME groupBy binds to
+    a stream (complete mode, bounded source) and emits sessions
+    identical to the batch run — ST6/ST5 through the built-in
+    stateful operator rather than hand-rolled state."""
+    from stockanalyses_downloader_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts")
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+
+    def sessionize(df):
+        return (df.groupBy("user_id",
+                           F.session_window("ts", "30 minutes"))
+                .agg(F.count("*").alias("n_events"))
+                .select("user_id",
+                        F.col("session_window.start").alias("win_start"),
+                        F.col("session_window.end").alias("win_end"),
+                        "n_events"))
+
+    batch = {(r["user_id"], r["win_start"], r["win_end"], r["n_events"])
+             for r in sessionize(spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (sessionize(stream.withWatermark("ts", "0 seconds"))
+         .writeStream.format("memory").queryName("sess_sw")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    streamed = {(r["user_id"], r["win_start"], r["win_end"], r["n_events"])
+                for r in spark.sql("select * from sess_sw").collect()}
+    assert streamed == batch and len(batch) > 0
