@@ -110,6 +110,48 @@ def resize_stub(features: DataFrame, target_w: int = 224,
         F.floor(F.col("height") * scale).cast("int").alias("scaled_h"))
 
 
+def payload_chunk_fingerprints(assets: DataFrame,
+                               chunk_bytes: int = 32) -> DataFrame:
+    """Aligned fixed-size chunking of the binary payload, one md5 per
+    chunk: (asset_id, chunk_id, chunk_md5). The binary-dedup primitive
+    — two assets sharing chunk hashes share content without ever
+    comparing payload bytes, and the shuffle carries 16-byte digests
+    instead of payloads. (Content-defined chunking — rolling-hash cut
+    points — drops in here by swapping the offset generator; aligned
+    chunks keep the oracle expressible.)"""
+    c = chunk_bytes
+    n_chunks = F.ceil(F.length("payload") / F.lit(c)).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.md5(F.col("payload").substr(i * c + F.lit(1), F.lit(c)))
+                 .alias("chunk_md5")))
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_id:int,chunk_md5:string>>"))
+    return (assets.select("asset_id", F.explode(chunks).alias("c"))
+            .select("asset_id", "c.chunk_id", "c.chunk_md5"))
+
+
+def chunk_overlap_pairs(assets: DataFrame, chunk_bytes: int = 32,
+                        min_shared: int = 1) -> DataFrame:
+    """Binary near-dup pairs by shared content chunks: bucket-join on
+    the chunk digest (the only shuffle is digest-width), count shared
+    distinct chunks per asset pair, keep pairs with >= min_shared.
+    Output: (id_a, id_b, n_shared_chunks)."""
+    fp = (payload_chunk_fingerprints(assets, chunk_bytes)
+          .select("asset_id", "chunk_md5").distinct())
+    a = fp.select(F.col("asset_id").alias("id_a"), "chunk_md5")
+    b = fp.select(F.col("asset_id").alias("id_b"), "chunk_md5")
+    return (a.join(b, "chunk_md5")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared_chunks"))
+            .filter(F.col("n_shared_chunks") >= min_shared))
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (asset, frame_ts) the
     decoder would extract — pure DataFrame math (sequence + explode),

@@ -55,6 +55,7 @@ _WINDOW = [
     "near_dup_components",      # transitive dedup keeper selection
     "multimodal_asset_stats",
     "multimodal_stub_features",
+    "multimodal_chunk_dedup",   # binary content dedup via chunk digests
     "minhash_near_dups",
     "simhash_near_pairs",
     "signlsh_topk_approx",
@@ -72,7 +73,6 @@ _WINDOW = [
     "doc_language_scores",
     # relational surface — one representative per operator class
     "pricing_summary",          # groupBy agg (Q1)
-    "shipping_priority",        # inner multi-join + top-k (Q3)
     "regional_revenue",         # 6-way inner join (Q5)
     "priority_orders_with_late_items",  # left semi
     "customers_without_orders",         # left anti
@@ -109,6 +109,9 @@ _TAIL = [
     "event_session_windows",        # native session_window variant of
                                     # event_sessionization (which holds
                                     # the family's driver slot)
+    "shipping_priority",            # Q3 multi-join agg — family stays
+                                    # repped by regional_revenue (Q5);
+                                    # slot yielded to chunk dedup
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets

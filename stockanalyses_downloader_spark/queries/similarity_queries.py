@@ -259,6 +259,34 @@ FROM documents
 """
 
 
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary content dedup: asset pairs sharing >= 1 aligned 32-byte
+    payload chunk digest — the multimodal answer to text near-dup
+    (digest bucket join, payloads never pairwise-compared). The oracle
+    re-chunks the SOURCE TEXT at the same offsets, valid because the
+    fixture payload is the text's utf-8 bytes and the corpus is pure
+    ASCII (byte offset == char offset, verified over all SFs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.chunk_overlap_pairs(multimodal.docs_to_assets(d),
+                                          chunk_bytes=32, min_shared=1)
+
+
+_CHUNK_DEDUP_SQL = """
+WITH fp AS (
+  SELECT DISTINCT doc_id AS asset_id,
+         md5(substr(text, (i - 1) * 32 + 1, 32)) AS chunk_md5
+  FROM documents, generate_series(1, 4000) AS t(i)
+  WHERE (i - 1) * 32 < length(text)
+)
+SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       count(*) AS n_shared_chunks
+FROM fp a JOIN fp b
+  ON a.chunk_md5 = b.chunk_md5 AND a.asset_id < b.asset_id
+GROUP BY 1, 2
+HAVING count(*) >= 1
+"""
+
+
 QUERIES: dict[str, Q] = {
     "embedding_norms": Q(embedding_norms, _NORMS_SQL),
     "embedding_exact_dups": Q(embedding_exact_dups, _EMB_DUP_SQL),
@@ -271,5 +299,6 @@ QUERIES: dict[str, Q] = {
     "minhash_near_dups": Q(minhash_near_dups, None),
     "simhash_near_pairs": Q(simhash_near_pairs, None),
     "multimodal_asset_stats": Q(multimodal_asset_stats, _ASSET_SQL),
+    "multimodal_chunk_dedup": Q(multimodal_chunk_dedup, _CHUNK_DEDUP_SQL),
     "multimodal_stub_features": Q(multimodal_stub_features, _STUB_SQL),
 }
