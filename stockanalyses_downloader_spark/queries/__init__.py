@@ -51,6 +51,7 @@ _WINDOW = [
     "embedding_exact_dups",
     "cosine_topk_bruteforce",
     "embedding_near_dup_pairs",
+    "label_centroid_components",  # element-wise vector mean (k-means step)
     "ngram_jaccard_near_dups",
     "near_dup_components",      # transitive dedup keeper selection
     "multimodal_asset_stats",
@@ -78,7 +79,6 @@ _WINDOW = [
     "customers_without_orders",         # left anti
     "nation_presence_full_outer",       # full outer
     "latest_order_per_customer",        # window row_number
-    "customer_running_spend",           # window running frame
     "event_sessionization",             # window lag + cumulative sum
     "all_party_keys",           # union
     "revenue_rollup",           # rollup
@@ -112,6 +112,10 @@ _TAIL = [
     "shipping_priority",            # Q3 multi-join agg — family stays
                                     # repped by regional_revenue (Q5);
                                     # slot yielded to chunk dedup
+    "customer_running_spend",       # running-frame window — family
+                                    # stays repped by sessionization's
+                                    # cumulative sum; slot yielded to
+                                    # label_centroid_components
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets

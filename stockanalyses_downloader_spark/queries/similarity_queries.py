@@ -259,6 +259,42 @@ FROM documents
 """
 
 
+def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, element-wise: posexplode ->
+    (label, pos) mean -> one row per centroid component. The k-means /
+    IVF training building block (a Lloyd iteration = this + nearest-
+    centroid reassignment), and per-class embedding statistics.
+
+    Means accumulate in DECIMAL then divide as doubles, so the result
+    is partitioning/order-independent and bit-identical to the oracle
+    (double summation is order-dependent; decimal summation is exact).
+    Long output shape (label, pos, component) keeps every compared
+    column scalar. One shuffle on (label, pos), map-side partial agg."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pe = e.select("label", F.posexplode(
+        similarity.as_double(F.col("embedding"))).alias("pos", "x"))
+    return (pe.groupBy("label", "pos")
+            .agg((F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                  / F.count("*")).alias("component"))
+            .select("label", F.col("pos").cast("int").alias("pos"),
+                    "component"))
+
+
+_CENTROID_SQL = """
+WITH pe AS (
+  -- parallel unnests of equal-length lists zip row-wise in DuckDB
+  SELECT label,
+         unnest(range(len(embedding))) AS pos,
+         unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS x
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*)
+         AS component
+FROM pe GROUP BY label, pos
+"""
+
+
 def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary content dedup: asset pairs sharing >= 1 aligned 32-byte
     payload chunk digest — the multimodal answer to text near-dup
@@ -294,6 +330,7 @@ QUERIES: dict[str, Q] = {
     "signlsh_topk_approx": Q(signlsh_topk_approx, None),
     "ivf_topk_approx": Q(ivf_topk_approx, None),
     "embedding_near_dup_pairs": Q(embedding_near_dup_pairs, _EMB_NEAR_SQL),
+    "label_centroid_components": Q(label_centroid_components, _CENTROID_SQL),
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),
     "near_dup_components": Q(near_dup_components, _COMPONENTS_SQL),
     "minhash_near_dups": Q(minhash_near_dups, None),
