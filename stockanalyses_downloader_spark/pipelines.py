@@ -31,6 +31,7 @@ def run_rest_batch(spark: SparkSession, jobs: DataFrame,
                    fetcher: Callable[[DataFrame], DataFrame] | None = None,
                    client_factory: Callable[[], sinks.MessageQueueClient]
                    | None = None,
+                   batch_id: int = 0,
                    ) -> dict[str, int]:
     """One batch cycle over a jobs frame. Returns row-count telemetry.
 
@@ -74,7 +75,7 @@ def run_rest_batch(spark: SparkSession, jobs: DataFrame,
         .withColumn("publish_ok", F.coalesce(F.col("publish_ok"),
                                              F.lit(False))))
     final = state_machine.apply_outcomes(claimed, outcomes)
-    sinks.jobs_state_writeback(jobs_table_path)(final, batch_id=0)
+    sinks.jobs_state_writeback(jobs_table_path)(final, batch_id=batch_id)
 
     stats = {"jobs_in": jobs.count(),
              "actionable": actionable.count(),
@@ -83,6 +84,31 @@ def run_rest_batch(spark: SparkSession, jobs: DataFrame,
     snapshots.unpersist()
     pub.unpersist()
     return stats
+
+
+def run_rest_stream(spark: SparkSession, jobs_stream: DataFrame,
+                    queue_dir: str, jobs_table_path: str, checkpoint: str,
+                    fetcher: Callable[[DataFrame], DataFrame] | None = None,
+                    client_factory: Callable[[], sinks.MessageQueueClient]
+                    | None = None):
+    """E2 as it actually runs in the reference — a POLLING LOOP: each
+    micro-batch of the jobs stream goes through the full batch cycle
+    (claim -> resolve -> fetch -> publish-with-outcomes -> state
+    writeback). Same core as run_rest_batch (ST7: one transform,
+    batch and streaming bindings); the checkpoint makes claim/replay
+    idempotent per micro-batch id. Returns the StreamingQuery."""
+    def _cycle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():            # ST2: empty poll -> no-op
+            return
+        run_rest_batch(batch_df.sparkSession, batch_df, queue_dir,
+                       jobs_table_path, fetcher=fetcher,
+                       client_factory=client_factory, batch_id=batch_id)
+
+    return (jobs_stream.writeStream
+            .foreachBatch(_cycle)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
 
 
 def run_wss_stream(spark: SparkSession, raw_stream: DataFrame,

@@ -63,6 +63,7 @@ _WINDOW = [
     "ivf_topk_approx",
     # text analysis (X1/X4) + deterministic sampling
     "doc_tfidf_top_terms",      # TF-IDF characteristic terms
+    "bigram_collocations",      # word-pair lift (PMI ratio form)
     "doc_split_assignment",     # md5-prefix train/val/test assignment
     "stratified_docs_by_lang",  # hash-ordered per-stratum sample
     "top_tokens",
@@ -78,7 +79,6 @@ _WINDOW = [
     "priority_orders_with_late_items",  # left semi
     "customers_without_orders",         # left anti
     "nation_presence_full_outer",       # full outer
-    "latest_order_per_customer",        # window row_number
     "event_sessionization",             # window lag + cumulative sum
     "all_party_keys",           # union
     "revenue_rollup",           # rollup
@@ -116,6 +116,9 @@ _TAIL = [
                                     # stays repped by sessionization's
                                     # cumulative sum; slot yielded to
                                     # label_centroid_components
+    "latest_order_per_customer",    # row_number top-1 — family stays
+                                    # repped by the flagship query;
+                                    # slot yielded to collocations
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets

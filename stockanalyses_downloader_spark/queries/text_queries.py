@@ -290,6 +290,83 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# --- X4: collocations ------------------------------------------------------
+
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 word-pair collocations by lift — PMI's ratio form
+    P(ab) / (P(a)P(b)) without the log (exp/log differ in the last
+    ulp between Math and libm; the ratio is pure IEEE mul/div so the
+    oracle hash-matches bit-for-bit, and log is monotonic so ranking
+    is identical). Bigram + unigram counts are two explode
+    aggregates; totals ride along as broadcast scalars."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (d.select(F.explode(grams).alias("bg"))
+          .groupBy("bg.w1", "bg.w2").agg(F.count("*").alias("n_ab")))
+    uni = (d.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("n")))
+    tot = (bg.agg(F.sum("n_ab").cast("double").alias("tb"))
+           .crossJoin(uni.agg(F.sum("n").cast("double").alias("tu"))))
+    scored = (bg
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("n").alias("n_a")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("n").alias("n_b")), "w2")
+              .crossJoin(F.broadcast(tot))
+              .filter(F.col("n_ab") >= 5)
+              .withColumn(
+                  "lift",
+                  (F.col("n_ab").cast("double") / F.col("tb"))
+                  / ((F.col("n_a").cast("double") / F.col("tu"))
+                     * (F.col("n_b").cast("double") / F.col("tu")))))
+    w = Window.orderBy(F.col("lift").desc(), "w1", "w2")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 30)
+            .select("w1", "w2", "n_ab", "lift", "rank"))
+
+
+_COLLOC_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), big AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> {'w1': t[i], 'w2': t[i + 1]})) AS bg
+  FROM toks WHERE len(t) >= 2
+), bgc AS (
+  SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_ab FROM big GROUP BY 1, 2
+), uni AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), tot AS (
+  SELECT (SELECT CAST(sum(n_ab) AS DOUBLE) FROM bgc) AS tb,
+         (SELECT CAST(sum(n) AS DOUBLE) FROM uni) AS tu
+), scored AS (
+  SELECT bgc.w1, bgc.w2, bgc.n_ab,
+         (CAST(bgc.n_ab AS DOUBLE) / tot.tb)
+           / ((CAST(a.n AS DOUBLE) / tot.tu)
+              * (CAST(b.n AS DOUBLE) / tot.tu)) AS lift
+  FROM bgc
+  JOIN uni a ON bgc.w1 = a.w
+  JOIN uni b ON bgc.w2 = b.w
+  CROSS JOIN tot
+  WHERE bgc.n_ab >= 5
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rank
+  FROM scored
+)
+SELECT w1, w2, n_ab, lift, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 30
+"""
+
+
 # --- deterministic sampling / split assignment -----------------------------
 
 def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +422,7 @@ SELECT doc_id, lang FROM ranked WHERE rn <= 20
 QUERIES: dict[str, Q] = {
     "top_tokens": Q(top_tokens, _TOP_TOKENS_SQL),
     "doc_tfidf_top_terms": Q(doc_tfidf_top_terms, _TFIDF_SQL),
+    "bigram_collocations": Q(bigram_collocations, _COLLOC_SQL),
     "doc_split_assignment": Q(doc_split_assignment, _SPLIT_SQL),
     "stratified_docs_by_lang": Q(stratified_docs_by_lang, _STRATIFIED_SQL),
     "doc_bpe_token_stats": Q(doc_bpe_token_stats, _BPE_SQL),

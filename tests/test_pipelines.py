@@ -95,6 +95,39 @@ def test_run_wss_stream_end_to_end(spark, tmp_path):
     assert "isin" in sample and "pair" in sample
 
 
+def test_run_rest_stream_polling_loop(spark, tmp_path):
+    """E2 as a polling loop: multiple micro-batches of jobs each run
+    the full claim->fetch->publish->writeback cycle; the jobs table
+    accumulates outcomes across batches and the queue holds every
+    published message exactly once."""
+    jobs = synthetic.jobs(spark, SF).limit(200)
+    src = str(tmp_path / "jobs_src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    jobs.filter(F.col("downloader_jq_id") % 2 == 0).write.parquet(src)
+    jobs.filter(F.col("downloader_jq_id") % 2 == 1).write.mode(
+        "append").parquet(src)
+    queue_dir = str(tmp_path / "queue")
+    jobs_table = str(tmp_path / "jobs_table")
+
+    stream = (spark.readStream.schema(jobs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = pipelines.run_rest_stream(spark, stream, queue_dir, jobs_table,
+                                  str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    q.stop()
+
+    batch_stats = pipelines.run_rest_batch(
+        spark, jobs, str(tmp_path / "batch_queue"),
+        str(tmp_path / "batch_table"))
+    final = spark.read.parquet(jobs_table)
+    assert final.count() == batch_stats["actionable"]
+    states = {r["action"] for r in final.collect()}
+    assert states <= {state_machine.PUBLISHED, state_machine.ERROR}
+    files = glob.glob(os.path.join(queue_dir, "conn-*.jsonl"))
+    msgs = [json.loads(line) for f in files for line in open(f)]
+    assert len(msgs) == batch_stats["published"]
+
+
 def test_kafka_shaped_stream_matches_batch(spark, tmp_path):
     """S6 parity binding: ticks encoded into Kafka's wire schema,
     streamed, from_json-decoded, and run through the SAME pipeline as
