@@ -61,9 +61,67 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
+def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means, DataFrame-native: cosine assignment against
+    broadcast centroids (one scan per iteration), centroid update as
+    an element-wise mean via posexplode + DECIMAL accumulation
+    (partitioning-independent, same trick as label_centroid_components)
+    — the trained upgrade of ivf_topk's sampled centroids.
+
+    Iterative-algorithm structure mirrors graph.connected_components:
+    per-iteration persist + materialize cuts the lineage so plans
+    don't stack. Empty clusters keep their previous centroid.
+    Returns (centroid_id, cv array<double>, cnorm)."""
+    e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("norm", l2_norm(F.col("v"))).persist()
+    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    cent = (e.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .select((F.col("__r") - 1).cast("int").alias("centroid_id"),
+                    F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
+            .persist())
+    cent.count()
+    for _ in range(n_iter):
+        scored = (e.crossJoin(F.broadcast(cent))
+                  .select(id_col, "v", "centroid_id",
+                          (dot(F.col("v"), F.col("cv"))
+                           / (F.col("norm") * F.col("cnorm"))).alias("csim")))
+        aw = Window.partitionBy(id_col).orderBy(
+            F.col("csim").desc(), F.col("centroid_id"))
+        assigned = (scored.withColumn("__r", F.row_number().over(aw))
+                    .filter(F.col("__r") == 1)
+                    .select(id_col, "v", "centroid_id"))
+        pe = assigned.select(
+            "centroid_id", F.posexplode("v").alias("pos", "x"))
+        means = (pe.groupBy("centroid_id", "pos")
+                 .agg((F.sum(F.col("x").cast("decimal(30,15)"))
+                       .cast("double") / F.count("*")).alias("c")))
+        newc = (means.groupBy("centroid_id")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"]).alias("cv")))
+        newc = newc.withColumn("cnorm", l2_norm(F.col("cv")))
+        merged = (cent.select("centroid_id",
+                              F.col("cv").alias("__old_cv"),
+                              F.col("cnorm").alias("__old_n"))
+                  .join(newc, "centroid_id", "left")
+                  .select("centroid_id",
+                          F.coalesce("cv", "__old_cv").alias("cv"),
+                          F.coalesce("cnorm", "__old_n").alias("cnorm"))
+                  .persist())
+        merged.count()
+        cent.unpersist()
+        cent = merged
+    e.unpersist()
+    return cent
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
     lists by nearest centroid, probe only the ``n_probe`` lists nearest
     each query, exact-rerank inside them.
@@ -77,16 +135,19 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
     e = e.withColumn("norm", l2_norm(F.col("v"))).persist()
 
-    # centroids = n_centroids pseudo-random corpus vectors, selected by
-    # a distributed TakeOrdered on a hash of the id — deterministic,
-    # and crucially LAZY: no count()/collect() fires during query
-    # construction (pinned by the no-job-during-construction test).
-    # At 100 TB you'd k-means these; assignment/probe/rerank below are
-    # identical either way.
-    cent = (e.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-             .limit(n_centroids)
-             .select(F.col(id_col).alias("centroid_id"),
-                     F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+    # default centroids = n_centroids pseudo-random corpus vectors,
+    # selected by a distributed TakeOrdered on a hash of the id —
+    # deterministic, and crucially LAZY: no count()/collect() fires
+    # during query construction (pinned by the no-job test). Pass
+    # ``centroids`` (e.g. from kmeans_centroids) for the trained
+    # variant; assignment/probe/rerank are identical either way.
+    if centroids is None:
+        cent = (e.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+                 .limit(n_centroids)
+                 .select(F.col(id_col).alias("centroid_id"),
+                         F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+    else:
+        cent = centroids.select("centroid_id", "cv", "cnorm")
 
     def nearest(frame: DataFrame, n: int, out: str) -> DataFrame:
         scored = (frame.crossJoin(F.broadcast(cent))

@@ -119,6 +119,10 @@ _TAIL = [
     "latest_order_per_customer",    # row_number top-1 — family stays
                                     # repped by the flagship query;
                                     # slot yielded to collocations
+    "ivf_topk_trained",             # rows-only; same probe/rerank
+                                    # machinery as ivf_topk_approx
+                                    # (which holds the driver slot) —
+                                    # recall pinned in pytest
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets

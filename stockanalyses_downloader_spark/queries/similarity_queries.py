@@ -102,6 +102,16 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, _QUERY_IDS, k=_TOPK)
 
 
+def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with k-means-trained centroids (3 Lloyd iterations) instead
+    of the hash sample — the production IVF shape. Rows-only (the
+    iterative training isn't SQL-expressible); recall vs brute force
+    pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_centroids(e, k=16, n_iter=3)
+    return similarity.ivf_topk(e, _QUERY_IDS, k=_TOPK, centroids=cent)
+
+
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, block_cols=["lang", "source"],
@@ -329,6 +339,7 @@ QUERIES: dict[str, Q] = {
     "cosine_topk_bruteforce": Q(cosine_topk_bruteforce, _COSINE_SQL),
     "signlsh_topk_approx": Q(signlsh_topk_approx, None),
     "ivf_topk_approx": Q(ivf_topk_approx, None),
+    "ivf_topk_trained": Q(ivf_topk_trained, None),
     "embedding_near_dup_pairs": Q(embedding_near_dup_pairs, _EMB_NEAR_SQL),
     "label_centroid_components": Q(label_centroid_components, _CENTROID_SQL),
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),

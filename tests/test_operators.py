@@ -174,6 +174,25 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+def test_kmeans_trained_ivf_recall(spark):
+    """Lloyd-trained centroids slot into the same IVF probe/rerank;
+    recall vs brute force must hold, and training must produce k
+    usable centroids (no NaN/empty)."""
+    e = load_table(spark, SF, "embeddings")
+    cent = similarity.kmeans_centroids(e, k=8, n_iter=2)
+    rows = cent.collect()
+    assert len(rows) == 8
+    assert all(r["cnorm"] > 0 and len(r["cv"]) > 0 for r in rows)
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(e, qids, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.ivf_topk(e, qids, k=10, n_probe=4,
+                                           centroids=cent).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"trained-IVF recall collapsed: {recall}"
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     from stockanalyses_downloader_spark.operators import multimodal
     d = load_table(spark, SF, "documents").limit(30)
