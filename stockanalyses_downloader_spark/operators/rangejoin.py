@@ -35,16 +35,24 @@ def range_join(left: DataFrame, right: DataFrame, left_ts: str,
                right_start: str, right_end: str,
                keys: list[str] | None = None,
                bucket_width_s: int = 86_400,
-               max_buckets_per_interval: int = 1_000) -> DataFrame:
-    """Inner-join each left row to every right interval with
+               max_buckets_per_interval: int = 1_000,
+               how: str = "inner") -> DataFrame:
+    """Join each left row to every right interval with
     ``right_start <= left_ts < right_end`` (closed-open, the market
     convention), optionally also matching on equi ``keys``.
+
+    ``how='inner'`` drops unmatched left rows; ``how='left'`` keeps
+    them with NULL right payload (matched rows ∪ anti-join of the
+    matched left side — a plain left join on the bucket would wrongly
+    drop rows whose bucket collides but whose residual fails).
 
     ``left_ts``/``right_start``/``right_end`` are timestamp columns.
     Right payload column names must not clash with left columns.
     An interval spanning more than ``max_buckets_per_interval``
     buckets fails the job (assert_true) instead of silently exploding
     the bucket fan-out — raise the width, not the cap."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
     keys = keys or []
     payload = [c for c in right.columns if c not in (*keys,)]
     clash = set(payload) & set(left.columns)
@@ -75,4 +83,12 @@ def range_join(left: DataFrame, right: DataFrame, left_ts: str,
     out = (out
            .withColumnRenamed(f"__rs_{right_start}", right_start)
            .withColumnRenamed(f"__re_{right_end}", right_end))
-    return out.drop("__bucket")
+    out = out.drop("__bucket")
+    if how == "left":
+        # anti join keyed on the full left row: exact when left rows
+        # are distinct and key/ts columns are non-null (true for any
+        # id-carrying fact table; duplicate left rows would collapse)
+        unmatched = left.join(
+            out.select(*left.columns), left.columns, "left_anti")
+        out = out.unionByName(unmatched, allowMissingColumns=True)
+    return out

@@ -123,6 +123,9 @@ _TAIL = [
                                     # machinery as ivf_topk_approx
                                     # (which holds the driver slot) —
                                     # recall pinned in pytest
+    "twap_by_isin",                 # lead-duration weighted mean —
+                                    # vwap holds the family's driver
+                                    # slot; oracled in pytest
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets

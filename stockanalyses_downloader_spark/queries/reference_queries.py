@@ -9,7 +9,7 @@ chain, not just the arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..dims.currency import currency_dim, currency_values_sql
@@ -314,6 +314,45 @@ def rest_fetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exchange", "isin", "pair", "bid", "ask", "mid", "last", "ts")
 
 
+def twap_by_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per ISIN: each tick's price holds
+    until the next tick (lead), weight = holding duration in µs; the
+    last tick per key carries no duration and drops. VWAP's sibling —
+    the fair average when volume is unreliable. Products accumulate in
+    DECIMAL (order/partitioning-independent); double division last."""
+    t = (pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+         .select("isin", "ts", "tick_id", "last_price"))
+    w = Window.partitionBy("isin").orderBy("ts", "tick_id")
+    dur = (F.lead(F.unix_micros("ts")).over(w)
+           - F.unix_micros("ts")).alias("dur_us")
+    held = t.select("isin", "last_price", dur).filter(F.col("dur_us").isNotNull())
+    pd_ = (F.col("last_price") * F.col("dur_us")).cast("decimal(38,10)")
+    return (held.groupBy("isin")
+            .agg((F.sum(pd_).cast("double")
+                  / F.sum(F.col("dur_us").cast("decimal(38,10)"))
+                     .cast("double")).alias("twap"),
+                 F.count("*").alias("n_intervals")))
+
+
+_TWAP_SQL = f"""
+WITH t AS (
+  SELECT isin, ts, tick_id, last_price FROM {synthetic.TICKS_SQL}
+  WHERE status = 200
+), held AS (
+  SELECT isin, last_price,
+         lead(epoch_us(ts)) OVER (PARTITION BY isin ORDER BY ts, tick_id)
+           - epoch_us(ts) AS dur_us
+  FROM t
+)
+SELECT isin,
+       CAST(SUM(CAST(last_price * dur_us AS DECIMAL(38,10))) AS DOUBLE)
+         / CAST(SUM(CAST(dur_us AS DECIMAL(38,10))) AS DOUBLE) AS twap,
+       count(*) AS n_intervals
+FROM held WHERE dur_us IS NOT NULL
+GROUP BY isin
+"""
+
+
 def ticks_in_candle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: every successful tick against the weekly
     OHLC candle whose [start, start+7d) window CONTAINS its event time,
@@ -357,6 +396,7 @@ QUERIES: dict[str, Q] = {
     "rest_fetch_pipeline": Q(rest_fetch_pipeline, None),
     "ticks_asof_quotes": Q(ticks_asof_quotes, _ASOF_SQL),
     "vwap_by_isin": Q(vwap_by_isin, _VWAP_SQL),
+    "twap_by_isin": Q(twap_by_isin, _TWAP_SQL),
     "jobs_parse_dispatch": Q(jobs_parse_dispatch, _JOBS_PARSE_SQL),
     "jobs_resolve_pair": Q(jobs_resolve_pair, _JOBS_RESOLVE_SQL),
     "rest_pipeline_messages": Q(rest_pipeline_messages,

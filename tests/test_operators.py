@@ -414,6 +414,12 @@ def test_range_join_semantics(spark):
     # id3 matches nothing; id4 in c; end boundary exclusive everywhere
     assert got == [(1, "a"), (2, "a"), (2, "b"), (4, "c")]
 
+    kept = range_join(left, right, left_ts="ts", right_start="s",
+                      right_end="e", keys=["k"], bucket_width_s=86_400,
+                      how="left")
+    got_left = sorted((r["id"], r["tag"]) for r in kept.collect())
+    assert got_left == [(1, "a"), (2, "a"), (2, "b"), (3, None), (4, "c")]
+
 
 def test_range_join_bucket_cap_guard(spark):
     import pytest
