@@ -69,7 +69,7 @@ _WINDOW = [
     "top_tokens",
     "doc_bpe_token_stats",
     "exact_dedup_docs",
-    "doc_token_stats",
+    "corpus_curation_decisions",  # keep/drop + reason codes capstone
     "doc_quality_scores",
     "doc_fingerprints",
     "doc_language_scores",
@@ -92,6 +92,11 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "doc_token_stats",              # token/char stats — fully subsumed
+                                    # by corpus_curation_decisions
+                                    # (which recomputes n_tokens) and
+                                    # doc_quality_scores; slot yielded
+                                    # to the curation capstone
     "repeat_buyers",                # intersect — set-op class keeps its
                                     # union representative in the window;
                                     # slot yielded to the range join

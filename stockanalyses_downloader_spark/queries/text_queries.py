@@ -367,6 +367,152 @@ FROM ranked WHERE rank <= 30
 """
 
 
+# --- corpus curation capstone ----------------------------------------------
+
+#: Languages the marker-based lang-ID can actually predict; anything
+#: else (e.g. zh in the test corpus) is "unsupported" rather than
+#: "mispredicted".
+_SUPPORTED_LANGS = ("en", "de", "fr", "es")
+
+#: Reason-code order is part of the contract: ``reasons`` is the
+#: comma-join of fired codes in THIS order, so the column is stable
+#: across engines and reruns.
+_CURATION_RULES = ("dup_nonkeeper", "too_short", "low_quality",
+                   "unsupported_lang", "lang_mismatch")
+
+_MIN_TOKENS = 20          # ~p08 of the sf0.01 token-count distribution
+_MIN_QUALITY = 0.25       # ~p20 of the sf0.01 quality-score distribution
+
+
+def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision per document with explicit reason codes — the
+    curation pass a training-data pipeline runs before tokenization.
+
+    Composes the individual analysis operators into one plan:
+
+    - ``dup_nonkeeper``  — not the min-doc_id holder of its canonical
+      fingerprint (lowercased, whitespace-collapsed md5; cf.
+      doc_fingerprints)
+    - ``too_short``      — fewer than ``_MIN_TOKENS`` whitespace tokens
+    - ``low_quality``    — heuristic quality score (identical
+      arithmetic to doc_quality_scores) below ``_MIN_QUALITY``
+    - ``unsupported_lang`` — labeled language outside the lang-ID
+      marker set
+    - ``lang_mismatch``  — supported label but the marker argmax
+      (cf. doc_language_scores) disagrees
+
+    One linear scan plus a single 16-byte-digest window shuffle for
+    the dup rank — every other rule is per-row and codegens. At
+    100 TB the digest shuffle is the only exchange and its width is
+    independent of document length. The thresholds are calibrated so
+    every rule fires on the test corpus (dup_nonkeeper needs sf0.1,
+    where the generator plants canonical dups)."""
+    d = _docs(spark, sf_dir)
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    sw_ratio = sw.cast("double") / n_tokens
+    mean_len = (F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+                / n_tokens)
+    length_prior = F.least(F.length("text").cast("double") / 500.0, F.lit(1.0))
+    quality = sw_ratio * 0.4 + (mean_len / 10.0) * 0.3 + length_prior * 0.3
+
+    lowered = F.lower("text")
+    s = {lang: F.size(F.regexp_extract_all(lowered, F.lit(rx), 0))
+         for lang, rx in _LANG_MARKERS.items()}
+    best = F.greatest(*s.values())
+    pred = (F.when(s["en"] == best, "en").when(s["de"] == best, "de")
+             .when(s["fr"] == best, "fr").otherwise("es"))
+
+    canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    scored = d.select(
+        "doc_id", "lang",
+        F.md5(canon.cast("binary")).alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+        pred.alias("predicted_lang"))
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    ranked = scored.withColumn("fp_rank", F.row_number().over(w))
+
+    fired = {
+        "dup_nonkeeper": F.col("fp_rank") > 1,
+        "too_short": F.col("n_tokens") < _MIN_TOKENS,
+        "low_quality": F.col("quality_score") < _MIN_QUALITY,
+        "unsupported_lang": ~F.col("lang").isin(*_SUPPORTED_LANGS),
+        "lang_mismatch": (F.col("lang").isin(*_SUPPORTED_LANGS)
+                          & (F.col("predicted_lang") != F.col("lang"))),
+    }
+    reasons = F.concat_ws(",", *[
+        F.when(fired[r], r).otherwise(None) for r in _CURATION_RULES])
+    return (ranked
+            .withColumn("reasons", reasons)
+            .withColumn("keep", F.col("reasons") == "")
+            .select("doc_id", "lang", "n_tokens", "quality_score",
+                    "predicted_lang", "keep", "reasons"))
+
+
+def _curation_sql() -> str:
+    lang_scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{rx}')) AS score_{lang}"
+        for lang, rx in _LANG_MARKERS.items())
+    supported = ", ".join(f"'{x}'" for x in _SUPPORTED_LANGS)
+    reason_cases = {
+        "dup_nonkeeper": "fp_rank > 1",
+        "too_short": f"n_tokens < {_MIN_TOKENS}",
+        "low_quality": f"quality_score < {_MIN_QUALITY}",
+        "unsupported_lang": f"lang NOT IN ({supported})",
+        "lang_mismatch":
+            f"lang IN ({supported}) AND predicted_lang <> lang",
+    }
+    reason_list = ", ".join(
+        f"CASE WHEN {cond} THEN '{code}' END"
+        for code, cond in ((c, reason_cases[c]) for c in _CURATION_RULES))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           AS solid_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fingerprint,
+         {lang_scores}
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, fingerprint,
+         len(toks) AS n_tokens,
+         (CAST(len(list_filter(toks, x -> x IN ({_SW_ARRAY}))) AS DOUBLE)
+            / len(toks)) * 0.4
+           + ((solid_chars / len(toks)) / 10.0) * 0.3
+           + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+           AS quality_score,
+         CASE WHEN score_en >= greatest(score_de, score_fr, score_es)
+                THEN 'en'
+              WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+              WHEN score_fr >= score_es THEN 'fr'
+              ELSE 'es' END AS predicted_lang,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+           AS fp_rank
+  FROM t
+), flagged AS (
+  SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens, quality_score,
+         predicted_lang,
+         list_aggregate(
+           list_filter([{reason_list}], x -> x IS NOT NULL),
+           'string_agg', ',') AS reasons_raw
+  FROM s
+)
+SELECT doc_id, lang, n_tokens, quality_score, predicted_lang,
+       coalesce(reasons_raw, '') = '' AS keep,
+       coalesce(reasons_raw, '') AS reasons
+FROM flagged
+"""
+
+
+_CURATION_SQL = _curation_sql()
+
+
 # --- deterministic sampling / split assignment -----------------------------
 
 def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,6 +566,7 @@ SELECT doc_id, lang FROM ranked WHERE rn <= 20
 
 
 QUERIES: dict[str, Q] = {
+    "corpus_curation_decisions": Q(corpus_curation_decisions, _CURATION_SQL),
     "top_tokens": Q(top_tokens, _TOP_TOKENS_SQL),
     "doc_tfidf_top_terms": Q(doc_tfidf_top_terms, _TFIDF_SQL),
     "bigram_collocations": Q(bigram_collocations, _COLLOC_SQL),

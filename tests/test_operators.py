@@ -447,3 +447,27 @@ def test_vectorized_minhash_matches_jvm(spark):
     vec = {r["doc_id"]: tuple(r["signature"])
            for r in dedup.minhash_signatures_vectorized(d).collect()}
     assert jvm == vec and len(jvm) == 100
+
+
+def test_curation_reason_codes_all_fire(spark):
+    """Every curation rule fires somewhere at sf0.1 (the generator
+    plants canonical dups only there), keep == no-reasons, and the
+    reasons string respects the documented code order."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        _CURATION_RULES, corpus_curation_decisions)
+    df = corpus_curation_decisions(spark, "/root/testdata/sf0.1").cache()
+    try:
+        fired = set()
+        for (reasons,) in df.select("reasons").distinct().collect():
+            codes = reasons.split(",") if reasons else []
+            fired.update(codes)
+            # order within the string must follow _CURATION_RULES
+            order = [c for c in _CURATION_RULES if c in codes]
+            assert codes == order, f"unordered reasons: {reasons}"
+        assert fired == set(_CURATION_RULES), (
+            f"rules that never fired: {set(_CURATION_RULES) - fired}")
+        n_keep = df.filter("keep").count()
+        n_clean = df.filter("reasons = ''").count()
+        assert n_keep == n_clean and 0 < n_keep < df.count()
+    finally:
+        df.unpersist()
