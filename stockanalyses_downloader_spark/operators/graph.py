@@ -13,10 +13,17 @@ Each round is one shuffle (edge join + min aggregate); rounds needed
 = graph diameter, which for near-dup clusters is tiny (dup groups are
 dense cliques-ish, diameter 1-3). The driver-side convergence check
 (one count per round) is inherent to iterative algorithms on Spark —
-the same structure GraphX/GraphFrames uses. At 100 TB with
-adversarial long-chain graphs you'd switch to the large-star/
-small-star algorithm (O(log n) rounds); for dedup workloads plain
-propagation converges faster in wall clock.
+the same structure GraphX/GraphFrames uses.
+
+For adversarial graphs (long chains, spindly components) the
+diameter-bound propagation degrades; ``connected_components_star``
+implements the large-star/small-star alternation of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SoCC'14), which
+converges in O(log^2 n) rounds (O(log n) observed) regardless of
+diameter — each round is two grouped aggregates over the edge list,
+no vertex-state join. Same output contract; pick per workload shape:
+propagation for dense dup cliques, star for unknown/chain-heavy
+topology.
 """
 
 from __future__ import annotations
@@ -33,12 +40,19 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     group -> caller keeps the doc as its own keeper).
 
     Returns (id, component)."""
+    # localCheckpoint (not persist): iterative loops grow the LOGICAL
+    # plan every round even when the data is cached — by ~20 rounds the
+    # accumulated lineage OOMs the driver just stringifying the plan.
+    # Checkpointing truncates lineage each round, keeping plan size
+    # O(1) in the iteration count. (On a real cluster with executor
+    # churn, swap for reliable checkpoint() to a cluster-visible dir.)
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))
-           .distinct().persist())
+           .distinct().localCheckpoint(eager=True))
     labels = (sym.select(F.col("a").alias("id")).distinct()
-              .withColumn("component", F.col("id")).persist())
+              .withColumn("component", F.col("id"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         nbr_min = (sym.join(labels.withColumnRenamed("id", "b"), "b")
                    .groupBy("a")
@@ -50,29 +64,113 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                                   F.col("component"),
                                   F.coalesce("nbr_component", "component"))
                                .alias("component"))
-                      .persist())
+                      .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.component") != F.col("o.component"))
                    .count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
-    sym.unpersist()
+    return labels
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node's strictly-larger neighbors
+    reconnect to the minimum of its neighborhood (incl. itself).
+    Shrinks tall structures toward the component minimum."""
+    sym = edges.unionByName(
+        edges.select(F.col("u").alias("v"), F.col("v").alias("u")))
+    m = (sym.groupBy("u")
+         .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+    return (sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge high->low, then each high
+    node and all its smaller neighbors attach to the smallest of
+    them. Flattens stars rooted above the minimum."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo"))
+    grouped = (directed.groupBy("hi")
+               .agg(F.collect_set("lo").alias("los")))
+    m = F.array_min("los")
+    exploded = grouped.select(
+        "hi", m.alias("m"),
+        F.explode(F.array_union("los", F.array("hi"))).alias("node"))
+    return (exploded.filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def connected_components_star(edges: DataFrame, src: str = "id_a",
+                              dst: str = "id_b",
+                              max_iter: int = 30) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.
+    SoCC'14): alternate the two rounds until the edge set is a stable
+    forest of depth-1 stars whose roots are the component minima.
+    O(log^2 n) rounds worst-case vs. propagation's diameter bound —
+    the safe choice when the pair graph may hold long chains (e.g.
+    near-dup chains A~B~C~... from sliding shingles at 100 TB).
+
+    ``_small_star`` collects the smaller-neighbor set per high node;
+    that set is bounded by the node's current degree toward smaller
+    ids, which the alternation itself keeps shrinking — the known
+    skew hotspot is the final star around each component min, an
+    O(|component|) array held once per component, the same bound as
+    the groupBy in propagation.
+
+    Returns (id, component) for every vertex in ``edges``, identical
+    to ``connected_components``."""
+    # localCheckpoint per round: same lineage-truncation requirement
+    # as connected_components (see comment there).
+    cur = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct().localCheckpoint(eager=True))
+    if cur.isEmpty():
+        return edges.select(F.col(src).alias("id"),
+                            F.col(src).alias("component")).limit(0)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # converged when every edge already points node -> component
+        # min, i.e. one more alternation changes nothing
+        stable = (nxt.exceptAll(cur).isEmpty()
+                  and cur.exceptAll(nxt).isEmpty())
+        cur = nxt
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"star CC did not converge in {max_iter} rounds")
+    # stable state: edges (node, root); roots self-label
+    labels = (cur.select(F.col("u").alias("id"),
+                         F.col("v").alias("component"))
+              .unionByName(cur.select(F.col("v").alias("id"),
+                                      F.col("v").alias("component")))
+              .groupBy("id").agg(F.min("component").alias("component")))
     return labels
 
 
 def dedup_keepers(docs: DataFrame, pair_edges: DataFrame,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  algorithm: str = "propagation") -> DataFrame:
     """Keeper assignment: every doc mapped to the id that survives
     dedup — the component min for docs in a near-dup group, itself
-    otherwise. Output: (id_col, keeper_id, is_kept)."""
-    comp = connected_components(pair_edges).withColumnRenamed(
-        "id", id_col)
+    otherwise. Output: (id_col, keeper_id, is_kept).
+
+    ``algorithm``: "propagation" (diameter-bound rounds; fastest on
+    dense dup cliques) or "star" (O(log^2 n) rounds; safe for
+    chain-heavy pair graphs)."""
+    cc = {"propagation": connected_components,
+          "star": connected_components_star}[algorithm]
+    comp = cc(pair_edges).withColumnRenamed("id", id_col)
     out = (docs.select(id_col)
            .join(comp, id_col, "left")
            .select(id_col,

@@ -124,6 +124,10 @@ _TAIL = [
     "latest_order_per_customer",    # row_number top-1 — family stays
                                     # repped by the flagship query;
                                     # slot yielded to collocations
+    "near_dup_components_star",     # large-star/small-star CC variant
+                                    # of near_dup_components (which
+                                    # holds the driver slot); same
+                                    # recursive-CTE oracle in pytest
     "ivf_topk_trained",             # rows-only; same probe/rerank
                                     # machinery as ivf_topk_approx
                                     # (which holds the driver slot) —

@@ -181,6 +181,22 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
 
 
+def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same keeper-selection contract as near_dup_components, computed
+    with the large-star/small-star alternation (Kiveris et al.
+    SoCC'14) instead of min-label propagation — the O(log^2 n)-round
+    path for pair graphs whose diameter is unknown. Shares the
+    recursive-CTE oracle: a hash match certifies both algorithms
+    agree with the transitive closure."""
+    from ..operators import graph
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, block_cols=["lang", "source"],
+                                      n=3, threshold=0.3, hashed=True)
+    return graph.dedup_keepers(d, pairs.select("id_a", "id_b"),
+                               algorithm="star")
+
+
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: xxhash64 family has no
     DuckDB equivalent; candidate-vs-exact recall asserted in tests)."""
@@ -344,6 +360,7 @@ QUERIES: dict[str, Q] = {
     "label_centroid_components": Q(label_centroid_components, _CENTROID_SQL),
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),
     "near_dup_components": Q(near_dup_components, _COMPONENTS_SQL),
+    "near_dup_components_star": Q(near_dup_components_star, _COMPONENTS_SQL),
     "minhash_near_dups": Q(minhash_near_dups, None),
     "simhash_near_pairs": Q(simhash_near_pairs, None),
     "multimodal_asset_stats": Q(multimodal_asset_stats, _ASSET_SQL),

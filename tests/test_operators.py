@@ -471,3 +471,33 @@ def test_curation_reason_codes_all_fire(spark):
         assert n_keep == n_clean and 0 < n_keep < df.count()
     finally:
         df.unpersist()
+
+
+def test_star_cc_matches_propagation(spark):
+    """Large-star/small-star CC returns the identical (id, component)
+    labeling as min-label propagation — pinned on an adversarial long
+    chain (min id at the far end; the topology where propagation needs
+    diameter rounds and star needs O(log n)) and on a random graph."""
+    import random
+    from stockanalyses_downloader_spark.operators.graph import (
+        connected_components, connected_components_star)
+
+    def labels(fn, edges, **kw):
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {(r.id, r.component) for r in fn(e, **kw).collect()}
+
+    chain = [(i, i + 1) for i in range(30, 0, -1)]
+    assert (labels(connected_components_star, chain)
+            == labels(connected_components, chain, max_iter=40))
+
+    rng = random.Random(7)
+    rand = [(a, b) for a, b in
+            ((rng.randrange(80), rng.randrange(80)) for _ in range(100))
+            if a != b]
+    assert (labels(connected_components_star, rand)
+            == labels(connected_components, rand))
+
+    # star converges on the 31-node chain well under the diameter bound
+    e = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = connected_components_star(e, max_iter=8).collect()
+    assert {r.component for r in got} == {1} and len(got) == 31
