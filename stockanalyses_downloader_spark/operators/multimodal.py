@@ -135,14 +135,68 @@ def payload_chunk_fingerprints(assets: DataFrame,
             .select("asset_id", "c.chunk_id", "c.chunk_md5"))
 
 
+def payload_cdc_chunks(assets: DataFrame, window: int = 16,
+                       cut_prefix: str = "0") -> DataFrame:
+    """Content-defined chunking: cut AFTER byte position i (1-based,
+    ``window <= i < len``) whenever the md5 of the ``window``-byte
+    sliding window ending at i starts with ``cut_prefix``. Cut points
+    depend only on local content, so inserting/removing bytes near the
+    head re-chunks only the neighborhood — the tail's chunk digests
+    survive, which is exactly what aligned chunking loses (every
+    offset shifts). Mean chunk length ~= 16^len(cut_prefix) bytes
+    plus the window floor.
+
+    The predicate is per-position (no sequential state), so the whole
+    chunking is one expression — transform/filter over a position
+    sequence, no shuffle at all until someone joins on the digests.
+    Real dedup systems make the window hash incremental (gear/Rabin);
+    that's a constant-factor swap inside this same operator (e.g. a
+    Pandas-UDF gear hash emitting identical (start, len) cuts), while
+    the md5-window form keeps the cut rule reproducible in ANSI SQL
+    for the oracle.
+
+    Output: (asset_id, chunk_seq, chunk_start, chunk_md5)."""
+    w = window
+    plen = F.length("payload")
+    cuts = F.when(
+        plen > w,
+        F.filter(
+            F.sequence(F.lit(w), plen - 1),
+            lambda i: F.md5(F.col("payload").substr(i - (w - 1), F.lit(w)))
+                       .startswith(cut_prefix))
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(plen))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.struct(
+            (j - 1).cast("int").alias("chunk_seq"),
+            F.element_at(bounds, j).cast("int").alias("chunk_start"),
+            F.md5(F.col("payload").substr(
+                F.element_at(bounds, j) + 1,
+                F.element_at(bounds, j + 1) - F.element_at(bounds, j)))
+             .alias("chunk_md5")))
+    return (assets.filter(plen > 0)
+            .select("asset_id", F.explode(chunks).alias("c"))
+            .select("asset_id", "c.chunk_seq", "c.chunk_start",
+                    "c.chunk_md5"))
+
+
 def chunk_overlap_pairs(assets: DataFrame, chunk_bytes: int = 32,
-                        min_shared: int = 1) -> DataFrame:
+                        min_shared: int = 1,
+                        method: str = "fixed") -> DataFrame:
     """Binary near-dup pairs by shared content chunks: bucket-join on
     the chunk digest (the only shuffle is digest-width), count shared
     distinct chunks per asset pair, keep pairs with >= min_shared.
-    Output: (id_a, id_b, n_shared_chunks)."""
-    fp = (payload_chunk_fingerprints(assets, chunk_bytes)
-          .select("asset_id", "chunk_md5").distinct())
+    ``method``: "fixed" (aligned chunks — cheapest, but any byte
+    insertion shifts every later digest) or "cdc" (content-defined
+    cut points — shift-resilient; ``chunk_bytes`` is ignored, the cut
+    rule sets the mean chunk length). Output:
+    (id_a, id_b, n_shared_chunks)."""
+    if method == "cdc":
+        raw = payload_cdc_chunks(assets)
+    else:
+        raw = payload_chunk_fingerprints(assets, chunk_bytes)
+    fp = raw.select("asset_id", "chunk_md5").distinct()
     a = fp.select(F.col("asset_id").alias("id_a"), "chunk_md5")
     b = fp.select(F.col("asset_id").alias("id_b"), "chunk_md5")
     return (a.join(b, "chunk_md5")

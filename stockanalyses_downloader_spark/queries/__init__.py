@@ -124,6 +124,10 @@ _TAIL = [
     "latest_order_per_customer",    # row_number top-1 — family stays
                                     # repped by the flagship query;
                                     # slot yielded to collocations
+    "multimodal_cdc_dedup",         # content-defined-chunking variant
+                                    # of multimodal_chunk_dedup (which
+                                    # holds the driver slot); oracled
+                                    # in pytest
     "near_dup_components_star",     # large-star/small-star CC variant
                                     # of near_dup_components (which
                                     # holds the driver slot); same

@@ -349,6 +349,47 @@ HAVING count(*) >= 1
 """
 
 
+def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary near-dup pairs over CONTENT-DEFINED chunks (md5-window
+    cut rule, multimodal.payload_cdc_chunks): pairs sharing >= 5
+    distinct chunk digests. Unlike the aligned variant
+    (multimodal_chunk_dedup), shared runs are found even when their
+    byte offsets differ between assets. Oracle re-chunks the source
+    text with the identical cut rule (ASCII corpus: byte offset ==
+    char offset)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.chunk_overlap_pairs(
+        multimodal.docs_to_assets(d), min_shared=5, method="cdc")
+
+
+_CDC_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE length(text) > 0
+), b AS (
+  SELECT doc_id, text, n,
+         [CAST(0 AS BIGINT)]
+           || list_filter(range(16, n),
+                          i -> md5(substr(text, CAST(i - 15 AS INT), 16))
+                                 LIKE '0%')
+           || [n] AS bounds
+  FROM t
+), fp AS (
+  SELECT DISTINCT doc_id AS asset_id,
+         md5(substr(text, CAST(bounds[j] + 1 AS INT),
+                    CAST(bounds[j + 1] - bounds[j] AS INT))) AS chunk_md5
+  FROM b, generate_series(1, 8000) s(j)
+  WHERE j <= len(bounds) - 1
+)
+SELECT a.asset_id AS id_a, b2.asset_id AS id_b,
+       count(*) AS n_shared_chunks
+FROM fp a JOIN fp b2
+  ON a.chunk_md5 = b2.chunk_md5 AND a.asset_id < b2.asset_id
+GROUP BY 1, 2
+HAVING count(*) >= 5
+"""
+
+
 QUERIES: dict[str, Q] = {
     "embedding_norms": Q(embedding_norms, _NORMS_SQL),
     "embedding_exact_dups": Q(embedding_exact_dups, _EMB_DUP_SQL),
@@ -365,5 +406,6 @@ QUERIES: dict[str, Q] = {
     "simhash_near_pairs": Q(simhash_near_pairs, None),
     "multimodal_asset_stats": Q(multimodal_asset_stats, _ASSET_SQL),
     "multimodal_chunk_dedup": Q(multimodal_chunk_dedup, _CHUNK_DEDUP_SQL),
+    "multimodal_cdc_dedup": Q(multimodal_cdc_dedup, _CDC_DEDUP_SQL),
     "multimodal_stub_features": Q(multimodal_stub_features, _STUB_SQL),
 }

@@ -501,3 +501,31 @@ def test_star_cc_matches_propagation(spark):
     e = spark.createDataFrame(chain, "id_a long, id_b long")
     got = connected_components_star(e, max_iter=8).collect()
     assert {r.component for r in got} == {1} and len(got) == 31
+
+
+def test_cdc_chunking_shift_resilience(spark):
+    """The CDC property: prefix insertion preserves most tail chunk
+    digests, while aligned fixed-size chunking loses all of them (the
+    prefix length is not a multiple of the chunk size)."""
+    from stockanalyses_downloader_spark.operators import multimodal as mm
+    text = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through fields of golden wheat while the sun sets "
+            "slowly over distant purple mountains casting shadows") * 2
+    rows = [(1, text), (2, "INSERTED-PREFIX " + text)]
+    assets = mm.docs_to_assets(
+        spark.createDataFrame(rows, "doc_id long, text string"))
+
+    cdc = mm.payload_cdc_chunks(assets).collect()
+    s1 = {r.chunk_md5 for r in cdc if r.asset_id == 1}
+    s2 = {r.chunk_md5 for r in cdc if r.asset_id == 2}
+    fixed = mm.payload_chunk_fingerprints(assets, 32).collect()
+    f1 = {r.chunk_md5 for r in fixed if r.asset_id == 1}
+    f2 = {r.chunk_md5 for r in fixed if r.asset_id == 2}
+
+    assert len(s1 & s2) >= len(s1) // 2, (len(s1 & s2), len(s1))
+    assert not (f1 & f2)
+    # chunks tile the payload exactly: starts are sorted, first at 0
+    one = sorted((r.chunk_seq, r.chunk_start) for r in cdc
+                 if r.asset_id == 1)
+    assert one[0] == (0, 0)
+    assert [c for c, _ in one] == list(range(len(one)))
