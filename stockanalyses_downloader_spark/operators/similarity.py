@@ -300,3 +300,66 @@ def cosine_near_dup_pairs(embeddings: DataFrame, block_cols: list[str],
     if max_block_size is not None:
         out = out.unionByName(hot_out)
     return out
+
+
+def dimension_ranges(embeddings: DataFrame,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (min, max) over the corpus as a single broadcast-
+    sized row {mins: array, maxs: array} — the calibration pass of
+    scalar quantization. posexplode + groupBy(pos) shuffles only
+    (pos, partial-min, partial-max) pairs (map-side combined), then
+    the per-dim rows collapse into two ordered arrays. min/max are
+    order-independent, so the result is partitioning-stable —
+    no decimal-accumulation trick needed (contrast the centroid
+    mean)."""
+    per_dim = (embeddings
+               .select(F.posexplode(as_double(F.col(vec_col)))
+                       .alias("pos", "x"))
+               .groupBy("pos")
+               .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    return (per_dim
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "mn")))
+                  .alias("mns"),
+                 F.sort_array(F.collect_list(F.struct("pos", "mx")))
+                  .alias("mxs"))
+            .select(F.transform("mns", lambda s: s["mn"]).alias("mins"),
+                    F.transform("mxs", lambda s: s["mx"]).alias("maxs")))
+
+
+def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization:
+    code_i = round((x_i - min_i) / (max_i - min_i) * 255), clamped to
+    [0, 255]; degenerate dims (min == max) code to 0. 4x memory cut
+    for ANN candidate storage at 100 TB — the codes array replaces the
+    float vector in bucket storage, the float vector is fetched only
+    for rerank. Reconstruction x'_i = min_i + code_i/255*(max_i-min_i)
+    bounds per-dim error by half a step.
+
+    Output: (id_col, codes array<int>, recon array<double>). The
+    calibration row rides along as a broadcast cross join; quantization
+    itself is a per-row linear scan."""
+    ranges = dimension_ranges(embeddings, vec_col)
+    v = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    withr = v.crossJoin(F.broadcast(ranges))
+    idx = F.sequence(F.lit(1), F.size("v"))
+
+    def code(i):
+        mn = F.element_at("mins", i)
+        mx = F.element_at("maxs", i)
+        x = F.element_at("v", i)
+        raw = F.round((x - mn) / (mx - mn) * 255)
+        return (F.when(mx == mn, F.lit(0))
+                 .otherwise(F.least(F.greatest(raw, F.lit(0.0)),
+                                    F.lit(255.0)))
+                 .cast("int"))
+
+    def recon(i):
+        mn = F.element_at("mins", i)
+        mx = F.element_at("maxs", i)
+        return mn + F.element_at("codes", i).cast("double") / 255.0 * (mx - mn)
+
+    coded = withr.withColumn("codes", F.transform(idx, code))
+    return (coded
+            .withColumn("recon", F.transform(idx, recon))
+            .select(id_col, "v", "codes", "recon"))

@@ -92,6 +92,12 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "doc_repetition_stats",         # dup-bigram / top-token-share
+                                    # quality signals (Gopher-style);
+                                    # per-row array math, oracled in
+                                    # pytest — quality family's driver
+                                    # slot stays with the curation
+                                    # capstone
     "doc_token_stats",              # token/char stats — fully subsumed
                                     # by corpus_curation_decisions
                                     # (which recomputes n_tokens) and
@@ -124,6 +130,10 @@ _TAIL = [
     "latest_order_per_customer",    # row_number top-1 — family stays
                                     # repped by the flagship query;
                                     # slot yielded to collocations
+    "embedding_quantization_error", # int8 scalar quantization + recon
+                                    # fidelity; oracled in pytest —
+                                    # the ANN family's driver slots
+                                    # stay with cosine/ivf/signlsh
     "multimodal_cdc_dedup",         # content-defined-chunking variant
                                     # of multimodal_chunk_dedup (which
                                     # holds the driver slot); oracled

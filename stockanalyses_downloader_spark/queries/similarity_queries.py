@@ -349,6 +349,61 @@ HAVING count(*) >= 1
 """
 
 
+def embedding_quantization_error(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization fidelity per vector: the integer code
+    sum pins the exact codes (any flipped code shifts it), max/mean
+    absolute reconstruction error pin the dequantization arithmetic.
+    Certifies the 4x-compression ANN storage path end to end
+    (calibration pass -> codes -> reconstruction) against the oracle's
+    re-derivation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(e)
+    errs = F.zip_with("v", "recon", lambda x, r: F.abs(r - x))
+    return (q.withColumn("errs", errs)
+            .select(
+                "vec_id",
+                F.aggregate("codes", F.lit(0).cast("long"),
+                            lambda acc, c: acc + c).alias("sum_codes"),
+                F.array_max("errs").alias("max_abs_err"),
+                (F.aggregate("errs", F.lit(0.0), lambda acc, v: acc + v)
+                 / F.size("errs")).alias("mean_abs_err")))
+
+
+_QUANT_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), d AS (
+  SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM e, generate_series(1, 4096) s(i) WHERE i <= len(v)
+  GROUP BY i
+), r AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS mxs
+  FROM d
+), q AS (
+  SELECT vec_id, v,
+         list_transform(range(1, len(v) + 1),
+           i -> CASE WHEN mxs[i] = mins[i] THEN 0
+                ELSE CAST(least(greatest(
+                       round((v[i] - mins[i]) / (mxs[i] - mins[i]) * 255),
+                       0.0), 255.0) AS INT) END) AS codes
+  FROM e, r
+), w AS (
+  SELECT vec_id, codes,
+         list_transform(range(1, len(v) + 1),
+           i -> abs(mins[i] + CAST(codes[i] AS DOUBLE) / 255.0
+                      * (mxs[i] - mins[i]) - v[i])) AS errs
+  FROM q, r
+)
+SELECT vec_id,
+       CAST(list_reduce(codes, (a, b) -> a + b) AS BIGINT) AS sum_codes,
+       list_max(errs) AS max_abs_err,
+       list_reduce(errs, (a, b) -> a + b) / len(errs) AS mean_abs_err
+FROM w
+"""
+
+
 def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary near-dup pairs over CONTENT-DEFINED chunks (md5-window
     cut rule, multimodal.payload_cdc_chunks): pairs sharing >= 5
@@ -399,6 +454,8 @@ QUERIES: dict[str, Q] = {
     "ivf_topk_trained": Q(ivf_topk_trained, None),
     "embedding_near_dup_pairs": Q(embedding_near_dup_pairs, _EMB_NEAR_SQL),
     "label_centroid_components": Q(label_centroid_components, _CENTROID_SQL),
+    "embedding_quantization_error": Q(embedding_quantization_error,
+                                      _QUANT_SQL),
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),
     "near_dup_components": Q(near_dup_components, _COMPONENTS_SQL),
     "near_dup_components_star": Q(near_dup_components_star, _COMPONENTS_SQL),

@@ -367,6 +367,66 @@ FROM ranked WHERE rank <= 30
 """
 
 
+# --- X4: repetition signals -------------------------------------------------
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/C4-style quality
+    filters a curation pass thresholds on): duplicate-bigram fraction
+    (1 - distinct/total) and the corpus's most-repeated-token share
+    (count of the doc's most frequent token / token count). All array
+    expressions over the token list — per-row, no shuffle; the
+    per-token count scan is O(tokens^2) per doc, bounded by the doc
+    length cap a real pipeline enforces upstream."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                          F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    n_big = F.size(bigrams)
+    dup_frac = F.when(
+        n_big > 0,
+        1.0 - F.size(F.array_distinct(bigrams)).cast("double") / n_big
+    ).otherwise(F.lit(0.0))
+    top_count = F.array_max(
+        F.transform(toks, lambda t: F.size(F.filter(toks,
+                                                    lambda x: x == t))))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_big.alias("n_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        (top_count.cast("double") / n).alias("top_token_frac"))
+
+
+_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(bigrams) AS INT) AS n_bigrams,
+       CASE WHEN len(bigrams) > 0 THEN
+         1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+       ELSE 0.0 END AS dup_bigram_frac,
+       CAST(list_max(list_transform(
+              toks, t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+         / len(toks) AS top_token_frac
+FROM b
+"""
+
+
 # --- corpus curation capstone ----------------------------------------------
 
 #: Languages the marker-based lang-ID can actually predict; anything
@@ -577,5 +637,6 @@ QUERIES: dict[str, Q] = {
     "doc_token_stats": Q(doc_token_stats, _TOKEN_SQL),
     "doc_quality_scores": Q(doc_quality_scores, _QUALITY_SQL),
     "doc_fingerprints": Q(doc_fingerprints, _FP_SQL),
+    "doc_repetition_stats": Q(doc_repetition_stats, _REPETITION_SQL),
     "doc_language_scores": Q(doc_language_scores, _LANG_SQL),
 }

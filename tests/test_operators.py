@@ -529,3 +529,30 @@ def test_cdc_chunking_shift_resilience(spark):
                  if r.asset_id == 1)
     assert one[0] == (0, 0)
     assert [c for c, _ in one] == list(range(len(one)))
+
+
+def test_quantization_error_bound(spark):
+    """int8 scalar quantization: every dimension's reconstruction
+    error is within half a quantization step of that dimension's
+    range ((max-min)/255 / 2), and codes stay in [0, 255]."""
+    from pyspark.sql import functions as F
+    from stockanalyses_downloader_spark.operators import similarity
+    from stockanalyses_downloader_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = similarity.quantize_embeddings(e)
+    ranges = similarity.dimension_ranges(e)
+    step = (ranges.select(F.array_max(F.zip_with(
+        "maxs", "mins", lambda mx, mn: mx - mn)).alias("r"))
+        .collect()[0].r) / 255.0
+
+    rows = (q.withColumn(
+        "max_err", F.array_max(F.zip_with(
+            "v", "recon", lambda x, r: F.abs(r - x))))
+        .withColumn("cmin", F.array_min("codes"))
+        .withColumn("cmax", F.array_max("codes"))
+        .agg(F.max("max_err").alias("err"),
+             F.min("cmin").alias("lo"), F.max("cmax").alias("hi"))
+        .collect()[0])
+    assert rows.err <= step / 2 * (1 + 1e-9), (rows.err, step)
+    assert rows.lo >= 0 and rows.hi <= 255
