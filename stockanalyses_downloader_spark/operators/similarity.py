@@ -363,3 +363,73 @@ def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
     return (coded
             .withColumn("recon", F.transform(idx, recon))
             .select(id_col, "v", "codes", "recon"))
+
+
+def ivf_topk_quantized(embeddings: DataFrame, query_ids: list[int],
+                       k: int = 10, n_centroids: int = 16,
+                       n_probe: int = 4, oversample: int = 3,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """IVF with int8-quantized list storage: candidates inside the
+    probed lists are first scored against the query on their
+    RECONSTRUCTED (dequantized) vectors — the representation the
+    inverted lists would actually hold at 100 TB, 4x smaller than
+    floats — then only the ``k * oversample`` best per query are
+    re-scored exactly on the float vectors. The expensive exact dot
+    product runs on an O(k) shortlist instead of every probed
+    candidate; the codes path touches all candidates but reads int8.
+
+    Same output contract as ivf_topk/cosine_topk:
+    (query_id, neighbor_id, cosine, rank) with EXACT cosines —
+    quantization only affects which candidates reach the shortlist
+    (recall pinned vs bruteforce in tests)."""
+    qz = quantize_embeddings(embeddings, id_col, vec_col)
+    e = (qz.select(id_col, "v", "recon")
+         .withColumn("norm", l2_norm(F.col("v")))
+         .withColumn("rnorm", l2_norm(F.col("recon"))))
+
+    cent = (e.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+             .limit(n_centroids)
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+
+    def nearest(frame: DataFrame, n: int) -> DataFrame:
+        scored = (frame.crossJoin(F.broadcast(cent))
+                  .select(frame[id_col], "v", "recon", "norm", "rnorm",
+                          "centroid_id",
+                          (dot(F.col("v"), F.col("cv"))
+                           / (F.col("norm") * F.col("cnorm"))).alias("csim")))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("csim").desc(), F.col("centroid_id"))
+        return (scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= n)
+                .select(id_col, "v", "recon", "norm", "rnorm",
+                        F.col("centroid_id").alias("list_id")))
+
+    lists = nearest(e.filter(~F.col(id_col).isin(query_ids)), 1)
+    probes = nearest(e.filter(F.col(id_col).isin(query_ids)), n_probe)
+    q = probes.select(F.col(id_col).alias("query_id"),
+                      F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
+                      "list_id")
+    c = lists.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("v").alias("xv"), F.col("norm").alias("xnorm"),
+                     F.col("recon").alias("rv"), F.col("rnorm").alias("rn"),
+                     "list_id")
+    approx = (c.join(q, "list_id")
+              .select("query_id", "neighbor_id", "qv", "qnorm",
+                      "xv", "xnorm",
+                      (dot(F.col("qv"), F.col("rv"))
+                       / (F.col("qnorm") * F.col("rn"))).alias("approx_cos"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id"))
+    shortlist = (approx.withColumn("__s", F.row_number().over(sw))
+                 .filter(F.col("__s") <= k * oversample))
+    exact = shortlist.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("qv"), F.col("xv"))
+         / (F.col("qnorm") * F.col("xnorm"))).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k))

@@ -142,6 +142,9 @@ _TAIL = [
                                     # of near_dup_components (which
                                     # holds the driver slot); same
                                     # recursive-CTE oracle in pytest
+    "ivf_topk_quantized",           # rows-only; int8-list IVF with
+                                    # exact-rerank shortlist — recall
+                                    # pinned in pytest
     "ivf_topk_trained",             # rows-only; same probe/rerank
                                     # machinery as ivf_topk_approx
                                     # (which holds the driver slot) —

@@ -102,6 +102,15 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, _QUERY_IDS, k=_TOPK)
 
 
+def ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over int8-quantized inverted lists (approx scoring on
+    dequantized codes, exact float rerank of the oversampled
+    shortlist) — the 4x-memory ANN storage shape at 100 TB.
+    Rows-only; recall vs brute force pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_quantized(e, _QUERY_IDS, k=_TOPK)
+
+
 def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with k-means-trained centroids (3 Lloyd iterations) instead
     of the hash sample — the production IVF shape. Rows-only (the
@@ -452,6 +461,7 @@ QUERIES: dict[str, Q] = {
     "signlsh_topk_approx": Q(signlsh_topk_approx, None),
     "ivf_topk_approx": Q(ivf_topk_approx, None),
     "ivf_topk_trained": Q(ivf_topk_trained, None),
+    "ivf_topk_quantized": Q(ivf_topk_quantized, None),
     "embedding_near_dup_pairs": Q(embedding_near_dup_pairs, _EMB_NEAR_SQL),
     "label_centroid_components": Q(label_centroid_components, _CENTROID_SQL),
     "embedding_quantization_error": Q(embedding_quantization_error,

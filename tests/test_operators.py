@@ -556,3 +556,23 @@ def test_quantization_error_bound(spark):
         .collect()[0])
     assert rows.err <= step / 2 * (1 + 1e-9), (rows.err, step)
     assert rows.lo >= 0 and rows.hi <= 255
+
+
+def test_quantized_ivf_recall(spark):
+    """int8-list IVF: recall vs brute force holds, and the emitted
+    cosines are EXACT (identical to brute-force scores for the pairs
+    both return) — quantization may change the candidate set but
+    never the reported score."""
+    e = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact_rows = similarity.cosine_topk(e, qids, k=10).collect()
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in exact_rows}
+    approx_rows = similarity.ivf_topk_quantized(e, qids, k=10).collect()
+    approx = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+              for r in approx_rows}
+    shared = exact.keys() & approx.keys()
+    recall = len(shared) / len(exact)
+    assert recall >= 0.3, f"quantized-IVF recall collapsed: {recall}"
+    for pair in shared:
+        assert abs(exact[pair] - approx[pair]) < 1e-12, pair
