@@ -19,7 +19,7 @@ independent part, so AQE/repartitioning never changes membership.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_SPACE = 16 ** 8  # 8 hex chars = 32 bits of the md5
@@ -81,3 +81,56 @@ def stratified_sample(df: DataFrame, stratum_col: str, n_per_stratum: int,
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n_per_stratum)
             .drop("__rn"))
+
+
+def pack_sequences(df: DataFrame, count_col: str, budget: int,
+                   key: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: order rows by a
+    deterministic hash of ``key``, lay their token counts end to end,
+    and cut the stream every ``budget`` tokens — the packing step that
+    turns a curated corpus into fixed-length training sequences
+    (documents MAY span a chunk boundary, as in standard LM
+    pretraining concatenation).
+
+    The global running offset is computed scalably: rows hash into 16
+    ordered buckets (first hex digit), a per-bucket cumulative sum
+    runs partition-parallel, and the 16 bucket totals — a broadcast-
+    sized prefix table — shift each bucket to its global position.
+    No single-partition global window, so the plan survives any
+    corpus size; total order is (bucket, hash, key), identical on
+    every engine/run.
+
+    Output: key, n_tokens, start_offset (global), bin_id,
+    offset_in_bin, spans_boundary."""
+    h = hash_key(F.col(key))
+    rows = df.select(F.col(key), F.col(count_col).alias("n_tokens"),
+                     h.alias("__h"),
+                     F.substring(h, 1, 1).alias("__bucket"))
+    w = (Window.partitionBy("__bucket")
+         .orderBy("__h", key)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = rows.withColumn("__end_in_bucket",
+                             F.sum("n_tokens").over(w))
+    totals = (rows.groupBy("__bucket")
+              .agg(F.sum("n_tokens").alias("__tot")))
+    bw = (Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = (totals
+               .withColumn("__base", F.sum("__tot").over(bw)
+                           - F.col("__tot"))
+               .select("__bucket", "__base"))
+    packed = (within.join(F.broadcast(offsets), "__bucket")
+              .withColumn("start_offset",
+                          (F.col("__base") + F.col("__end_in_bucket")
+                           - F.col("n_tokens")).cast("long")))
+    return (packed
+            .withColumn("bin_id",
+                        F.floor(F.col("start_offset") / budget)
+                         .cast("long"))
+            .withColumn("offset_in_bin",
+                        (F.col("start_offset") % budget).cast("long"))
+            .withColumn("spans_boundary",
+                        F.col("offset_in_bin") + F.col("n_tokens")
+                        > budget)
+            .select(key, "n_tokens", "start_offset", "bin_id",
+                    "offset_in_bin", "spans_boundary"))

@@ -65,7 +65,8 @@ _WINDOW = [
     "doc_tfidf_top_terms",      # TF-IDF characteristic terms
     "bigram_collocations",      # word-pair lift (PMI ratio form)
     "doc_split_assignment",     # md5-prefix train/val/test assignment
-    "stratified_docs_by_lang",  # hash-ordered per-stratum sample
+    "doc_sequence_packing",     # concat-then-chunk 128-token packing
+                                # (two-pass distributed prefix sum)
     "top_tokens",
     "doc_bpe_token_stats",
     "exact_dedup_docs",
@@ -92,6 +93,11 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "stratified_docs_by_lang",      # hash-ordered per-stratum sample —
+                                    # same md5-order primitive as
+                                    # doc_split_assignment (which keeps
+                                    # the sampling family's driver
+                                    # slot); slot yielded to packing
     "doc_repetition_stats",         # dup-bigram / top-token-share
                                     # quality signals (Gopher-style);
                                     # per-row array math, oracled in

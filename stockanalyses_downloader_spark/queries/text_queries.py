@@ -625,6 +625,43 @@ SELECT doc_id, lang FROM ranked WHERE rn <= 20
 """
 
 
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing of the corpus into 128-token training
+    sequences (sampling.pack_sequences over whitespace token counts):
+    deterministic hash order, two-pass bucket prefix sum — no
+    single-partition global window. The oracle recomputes the same
+    global layout with one window; hash-match certifies the
+    distributed prefix-sum decomposition is exactly the sequential
+    semantics."""
+    from ..operators import sampling
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    counted = d.select("doc_id", F.size(toks).alias("n_toks"))
+    return sampling.pack_sequences(counted, count_col="n_toks",
+                                   budget=128, key="doc_id")
+
+
+_PACKING_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8) AS h
+  FROM documents
+), o AS (
+  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 128) AS BIGINT) AS bin_id,
+       CAST(start_offset % 128 AS BIGINT) AS offset_in_bin,
+       (start_offset % 128) + n_tokens > 128 AS spans_boundary
+FROM o
+"""
+
+
 QUERIES: dict[str, Q] = {
     "corpus_curation_decisions": Q(corpus_curation_decisions, _CURATION_SQL),
     "top_tokens": Q(top_tokens, _TOP_TOKENS_SQL),
@@ -638,5 +675,6 @@ QUERIES: dict[str, Q] = {
     "doc_quality_scores": Q(doc_quality_scores, _QUALITY_SQL),
     "doc_fingerprints": Q(doc_fingerprints, _FP_SQL),
     "doc_repetition_stats": Q(doc_repetition_stats, _REPETITION_SQL),
+    "doc_sequence_packing": Q(doc_sequence_packing, _PACKING_SQL),
     "doc_language_scores": Q(doc_language_scores, _LANG_SQL),
 }

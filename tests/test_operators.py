@@ -576,3 +576,23 @@ def test_quantized_ivf_recall(spark):
     assert recall >= 0.3, f"quantized-IVF recall collapsed: {recall}"
     for pair in shared:
         assert abs(exact[pair] - approx[pair]) < 1e-12, pair
+
+
+def test_sequence_packing_contiguity(spark):
+    """Packing invariants: offsets tile the token stream exactly (each
+    row starts where the previous ended, starting at 0), bin ids are
+    the offset div the budget, and spans_boundary marks exactly the
+    rows crossing a 128 boundary."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        doc_sequence_packing)
+    rows = sorted(doc_sequence_packing(spark, SF).collect(),
+                  key=lambda r: r.start_offset)
+    expect = 0
+    for r in rows:
+        assert r.start_offset == expect
+        assert r.bin_id == r.start_offset // 128
+        assert r.offset_in_bin == r.start_offset % 128
+        assert r.spans_boundary == (r.offset_in_bin + r.n_tokens > 128)
+        expect += r.n_tokens
+    assert any(r.spans_boundary for r in rows)
+    assert any(not r.spans_boundary for r in rows)
