@@ -93,6 +93,10 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "corpus_training_sequences",    # curate -> train-split -> pack
+                                    # composition; oracled in pytest
+                                    # (curation + packing each hold a
+                                    # driver slot already)
     "stratified_docs_by_lang",      # hash-ordered per-stratum sample —
                                     # same md5-order primitive as
                                     # doc_split_assignment (which keeps

@@ -662,6 +662,50 @@ FROM o
 """
 
 
+def corpus_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-build composition a pretraining pipeline runs:
+    curation keep/drop -> keep only -> train-split membership ->
+    concat-then-chunk packing of the surviving documents into
+    128-token sequences. Every stage is an already-oracled operator
+    (corpus_curation_decisions, assign_splits, pack_sequences); this
+    query certifies their COMPOSITION end to end — the layout is
+    sensitive to every upstream keep/drop decision, so one flipped
+    rule anywhere breaks the hash."""
+    from ..operators import sampling
+    dec = corpus_curation_decisions(spark, sf_dir)
+    kept = dec.filter(F.col("keep")).select("doc_id", "n_tokens")
+    train = (sampling.assign_splits(kept, key="doc_id")
+             .filter(F.col("split") == "train")
+             .select("doc_id", "n_tokens"))
+    return sampling.pack_sequences(train, count_col="n_tokens",
+                                   budget=128, key="doc_id")
+
+
+def _trainseq_sql() -> str:
+    return rf"""
+WITH curated AS ({_CURATION_SQL}),
+kept AS (
+  SELECT doc_id, n_tokens FROM curated
+  WHERE keep AND {_split_case_sql()} = 'train'
+), h AS (
+  SELECT doc_id, n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8) AS hh
+  FROM kept
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY hh, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM h
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 128) AS BIGINT) AS bin_id,
+       CAST(start_offset % 128 AS BIGINT) AS offset_in_bin,
+       (start_offset % 128) + n_tokens > 128 AS spans_boundary
+FROM o
+"""
+
+
 QUERIES: dict[str, Q] = {
     "corpus_curation_decisions": Q(corpus_curation_decisions, _CURATION_SQL),
     "top_tokens": Q(top_tokens, _TOP_TOKENS_SQL),
@@ -676,5 +720,7 @@ QUERIES: dict[str, Q] = {
     "doc_fingerprints": Q(doc_fingerprints, _FP_SQL),
     "doc_repetition_stats": Q(doc_repetition_stats, _REPETITION_SQL),
     "doc_sequence_packing": Q(doc_sequence_packing, _PACKING_SQL),
+    "corpus_training_sequences": Q(corpus_training_sequences,
+                                   _trainseq_sql()),
     "doc_language_scores": Q(doc_language_scores, _LANG_SQL),
 }
