@@ -130,3 +130,45 @@ def run_wss_stream(spark: SparkSession, raw_stream: DataFrame,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def curated_documents_stream(doc_stream: DataFrame) -> DataFrame:
+    """Streaming corpus ingest: the same per-row curation signals and
+    rules as the batch capstone (queries.text_queries.curation_scored
+    / row_rule_reasons — ST7: one set of expressions, two bindings),
+    with exact dedup as state-backed ``dropDuplicates`` on the
+    canonical fingerprint instead of the batch fp_rank window
+    (non-time windows don't exist in streaming; per-key state does).
+    First arrival of a fingerprint survives, later copies are dropped
+    by state — the streaming analogue of "keeper = first". On an
+    unbounded feed, bound the dedup state with
+    ``withWatermark`` upstream; the fixture-backed tests use
+    availableNow replay where total state = corpus fingerprints.
+
+    Returns the curated stream: doc_id, lang, fingerprint, n_tokens,
+    quality_score, predicted_lang, keep, reasons — ``keep`` here
+    means "passes every per-row rule" (dup handling already dropped
+    non-keepers from the stream)."""
+    from .queries.text_queries import curation_scored, row_rule_reasons
+    scored = curation_scored(doc_stream)
+    deduped = scored.dropDuplicates(["fingerprint"])
+    reasons = F.concat_ws(",", *row_rule_reasons())
+    return (deduped
+            .withColumn("reasons", reasons)
+            .withColumn("keep", F.col("reasons") == ""))
+
+
+def run_corpus_ingest_stream(spark: SparkSession, src_dir: str,
+                             out_table: str, checkpoint: str):
+    """Bind the curated-documents transform to a parquet-directory
+    document stream and append the decisions to a memory/parquet
+    sink. Returns the StreamingQuery (availableNow: drain-and-stop,
+    the backfill trigger)."""
+    from .schemas import DOCUMENTS
+    stream = (spark.readStream.schema(DOCUMENTS).parquet(src_dir))
+    return (curated_documents_stream(stream).writeStream
+            .format("parquet")
+            .option("path", out_table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -93,6 +93,12 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "novel_docs_vs_corpus",         # incremental dedup: anti join on
+                                    # the fingerprint index; oracled
+                                    # in pytest (anti-join family's
+                                    # driver slot: customers_without_
+                                    # orders; dedup family: exact_
+                                    # dedup_docs)
     "corpus_training_sequences",    # curate -> train-split -> pack
                                     # composition; oracled in pytest
                                     # (curation + packing each hold a

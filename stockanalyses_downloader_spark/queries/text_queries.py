@@ -444,6 +444,55 @@ _MIN_TOKENS = 20          # ~p08 of the sf0.01 token-count distribution
 _MIN_QUALITY = 0.25       # ~p20 of the sf0.01 quality-score distribution
 
 
+def curation_scored(d: DataFrame) -> DataFrame:
+    """Per-row curation signals (no window/state — binds to batch AND
+    streaming unchanged): fingerprint, token count, quality score,
+    predicted language. The dedup rank on top is the only stateful
+    part and differs by mode: batch uses a fingerprint window
+    (corpus_curation_decisions), streaming uses state-backed
+    dropDuplicates (pipelines.run_corpus_ingest_stream)."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.size(toks)
+    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    sw_ratio = sw.cast("double") / n_tokens
+    mean_len = (F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+                / n_tokens)
+    length_prior = F.least(F.length("text").cast("double") / 500.0, F.lit(1.0))
+    quality = sw_ratio * 0.4 + (mean_len / 10.0) * 0.3 + length_prior * 0.3
+
+    lowered = F.lower("text")
+    s = {lang: F.size(F.regexp_extract_all(lowered, F.lit(rx), 0))
+         for lang, rx in _LANG_MARKERS.items()}
+    best = F.greatest(*s.values())
+    pred = (F.when(s["en"] == best, "en").when(s["de"] == best, "de")
+             .when(s["fr"] == best, "fr").otherwise("es"))
+
+    canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return d.select(
+        "doc_id", "lang",
+        F.md5(canon.cast("binary")).alias("fingerprint"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality_score"),
+        pred.alias("predicted_lang"))
+
+
+def row_rule_reasons() -> list:
+    """The per-row (stateless) subset of the curation rules, one
+    fires-or-NULL column per rule in _CURATION_RULES order — shared
+    by the batch capstone and the streaming ingest (which adds dup
+    handling via state instead of the fp_rank window). Callers splat
+    these into one concat_ws (NULLs vanish, order is preserved)."""
+    fired = {
+        "too_short": F.col("n_tokens") < _MIN_TOKENS,
+        "low_quality": F.col("quality_score") < _MIN_QUALITY,
+        "unsupported_lang": ~F.col("lang").isin(*_SUPPORTED_LANGS),
+        "lang_mismatch": (F.col("lang").isin(*_SUPPORTED_LANGS)
+                          & (F.col("predicted_lang") != F.col("lang"))),
+    }
+    return [F.when(fired[r], r).otherwise(None)
+            for r in _CURATION_RULES if r in fired]
+
+
 def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/drop decision per document with explicit reason codes — the
     curation pass a training-data pipeline runs before tokenization.
@@ -467,45 +516,15 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of document length. The thresholds are calibrated so
     every rule fires on the test corpus (dup_nonkeeper needs sf0.1,
     where the generator plants canonical dups)."""
-    d = _docs(spark, sf_dir)
-
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n_tokens = F.size(toks)
-    sw = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
-    sw_ratio = sw.cast("double") / n_tokens
-    mean_len = (F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
-                / n_tokens)
-    length_prior = F.least(F.length("text").cast("double") / 500.0, F.lit(1.0))
-    quality = sw_ratio * 0.4 + (mean_len / 10.0) * 0.3 + length_prior * 0.3
-
-    lowered = F.lower("text")
-    s = {lang: F.size(F.regexp_extract_all(lowered, F.lit(rx), 0))
-         for lang, rx in _LANG_MARKERS.items()}
-    best = F.greatest(*s.values())
-    pred = (F.when(s["en"] == best, "en").when(s["de"] == best, "de")
-             .when(s["fr"] == best, "fr").otherwise("es"))
-
-    canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    scored = d.select(
-        "doc_id", "lang",
-        F.md5(canon.cast("binary")).alias("fingerprint"),
-        n_tokens.alias("n_tokens"),
-        quality.alias("quality_score"),
-        pred.alias("predicted_lang"))
+    scored = curation_scored(_docs(spark, sf_dir))
 
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     ranked = scored.withColumn("fp_rank", F.row_number().over(w))
 
-    fired = {
-        "dup_nonkeeper": F.col("fp_rank") > 1,
-        "too_short": F.col("n_tokens") < _MIN_TOKENS,
-        "low_quality": F.col("quality_score") < _MIN_QUALITY,
-        "unsupported_lang": ~F.col("lang").isin(*_SUPPORTED_LANGS),
-        "lang_mismatch": (F.col("lang").isin(*_SUPPORTED_LANGS)
-                          & (F.col("predicted_lang") != F.col("lang"))),
-    }
-    reasons = F.concat_ws(",", *[
-        F.when(fired[r], r).otherwise(None) for r in _CURATION_RULES])
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("fp_rank") > 1, "dup_nonkeeper").otherwise(None),
+        *row_rule_reasons())
     return (ranked
             .withColumn("reasons", reasons)
             .withColumn("keep", F.col("reasons") == "")
@@ -662,6 +681,38 @@ FROM o
 """
 
 
+def novel_docs_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus building: which incoming documents are NEW
+    against an existing reference corpus? Membership is by canonical
+    fingerprint (the dedup key), decided with a left-anti join —
+    digest-width shuffle, no payload comparison. The fixture splits
+    one table by doc_id parity (evens = existing corpus, odds =
+    incoming batch); production swaps the reference side for the
+    corpus's fingerprint index, which is exactly what
+    doc_fingerprints materializes."""
+    d = _docs(spark, sf_dir)
+    canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = d.select("doc_id", "lang",
+                  F.md5(canon.cast("binary")).alias("fingerprint"))
+    existing = fp.filter(F.col("doc_id") % 2 == 0).select("fingerprint")
+    incoming = fp.filter(F.col("doc_id") % 2 == 1)
+    return incoming.join(existing, "fingerprint", "left_anti")
+
+
+_NOVEL_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, doc_id, lang
+FROM fp
+WHERE doc_id % 2 = 1
+  AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 2 = 0)
+"""
+
+
 def corpus_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-build composition a pretraining pipeline runs:
     curation keep/drop -> keep only -> train-split membership ->
@@ -722,5 +773,6 @@ QUERIES: dict[str, Q] = {
     "doc_sequence_packing": Q(doc_sequence_packing, _PACKING_SQL),
     "corpus_training_sequences": Q(corpus_training_sequences,
                                    _trainseq_sql()),
+    "novel_docs_vs_corpus": Q(novel_docs_vs_corpus, _NOVEL_SQL),
     "doc_language_scores": Q(doc_language_scores, _LANG_SQL),
 }

@@ -228,3 +228,42 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     streamed = {(r["user_id"], r["win_start"], r["win_end"], r["n_events"])
                 for r in spark.sql("select * from sess_sw").collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming corpus ingest == batch curation modulo dedup
+    mechanism: per-row reasons identical for every surviving doc, one
+    survivor per fingerprint (state-backed dropDuplicates replaces
+    the batch fp_rank window), and survivors' fingerprint set equals
+    the batch keeper set."""
+    from stockanalyses_downloader_spark import pipelines
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        corpus_curation_decisions)
+    from stockanalyses_downloader_spark.sources.tables import load_table
+
+    base = load_table(spark, SF, "documents").limit(40)
+    dups = (base.limit(6)
+            .withColumn("doc_id", F.col("doc_id") + 100000))
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    base.unionByName(dups).coalesce(1).write.parquet(src)
+
+    q = pipelines.run_corpus_ingest_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+
+    # one survivor per fingerprint; planted dups collapsed
+    fps = [r.fingerprint for r in got]
+    assert len(fps) == len(set(fps)) == 40
+
+    batch = {r.doc_id: r for r in
+             corpus_curation_decisions(spark, SF).collect()}
+    for r in got:
+        b = batch.get(r.doc_id % 100000 if r.doc_id >= 100000
+                      else r.doc_id)
+        assert b is not None
+        batch_row_reasons = ",".join(
+            c for c in b.reasons.split(",") if c and c != "dup_nonkeeper")
+        assert r.reasons == batch_row_reasons, (r.doc_id, r.reasons)
+        assert r.keep == (batch_row_reasons == "")
