@@ -83,6 +83,50 @@ def stratified_sample(df: DataFrame, stratum_col: str, n_per_stratum: int,
             .drop("__rn"))
 
 
+def mixture_threshold_hex(rate: Column) -> Column:
+    """Column form of ``_threshold_hex`` for data-dependent rates:
+    8-hex-char threshold such that ``hash_key(k) < threshold`` keeps
+    ~``rate`` of keys. ``least(..., 2^32-1)`` keeps the threshold at 8
+    chars so the lexicographic compare stays valid at rate=1.0 (cost:
+    the single hash 'ffffffff' is always dropped — 2^-32, and
+    identically so on every engine)."""
+    return F.format_string(
+        "%08x",
+        F.least(F.floor(rate * F.lit(float(_HEX_SPACE))),
+                F.lit(float(_HEX_SPACE - 1))).cast("long"))
+
+
+def temperature_mixture(df: DataFrame, domain_col: str, key: str,
+                        salt: str = "") -> DataFrame:
+    """Temperature-based domain rebalancing (T=2, i.e. target share
+    ∝ sqrt(n_domain) — the multilingual-corpus resampling rule): keep
+    rate r_d = sqrt(n_min)/sqrt(n_d), so the smallest domain is kept
+    whole and larger domains are downsampled toward balance.
+    Membership is per-key md5 order (deterministic across runs,
+    partitionings, and engines).
+
+    The exponent is fixed at 1/2 deliberately: IEEE-754 requires
+    ``sqrt`` to be correctly rounded, so Spark and DuckDB compute
+    bit-identical rates and thresholds; arbitrary-alpha ``pow`` has
+    no such guarantee and would let the two engines disagree on keys
+    hashing next to a threshold.
+
+    Plan shape at 100 TB: one map-side-combined count per domain
+    (#domains rows), a broadcast of the rate table, then a linear
+    scan+filter — no full-data shuffle."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_total"))
+    floor_n = counts.agg(F.min("n_total").alias("__n_min"))
+    rates = (counts.crossJoin(F.broadcast(floor_n))
+             .withColumn("keep_rate",
+                         F.sqrt(F.col("__n_min").cast("double"))
+                         / F.sqrt(F.col("n_total").cast("double")))
+             .withColumn("__thr", mixture_threshold_hex(F.col("keep_rate")))
+             .drop("__n_min"))
+    return (df.join(F.broadcast(rates), domain_col)
+            .filter(hash_key(F.col(key), salt) < F.col("__thr"))
+            .drop("__thr"))
+
+
 def pack_sequences(df: DataFrame, count_col: str, budget: int,
                    key: str) -> DataFrame:
     """Concat-then-chunk sequence packing: order rows by a

@@ -71,9 +71,9 @@ _WINDOW = [
     "doc_bpe_token_stats",
     "exact_dedup_docs",
     "corpus_curation_decisions",  # keep/drop + reason codes capstone
-    "doc_quality_scores",
+    "eval_ngram_decontamination",  # train-vs-eval 5-gram overlap
     "doc_fingerprints",
-    "doc_language_scores",
+    "lang_temperature_mixture",   # sqrt-temperature domain rebalance
     # relational surface — one representative per operator class
     "pricing_summary",          # groupBy agg (Q1)
     "regional_revenue",         # 6-way inner join (Q5)
@@ -93,6 +93,14 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "doc_quality_scores",           # per-row quality signals — fully
+                                    # recomputed inside corpus_
+                                    # curation_decisions (in-window);
+                                    # slot yielded to decontamination
+    "doc_language_scores",          # lang-ID argmax — likewise
+                                    # recomputed inside the curation
+                                    # capstone; slot yielded to the
+                                    # temperature mixture
     "novel_docs_vs_corpus",         # incremental dedup: anti join on
                                     # the fingerprint index; oracled
                                     # in pytest (anti-join family's

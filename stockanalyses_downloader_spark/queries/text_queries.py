@@ -713,6 +713,118 @@ WHERE doc_id % 2 = 1
 """
 
 
+_DECON_N = 5  # token n-gram width for contamination matching
+
+
+def eval_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval n-gram decontamination — the pretraining hygiene
+    pass that flags training documents sharing verbatim n-grams with a
+    held-out eval set (here: the deterministic 'test' split standing
+    in for a benchmark suite).
+
+    Per contaminated train doc: how many distinct 5-grams it shares
+    with the eval set, plus the lexicographically-smallest shared gram
+    as a deterministic exhibit. Grams are whitespace 5-grams of the
+    lowercased text (``transform(sequence(...))`` + ``slice`` —
+    codegen'd, no UDF). The join runs on the md5 digest of the gram
+    (16 fixed bytes) rather than the gram text, so shuffle width is
+    independent of gram length; the eval side is DISTINCT gram digests
+    — in production a benchmark suite, i.e. broadcast-sized (the
+    fixture's 10% split is deliberately too big to force-broadcast, so
+    the plan is left to AQE).
+
+    The ``nt >= n`` guard is semantics, not just perf: Spark's
+    ``sequence(1, k)`` turns DESCENDING for k < 1 and would fabricate
+    grams at negative indices."""
+    from ..operators import sampling
+    d = _docs(spark, sf_dir)
+    n = _DECON_N
+    s = sampling.assign_splits(d.select("doc_id", "text"), key="doc_id")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = (s.select("doc_id", "split", toks.alias("t"))
+         .withColumn("nt", F.size("t")))
+    grams = (t.filter(F.col("nt") >= n)
+             .select("doc_id", "split",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.col("nt") - n + 1),
+                         lambda i: F.concat_ws(" ", F.slice("t", i, n)),
+                     )).alias("gram")))
+    ev = (grams.filter(F.col("split") == "test")
+          .select(F.unhex(F.md5("gram")).alias("gk")).distinct())
+    tr = (grams.filter(F.col("split") == "train")
+          .select("doc_id", "gram").distinct()
+          .withColumn("gk", F.unhex(F.md5("gram"))))
+    return (tr.join(ev, "gk")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_grams"),
+                 F.min("gram").alias("example_gram")))
+
+
+def _decon_sql() -> str:
+    return rf"""
+WITH s AS (
+  SELECT doc_id, {_split_case_sql()} AS split,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, split,
+         array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
+  FROM s, UNNEST(generate_series(1, len(t) - {_DECON_N - 1})) AS u(i)
+  WHERE len(t) >= {_DECON_N}
+), ev AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+   tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'train')
+SELECT tr.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_grams,
+       min(tr.gram) AS example_gram
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.doc_id
+"""
+
+
+def lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rebalancing at temperature 2 over the language column
+    (en is ~40% of the corpus at every SF): keep rate per lang is
+    sqrt(n_min)/sqrt(n_lang), membership per doc_id by md5 order.
+    Returns the per-lang mixture report (total, kept, rate); the
+    driver hash certifies Spark and DuckDB agree on every kept key —
+    the engine-portability guarantee that makes the sampled corpus
+    reproducible (see operators/sampling.temperature_mixture for why
+    the exponent is pinned to the correctly-rounded sqrt)."""
+    from ..operators import sampling
+    d = _docs(spark, sf_dir)
+    kept = sampling.temperature_mixture(d, "lang", "doc_id")
+    return (kept.groupBy("lang", "n_total", "keep_rate")
+            .agg(F.count("*").alias("n_kept"))
+            .select("lang", "n_total", "n_kept", "keep_rate"))
+
+
+_MIXTURE_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+  FROM documents GROUP BY lang
+), floor_n AS (
+  SELECT min(n_total) AS n_min FROM counts
+), rates AS (
+  SELECT lang, n_total,
+         sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n_total AS DOUBLE))
+           AS keep_rate
+  FROM counts, floor_n
+), thr AS (
+  SELECT lang, n_total, keep_rate,
+         printf('%08x',
+                CAST(least(floor(keep_rate * 4294967296.0),
+                           4294967295.0) AS BIGINT)) AS t
+  FROM rates
+)
+SELECT d.lang AS lang, thr.n_total AS n_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       thr.keep_rate AS keep_rate
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ''), 1, 8) < thr.t
+GROUP BY d.lang, thr.n_total, thr.keep_rate
+"""
+
+
 def corpus_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-build composition a pretraining pipeline runs:
     curation keep/drop -> keep only -> train-split membership ->
@@ -775,4 +887,7 @@ QUERIES: dict[str, Q] = {
                                    _trainseq_sql()),
     "novel_docs_vs_corpus": Q(novel_docs_vs_corpus, _NOVEL_SQL),
     "doc_language_scores": Q(doc_language_scores, _LANG_SQL),
+    "eval_ngram_decontamination": Q(eval_ngram_decontamination,
+                                    _decon_sql()),
+    "lang_temperature_mixture": Q(lang_temperature_mixture, _MIXTURE_SQL),
 }

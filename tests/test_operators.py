@@ -596,3 +596,77 @@ def test_sequence_packing_contiguity(spark):
         expect += r.n_tokens
     assert any(r.spans_boundary for r in rows)
     assert any(not r.spans_boundary for r in rows)
+
+
+def test_temperature_mixture_properties(spark):
+    """sqrt-temperature rebalance: reported rate equals
+    sqrt(n_min/n_d), the smallest domain is kept whole, kept counts
+    track the rate, and membership survives repartitioning."""
+    from stockanalyses_downloader_spark.operators import sampling
+    d = load_table(spark, SF, "documents")
+    mixed = sampling.temperature_mixture(d, "lang", "doc_id")
+    rep = {r["lang"]: r for r in
+           (mixed.groupBy("lang", "n_total", "keep_rate")
+            .agg(F.count("*").alias("n_kept")).collect())}
+    totals = {r["lang"]: r["n"] for r in
+              d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_min = min(totals.values())
+    for lang, row in rep.items():
+        assert row["n_total"] == totals[lang]
+        assert abs(row["keep_rate"]
+                   - (n_min / totals[lang]) ** 0.5) < 1e-12
+        assert abs(row["n_kept"] / row["n_total"]
+                   - row["keep_rate"]) < 0.2, lang
+    smallest = min(totals, key=totals.get)
+    assert rep[smallest]["n_kept"] == rep[smallest]["n_total"]
+    a = {r["doc_id"] for r in mixed.select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         sampling.temperature_mixture(d.repartition(13), "lang",
+                                      "doc_id").select("doc_id").collect()}
+    assert a == b, "membership changed under repartitioning"
+
+
+def test_decontamination_matches_python_oracle(spark):
+    """Independent reimplementation (pure Python, no SQL engine) of
+    the train-vs-eval 5-gram overlap — pins the gram construction,
+    the split membership, and the distinct-count semantics against a
+    third implementation."""
+    import hashlib
+    import re
+
+    from stockanalyses_downloader_spark.operators.sampling import (
+        _threshold_hex)
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        _DECON_N, eval_ngram_decontamination)
+
+    t_train, t_val = _threshold_hex(0.8), _threshold_hex(0.9)
+
+    def split_of(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        return ("train" if h < t_train
+                else "val" if h < t_val else "test")
+
+    def grams(text):
+        t = re.split(r"\s+", text.strip().lower())
+        if len(t) < _DECON_N:
+            return set()
+        return {" ".join(t[i:i + _DECON_N])
+                for i in range(len(t) - _DECON_N + 1)}
+
+    rows = load_table(spark, SF, "documents").select("doc_id",
+                                                     "text").collect()
+    ev = set()
+    for r in rows:
+        if split_of(r.doc_id) == "test":
+            ev |= grams(r.text)
+    expected = {}
+    for r in rows:
+        if split_of(r.doc_id) != "train":
+            continue
+        shared = grams(r.text) & ev
+        if shared:
+            expected[r.doc_id] = (len(shared), min(shared))
+    got = {r["doc_id"]: (r["n_shared_grams"], r["example_gram"])
+           for r in eval_ngram_decontamination(spark, SF).collect()}
+    assert expected, "fixture lost its planted contamination"
+    assert got == expected
