@@ -77,3 +77,33 @@ def test_shipping_priority_pushdown_all_tables(spark):
     q = all_queries()["shipping_priority"].spark(spark, SF)
     plan = assert_pushed_filters(q, "o_orderdate")
     assert "l_shipdate" in plan and "c_mktsegment" in plan
+
+
+def test_decontamination_plan_quality(spark):
+    """Gram join must never be a cartesian product, the per-doc
+    distinct must partial-aggregate map-side (HashAggregate pair
+    around its exchange), and the document scan must read only
+    doc_id+text."""
+    from stockanalyses_downloader_spark.plans import explain_str
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        eval_ngram_decontamination)
+    q = eval_ngram_decontamination(spark, SF)
+    assert_no_cartesian(q)
+    plan = explain_str(q)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("lang" not in ln and "n_chars" not in ln
+                         for ln in scans), scans
+
+
+def test_temperature_mixture_plan_quality(spark):
+    """The rate table must reach the corpus via a broadcast join (no
+    full-data shuffle), and the corpus scan must be pruned to the
+    domain+key columns."""
+    from stockanalyses_downloader_spark.operators import sampling
+    from stockanalyses_downloader_spark.plans import explain_str
+    d = load_table(spark, SF, "documents").select("doc_id", "lang")
+    q = sampling.temperature_mixture(d, "lang", "doc_id")
+    assert_broadcast_join(q)
+    plan = explain_str(q)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("text" not in ln for ln in scans), scans
