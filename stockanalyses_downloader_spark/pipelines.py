@@ -132,7 +132,8 @@ def run_wss_stream(spark: SparkSession, raw_stream: DataFrame,
             .start())
 
 
-def curated_documents_stream(doc_stream: DataFrame) -> DataFrame:
+def curated_documents_stream(doc_stream: DataFrame,
+                             dedup_state_ttl: str | None = None) -> DataFrame:
     """Streaming corpus ingest: the same per-row curation signals and
     rules as the batch capstone (queries.text_queries.curation_scored
     / row_rule_reasons — ST7: one set of expressions, two bindings),
@@ -140,10 +141,17 @@ def curated_documents_stream(doc_stream: DataFrame) -> DataFrame:
     canonical fingerprint instead of the batch fp_rank window
     (non-time windows don't exist in streaming; per-key state does).
     First arrival of a fingerprint survives, later copies are dropped
-    by state — the streaming analogue of "keeper = first". On an
-    unbounded feed, bound the dedup state with
-    ``withWatermark`` upstream; the fixture-backed tests use
-    availableNow replay where total state = corpus fingerprints.
+    by state — the streaming analogue of "keeper = first".
+
+    ``dedup_state_ttl`` is the unbounded-feed guard: when set (e.g.
+    ``"10 minutes"``), dedup runs as ``dropDuplicatesWithinWatermark``
+    over an ingest-time watermark, so per-fingerprint state is
+    EVICTED once the watermark passes — state size is bounded by the
+    TTL window's arrival rate instead of growing with corpus
+    lifetime. The trade is explicit: a duplicate arriving later than
+    the TTL re-enters the corpus (downstream batch dedup catches it);
+    with ``None`` state is exact and lives forever — right for
+    bounded backfills, wrong for a year-long feed.
 
     Returns the curated stream: doc_id, lang, fingerprint, n_tokens,
     quality_score, predicted_lang, keep, reasons — ``keep`` here
@@ -151,7 +159,14 @@ def curated_documents_stream(doc_stream: DataFrame) -> DataFrame:
     non-keepers from the stream)."""
     from .queries.text_queries import curation_scored, row_rule_reasons
     scored = curation_scored(doc_stream)
-    deduped = scored.dropDuplicates(["fingerprint"])
+    if dedup_state_ttl is None:
+        deduped = scored.dropDuplicates(["fingerprint"])
+    else:
+        deduped = (scored
+                   .withColumn("ingest_ts", F.current_timestamp())
+                   .withWatermark("ingest_ts", dedup_state_ttl)
+                   .dropDuplicatesWithinWatermark(["fingerprint"])
+                   .drop("ingest_ts"))
     reasons = F.concat_ws(",", *row_rule_reasons())
     return (deduped
             .withColumn("reasons", reasons)
@@ -159,14 +174,15 @@ def curated_documents_stream(doc_stream: DataFrame) -> DataFrame:
 
 
 def run_corpus_ingest_stream(spark: SparkSession, src_dir: str,
-                             out_table: str, checkpoint: str):
+                             out_table: str, checkpoint: str,
+                             dedup_state_ttl: str | None = None):
     """Bind the curated-documents transform to a parquet-directory
     document stream and append the decisions to a memory/parquet
     sink. Returns the StreamingQuery (availableNow: drain-and-stop,
     the backfill trigger)."""
     from .schemas import DOCUMENTS
     stream = (spark.readStream.schema(DOCUMENTS).parquet(src_dir))
-    return (curated_documents_stream(stream).writeStream
+    return (curated_documents_stream(stream, dedup_state_ttl).writeStream
             .format("parquet")
             .option("path", out_table)
             .option("checkpointLocation", checkpoint)

@@ -267,3 +267,26 @@ def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
             c for c in b.reasons.split(",") if c and c != "dup_nonkeeper")
         assert r.reasons == batch_row_reasons, (r.doc_id, r.reasons)
         assert r.keep == (batch_row_reasons == "")
+
+
+def test_corpus_ingest_watermark_bounded_dedup(spark, tmp_path):
+    """The unbounded-feed variant (dropDuplicatesWithinWatermark over
+    ingest time): same dedup outcome on a fixture whose duplicates
+    all arrive inside the TTL window, while the state store is
+    watermark-evictable rather than immortal."""
+    from stockanalyses_downloader_spark import pipelines
+    from stockanalyses_downloader_spark.sources.tables import load_table
+
+    base = load_table(spark, SF, "documents").limit(30)
+    dups = base.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    src = str(tmp_path / "wm_src")
+    base.unionByName(dups).coalesce(1).write.parquet(src)
+
+    q = pipelines.run_corpus_ingest_stream(
+        spark, src, str(tmp_path / "wm_out"), str(tmp_path / "wm_ckpt"),
+        dedup_state_ttl="10 minutes")
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "wm_out")).collect()
+    fps = [r.fingerprint for r in got]
+    assert len(fps) == len(set(fps)) == 30
+    assert "ingest_ts" not in got[0].asDict()
