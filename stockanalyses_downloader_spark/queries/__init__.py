@@ -187,6 +187,10 @@ _TAIL = [
     "event_value_histogram",        # manual width-bucket agg
     "event_props_extract",          # JSON parse, cf. jobs_parse_dispatch
     "approx_distinct_users",        # approx_count_distinct (rows-only)
+    "ann_recall_report",            # rows-only; recall@10 of every
+                                    # ANN method vs brute force,
+                                    # computed distributively —
+                                    # floors pinned in pytest
 ]
 
 

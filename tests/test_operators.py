@@ -670,3 +670,18 @@ def test_decontamination_matches_python_oracle(spark):
            for r in eval_ngram_decontamination(spark, SF).collect()}
     assert expected, "fixture lost its planted contamination"
     assert got == expected
+
+
+def test_ann_recall_report_floors(spark):
+    """The self-evaluation query returns one row per method with
+    recall in [0, 1]; IVF (4/16 probes) must clear a 0.5 floor and
+    the quantized variant must not fall behind plain IVF by more
+    than the rerank oversample can explain."""
+    from stockanalyses_downloader_spark.queries.similarity_queries import (
+        ann_recall_report)
+    rows = {r["method"]: r for r in ann_recall_report(spark, SF).collect()}
+    assert set(rows) == {"ivf", "signlsh", "ivf_quantized"}
+    for r in rows.values():
+        assert 0.0 <= r["worst_query_recall"] <= r["recall_at_k"] <= 1.0
+    assert rows["ivf"]["recall_at_k"] >= 0.5
+    assert rows["ivf_quantized"]["recall_at_k"] >= rows["ivf"]["recall_at_k"] - 0.2
