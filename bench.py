@@ -44,25 +44,40 @@ def main() -> None:
     spark = get_session("bench")
     registry = all_queries()
 
-    # JVM/codegen warm-up outside the timings (tiny SF, same plans)
-    registry["flagship_latest_mid"].spark(
-        spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    # JVM/codegen warm-up outside the timings (tiny SF, same plans).
+    # Guarded: a broken warm-up must not take the whole bench down.
+    try:
+        registry["flagship_latest_mid"].spark(
+            spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup failed: {exc!r}", file=sys.stderr)
 
+    # Per-query failure isolation: one red query records an error
+    # string and the suite keeps going — the bench signal degrades
+    # gracefully, never to zero (BENCH_r02 died whole on one
+    # AnalysisException; never again).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = registry[name]
         start = time.perf_counter()
-        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
@@ -33,6 +34,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # integral `div`, not `/`: epoch-nanos exceeds double's mantissa
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            # PySpark 4.1 infers tz-less parquet timestamps as TIMESTAMP_NTZ,
+            # which unix_micros() and withWatermark() reject. The session tz
+            # is pinned UTC (session.py), so casting to TIMESTAMP is a pure
+            # type relabel — the instant values are unchanged and match what
+            # the DuckDB oracle computes on the same files.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
