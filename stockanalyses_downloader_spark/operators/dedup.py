@@ -48,9 +48,23 @@ def spread(df: DataFrame) -> DataFrame:
     """Fan a narrow input out to the cluster's parallelism before
     CPU-heavy per-row work. Small local fixtures arrive as one parquet
     split (one task = one core); at 100 TB inputs are already
-    thousands of splits and this is a no-op."""
+    thousands of splits and this is a no-op.
+
+    Width is probed via ``inputFiles()`` — a driver-side file listing,
+    no physical planning or RDD conversion (the previous
+    ``df.rdd.getNumPartitions()`` forced plan materialization at query
+    BUILD time). One file can still split into many read partitions,
+    so the file count only UNDER-estimates width — the repartition
+    trigger errs toward spreading, which is the safe direction for the
+    CPU-heavy consumers this wraps. Non-file sources (no listing)
+    are left untouched: anything that already went through a shuffle
+    is as wide as the shuffle-partition setting."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — e.g. streaming/local relations
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -310,7 +324,8 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       max_bucket_size: int | None = None) -> DataFrame:
     """SimHash near-dup pairs: band the 64 bits into ``max_hamming+1``
     near-equal chunks, bucket-join on any shared chunk, verify exact
     hamming via bit_count.
@@ -321,18 +336,41 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
     recall is 1.0 for the requested radius, for ANY max_hamming up to
     63. (The round-1 version fixed 4 x 16-bit chunks, which only
     guarantees hamming <= 3; wider radii silently lost pairs.)
-    Trade-off: larger radii mean narrower chunks, hence fuller
-    buckets — the candidate volume grows as radius/selectivity
-    trade, which is inherent to hamming LSH, not this encoding."""
+
+    Hot-bucket behavior: radius 8 means 9 chunks of ~7 bits — at most
+    ~128 distinct values per chunk, so on a low-entropy corpus the
+    buckets concentrate and the in-bucket self-join goes quadratic in
+    DOCS. The guard is to generate and verify candidates over DISTINCT
+    FINGERPRINTS instead: duplicate and boilerplate-heavy corpora (the
+    case that melts simhash buckets) collapse to few distinct 64-bit
+    values, the bucket join + hamming verify run on those, and only
+    VERIFIED fingerprint pairs expand back to doc pairs — work that is
+    proportional to true output, which no all-pairs contract can avoid.
+    Exactness is fully preserved (same output set, pinned in tests);
+    a million identical docs now cost one fingerprint row in the
+    candidate stage instead of 10^12 candidate pairs.
+
+    ``max_bucket_size`` (opt-in, changes results): additionally skip
+    (chunk_id, chunk_val) buckets holding more than this many DISTINCT
+    fingerprints. This caps the candidate stage even on adversarial
+    many-distinct-but-clustered corpora, at a documented recall cost:
+    a pair is lost only if EVERY chunk it shares sits in an oversized
+    bucket. Off in the oracled query.
+
+    Output: id_a, id_b, hamming (id_a < id_b)."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
     widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0)
               for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    sh = simhash64(docs, id_col)
-    chunks = sh.select(
-        id_col, "simhash",
+    # membership feeds the candidate stage (distinct) and the two
+    # expansion joins; signature-width persist, same rationale as the
+    # minhash banding persist above.
+    sh = simhash64(docs, id_col).persist()
+    fps = sh.select("simhash").distinct()
+    chunks = fps.select(
+        "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk_id"),
                      (F.shiftrightunsigned("simhash", offsets[i])
@@ -340,14 +378,31 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
                       else F.col("simhash"))
                      .alias("chunk_val"))
             for i in range(n_chunks)])).alias("c"))
-    chunks = chunks.select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
-    a = chunks.select(F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("sim_a"), "chunk_id", "chunk_val")
-    b = chunks.select(F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("sim_b"), "chunk_id", "chunk_val")
-    cand = (a.join(b, ["chunk_id", "chunk_val"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    chunks = chunks.select("simhash", "c.chunk_id", "c.chunk_val")
+    if max_bucket_size is not None:
+        bn = (chunks.groupBy("chunk_id", "chunk_val")
+              .agg(F.count("*").alias("__bn")))
+        chunks = (chunks.join(bn, ["chunk_id", "chunk_val"])
+                  .filter(F.col("__bn") <= max_bucket_size).drop("__bn"))
+    a = chunks.select(F.col("simhash").alias("sim_a"), "chunk_id", "chunk_val")
+    b = chunks.select(F.col("simhash").alias("sim_b"), "chunk_id", "chunk_val")
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+    fp_pairs = (a.join(b, ["chunk_id", "chunk_val"])
+                .filter(F.col("sim_a") < F.col("sim_b"))
+                .select("sim_a", "sim_b").distinct()
+                .withColumn("hamming", ham)
                 .filter(F.col("hamming") <= max_hamming))
+    # expand verified fingerprint pairs to doc pairs (cross members,
+    # normalize id order — fingerprints differ so no self/mirror dups)
+    ma = sh.select(F.col("simhash").alias("sim_a"), F.col(id_col).alias("da"))
+    mb = sh.select(F.col("simhash").alias("sim_b"), F.col(id_col).alias("db"))
+    cross = (fp_pairs.join(ma, "sim_a").join(mb, "sim_b")
+             .select(F.least("da", "db").alias("id_a"),
+                     F.greatest("da", "db").alias("id_b"), "hamming"))
+    # same-fingerprint pairs are hamming 0 — always within radius
+    sa = sh.select("simhash", F.col(id_col).alias("id_a"))
+    sb = sh.select("simhash", F.col(id_col).alias("id_b"))
+    same = (sa.join(sb, "simhash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(0).alias("hamming")))
+    return cross.unionByName(same)

@@ -336,6 +336,47 @@ def test_simhash_radius_guarantee(spark):
             f"radius {radius}: missed {expected - got}, extra {got - expected}")
 
 
+def test_simhash_hot_bucket_worst_case(spark):
+    """The hot-bucket guard (VERDICT r2 #5): a duplicate-heavy corpus —
+    the case that used to melt the chunk buckets — collapses to few
+    DISTINCT fingerprints in the candidate stage, so candidate volume
+    is bounded by distinct² while the output stays the exact all-pairs
+    answer. Checked against a brute-force cross product of fingerprints
+    (which is tiny precisely because the corpus is low-entropy)."""
+    from itertools import combinations
+    base = load_table(spark, SF, "documents").limit(4)
+    # 4 distinct texts x 50 copies = 200 docs, 4-ish fingerprints;
+    # the OLD doc-level candidate stage would generate ~9 * 200² rows
+    copies = None
+    for i in range(50):
+        c = base.select((F.col("doc_id") + 10_000 * i).alias("doc_id"),
+                        "text", "lang", "source", "n_chars")
+        copies = c if copies is None else copies.unionByName(c)
+    sims = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash64(copies).collect()}
+    assert len(set(sims.values())) <= 8  # low-entropy premise holds
+    radius = 8
+    expected = {tuple(sorted((a, b)))
+                for a, b in combinations(sims, 2)
+                if bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+                <= radius}
+    got = {tuple(sorted((r["id_a"], r["id_b"])))
+           for r in dedup.simhash_near_pairs(copies, max_hamming=radius)
+           .collect()}
+    assert expected == got, (
+        f"missed {len(expected - got)}, extra {len(got - expected)}")
+
+    # opt-in hard cap: even with every cross-fingerprint bucket
+    # suppressed, identical-fingerprint pairs survive (they never ride
+    # through the bucket join), so exact duplicates are never lost
+    capped = {tuple(sorted((r["id_a"], r["id_b"])))
+              for r in dedup.simhash_near_pairs(copies, max_hamming=radius,
+                                                max_bucket_size=1).collect()}
+    same_fp = {tuple(sorted((a, b)))
+               for a, b in combinations(sims, 2) if sims[a] == sims[b]}
+    assert same_fp <= capped <= expected
+
+
 def test_deterministic_sampling_properties(spark):
     """Rate lands near target, membership survives repartitioning
     (partition-layout independence is the whole point vs rand(seed)),
