@@ -372,34 +372,42 @@ FROM ranked WHERE rank <= 30
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals (the Gopher/C4-style quality
     filters a curation pass thresholds on): duplicate-bigram fraction
-    (1 - distinct/total) and the corpus's most-repeated-token share
-    (count of the doc's most frequent token / token count). All array
-    expressions over the token list — per-row, no shuffle; the
-    per-token count scan is O(tokens^2) per doc, bounded by the doc
-    length cap a real pipeline enforces upstream."""
+    (1 - distinct/total) and the doc's most-repeated-token share
+    (count of the doc's most frequent token / token count).
+
+    The bigram stats are per-row array expressions (no shuffle). The
+    top-token count used to be a per-row O(tokens²) nested array scan
+    — fine under an upstream length cap, fatal without one. It is now
+    explode → groupBy(doc_id, token) → max per doc: linear in tokens,
+    partial-aggregated map-side so the shuffle carries one row per
+    distinct (doc, token) per map partition, and a doc of any length
+    is handled. Null texts produce no exploded rows; the left join
+    keeps their top_token_frac null, matching the array semantics."""
     d = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n = F.size(toks)
+    base = d.select("doc_id", toks.alias("toks"))
+    top = (base.select("doc_id", F.explode("toks").alias("tok"))
+           .groupBy("doc_id", "tok").agg(F.count("*").alias("__c"))
+           .groupBy("doc_id").agg(F.max("__c").alias("__top")))
+    n = F.size("toks")
     bigrams = F.when(
         n >= 2,
         F.transform(F.sequence(F.lit(1), n - 1),
-                    lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                                          F.element_at(toks, i + 1)))
+                    lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                                          F.element_at("toks", i + 1)))
     ).otherwise(F.array().cast("array<string>"))
     n_big = F.size(bigrams)
     dup_frac = F.when(
         n_big > 0,
         1.0 - F.size(F.array_distinct(bigrams)).cast("double") / n_big
     ).otherwise(F.lit(0.0))
-    top_count = F.array_max(
-        F.transform(toks, lambda t: F.size(F.filter(toks,
-                                                    lambda x: x == t))))
-    return d.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        n_big.alias("n_bigrams"),
-        dup_frac.alias("dup_bigram_frac"),
-        (top_count.cast("double") / n).alias("top_token_frac"))
+    return (base.join(top, "doc_id", "left")
+            .select(
+                "doc_id",
+                n.alias("n_tokens"),
+                n_big.alias("n_bigrams"),
+                dup_frac.alias("dup_bigram_frac"),
+                (F.col("__top").cast("double") / n).alias("top_token_frac")))
 
 
 _REPETITION_SQL = r"""
