@@ -191,6 +191,13 @@ _TAIL = [
                                     # ANN method vs brute force,
                                     # computed distributively —
                                     # floors pinned in pytest
+    "semantic_dedup_keepers",       # SemDeDup: embedding near-dup
+                                    # components keep their highest-
+                                    # QUALITY member (embeddings ⋈
+                                    # documents fusion); oracled in
+                                    # pytest — the embedding-dedup
+                                    # driver slot stays with
+                                    # embedding_near_dup_pairs
 ]
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup, multimodal, similarity
 from ..sources.tables import load_table
 from . import Q
+from .text_queries import _SW_ARRAY
 
 _QUERY_IDS = [0, 1, 2, 3, 4]
 _TOPK = 10
@@ -248,6 +249,97 @@ FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_reduce(list_transform(list_zip(a.v, b.v),
           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
         (x, y) -> x + y) / (a.norm * b.norm) >= 0.35
+"""
+
+
+def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embedding-space near-duplicates
+    (cosine >= threshold, transitively closed), then keep the
+    HIGHEST-QUALITY member of each cluster instead of an arbitrary
+    one — fusing the embedding near-dup machinery with the text
+    quality signals across the embeddings ⋈ documents tables
+    (vec_id = doc_id in the fixture corpus).
+
+    Scale shape: pairs come from the blocked exact-cosine generator
+    (hot blocks route to sign-LSH via max_block_size at 100 TB — off
+    here for oracle exactness), components from min-label propagation
+    with per-round lineage truncation, and keeper choice is one
+    window over (component) ordered by (quality desc, id) — a single
+    component-width shuffle. Nothing is corpus-quadratic.
+
+    Output: vec_id, component, keeper_id, quality_score, is_kept."""
+    from ..operators import graph
+    from .text_queries import doc_quality_scores
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(e, block_cols=["label"],
+                                             threshold=0.35)
+    comp = (graph.connected_components(pairs.select("id_a", "id_b"))
+            .withColumnRenamed("id", "vec_id"))
+    q = doc_quality_scores(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "quality_score")
+    members = (e.select("vec_id")
+               .join(comp, "vec_id", "left")
+               .select("vec_id",
+                       F.coalesce("component", F.col("vec_id"))
+                        .alias("component"))
+               .join(q, "vec_id"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("component")
+         .orderBy(F.col("quality_score").desc(), F.col("vec_id")))
+    return (members
+            .withColumn("keeper_id", F.first("vec_id").over(w))
+            .select("vec_id", "component", "keeper_id", "quality_score",
+                    (F.col("vec_id") == F.col("keeper_id")).alias("is_kept")))
+
+
+_SEMANTIC_SQL = f"""
+WITH RECURSIVE pairs AS ({_EMB_NEAR_SQL.strip()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS id, a AS comp FROM edges
+  UNION
+  SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON r.id = e.a
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+qt AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+           AS solid_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         (CAST(len(list_filter(toks, x -> x IN ({_SW_ARRAY}))) AS DOUBLE)
+            / len(toks)) * 0.4
+         + ((solid_chars / len(toks)) / 10.0) * 0.3
+         + least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+           AS quality_score
+  FROM qt
+),
+m AS (
+  SELECT e.vec_id,
+         coalesce(c.component, e.vec_id) AS component,
+         q.quality_score
+  FROM embeddings e
+  LEFT JOIN comp c ON e.vec_id = c.id
+  JOIN q ON q.doc_id = e.vec_id
+)
+SELECT vec_id, component,
+       first_value(vec_id) OVER (
+         PARTITION BY component
+         ORDER BY quality_score DESC, vec_id) AS keeper_id,
+       quality_score,
+       vec_id = first_value(vec_id) OVER (
+         PARTITION BY component
+         ORDER BY quality_score DESC, vec_id) AS is_kept
+FROM m
 """
 
 
@@ -508,6 +600,7 @@ QUERIES: dict[str, Q] = {
     "ivf_topk_trained": Q(ivf_topk_trained, None),
     "ivf_topk_quantized": Q(ivf_topk_quantized, None),
     "embedding_near_dup_pairs": Q(embedding_near_dup_pairs, _EMB_NEAR_SQL),
+    "semantic_dedup_keepers": Q(semantic_dedup_keepers, _SEMANTIC_SQL),
     "label_centroid_components": Q(label_centroid_components, _CENTROID_SQL),
     "embedding_quantization_error": Q(embedding_quantization_error,
                                       _QUANT_SQL),
