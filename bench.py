@@ -44,13 +44,18 @@ def main() -> None:
     spark = get_session("bench")
     registry = all_queries()
 
-    # JVM/codegen warm-up outside the timings (tiny SF, same plans).
-    # Guarded: a broken warm-up must not take the whole bench down.
-    try:
-        registry["flagship_latest_mid"].spark(
-            spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-    except Exception as exc:  # noqa: BLE001
-        print(f"warmup failed: {exc!r}", file=sys.stderr)
+    # JVM/codegen warm-up outside the timings: run every headline
+    # query once at the tiny SF so each timed run measures the
+    # steady-state plan, not its first-run whole-stage-codegen compile
+    # (the 64-min-aggregate minhash plan alone costs ~2 s of javac on
+    # first execution). Guarded per query: a broken warm-up must not
+    # take the bench down.
+    for name in HEADLINE:
+        try:
+            registry[name].spark(
+                spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            print(f"warmup {name} failed: {exc!r}", file=sys.stderr)
 
     # Per-query failure isolation: one red query records an error
     # string and the suite keeps going — the bench signal degrades
