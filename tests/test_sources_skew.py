@@ -121,3 +121,73 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_jsonl_source_dead_letters_malformed(spark, tmp_path):
+    """Batch file ingest (sources/formats.py): schema-explicit JSONL
+    read routes malformed records to a dead-letter frame with the raw
+    line preserved — the batch analogue of K5 — instead of killing the
+    job or silently nulling (the reference trusts resp.json() blindly;
+    one bad payload kills its worker)."""
+    from pyspark.sql import types as T
+
+    from stockanalyses_downloader_spark.sources import formats
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text("\n".join([
+        '{"pair": "btcusd", "last": 10.5, "n": 3}',
+        'this is not json at all',
+        '{"pair": "etheur", "last": "NOT_A_NUMBER", "n": 1}',
+        '{"pair": "xrpusd", "last": 0.5, "n": 7}',
+    ]) + "\n")
+    schema = T.StructType([
+        T.StructField("pair", T.StringType()),
+        T.StructField("last", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+    good, dead = formats.read_jsonl(spark, str(p), schema)
+    assert good.columns == ["pair", "last", "n"]
+    assert sorted(r["pair"] for r in good.collect()) == ["btcusd", "xrpusd"]
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 2
+    raws = " ".join(r[formats.CORRUPT_COL] for r in dead_rows)
+    assert "not json" in raws and "NOT_A_NUMBER" in raws
+
+
+def test_csv_source_round_trip_and_dead_letters(spark, tmp_path):
+    """CSV twin: a type-violating row dead-letters; clean rows parse
+    to the explicit schema (never inferSchema — a schema pass over
+    100 TB doubles the read)."""
+    from pyspark.sql import types as T
+
+    from stockanalyses_downloader_spark.sources import formats
+
+    p = tmp_path / "ticks.csv"
+    p.write_text("pair,last,n\n"
+                 "btcusd,10.5,3\n"
+                 "etheur,oops,1\n"
+                 "xrpusd,0.5,7\n")
+    schema = T.StructType([
+        T.StructField("pair", T.StringType()),
+        T.StructField("last", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+    good, dead = formats.read_csv(spark, str(p), schema)
+    assert sorted(r["pair"] for r in good.collect()) == ["btcusd", "xrpusd"]
+    assert [r[formats.CORRUPT_COL] for r in dead.collect()] == ["etheur,oops,1"]
+
+
+def test_jsonl_writer_round_trips(spark, tmp_path):
+    """write_jsonl -> read_jsonl round trip preserves values and no
+    rows dead-letter."""
+    from stockanalyses_downloader_spark.sources import formats
+
+    src = synthetic.ticks(spark, SF).select("tick_id", "isin", "last_price")
+    out = str(tmp_path / "export")
+    formats.write_jsonl(src, out)
+    good, dead = formats.read_jsonl(spark, out, src.schema)
+    assert dead.isEmpty()
+    assert good.count() == src.count()
+    a = {(r["tick_id"], r["isin"], r["last_price"]) for r in good.collect()}
+    b = {(r["tick_id"], r["isin"], r["last_price"]) for r in src.collect()}
+    assert a == b
