@@ -198,6 +198,11 @@ _TAIL = [
                                     # pytest — the embedding-dedup
                                     # driver slot stays with
                                     # embedding_near_dup_pairs
+    "corpus_datacard",              # per-(lang, source) release
+                                    # report: volume, mean quality,
+                                    # exact-dup fraction; oracled in
+                                    # pytest — agg family's driver
+                                    # slot stays with pricing_summary
 ]
 
 

@@ -877,7 +877,68 @@ FROM o
 """
 
 
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) dataset report card — the rollup a corpus
+    owner publishes alongside a release: volume (docs/tokens/chars),
+    mean quality, and the exact-duplicate fraction (share of docs
+    whose text digest occurs more than once corpus-wide).
+
+    Scale shape: one digest-width groupBy for corpus-wide dup counts
+    (16-byte keys, map-side combined), one broadcast-back join, one
+    (lang, source) aggregate — all shuffle keys are narrow, nothing
+    is document-width after the first projection. Float discipline:
+    mean_quality accumulates in DECIMAL then casts to double, so the
+    group mean is partitioning-order-independent and hash-matches the
+    oracle; the other means divide exact integer sums."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    q = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    base = d.select("doc_id", "lang", "source",
+                    F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("__dig"),
+                    F.size(toks).alias("__nt"),
+                    F.length("text").alias("__nc"))
+    dupn = base.groupBy("__dig").agg(F.count("*").alias("__dn"))
+    j = base.join(dupn, "__dig").join(q, "doc_id")
+    n = F.count("*")
+    return (j.groupBy("lang", "source")
+            .agg(n.alias("n_docs"),
+                 F.sum("__nt").cast("long").alias("total_tokens"),
+                 (F.sum(F.col("quality_score").cast("decimal(30,15)"))
+                   .cast("double") / n).alias("mean_quality"),
+                 (F.sum(F.when(F.col("__dn") > 1, 1).otherwise(0))
+                   .cast("double") / n).alias("dup_frac"),
+                 (F.sum("__nc").cast("double") / n).alias("mean_chars")))
+
+
+_DATACARD_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         md5(coalesce(text, '')) AS dig,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS nt,
+         length(text) AS nc
+  FROM documents
+),
+c AS (SELECT dig, count(*) AS dn FROM t GROUP BY dig),
+q AS ({_QUALITY_SQL.strip()}),
+j AS (
+  SELECT t.lang, t.source, t.nt, t.nc, c.dn, q.quality_score
+  FROM t JOIN c USING (dig) JOIN q USING (doc_id)
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(quality_score AS DECIMAL(30,15))) AS DOUBLE)
+         / count(*) AS mean_quality,
+       CAST(sum(CASE WHEN dn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_frac,
+       CAST(sum(nc) AS DOUBLE) / count(*) AS mean_chars
+FROM j
+GROUP BY lang, source
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "corpus_datacard": Q(corpus_datacard, _DATACARD_SQL),
     "corpus_curation_decisions": Q(corpus_curation_decisions, _CURATION_SQL),
     "top_tokens": Q(top_tokens, _TOP_TOKENS_SQL),
     "doc_tfidf_top_terms": Q(doc_tfidf_top_terms, _TFIDF_SQL),
