@@ -203,6 +203,10 @@ _TAIL = [
                                     # exact-dup fraction; oracled in
                                     # pytest — agg family's driver
                                     # slot stays with pricing_summary
+    "approx_order_value_percentiles",  # rows-only; mergeable-sketch
+                                    # percentiles (the 100 TB path);
+                                    # rank-error bound vs the exact
+                                    # query pinned in pytest
 ]
 
 

@@ -771,6 +771,27 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def approx_order_value_percentiles(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles: ``approx_percentile`` with accuracy
+    10000 — the 100 TB path the exact query's docstring points at.
+    Exact percentiles need a per-group sort of every value; the
+    approx aggregate keeps a bounded mergeable sketch per partition
+    (one pass, map-side combined, no sort), which is the only shape
+    that survives a trillion-row group. Rows-only for the driver
+    (DuckDB's approx sketch differs); the error vs the exact query is
+    pinned in pytest (rank error <= 1/accuracy by construction)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.approx_percentile("o_totalprice", F.lit(0.5),
+                                      F.lit(10000)).alias("p50"),
+                  F.approx_percentile("o_totalprice", F.lit(0.9),
+                                      F.lit(10000)).alias("p90"),
+                  F.approx_percentile("o_totalprice", F.lit(0.99),
+                                      F.lit(10000)).alias("p99"),
+                  F.count("*").alias("n_orders")))
+
+
 def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bound histogram via width_bucket (bucket 0 / n+1 catch
     out-of-range) — single shuffle on the bucket id."""
@@ -850,6 +871,7 @@ QUERIES: dict[str, Q] = {
     "top_suppliers_by_revenue": Q(top_suppliers_by_revenue, _Q15_SQL),
     "rich_inactive_customers": Q(rich_inactive_customers, _Q22_SQL),
     "order_value_percentiles": Q(order_value_percentiles, _PCT_SQL),
+    "approx_order_value_percentiles": Q(approx_order_value_percentiles, None),
     "event_value_histogram": Q(event_value_histogram, _HIST_SQL),
     "event_props_extract": Q(event_props_extract, _JSON_SQL),
 }

@@ -43,6 +43,13 @@ def get_session(app_name: str = "stockanalyses_downloader_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Runtime bloom-filter semi-join reduction: on a selective
+        # fact⋈fact join the build side's keys prune the probe side's
+        # SCAN before the shuffle — at 100 TB this is the difference
+        # between shuffling the full probe table and shuffling only
+        # rows that can match. No-op on broadcast joins (already
+        # pruned) and local toy sizes; free to leave on.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

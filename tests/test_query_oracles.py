@@ -35,3 +35,23 @@ def test_no_query_is_vacuously_empty(spark, sf_dir):
     empties = [name for name, q in _ALL.items()
                if q.spark(spark, sf_dir).limit(1).count() == 0]
     assert not empties, f"vacuously empty queries: {empties}"
+
+
+def test_approx_percentiles_track_exact(spark, sf_dir):
+    """The sketch path (approx_percentile, accuracy 10000) must track
+    the exact sort-based percentiles: rank error is bounded by
+    n/accuracy <= a couple of ranks at test scale, so values land
+    within a tight relative band of the exact answer."""
+    from stockanalyses_downloader_spark.queries.relational_queries import (
+        approx_order_value_percentiles, order_value_percentiles)
+    exact = {r["o_orderstatus"]: r for r in
+             order_value_percentiles(spark, sf_dir).collect()}
+    approx = {r["o_orderstatus"]: r for r in
+              approx_order_value_percentiles(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for status, e in exact.items():
+        a = approx[status]
+        assert a["n_orders"] == e["n_orders"]
+        for p in ("p50", "p90", "p99"):
+            assert abs(a[p] - e[p]) <= 0.05 * abs(e[p]) + 1e-9, (
+                f"{status}/{p}: approx={a[p]} exact={e[p]}")
