@@ -5,9 +5,19 @@ process memory, main.py:293-353).
 ``running_pair_stats`` maintains per-key cumulative tick statistics
 (count, volume, last price, min/max) across micro-batches — the
 streaming-native generalization of the reference's mutable per-job
-dict. State is explicit, checkpointed, and bounded per key; a timeout
-would evict idle pairs (GroupStateTimeout.ProcessingTimeTimeout) — kept
-NoTimeout here so tests are deterministic.
+dict. State is explicit, checkpointed, and bounded per key.
+
+State is also bounded ACROSS keys when ``idle_timeout_ms`` is set:
+idle pairs are evicted via GroupStateTimeout.ProcessingTimeTimeout —
+a key that receives no data for the timeout duration has its state
+removed at the next micro-batch, so total state size tracks the
+active key set, not the lifetime key universe. At 100 TB / year-long
+feeds the key universe (pairs × venues, or fingerprints in the dedup
+path) is unbounded; an engine that never evicts eventually spills
+the state store on every executor. The trade is explicit and the
+default (``None`` = NoTimeout) is right for bounded backfills:
+eviction means a key returning after the TTL restarts its running
+stats from zero.
 
 This is the sanctioned escape hatch when windowed aggregation can't
 express the semantics (cross-window running state). Everything that CAN
@@ -37,35 +47,61 @@ _STATE_SCHEMA = ("n_ticks long, total_volume double, last_price double, "
                  "min_price double, max_price double")
 
 
-def _update(key: tuple, batches: Iterator[pd.DataFrame],
-            state: GroupState) -> Iterator[pd.DataFrame]:
-    (pair,) = key
-    if state.exists:
-        n, vol, last, mn, mx = state.get
-    else:
-        n, vol, last, mn, mx = 0, 0.0, None, None, None
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "last_price"])
-        n += len(pdf)
-        vol += float(pdf["volume"].sum())
-        last = float(pdf["last_price"].iloc[-1])
-        lo = float(pdf["last_price"].min())
-        hi = float(pdf["last_price"].max())
-        mn = lo if mn is None else min(mn, lo)
-        mx = hi if mx is None else max(mx, hi)
-    state.update((n, vol, last, mn, mx))
-    yield pd.DataFrame([{"pair": pair, "n_ticks": n, "total_volume": vol,
-                         "last_price": last, "min_price": mn,
-                         "max_price": mx}])
+def _make_update(idle_timeout_ms: int | None):
+    """Build the per-key update fn. A closure (not functools.partial)
+    because applyInPandasWithState pickles the callable to executors
+    and requires the exact (key, batches, state) arity."""
+
+    def _update(key: tuple, batches: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Eviction path: the key saw no data for idle_timeout_ms.
+            # Drop the state and emit nothing — the last emitted stats
+            # row stands as the key's final word; a later return of the
+            # key starts from zero (documented trade in the module
+            # docstring).
+            state.remove()
+            return
+        (pair,) = key
+        if state.exists:
+            n, vol, last, mn, mx = state.get
+        else:
+            n, vol, last, mn, mx = 0, 0.0, None, None, None
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "last_price"])
+            n += len(pdf)
+            vol += float(pdf["volume"].sum())
+            last = float(pdf["last_price"].iloc[-1])
+            lo = float(pdf["last_price"].min())
+            hi = float(pdf["last_price"].max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        state.update((n, vol, last, mn, mx))
+        if idle_timeout_ms is not None:
+            # re-arm on every batch that carries data for the key
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame([{"pair": pair, "n_ticks": n,
+                             "total_volume": vol, "last_price": last,
+                             "min_price": mn, "max_price": mx}])
+
+    return _update
 
 
-def running_pair_stats(ticks: DataFrame, key: str = "pair") -> DataFrame:
+def running_pair_stats(ticks: DataFrame, key: str = "pair",
+                       idle_timeout_ms: int | None = None) -> DataFrame:
     """Streaming DataFrame in (pair, bid/ask/last_price/volume/ts) ->
-    one updated stats row per key per micro-batch (update output mode)."""
+    one updated stats row per key per micro-batch (update output mode).
+
+    ``idle_timeout_ms``: when set, per-key state is EVICTED after the
+    key has been idle that long (ProcessingTimeTimeout) — the
+    unbounded-key-universe guard. ``None`` keeps state forever (exact
+    running totals for bounded backfills)."""
+    timeout = (GroupStateTimeout.NoTimeout if idle_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (ticks.groupBy(key)
             .applyInPandasWithState(
-                _update,
+                _make_update(idle_timeout_ms),
                 outputStructType=STATS_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))

@@ -196,6 +196,64 @@ def test_stateful_running_pair_stats(spark, tmp_path):
         assert got["max_price"] == exp["mx"]
 
 
+def test_stateful_idle_state_eviction(spark, tmp_path):
+    """ProcessingTimeTimeout evicts idle keys (the unbounded-key-
+    universe guard): pair A's state, idle for > idle_timeout_ms while
+    batch 2 carries only pair B, is REMOVED — when A returns in batch
+    3 its running count restarts from zero instead of resuming. The
+    NoTimeout control run on the same files keeps cumulative state
+    (3 -> 7), pinning that the eviction is the timeout's doing."""
+    import time
+    from datetime import datetime
+    from stockanalyses_downloader_spark.streaming import stateful
+
+    schema = ("pair string, bid double, ask double, last_price double, "
+              "volume double, ts timestamp")
+
+    def mk(pair, n, minute):
+        return spark.createDataFrame(
+            [(pair, 1.0, 2.0, float(i + 1), 1.0,
+              datetime(2024, 1, 1, 0, minute, i)) for i in range(n)],
+            schema)
+
+    src = str(tmp_path / "evict_src")
+    # three files -> maxFilesPerTrigger=1 -> three ordered micro-batches
+    mk("aaa", 3, 0).coalesce(1).write.parquet(src)
+    time.sleep(0.2)  # distinct mtimes pin file-source batch order
+    mk("bbb", 2, 1).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.2)
+    mk("aaa", 4, 2).coalesce(1).write.mode("append").parquet(src)
+
+    def run(name, idle_timeout_ms):
+        stream = sources.file_tick_stream(
+            spark, src,
+            schema=spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1)
+        stats = stateful.running_pair_stats(
+            stream, idle_timeout_ms=idle_timeout_ms)
+        q = (stats.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / name))
+             .start())
+        q.awaitTermination(120)
+        q.stop()
+        return spark.sql(f"SELECT pair, n_ticks FROM {name}").collect()
+
+    # control: NoTimeout -> cumulative across the idle gap
+    control = run("evict_off", None)
+    assert sorted((r.pair, r.n_ticks) for r in control if r.pair == "aaa") \
+        == [("aaa", 3), ("aaa", 7)]
+
+    # eviction: 1 ms idle timeout expires during batch 2 (wall-clock
+    # between micro-batches >> 1 ms) -> batch-3 state starts fresh
+    evicted = run("evict_on", 1)
+    a_rows = sorted((r.pair, r.n_ticks) for r in evicted if r.pair == "aaa")
+    assert a_rows == [("aaa", 3), ("aaa", 4)], a_rows
+    # untouched keys stay correct
+    assert [(r.pair, r.n_ticks) for r in evicted if r.pair == "bbb"] \
+        == [("bbb", 2)]
+
+
 def test_streaming_session_windows_match_batch(spark, tmp_path):
     """Native session_window sessionization: the SAME groupBy binds to
     a stream (complete mode, bounded source) and emits sessions
