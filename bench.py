@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from stockanalyses_downloader_spark.caching import release_tracked  # noqa: E402
 from stockanalyses_downloader_spark.queries import all_queries  # noqa: E402
 from stockanalyses_downloader_spark.session import (DEFAULT_SF_DIR,  # noqa: E402
                                                     get_session)
@@ -56,6 +57,10 @@ def main() -> None:
                 spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001
             print(f"warmup {name} failed: {exc!r}", file=sys.stderr)
+        finally:
+            # persist-lifecycle hygiene: warm-up caches are sf0.001
+            # plans, useless to the timed sf runs — drop them
+            release_tracked()
 
     # Per-query failure isolation: one red query records an error
     # string and the suite keeps going — the bench signal degrades
@@ -71,12 +76,22 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - start, 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+        finally:
+            # release AFTER the timing stops: within-query persists are
+            # part of the measured plan; carrying them into the NEXT
+            # query is the leak (headline queries share no subplans at
+            # the same SF, so this doesn't change what's measured)
+            release_tracked()
 
-    total = round(sum(timings.values()), 3)
+    # value is the cross-round comparison number — a partial sum is
+    # not comparable to a full one, so report null when any query
+    # errored (n_ok + per-query timings still tell the whole story)
+    total = round(sum(timings.values()), 3) if not errors else None
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "n_ok": len(timings),
         "queries": timings,
         "sf": sf,
     }

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 # deterministic universal-hash family for MinHash: h_j(x) = (a_j*x+b_j)
 # mod p over 31-bit reduced base hashes. 31-bit operands keep every
 # product under 2^63 (Spark runs ANSI mode: silent wraparound is an
@@ -277,14 +279,14 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
     # pair expansion saves one exchange but runs 1.4x SLOWER at sf0.1 —
     # the in-bucket combination expansion is interpreted higher-order
     # code, while the self-join stays in codegen. Join wins.)
-    banded = (banded.select(id_col, "band.band_id", "band.band_hash")
-              .persist())
+    banded = tracked_persist(
+        banded.select(id_col, "band.band_id", "band.band_hash"))
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    cand = (a.join(b, ["band_id", "band_hash"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct()
-             .persist())
+    cand = tracked_persist(
+        a.join(b, ["band_id", "band_hash"])
+         .filter(F.col("id_a") < F.col("id_b"))
+         .select("id_a", "id_b").distinct())
     # verify only the docs that appear in candidate pairs: shingle
     # recomputation is proportional to candidates, not corpus
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
@@ -367,7 +369,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
     # membership feeds the candidate stage (distinct) and the two
     # expansion joins; signature-width persist, same rationale as the
     # minhash banding persist above.
-    sh = simhash64(docs, id_col).persist()
+    sh = tracked_persist(simhash64(docs, id_col))
     fps = sh.select("simhash").distinct()
     chunks = fps.select(
         "simhash",

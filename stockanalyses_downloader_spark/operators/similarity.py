@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ..caching import tracked_persist
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -75,13 +77,13 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
     don't stack. Empty clusters keep their previous centroid.
     Returns (centroid_id, cv array<double>, cnorm)."""
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
-    e = e.withColumn("norm", l2_norm(F.col("v"))).persist()
+    e = tracked_persist(e.withColumn("norm", l2_norm(F.col("v"))))
     w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
     cent = (e.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= k)
             .select((F.col("__r") - 1).cast("int").alias("centroid_id"),
-                    F.col("v").alias("cv"), F.col("norm").alias("cnorm"))
-            .persist())
+                    F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+    cent = tracked_persist(cent)
     cent.count()
     for _ in range(n_iter):
         scored = (e.crossJoin(F.broadcast(cent))
@@ -109,8 +111,8 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
                   .join(newc, "centroid_id", "left")
                   .select("centroid_id",
                           F.coalesce("cv", "__old_cv").alias("cv"),
-                          F.coalesce("cnorm", "__old_n").alias("cnorm"))
-                  .persist())
+                          F.coalesce("cnorm", "__old_n").alias("cnorm")))
+        merged = tracked_persist(merged)
         merged.count()
         cent.unpersist()
         cent = merged
@@ -154,7 +156,7 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     and n_probe=4 for the production shape — trained centroids are
     what make a small probe fraction honest."""
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
-    e = e.withColumn("norm", l2_norm(F.col("v"))).persist()
+    e = tracked_persist(e.withColumn("norm", l2_norm(F.col("v"))))
 
     # default centroids = n_centroids pseudo-random corpus vectors,
     # selected by a distributed TakeOrdered on a hash of the id —
@@ -182,11 +184,11 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     # persist the assignment: it feeds both the candidate side and the
     # (tiny) list-size aggregate below — one scan, not two. persist()
     # is lazy, so nothing runs at build time.
-    lists = (ranked(e.filter(~F.col(id_col).isin(query_ids)))
-             .filter(F.col("__r") == 1)
-             .select(id_col, "v", "norm",
-                     F.col("centroid_id").alias("list_id"))
-             .persist())
+    lists = tracked_persist(
+        ranked(e.filter(~F.col(id_col).isin(query_ids)))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "v", "norm",
+                F.col("centroid_id").alias("list_id")))
     list_sizes = (lists.groupBy("list_id")
                   .agg(F.count("*").alias("__lsz"))
                   .withColumnRenamed("list_id", "__sz_list"))
@@ -448,11 +450,11 @@ def ivf_topk_quantized(embeddings: DataFrame, query_ids: list[int],
     # same adaptive probe-depth rule as ivf_topk (see its docstring):
     # n_probe is a floor, widened in-plan until the probed lists hold
     # k * probe_oversample candidates.
-    lists = (ranked(e.filter(~F.col(id_col).isin(query_ids)))
-             .filter(F.col("__r") == 1)
-             .select(id_col, "v", "recon", "norm", "rnorm",
-                     F.col("centroid_id").alias("list_id"))
-             .persist())
+    lists = tracked_persist(
+        ranked(e.filter(~F.col(id_col).isin(query_ids)))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "v", "recon", "norm", "rnorm",
+                F.col("centroid_id").alias("list_id")))
     list_sizes = (lists.groupBy("list_id")
                   .agg(F.count("*").alias("__lsz"))
                   .withColumnRenamed("list_id", "__sz_list"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..operators import dedup, multimodal, similarity
 from ..sources.tables import load_table
 from . import Q
@@ -559,8 +560,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid/hyperplane construction, and the recall FLOORS are
     pinned separately in pytest."""
     e = load_table(spark, sf_dir, "embeddings")
-    exact = (similarity.cosine_topk(e, _QUERY_IDS, k=_TOPK)
-             .select("query_id", "neighbor_id").persist())
+    exact = tracked_persist(
+        similarity.cosine_topk(e, _QUERY_IDS, k=_TOPK)
+        .select("query_id", "neighbor_id"))
     qframe = spark.createDataFrame([(q,) for q in _QUERY_IDS],
                                    "query_id long")
     methods = {

@@ -1,0 +1,63 @@
+"""Persist-lifecycle sweep (VERDICT r3 #2).
+
+Query-path operators persist() frames that feed multiple consumers;
+the handles are tracked (caching.tracked_persist) and a harness that
+runs many queries in one session releases them between queries
+(caching.release_tracked — bench.py does this per headline query).
+This sweep runs EVERY registry query in one session and pins the
+contract: after each query's release, the session's persisted-RDD
+count is back at the running floor — no cache accumulation across an
+87-query sweep.
+
+localCheckpoint blocks (graph.connected_components' lineage
+truncation) are the documented exception: they HOLD the result data,
+so their lifetime is the result frame's lifetime, and only the
+end-of-session ``release_all`` reaches them. The sweep asserts that
+exactly the known checkpointing queries raise the floor, and that
+``release_all`` returns the session to zero persisted RDDs.
+"""
+
+from __future__ import annotations
+
+from conftest import SF_SMALL
+
+from stockanalyses_downloader_spark import caching
+from stockanalyses_downloader_spark.queries import all_queries
+
+# Queries whose operators localCheckpoint (graph.connected_components /
+# dedup_keepers): the checkpoint RDD holds the component assignment and
+# must survive the per-query release.
+CHECKPOINTING = {
+    "near_dup_components",
+    "near_dup_components_star",
+    "semantic_dedup_keepers",
+}
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_registry_sweep_cache_returns_to_baseline(spark):
+    caching.release_all(spark)
+    assert _n_persistent(spark) == 0
+
+    floor = 0
+    leaked: dict[str, int] = {}
+    for name, q in all_queries().items():
+        q.spark(spark, SF_SMALL).write.format("noop").mode("overwrite").save()
+        caching.release_tracked()
+        now = _n_persistent(spark)
+        if now > floor:
+            if name in CHECKPOINTING:
+                floor = now  # checkpoint blocks live until release_all
+            else:
+                leaked[name] = now - floor
+                floor = now
+        elif now < floor:
+            floor = now  # ContextCleaner freed earlier checkpoints — fine
+    assert not leaked, f"queries leaking cached blocks: {leaked}"
+
+    # end-of-session full release reaches the checkpoint blocks too
+    caching.release_all(spark)
+    assert _n_persistent(spark) == 0
