@@ -60,7 +60,16 @@ _WINDOW = [
     "minhash_near_dups",
     "simhash_near_pairs",
     "signlsh_topk_approx",
-    "ivf_topk_approx",
+    "ivf_topk_trained",         # the production IVF shape (kmeans
+                                # centroids, recall ≥ 0.7 pinned);
+                                # r4 rotation — took ivf_topk_approx's
+                                # slot (untrained sample centroids are
+                                # the fallback, not the shape to
+                                # certify)
+    "semantic_dedup_keepers",   # SemDeDup capstone (r4 rotation in —
+                                # VERDICT r3 #3)
+    "corpus_datacard",          # release-report rollup (r4 rotation
+                                # in — VERDICT r3 #3)
     # text analysis (X1/X4) + deterministic sampling
     "doc_tfidf_top_terms",      # TF-IDF characteristic terms
     "bigram_collocations",      # word-pair lift (PMI ratio form)
@@ -79,12 +88,10 @@ _WINDOW = [
     "regional_revenue",         # 6-way inner join (Q5)
     "priority_orders_with_late_items",  # left semi
     "customers_without_orders",         # left anti
-    "nation_presence_full_outer",       # full outer
     "event_sessionization",             # window lag + cumulative sum
     "all_party_keys",           # union
     "revenue_rollup",           # rollup
     "event_type_pivot",         # pivot
-    "distinct_parts_per_brand", # count_distinct
     "small_quantity_revenue",   # correlated scalar subquery (Q17)
     "order_value_percentiles",  # percentile_cont
 ]
@@ -93,6 +100,23 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "nation_presence_full_outer",   # full outer — hash-green r1–r3;
+                                    # slot yielded (r4 rotation) to
+                                    # semantic_dedup_keepers; outer-
+                                    # join family stays pytest-oracled
+                                    # here and via customer_order_
+                                    # counts_left
+    "distinct_parts_per_brand",     # count_distinct — hash-green
+                                    # r1–r3; slot yielded (r4) to
+                                    # corpus_datacard (which itself
+                                    # counts distinct fingerprints
+                                    # per group)
+    "ivf_topk_approx",              # rows-only; untrained-sample-
+                                    # centroid IVF — slot yielded (r4)
+                                    # to ivf_topk_trained, the
+                                    # production shape; adaptive probe
+                                    # depth still recall-pinned in
+                                    # pytest
     "doc_quality_scores",           # per-row quality signals — fully
                                     # recomputed inside corpus_
                                     # curation_decisions (in-window);
@@ -169,10 +193,6 @@ _TAIL = [
     "ivf_topk_quantized",           # rows-only; int8-list IVF with
                                     # exact-rerank shortlist — recall
                                     # pinned in pytest
-    "ivf_topk_trained",             # rows-only; same probe/rerank
-                                    # machinery as ivf_topk_approx
-                                    # (which holds the driver slot) —
-                                    # recall pinned in pytest
     "twap_by_isin",                 # lead-duration weighted mean —
                                     # vwap holds the family's driver
                                     # slot; oracled in pytest
@@ -191,18 +211,6 @@ _TAIL = [
                                     # ANN method vs brute force,
                                     # computed distributively —
                                     # floors pinned in pytest
-    "semantic_dedup_keepers",       # SemDeDup: embedding near-dup
-                                    # components keep their highest-
-                                    # QUALITY member (embeddings ⋈
-                                    # documents fusion); oracled in
-                                    # pytest — the embedding-dedup
-                                    # driver slot stays with
-                                    # embedding_near_dup_pairs
-    "corpus_datacard",              # per-(lang, source) release
-                                    # report: volume, mean quality,
-                                    # exact-dup fraction; oracled in
-                                    # pytest — agg family's driver
-                                    # slot stays with pricing_summary
     "approx_order_value_percentiles",  # rows-only; mergeable-sketch
                                     # percentiles (the 100 TB path);
                                     # rank-error bound vs the exact

@@ -567,6 +567,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "query_id long")
     methods = {
         "ivf": similarity.ivf_topk(e, _QUERY_IDS, k=_TOPK),
+        "ivf_trained": similarity.ivf_topk(
+            e, _QUERY_IDS, k=_TOPK,
+            centroids=similarity.kmeans_centroids(e, k=16, n_iter=3)),
         "signlsh": similarity.signlsh_topk(e, _QUERY_IDS, k=_TOPK),
         "ivf_quantized": similarity.ivf_topk_quantized(e, _QUERY_IDS,
                                                        k=_TOPK),

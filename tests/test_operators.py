@@ -715,14 +715,19 @@ def test_decontamination_matches_python_oracle(spark):
 
 def test_ann_recall_report_floors(spark):
     """The self-evaluation query returns one row per method with
-    recall in [0, 1]; IVF (4/16 probes) must clear a 0.5 floor and
+    recall in [0, 1]. Floors reflect measured recall@10 on the test
+    corpus: untrained IVF at the default n_probe=8 measures 0.62
+    (floor 0.5); kmeans-trained IVF at the same probe depth measures
+    0.84 at sf0.001 / 0.86 at sf0.01 (floor 0.7 — the production
+    shape, the bar VERDICT r3 #5 set for the driver-window IVF row);
     the quantized variant must not fall behind plain IVF by more
     than the rerank oversample can explain."""
     from stockanalyses_downloader_spark.queries.similarity_queries import (
         ann_recall_report)
     rows = {r["method"]: r for r in ann_recall_report(spark, SF).collect()}
-    assert set(rows) == {"ivf", "signlsh", "ivf_quantized"}
+    assert set(rows) == {"ivf", "ivf_trained", "signlsh", "ivf_quantized"}
     for r in rows.values():
         assert 0.0 <= r["worst_query_recall"] <= r["recall_at_k"] <= 1.0
     assert rows["ivf"]["recall_at_k"] >= 0.5
+    assert rows["ivf_trained"]["recall_at_k"] >= 0.7
     assert rows["ivf_quantized"]["recall_at_k"] >= rows["ivf"]["recall_at_k"] - 0.2
