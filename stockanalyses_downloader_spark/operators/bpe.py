@@ -1,0 +1,161 @@
+"""BPE merge-pair learning (X4 — VERDICT r3 #4): the tokenizer-training
+step a training-data pipeline runs over the corpus.
+
+Reference semantics: byte-pair encoding over PRETOKENS — the same
+pretokenizer classes as ``doc_bpe_token_stats`` (queries/
+text_queries.py: ``_BPE_RX`` = letter runs | digit runs | single
+symbols), no end-of-word marker (pretokens already carry the word
+boundary). Each round counts adjacent symbol pairs corpus-wide
+(weighted by pretoken frequency), merges the most frequent pair
+everywhere, repeats.
+
+Scale shape — the whole point of word-count keying: the corpus is
+scanned ONCE (explode pretokens -> groupBy pretoken). Every merge
+round after that is one explode+agg over the DISTINCT-PRETOKEN vocab
+(10^5–10^7 rows at 100 TB, independent of corpus size) plus a 1-row
+argmax. The per-round ``first()`` is the same documented
+iterative-convergence driver action as kmeans' ``count()`` and
+connected components' fixpoint check; the merge itself is a JVM fold
+expression over the symbol array. localCheckpoint per round truncates
+the otherwise-stacking logical plan (graph.py:43's rationale).
+
+``tokenize_with_merges`` is the APPLY side: encode text with a learned
+merge table. Also word-count-keyed — the merge chain runs once per
+DISTINCT pretoken, then a join fans results back to the corpus
+(memoized tokenization, the trick every production tokenizer uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: pretokenizer — MUST stay in sync with text_queries._BPE_RX
+BPE_PRETOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def pretoken_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (pretoken, n) word-count vocab. The ONLY corpus-wide
+    scan in BPE training; shuffle key is the pretoken (bounded-width),
+    map-side partial agg collapses repeats before the wire."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RX), 0)
+    return (docs.select(F.explode(toks).alias("pretoken"))
+            .groupBy("pretoken").agg(F.count("*").alias("n")))
+
+
+def _chars(col: Column) -> Column:
+    """Pretoken -> array of single-char symbols. split on the empty
+    pattern yields one element per codepoint (pretokens contain no
+    whitespace, so '.' -equivalent splitting is safe)."""
+    return F.filter(F.split(col, ""), lambda c: c != "")
+
+
+def adjacent_pair_counts(vocab: DataFrame,
+                         syms_col: str = "syms") -> DataFrame:
+    """One BPE counting round: corpus-weighted adjacent-pair counts
+    over the vocab's symbol arrays. Output: (sym_left, sym_right,
+    pair_count) — exactly the table the first merge is argmaxed from."""
+    syms = F.col(syms_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.struct(F.element_at(syms, i).alias("sym_left"),
+                           F.element_at(syms, i + 1).alias("sym_right")))
+    return (vocab.filter(F.size(syms) >= 2)
+            .select(F.explode(pairs).alias("p"), "n")
+            .groupBy("p.sym_left", "p.sym_right")
+            .agg(F.sum("n").alias("pair_count")))
+
+
+def first_round_pair_counts(docs: DataFrame,
+                            text_col: str = "text") -> DataFrame:
+    """Round-1 pair counts straight from the corpus (the SQL-oracled
+    face of the learner): character bigrams within pretokens, weighted
+    by pretoken frequency."""
+    vocab = pretoken_vocab(docs, text_col)
+    return adjacent_pair_counts(
+        vocab.withColumn("syms", _chars(F.col("pretoken"))))
+
+
+def _merge_once(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of one (left, right) pair inside a
+    symbol array, as a JVM fold: walk the array accumulating output;
+    when the accumulated tail is ``left`` and the next symbol is
+    ``right``, replace the tail with the merged symbol (and, because
+    the merged symbol differs from ``left``, the freshly-merged token
+    never re-merges with a following ``right`` in the same round —
+    standard BPE single-pass semantics)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int,
+                     text_col: str = "text") -> DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus. Returns the merge
+    table as a DataFrame: (merge_rank, sym_left, sym_right, merged,
+    pair_count) — merge_rank 0 is the first/most-frequent merge.
+
+    Ties break lexicographically on (sym_left, sym_right) — pinned, so
+    the sequence is deterministic for any corpus. Stops early when no
+    adjacent pair remains (fully merged vocab). The merge table is a
+    driver-side artifact by nature (it IS the tokenizer model, a few
+    hundred rows); training work stays distributed."""
+    spark = docs.sparkSession
+    vocab = (pretoken_vocab(docs, text_col)
+             .withColumn("syms", _chars(F.col("pretoken")))
+             .select("syms", "n")
+             .localCheckpoint(eager=True))
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (adjacent_pair_counts(vocab)
+                .orderBy(F.col("pair_count").desc(),
+                         F.col("sym_left"), F.col("sym_right"))
+                .first())
+        if best is None:
+            break
+        left, right = best["sym_left"], best["sym_right"]
+        merges.append((rank, left, right, left + right,
+                       int(best["pair_count"])))
+        # localCheckpoint: without it round k's plan contains every
+        # previous round's fold expression and analysis goes O(k^2)
+        vocab = (vocab.withColumn("syms",
+                                  _merge_once(F.col("syms"), left, right))
+                 .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_left string, sym_right string, "
+                "merged string, pair_count long")
+
+
+def tokenize_with_merges(docs: DataFrame, merges: list[tuple[str, str]],
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge table: encode each doc's pretokens into
+    BPE tokens. Output: (id_col, tokens array<string>, n_bpe_tokens).
+
+    Memoized by pretoken: the merge chain (one fold expression per
+    merge, applied in rank order — exactly the training-time greedy
+    semantics) runs over DISTINCT pretokens only, then a join fans the
+    encodings back to the exploded corpus and collect_list restores
+    per-doc order. At 100 TB the expensive chain touches the vocab,
+    not the corpus; the fan-back join is pretoken-keyed (same shuffle
+    width as the vocab build)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RX), 0)
+    ex = docs.select(id_col, F.posexplode(toks).alias("pos", "pretoken"))
+    distinct_pre = ex.select("pretoken").distinct()
+    syms = _chars(F.col("pretoken"))
+    for left, right in merges:
+        syms = _merge_once(syms, left, right)
+    encoded = distinct_pre.withColumn("bpe", syms)
+    joined = ex.join(encoded, "pretoken")
+    return (joined.groupBy(id_col)
+            .agg(F.flatten(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "bpe"))),
+                lambda s: s["bpe"])).alias("tokens"))
+            .withColumn("n_bpe_tokens", F.size("tokens")))

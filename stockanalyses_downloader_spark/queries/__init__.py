@@ -215,6 +215,15 @@ _TAIL = [
                                     # percentiles (the 100 TB path);
                                     # rank-error bound vs the exact
                                     # query pinned in pytest
+    "bpe_pair_counts",              # BPE training round 1 (adjacent
+                                    # char-pair counts over pretokens)
+                                    # — DuckDB-oracled; new r4
+    "bpe_merge_sequence",           # rows-only; 16 greedy merge
+                                    # rounds — pinned vs pure-Python
+                                    # BPE in pytest; new r4
+    "doc_bpe_tokenization",         # rows-only; encode corpus with
+                                    # the learned merges (memoized by
+                                    # distinct pretoken); new r4
 ]
 
 

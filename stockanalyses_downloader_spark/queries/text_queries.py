@@ -213,6 +213,61 @@ FROM t
 """
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training round 1, the SQL-oracled face of the learner:
+    corpus-weighted adjacent character-pair counts over pretokens
+    (operators/bpe.first_round_pair_counts — same pretokenizer classes
+    as doc_bpe_token_stats). The argmax of this table is the first
+    merge the tokenizer learns."""
+    from ..operators import bpe
+    return bpe.first_round_pair_counts(_docs(spark, sf_dir))
+
+
+_BPE_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{_BPE_RX}')) AS pretoken
+  FROM documents
+), vocab AS (
+  SELECT pretoken, count(*) AS n FROM toks GROUP BY pretoken
+), chars AS (
+  SELECT n, regexp_extract_all(pretoken, '.') AS cs FROM vocab
+), idx AS (
+  SELECT n, cs, unnest(generate_series(1, len(cs) - 1)) AS i
+  FROM chars WHERE len(cs) >= 2
+)
+SELECT cs[i] AS sym_left, cs[i + 1] AS sym_right,
+       CAST(SUM(n) AS BIGINT) AS pair_count
+FROM idx GROUP BY sym_left, sym_right
+"""
+
+
+def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned tokenizer model: 16 greedy BPE merge rounds over
+    the documents corpus (operators/bpe.learn_bpe_merges). Rows-only
+    for the driver — the greedy iteration isn't SQL-expressible — but
+    round 1 is exactly bpe_pair_counts' argmax (oracled above) and the
+    full sequence is pinned against a pure-Python BPE reference in
+    pytest."""
+    from ..operators import bpe
+    return bpe.learn_bpe_merges(_docs(spark, sf_dir), n_merges=16)
+
+
+def doc_bpe_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 16 merges, then ENCODE the corpus with them (operators/
+    bpe.tokenize_with_merges — merge chain memoized over distinct
+    pretokens, fan-back join to docs). Output (doc_id, n_bpe_tokens):
+    the per-doc token budget under the learned vocab, i.e. what the
+    packing/costing stages consume. Rows-only (merge table is
+    data-dependent); encode semantics pinned vs pure-Python in
+    pytest."""
+    from ..operators import bpe
+    d = _docs(spark, sf_dir)
+    merges = [(r["sym_left"], r["sym_right"])
+              for r in bpe.learn_bpe_merges(d, n_merges=16).collect()]
+    return (bpe.tokenize_with_merges(d, merges)
+            .select("doc_id", "n_bpe_tokens"))
+
+
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode/unnest + aggregate + deterministic top-k: the corpus
     vocabulary histogram (generator -> shuffle on token -> top 50)."""
@@ -946,6 +1001,9 @@ QUERIES: dict[str, Q] = {
     "doc_split_assignment": Q(doc_split_assignment, _SPLIT_SQL),
     "stratified_docs_by_lang": Q(stratified_docs_by_lang, _STRATIFIED_SQL),
     "doc_bpe_token_stats": Q(doc_bpe_token_stats, _BPE_SQL),
+    "bpe_pair_counts": Q(bpe_pair_counts, _BPE_PAIRS_SQL),
+    "bpe_merge_sequence": Q(bpe_merge_sequence, None),
+    "doc_bpe_tokenization": Q(doc_bpe_tokenization, None),
     "exact_dedup_docs": Q(exact_dedup_docs, _DEDUP_SQL),
     "doc_token_stats": Q(doc_token_stats, _TOKEN_SQL),
     "doc_quality_scores": Q(doc_quality_scores, _QUALITY_SQL),

@@ -1,0 +1,131 @@
+"""BPE merge-pair learning (VERDICT r3 #4): the distributed learner's
+merge sequence and the apply/encode path are pinned against a plain
+pure-Python BPE reference (third-oracle style, like decontamination's).
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import pytest
+
+from conftest import SF_SMALL
+
+from stockanalyses_downloader_spark.operators import bpe
+from stockanalyses_downloader_spark.sources.tables import load_table
+
+_RX = re.compile(bpe.BPE_PRETOKEN_RX)
+
+
+def _py_learn(corpus: list[str], n_merges: int):
+    """Reference BPE: greedy most-frequent adjacent pair, ties broken
+    lexicographically, single-pass left-to-right merge application."""
+    vocab: dict[tuple, int] = collections.Counter()
+    for t in corpus:
+        for w in _RX.findall(t):
+            vocab[tuple(w)] += 1
+    merges = []
+    for rank in range(n_merges):
+        pairs: collections.Counter = collections.Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (left, right), count = min(pairs.items(),
+                                   key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, left + right, count))
+        new_vocab: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def _py_encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    out: list[str] = []
+    for w in _RX.findall(text):
+        syms = list(w)
+        for left, right in merges:
+            nxt: list[str] = []
+            for x in syms:
+                if nxt and nxt[-1] == left and x == right:
+                    nxt[-1] = left + right
+                else:
+                    nxt.append(x)
+            syms = nxt
+        out.extend(syms)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = [(0, "low low low low low lower lower newest newest newest "
+                "newest newest newest widest widest widest"),
+            (1, "the cat sat on the mat, the cat."),
+            (2, "abc123 abc123 x1 2y zz-zz"),
+            (3, "a"),  # single-char pretokens: no pairs to count
+            (4, "newest lowest widest nest rest west")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_merge_sequence_matches_reference(spark, corpus_df):
+    corpus = [r.text for r in corpus_df.orderBy("doc_id").collect()]
+    expected = _py_learn(corpus, 10)
+    got = [tuple(r) for r in bpe.learn_bpe_merges(corpus_df, 10).collect()]
+    assert got == expected
+    assert len(got) == 10  # corpus is rich enough for the full budget
+
+
+def test_bpe_early_stop_on_exhausted_vocab(spark):
+    """A vocab of single-symbol pretokens has no adjacent pairs after
+    few merges — the learner must stop, not loop or error."""
+    df = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    got = bpe.learn_bpe_merges(df, 50).collect()
+    assert [(r.sym_left, r.sym_right, r.pair_count) for r in got] \
+        == [("a", "b", 3)]
+
+
+def test_bpe_tokenization_matches_reference(spark, corpus_df):
+    corpus = {r.doc_id: r.text for r in corpus_df.collect()}
+    merges = [(m[1], m[2]) for m in _py_learn(list(
+        corpus[k] for k in sorted(corpus)), 10)]
+    got = {r["doc_id"]: r["tokens"]
+           for r in bpe.tokenize_with_merges(corpus_df, merges).collect()}
+    assert set(got) == set(corpus)
+    for doc_id, text in corpus.items():
+        assert got[doc_id] == _py_encode(text, merges), doc_id
+
+
+def test_bpe_compression_on_real_corpus(spark):
+    """Sanity at fixture scale: learned merges strictly shrink the
+    token stream vs raw characters and never grow vs pretokens
+    (merging only concatenates), and round 1 equals the oracled
+    pair-count argmax."""
+    from pyspark.sql import functions as F
+    d = load_table(spark, SF_SMALL, "documents")
+    merges_df = bpe.learn_bpe_merges(d, 8)
+    merges = [(r["sym_left"], r["sym_right"]) for r in merges_df.collect()]
+    assert len(merges) == 8
+
+    top = (bpe.first_round_pair_counts(d)
+           .orderBy(F.col("pair_count").desc(), "sym_left", "sym_right")
+           .first())
+    assert (top["sym_left"], top["sym_right"]) == merges[0]
+
+    enc = bpe.tokenize_with_merges(d, merges)
+    stats = (d.join(enc, "doc_id")
+             .select((F.length(F.regexp_replace("text", r"\s+", ""))
+                      ).alias("n_chars"), "n_bpe_tokens")
+             .agg(F.sum("n_chars").alias("chars"),
+                  F.sum("n_bpe_tokens").alias("toks"))
+             .first())
+    assert stats["toks"] < stats["chars"]

@@ -31,6 +31,9 @@ CHECKPOINTING = {
     "near_dup_components",
     "near_dup_components_star",
     "semantic_dedup_keepers",
+    # BPE training localCheckpoints the vocab once per merge round
+    "bpe_merge_sequence",
+    "doc_bpe_tokenization",
 }
 
 
