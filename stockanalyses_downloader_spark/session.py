@@ -48,7 +48,10 @@ def get_session(app_name: str = "stockanalyses_downloader_spark",
         # SCAN before the shuffle — at 100 TB this is the difference
         # between shuffling the full probe table and shuffling only
         # rows that can match. No-op on broadcast joins (already
-        # pruned) and local toy sizes; free to leave on.
+        # pruned) and local toy sizes (injection needs the probe scan
+        # past applicationSideScanSizeThreshold=10GB); free to leave
+        # on. The rewrite is pinned in tests/test_plans.py with the
+        # thresholds lowered to fixture scale.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

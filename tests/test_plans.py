@@ -95,6 +95,45 @@ def test_decontamination_plan_quality(spark):
                          for ln in scans), scans
 
 
+def test_runtime_bloom_filter_join_pruning_fires(spark):
+    """VERDICT r3 #7: session.py enables runtime bloom-filter join
+    pruning; pin that the rewrite actually injects on a selective
+    fact⋈fact shuffle join. At default thresholds it is a documented
+    no-op locally — injection requires the application-side SCAN to
+    exceed spark.sql.optimizer.runtime.bloomFilter
+    .applicationSideScanSizeThreshold (10GB; exactly the 100 TB regime
+    the config targets) — so the test lowers the size thresholds to
+    meet the injection conditions at fixture scale and defeats the
+    broadcast path (a broadcast join is already scan-pruned and never
+    gets a bloom filter). The pin: the probe-side lineitem scan gains
+    a might_contain(...) filter fed by a bloom_filter_agg over the
+    selective orders side."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        orders = (load_table(spark, SF, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        q = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_temperature_mixture_plan_quality(spark):
     """The rate table must reach the corpus via a broadcast join (no
     full-data shuffle), and the corpus scan must be pruned to the
