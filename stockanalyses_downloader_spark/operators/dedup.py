@@ -46,21 +46,38 @@ def _mh_params(n: int, seed: int = 1234567) -> list[tuple[int, int]]:
     return out
 
 
+_WIDE_NODES = ("Join", "Aggregate", "Deduplicate", "Window", "Sort",
+               "Repartition", "RepartitionByExpression")
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Fan a narrow input out to the cluster's parallelism before
     CPU-heavy per-row work. Small local fixtures arrive as one parquet
     split (one task = one core); at 100 TB inputs are already
     thousands of splits and this is a no-op.
 
-    Width is probed via ``inputFiles()`` — a driver-side file listing,
-    no physical planning or RDD conversion (the previous
-    ``df.rdd.getNumPartitions()`` forced plan materialization at query
-    BUILD time). One file can still split into many read partitions,
-    so the file count only UNDER-estimates width — the repartition
-    trigger errs toward spreading, which is the safe direction for the
-    CPU-heavy consumers this wraps. Non-file sources (no listing)
-    are left untouched: anything that already went through a shuffle
-    is as wide as the shuffle-partition setting."""
+    Applies only to RAW SCAN frames: if the logical plan already
+    contains an exchange-producing node (join/aggregate/distinct/
+    window/sort/repartition), the frame is as wide as the shuffle-
+    partition setting and a repartition here would only add a
+    redundant exchange (the r3 shape: minhash's left-semi ``involved``
+    frame passed the inputFiles probe and got re-spread after its
+    semi-join shuffle). Node detection is a per-line prefix match on
+    the logical plan string — node names lead each plan line, so
+    column names can't false-positive.
+
+    Scan width is probed via ``inputFiles()`` — a driver-side file
+    listing, no physical planning or RDD conversion. One file can
+    still split into many read partitions, so the file count only
+    UNDER-estimates width — the repartition trigger errs toward
+    spreading, which is the safe direction for the CPU-heavy
+    consumers this wraps. Non-file sources (no listing) are left
+    untouched."""
+    import re
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if re.search(rf"^[\s:+'-]*(?:{'|'.join(_WIDE_NODES)})\b", plan,
+                 re.MULTILINE):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())

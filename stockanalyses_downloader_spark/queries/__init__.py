@@ -224,6 +224,10 @@ _TAIL = [
     "doc_bpe_tokenization",         # rows-only; encode corpus with
                                     # the learned merges (memoized by
                                     # distinct pretoken); new r4
+    "ingest_dead_letter_rates",     # malformed-rate by source over
+                                    # the real line-ingest machinery
+                                    # (dead-letter triage report);
+                                    # DuckDB-oracled; new r4
 ]
 
 

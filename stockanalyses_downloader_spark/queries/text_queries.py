@@ -213,6 +213,58 @@ FROM t
 """
 
 
+def ingest_dead_letter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-rate by source (VERDICT r3 #8) — the dead-letter
+    frames of sources/formats.py surfaced as a query, the ops
+    companion to corpus_datacard: an ingest owner watches which feed
+    is rotting.
+
+    The query exercises the REAL line-ingest machinery end-to-end on
+    a deterministic fixture derived from the documents table: rows
+    serialize to JSON lines (to_json), every doc_id % 97 == 0 line is
+    corrupted (prepended junk — invalid JSON), the lines go through
+    formats.parse_jsonl_lines' PERMISSIVE split, and dead lines have
+    their source SALVAGED from the raw text by regexp (dead-letter
+    triage: the parse failed but the evidence line still names its
+    feed). The oracle computes the same report from the corruption
+    rule directly — any from_json false positive/negative or salvage
+    miss breaks the hash match."""
+    from ..sources import formats
+    d = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "source", "text"))
+    corrupted = F.when(F.col("doc_id") % 97 == 0,
+                       F.concat(F.lit("###"), line)).otherwise(line)
+    lines = d.select(corrupted.alias("value"))
+    schema = ("doc_id long, lang string, source string, text string")
+    from pyspark.sql.types import _parse_datatype_string
+    good, dead = formats.parse_jsonl_lines(
+        lines, _parse_datatype_string(schema))
+    g = good.groupBy("source").agg(F.count("*").alias("n_good"))
+    salvaged = dead.select(
+        F.regexp_extract(F.col(formats.CORRUPT_COL),
+                         r'"source":"([^"]*)"', 1).alias("source"))
+    b = salvaged.groupBy("source").agg(F.count("*").alias("n_dead"))
+    return (g.join(b, "source", "full_outer")
+            .select("source",
+                    F.coalesce("n_good", F.lit(0)).alias("n_good"),
+                    F.coalesce("n_dead", F.lit(0)).alias("n_dead"))
+            .withColumn("malformed_rate",
+                        F.col("n_dead").cast("double")
+                        / (F.col("n_good") + F.col("n_dead"))))
+
+
+_DEAD_RATE_SQL = """
+SELECT source,
+       CAST(SUM(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dead,
+       CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS malformed_rate
+FROM documents GROUP BY source
+"""
+
+
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training round 1, the SQL-oracled face of the learner:
     corpus-weighted adjacent character-pair counts over pretokens
@@ -1002,6 +1054,7 @@ QUERIES: dict[str, Q] = {
     "stratified_docs_by_lang": Q(stratified_docs_by_lang, _STRATIFIED_SQL),
     "doc_bpe_token_stats": Q(doc_bpe_token_stats, _BPE_SQL),
     "bpe_pair_counts": Q(bpe_pair_counts, _BPE_PAIRS_SQL),
+    "ingest_dead_letter_rates": Q(ingest_dead_letter_rates, _DEAD_RATE_SQL),
     "bpe_merge_sequence": Q(bpe_merge_sequence, None),
     "doc_bpe_tokenization": Q(doc_bpe_tokenization, None),
     "exact_dedup_docs": Q(exact_dedup_docs, _DEDUP_SQL),

@@ -63,6 +63,17 @@ def _split_parsed(lines: DataFrame, parsed: Column,
     return good, dead
 
 
+def parse_jsonl_lines(lines: DataFrame,
+                      schema: T.StructType) -> tuple[DataFrame, DataFrame]:
+    """(good, dead) from a ``value: string`` frame of JSON lines — the
+    parse half of :func:`read_jsonl`, exposed so in-flight line frames
+    (a Kafka value column, a constructed fixture) get the same
+    dead-letter contract as files at rest."""
+    full = _with_corrupt_field(schema)
+    return _split_parsed(lines, F.from_json("value", full, _PARSE_OPTS),
+                         schema)
+
+
 def read_jsonl(spark: SparkSession, path: str,
                schema: T.StructType) -> tuple[DataFrame, DataFrame]:
     """Read newline-delimited JSON with an explicit schema.
@@ -70,28 +81,59 @@ def read_jsonl(spark: SparkSession, path: str,
     Returns ``(good, dead)``. A record is dead if it isn't valid JSON
     or violates the schema's types (PERMISSIVE parse surfaces both
     through the corrupt field)."""
-    full = _with_corrupt_field(schema)
-    lines = spark.read.text(path)
-    return _split_parsed(lines, F.from_json("value", full, _PARSE_OPTS),
-                         schema)
+    return parse_jsonl_lines(spark.read.text(path), schema)
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType,
-             header: bool = True, sep: str = ",") -> tuple[DataFrame, DataFrame]:
+             header: bool = True, sep: str = ",",
+             quote: str = '"', escape: str = '"',
+             ) -> tuple[DataFrame, DataFrame]:
     """CSV twin of :func:`read_jsonl` — same (good, dead) contract.
 
-    ``header=True`` drops lines equal to the schema-derived header
-    row (``sep.join(field names)``) — per-file header skipping isn't
-    expressible over a text read, and a data line identical to the
-    header is indistinguishable from a header anyway."""
+    ``header=True`` drops lines that MATCH the schema-derived header:
+    the bare form (``sep.join(field names)``), the all-quoted form
+    (every name double-quoted — what Spark's own csv writer emits for
+    quoted output), each with an optional trailing ``\\r`` (CRLF files
+    read over a text source keep the carriage return on every line).
+    Per-file positional header skipping isn't expressible over a text
+    read, so matching is by CONTENT — which means a DATA line
+    byte-identical to one of those header forms is also dropped.
+    Loud example: with schema ``(name string, note string)`` a real
+    data row ``name,note`` is indistinguishable from the header and
+    silently lost. If header-like data rows are possible, write the
+    files headerless (or with a typed schema, where the header line
+    fails the cast and routes to ``dead`` anyway — the drop here only
+    protects all-string schemas, the one shape that would otherwise
+    let a header parse as data).
+
+    Quoting is RFC 4180: fields may be double-quoted, a quoted field
+    may contain the separator, and a literal quote is written ``""``
+    (``escape`` defaults to the quote char — Spark's csv default of
+    backslash-escape silently returns RFC-quoted fields verbatim,
+    quotes and all). Embedded NEWLINES inside quotes are the
+    documented limitation of the text-read path: the line source
+    splits on \\n before the parser sees quotes, so such a record
+    arrives as two fragments (typed schemas route them to ``dead``;
+    use the native multiLine csv source if quoted newlines are
+    expected — and lose the verbatim dead-letter contract).
+
+    CRLF files need no special handling — the text source recognizes
+    \\r\\n as a line terminator and strips it — but lines built from
+    OTHER sources (a Kafka value column) can still carry a trailing
+    \\r, so the parse runs on the \\r-stripped line while dead-letter
+    lines stay verbatim."""
     full = _with_corrupt_field(schema)
     lines = spark.read.text(path)
+    stripped = F.regexp_replace(F.col("value"), "\r$", "")
     if header:
-        lines = lines.filter(F.col("value") != sep.join(schema.fieldNames()))
+        names = schema.fieldNames()
+        forms = [sep.join(names),
+                 sep.join(f'"{n}"' for n in names)]
+        lines = lines.filter(~stripped.isin(*forms))
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                     for f in full.fields)
-    opts = dict(_PARSE_OPTS, sep=sep)
-    return _split_parsed(lines, F.from_csv("value", ddl, opts), schema)
+    opts = dict(_PARSE_OPTS, sep=sep, quote=quote, escape=escape)
+    return _split_parsed(lines, F.from_csv(stripped, ddl, opts), schema)
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -177,6 +177,71 @@ def test_csv_source_round_trip_and_dead_letters(spark, tmp_path):
     assert [r[formats.CORRUPT_COL] for r in dead.collect()] == ["etheur,oops,1"]
 
 
+def test_csv_crlf_and_quoted_headers_dropped(spark, tmp_path):
+    """ADVICE r3: CRLF and all-quoted headers. Measured behavior,
+    pinned here: the TEXT SOURCE itself recognizes \\r\\n terminators
+    and strips the \\r (Hadoop LineRecordReader), so CRLF files parse
+    clean end-to-end — the residual \\r risk is only for line frames
+    built from non-file sources, which the parse-side strip covers.
+    The all-quoted header form (what quoted csv writers emit) must be
+    recognized as a header — byte-exact matching missed it."""
+    from pyspark.sql import types as T
+
+    from stockanalyses_downloader_spark.sources import formats
+
+    schema = T.StructType([
+        T.StructField("pair", T.StringType()),
+        T.StructField("last", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+    p = tmp_path / "crlf.csv"
+    p.write_bytes(b"pair,last,n\r\n"
+                  b"btcusd,10.5,3\r\n"
+                  b"etheur,oops,1\r\n")
+    good, dead = formats.read_csv(spark, str(p), schema)
+    assert [(r["pair"], r["last"], r["n"]) for r in good.collect()] \
+        == [("btcusd", 10.5, 3)]          # typed, no \r residue
+    assert [r[formats.CORRUPT_COL] for r in dead.collect()] \
+        == ["etheur,oops,1"]              # \r was line-ending, not data
+
+    q = tmp_path / "quoted_header.csv"
+    q.write_text('"pair","last","n"\nxrpusd,0.5,7\n')
+    good2, dead2 = formats.read_csv(spark, str(q), schema)
+    assert [r["pair"] for r in good2.collect()] == ["xrpusd"]
+    assert dead2.isEmpty()
+
+
+def test_csv_quoted_field_semantics(spark, tmp_path):
+    """Documents from_csv quote handling on the text-read path: a
+    double-quoted field may contain the separator and escaped ("")
+    quotes; an embedded NEWLINE inside quotes is the documented
+    limitation — the text source splits on \\n first, so such a record
+    arrives as two broken lines and dead-letters (a typed column makes
+    the fragments fail the cast) instead of silently merging."""
+    from pyspark.sql import types as T
+
+    from stockanalyses_downloader_spark.sources import formats
+
+    schema = T.StructType([
+        T.StructField("pair", T.StringType()),
+        T.StructField("note", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    p = tmp_path / "quoted.csv"
+    p.write_text('pair,note,n\n'
+                 'btcusd,"a,comma and ""quote""",3\n'
+                 'etheur,"line one\nline two",9\n')
+    good, dead = formats.read_csv(spark, str(p), schema)
+    rows = {r["pair"]: r for r in good.collect()}
+    assert rows["btcusd"]["note"] == 'a,comma and "quote"'
+    assert rows["btcusd"]["n"] == 3
+    # the newline-in-quotes record must NOT appear whole...
+    assert "etheur" not in rows or rows["etheur"]["note"] != "line one\nline two"
+    # ...its fragments are visible in the dead-letter stream (second
+    # fragment has too few columns -> n nulls -> PERMISSIVE corrupt)
+    assert dead.count() >= 1
+
+
 def test_jsonl_writer_round_trips(spark, tmp_path):
     """write_jsonl -> read_jsonl round trip preserves values and no
     rows dead-letter."""
