@@ -228,6 +228,19 @@ _TAIL = [
                                     # the real line-ingest machinery
                                     # (dead-letter triage report);
                                     # DuckDB-oracled; new r4
+    "pii_redaction_report",         # PII detect + redact (email/ipv4/
+                                    # phone), md5-pinned scrubbed
+                                    # output; DuckDB-oracled; new r4
+    "doc_rag_chunks",               # overlapping 64/48 token-window
+                                    # chunking with offsets (RAG prep);
+                                    # DuckDB-oracled; new r4
+    "doc_unigram_surprisal",        # unigram-LM inverse-frequency
+                                    # quality signal (ln-free,
+                                    # decimal-stable); DuckDB-oracled;
+                                    # new r4
+    "token_postings",               # inverted-index stats (df,
+                                    # total_tf, postings head);
+                                    # DuckDB-oracled; new r4
 ]
 
 

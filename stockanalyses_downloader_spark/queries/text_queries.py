@@ -213,6 +213,141 @@ FROM t
 """
 
 
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus (operators/textprep):
+    per-doc match counts per kind and the md5 of the redacted text —
+    the digest pins that both engines produced byte-identical scrubbed
+    output without hauling full text through the compare."""
+    from ..operators import textprep
+    d = _docs(spark, sf_dir)
+    out = textprep.with_pii_redaction(d)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"))
+
+
+def _pii_sql() -> str:
+    from ..operators.textprep import PII_PATTERNS, REDACTION_ORDER
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{rx}')) AS n_{kind}"
+        for kind, rx in PII_PATTERNS.items())
+    red = "text"
+    for kind in REDACTION_ORDER:
+        red = (f"regexp_replace({red}, '{PII_PATTERNS[kind]}', "
+               f"'[{kind.upper()}]', 'g')")
+    return f"""
+SELECT doc_id, {counts}, md5({red}) AS redacted_md5
+FROM documents
+"""
+
+
+def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token / 48-stride chunking (operators/textprep
+    .chunk_documents) — the retrieval/packing prep step. One row per
+    chunk with 1-based token offsets and the chunk text."""
+    from ..operators import textprep
+    return textprep.chunk_documents(_docs(spark, sf_dir),
+                                    window=64, stride=48)
+
+
+_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks,
+         greatest(1, CAST(ceil((len(toks) - 64) / 48.0) AS INT) + 1)
+           AS n_chunks
+  FROM t
+), ex AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM n
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(i * 48 + 1 AS INT) AS start_token,
+       CAST(len(list_slice(toks, i * 48 + 1, i * 48 + 64)) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')
+         AS chunk_text
+FROM ex
+"""
+
+
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signal: per-doc mean INVERSE relative token
+    frequency (corpus_total / corpus_count(token)) and the rarest
+    token's corpus count. High mean = out-of-distribution / noisy doc;
+    the ln-free stand-in for unigram perplexity (ln's last-ulp
+    behavior differs across engines — ratios are exact, same reason
+    tfidf uses the plain N/df ratio).
+
+    Shape: one corpus token agg, a broadcast scalar total, a token-
+    keyed join back to the exploded stream, one doc-keyed agg. Means
+    accumulate in DECIMAL (partitioning/order-independent — double
+    addition isn't associative; the oracle sums in a single thread)."""
+    d = _docs(spark, sf_dir)
+    ex = d.select("doc_id",
+                  F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                    r"\s+")).alias("tok"))
+    counts = ex.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    joined = (ex.join(counts, "tok")
+              .crossJoin(F.broadcast(total))
+              .withColumn("inv", F.col("t").cast("double") / F.col("c")))
+    return (joined.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 (F.sum(F.col("inv").cast("decimal(30,15)")).cast("double")
+                  / F.count("*")).alias("mean_inv_freq"),
+                 F.min("c").alias("rarest_count")))
+
+
+_SURPRISAL_SQL = r"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS c FROM ex GROUP BY tok
+), total AS (
+  SELECT SUM(c) AS t FROM counts
+)
+SELECT ex.doc_id, count(*) AS n_tokens,
+       CAST(SUM(CAST(CAST(total.t AS DOUBLE) / counts.c
+                     AS DECIMAL(30,15))) AS DOUBLE) / count(*)
+         AS mean_inv_freq,
+       MIN(counts.c) AS rarest_count
+FROM ex JOIN counts USING (tok) CROSS JOIN total
+GROUP BY ex.doc_id
+"""
+
+
+def token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index statistics: per token its document frequency,
+    total occurrences, and the lowest containing doc_id (the head of
+    the postings list). The explode+agg shape IS the distributed index
+    build — at 100 TB the only shuffle is token-keyed and map-side
+    combined."""
+    d = _docs(spark, sf_dir)
+    ex = d.select("doc_id",
+                  F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                    r"\s+")).alias("token"))
+    return (ex.groupBy("token")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count("*").alias("total_tf"),
+                 F.min("doc_id").alias("first_doc_id")))
+
+
+_POSTINGS_SQL = r"""
+SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       count(*) AS total_tf, MIN(doc_id) AS first_doc_id
+FROM (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents)
+GROUP BY token
+"""
+
+
 def ingest_dead_letter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-rate by source (VERDICT r3 #8) — the dead-letter
     frames of sources/formats.py surfaced as a query, the ops
@@ -1055,6 +1190,10 @@ QUERIES: dict[str, Q] = {
     "doc_bpe_token_stats": Q(doc_bpe_token_stats, _BPE_SQL),
     "bpe_pair_counts": Q(bpe_pair_counts, _BPE_PAIRS_SQL),
     "ingest_dead_letter_rates": Q(ingest_dead_letter_rates, _DEAD_RATE_SQL),
+    "pii_redaction_report": Q(pii_redaction_report, _pii_sql()),
+    "doc_rag_chunks": Q(doc_rag_chunks, _CHUNKS_SQL),
+    "doc_unigram_surprisal": Q(doc_unigram_surprisal, _SURPRISAL_SQL),
+    "token_postings": Q(token_postings, _POSTINGS_SQL),
     "bpe_merge_sequence": Q(bpe_merge_sequence, None),
     "doc_bpe_tokenization": Q(doc_bpe_tokenization, None),
     "exact_dedup_docs": Q(exact_dedup_docs, _DEDUP_SQL),

@@ -1,0 +1,105 @@
+"""textprep operators: planted-PII detection/redaction and chunking
+coverage invariants (the oracle proves engine parity; these prove the
+semantics are the INTENDED ones)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stockanalyses_downloader_spark.operators import textprep
+
+
+def test_pii_detection_and_redaction(spark):
+    rows = [
+        (0, "contact alice.smith+spam@example.co.uk for details"),
+        (1, "server at 192.168.1.254 timed out, retry 10.0.0.1"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "clean text with numbers 42 and a date 2024-01-01"),
+        (4, "mail bob@corp.io or ring 555-867-5309 from 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textprep.with_pii_redaction(df).collect()}
+
+    assert out[0]["n_email"] == 1 and "[EMAIL]" in out[0]["redacted"]
+    assert "alice" not in out[0]["redacted"]
+    assert out[1]["n_ipv4"] == 2
+    assert out[1]["redacted"].count("[IPV4]") == 2
+    assert "192.168" not in out[1]["redacted"]
+    assert out[2]["n_phone"] >= 1 and "[PHONE]" in out[2]["redacted"]
+    assert "4567" not in out[2]["redacted"]
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == 0
+    assert out[3]["redacted"] == rows[3][1]  # clean text untouched
+    assert (out[4]["n_email"], out[4]["n_ipv4"]) == (1, 1)
+    assert out[4]["n_phone"] >= 1
+    for kind in ("EMAIL", "IPV4", "PHONE"):
+        assert f"[{kind}]" in out[4]["redacted"]
+
+
+@pytest.mark.parametrize("n_tokens", [1, 30, 63, 64, 65, 100, 200])
+def test_chunk_coverage_invariants(spark, n_tokens):
+    """Every token lands in >= 1 chunk; chunk starts advance by the
+    stride; the final chunk reaches the last token; chunk count equals
+    the closed form max(1, ceil((n - W)/S) + 1)."""
+    W, S = 64, 48
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(textprep.chunk_documents(df, W, S).collect(),
+                  key=lambda r: r["chunk_id"])
+    expected_chunks = max(1, math.ceil((n_tokens - W) / S) + 1)
+    assert len(rows) == expected_chunks
+    covered = set()
+    for i, r in enumerate(rows):
+        assert r["chunk_id"] == i
+        assert r["start_token"] == 1 + i * S
+        toks = r["chunk_text"].split(" ")
+        assert r["n_chunk_tokens"] == len(toks) <= W
+        assert toks[0] == f"t{r['start_token'] - 1}"
+        covered.update(range(r["start_token"],
+                             r["start_token"] + r["n_chunk_tokens"]))
+    assert covered == set(range(1, n_tokens + 1))
+
+
+def test_chunk_overlap_is_window_minus_stride(spark):
+    W, S = 8, 5
+    text = " ".join(str(i) for i in range(20))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(textprep.chunk_documents(df, W, S).collect(),
+                  key=lambda r: r["chunk_id"])
+    a, b = rows[0], rows[1]
+    a_toks = a["chunk_text"].split(" ")
+    b_toks = b["chunk_text"].split(" ")
+    assert a_toks[S:] == b_toks[:W - S]  # 3-token overlap, identical
+
+
+def test_chunk_rejects_bad_stride(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textprep.chunk_documents(df, window=4, stride=5)
+    with pytest.raises(ValueError):
+        textprep.chunk_documents(df, window=4, stride=0)
+
+
+def test_surprisal_flags_rare_tokens(spark):
+    """A doc of hapaxes must score a higher mean inverse frequency
+    than a doc of corpus-dominant tokens."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        doc_unigram_surprisal)
+    import tempfile
+    rows = [(0, "common common common common common common"),
+            (1, "common common common common"),
+            (2, "zephyr quixotic brouhaha")]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")).withColumn(
+        "source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")).write.mode(
+        "overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in doc_unigram_surprisal(spark, d).collect()}
+    assert out[2]["mean_inv_freq"] > out[0]["mean_inv_freq"]
+    assert out[2]["rarest_count"] == 1
+    assert out[0]["rarest_count"] == 10  # 'common' appears 10x
