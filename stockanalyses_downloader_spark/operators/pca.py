@@ -1,0 +1,124 @@
+"""Distributed PCA over an embedding column (X3 extension, round 4):
+exact covariance via moment aggregation, driver-side eigendecomposition
+of the d×d matrix (model-sized, like kmeans centroids / the BPE merge
+table), in-plan projection.
+
+Scale shape: the covariance is TWO linear scans — first moments
+(posexplode -> d partial sums), second moments (upper-triangle pair
+explode -> d(d+1)/2 partial sums). The pair explode amplifies each row
+by d(d+1)/2, but map-side partial aggregation collapses every
+partition to one d(d+1)/2-row block before the shuffle, so the wire
+cost is executors × d², independent of corpus size. Means and products
+accumulate in DECIMAL, so results are partitioning/order-independent
+(double addition is not associative) and bit-equal to the single-
+threaded DuckDB oracle.
+
+The eigen step runs on the driver in numpy — a d×d symmetric matrix is
+tokenizer-table-sized, not data-sized; distributing it would be
+theater. Projection pushes the centered dot products back into JVM
+expressions (one fold per component), so the corpus-sized pass stays
+in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double
+
+
+def embedding_covariance(embeddings: DataFrame,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle population covariance of the embedding
+    dimensions: (dim_i, dim_j, cov) with 0-based dim_i <= dim_j,
+    cov = E[x_i x_j] - E[x_i] E[x_j]."""
+    e = embeddings.select(as_double(F.col(vec_col)).alias("v"))
+    d = F.size("v")
+
+    # first moments: one posexplode, d-row aggregate
+    means = (e.select(F.posexplode("v").alias("pos", "x"))
+             .groupBy("pos")
+             .agg((F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                   / F.count("*")).alias("mu")))
+
+    # second moments: upper-triangle products per row, pair-keyed agg
+    pairs = F.explode(F.flatten(F.transform(
+        F.sequence(F.lit(1), d),
+        lambda i: F.transform(
+            F.sequence(i, d),
+            lambda j: F.struct(
+                (i - 1).cast("int").alias("dim_i"),
+                (j - 1).cast("int").alias("dim_j"),
+                (F.element_at("v", i) * F.element_at("v", j)).alias("xy"))))))
+    sec = (e.select(pairs.alias("p"))
+           .select("p.dim_i", "p.dim_j", "p.xy")
+           .groupBy("dim_i", "dim_j")
+           .agg((F.sum(F.col("xy").cast("decimal(30,15)")).cast("double")
+                 / F.count("*")).alias("exy")))
+
+    mi = means.select(F.col("pos").alias("dim_i"), F.col("mu").alias("mu_i"))
+    mj = means.select(F.col("pos").alias("dim_j"), F.col("mu").alias("mu_j"))
+    return (sec.join(F.broadcast(mi), "dim_i")
+            .join(F.broadcast(mj), "dim_j")
+            .select("dim_i", "dim_j",
+                    (F.col("exy") - F.col("mu_i") * F.col("mu_j"))
+                    .alias("cov")))
+
+
+def pca_model(embeddings: DataFrame, k: int,
+              vec_col: str = "embedding"):
+    """Fit: collect the d×d covariance (model-sized), eigh in numpy,
+    return (means: list[float], components: list[list[float]]) for the
+    top-k components by eigenvalue. Component sign is normalized so
+    each component's largest-|value| entry is positive — eigh's sign is
+    arbitrary and the contract must be deterministic."""
+    import numpy as np
+
+    rows = embedding_covariance(embeddings, vec_col).collect()
+    d = max(r["dim_j"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["dim_i"], r["dim_j"]] = r["cov"]
+        cov[r["dim_j"], r["dim_i"]] = r["cov"]
+    e = embeddings.select(as_double(F.col(vec_col)).alias("v"))
+    mu_rows = (e.select(F.posexplode("v").alias("pos", "x"))
+               .groupBy("pos")
+               .agg((F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                     / F.count("*")).alias("mu"))
+               .collect())
+    means = [0.0] * d
+    for r in mu_rows:
+        means[r["pos"]] = r["mu"]
+    vals, vecs = np.linalg.eigh(cov)        # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    return means, comps
+
+
+def project_embeddings(embeddings: DataFrame, means: list[float],
+                       components: list[list[float]],
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Transform: (id_col, proj array<double>) — proj[c] =
+    dot(v - means, components[c]). The component/mean literals embed
+    in the plan (broadcast-by-construction); the per-row work is one
+    JVM fold per component over the centered vector."""
+    e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    centered = F.zip_with("v", F.array(*[F.lit(m) for m in means]),
+                          lambda x, m: x - m)
+    e = e.withColumn("cv", centered)
+    projs = [
+        F.aggregate(
+            F.zip_with("cv", F.array(*[F.lit(w) for w in comp]),
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda acc, t: acc + t).alias(f"p{c}")
+        for c, comp in enumerate(components)]
+    return (e.select(id_col, *projs)
+            .select(id_col, F.array(*[f"p{c}" for c in
+                                      range(len(components))]).alias("proj")))

@@ -241,6 +241,13 @@ _TAIL = [
     "token_postings",               # inverted-index stats (df,
                                     # total_tf, postings head);
                                     # DuckDB-oracled; new r4
+    "embedding_covariance",         # per-dimension covariance (PCA
+                                    # fit pass, decimal-stable);
+                                    # DuckDB-oracled; new r4
+    "embedding_pca_projection",     # rows-only; k=8 PCA projection —
+                                    # distributed moments + driver
+                                    # eigh + in-plan folds; pinned vs
+                                    # numpy in pytest; new r4
 ]
 
 

@@ -451,6 +451,56 @@ HAVING count(*) >= 1
 """
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the embedding dimensions
+    (operators/pca.embedding_covariance) — the fit pass of PCA and the
+    correlation diagnostic an embedding owner reads before whitening.
+    Decimal-accumulated moments: bit-equal across partitionings and to
+    the single-threaded oracle."""
+    from ..operators import pca
+    return pca.embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+_COV_SQL = """
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), m AS (
+  SELECT pos, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mu
+  FROM (SELECT unnest(range(len(v))) AS pos, unnest(v) AS x FROM e)
+  GROUP BY pos
+), p1 AS (
+  SELECT v, unnest(generate_series(1, len(v))) AS i FROM e
+), p2 AS (
+  SELECT v, i, unnest(generate_series(i, len(v))) AS j FROM p1
+), sec AS (
+  SELECT CAST(i - 1 AS INT) AS dim_i, CAST(j - 1 AS INT) AS dim_j,
+         CAST(SUM(CAST(v[i] * v[j] AS DECIMAL(30,15))) AS DOUBLE)
+           / count(*) AS exy
+  FROM p2 GROUP BY dim_i, dim_j
+)
+SELECT dim_i, dim_j, exy - mi.mu * mj.mu AS cov
+FROM sec JOIN m mi ON mi.pos = dim_i JOIN m mj ON mj.pos = dim_j
+"""
+
+
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit PCA (k=8) on the corpus and project every embedding
+    (operators/pca) — the dimensionality-reduction step before
+    clustering/indexing at scale. Rows-only for the driver (the eigen
+    step isn't SQL-expressible); the covariance it fits from is the
+    oracled query above, and the projection is pinned against numpy's
+    full-batch PCA in pytest. Output keeps scalar columns (vec_id,
+    component, value) so every value is hash-compared in the rows-only
+    run deterministically."""
+    from ..operators import pca
+    e = load_table(spark, sf_dir, "embeddings")
+    means, comps = pca.pca_model(e, k=8)
+    proj = pca.project_embeddings(e, means, comps)
+    return proj.select("vec_id", F.posexplode("proj").alias(
+        "component", "value"))
+
+
 def embedding_quantization_error(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Scalar int8 quantization fidelity per vector: the integer code
@@ -609,6 +659,8 @@ QUERIES: dict[str, Q] = {
     "label_centroid_components": Q(label_centroid_components, _CENTROID_SQL),
     "embedding_quantization_error": Q(embedding_quantization_error,
                                       _QUANT_SQL),
+    "embedding_covariance": Q(embedding_covariance, _COV_SQL),
+    "embedding_pca_projection": Q(embedding_pca_projection, None),
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),
     "near_dup_components": Q(near_dup_components, _COMPONENTS_SQL),
     "near_dup_components_star": Q(near_dup_components_star, _COMPONENTS_SQL),
