@@ -248,6 +248,11 @@ _TAIL = [
                                     # distributed moments + driver
                                     # eigh + in-plan folds; pinned vs
                                     # numpy in pytest; new r4
+    "lang_distinct_token_sketch",   # rows-only; mergeable HLL
+                                    # distinct-token cardinality
+                                    # (two-level sketch union — the
+                                    # rescan-free reaggregation path);
+                                    # error band pinned in pytest
 ]
 
 

@@ -348,6 +348,30 @@ GROUP BY token
 """
 
 
+def lang_distinct_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality per language via MERGEABLE HLL
+    sketches (Datasketches, Spark 3.5+ hll_* functions), built
+    two-level: per-(lang, source) sketches first, then
+    ``hll_union_agg`` up to lang — the 100 TB pattern where sketches
+    are materialized per partition/day and re-aggregated at query time
+    WITHOUT rescanning tokens (exact count_distinct cannot merge:
+    distinct sets don't add). Rows-only for the driver (estimator
+    internals aren't SQL-portable — DuckDB's approx_count_distinct is
+    a different HLL); the error band vs exact is pinned in pytest at a
+    cardinality where HLL actually approximates."""
+    d = _docs(spark, sf_dir)
+    ex = d.select("lang", "source",
+                  F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                    r"\s+")).alias("token"))
+    per_source = (ex.groupBy("lang", "source")
+                  .agg(F.hll_sketch_agg("token").alias("sk"),
+                       F.count("*").alias("n_tok")))
+    return (per_source.groupBy("lang")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_distinct_tokens"),
+                 F.sum("n_tok").alias("n_tokens")))
+
+
 def ingest_dead_letter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-rate by source (VERDICT r3 #8) — the dead-letter
     frames of sources/formats.py surfaced as a query, the ops
@@ -1194,6 +1218,7 @@ QUERIES: dict[str, Q] = {
     "doc_rag_chunks": Q(doc_rag_chunks, _CHUNKS_SQL),
     "doc_unigram_surprisal": Q(doc_unigram_surprisal, _SURPRISAL_SQL),
     "token_postings": Q(token_postings, _POSTINGS_SQL),
+    "lang_distinct_token_sketch": Q(lang_distinct_token_sketch, None),
     "bpe_merge_sequence": Q(bpe_merge_sequence, None),
     "doc_bpe_tokenization": Q(doc_bpe_tokenization, None),
     "exact_dedup_docs": Q(exact_dedup_docs, _DEDUP_SQL),
