@@ -253,6 +253,11 @@ _TAIL = [
                                     # (two-level sketch union — the
                                     # rescan-free reaggregation path);
                                     # error band pinned in pytest
+    "substring_dup_fraction",       # windowed substring-dup signal
+                                    # (Lee-et-al shape: rolling char-
+                                    # window digests, cross-doc
+                                    # sharing fraction); DuckDB-
+                                    # oracled; new r4
 ]
 
 

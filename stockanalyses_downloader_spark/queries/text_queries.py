@@ -348,6 +348,74 @@ GROUP BY token
 """
 
 
+def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (the Lee et al. 2022
+    "Deduplicating Training Data" shape, windowed instead of
+    suffix-array-exact): slide a 64-char window at stride 32 over the
+    canonicalized text, digest each window, count DISTINCT docs per
+    digest corpus-wide, and report per doc the fraction of its windows
+    that also occur in ANOTHER doc. Catches long verbatim overlaps
+    that token-set Jaccard dilutes away (a 10k-token doc embedding a
+    500-char boilerplate block scores near-zero Jaccard but ~1.0 on
+    the shared windows).
+
+    Scale shape: per-row window explode (rows × len/stride), digest-
+    keyed agg with map-side combine (16-byte keys on the wire), one
+    broadcast-joinable digest->df map, one doc-keyed agg. No pairwise
+    anything — the digest IS the bucket."""
+    W, S = 64, 32
+    d = _docs(spark, sf_dir)
+    canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    base = d.select("doc_id", canon.alias("c"))
+    n_win = F.greatest(
+        F.lit(1),
+        (F.ceil((F.length("c") - W) / F.lit(float(S))) + 1).cast("int"))
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.md5(F.substring(F.col("c"), i * S + 1, W)
+                        .cast("binary")))
+    ex = (base.select("doc_id", F.explode(wins).alias("wd"))
+          .dropDuplicates(["doc_id", "wd"]))
+    df_counts = ex.groupBy("wd").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (ex.join(df_counts, "wd")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_windows"),
+                 F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+                 .alias("n_shared_windows"))
+            .withColumn("dup_fraction",
+                        F.col("n_shared_windows").cast("double")
+                        / F.col("n_windows")))
+
+
+_SUBSTR_DUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c
+  FROM documents
+), n AS (
+  SELECT doc_id, c,
+         greatest(1, CAST(ceil((length(c) - 64) / 32.0) AS INT) + 1)
+           AS n_win
+  FROM base
+), ex AS (
+  SELECT DISTINCT doc_id,
+         md5(substring(c, i * 32 + 1, 64)) AS wd
+  FROM (SELECT doc_id, c,
+               unnest(generate_series(0, n_win - 1)) AS i
+        FROM n)
+), dfc AS (
+  SELECT wd, count(DISTINCT doc_id) AS ndocs FROM ex GROUP BY wd
+)
+SELECT ex.doc_id, count(*) AS n_windows,
+       CAST(SUM(CASE WHEN dfc.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_windows,
+       CAST(SUM(CASE WHEN dfc.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_fraction
+FROM ex JOIN dfc USING (wd)
+GROUP BY ex.doc_id
+"""
+
+
 def lang_distinct_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-token cardinality per language via MERGEABLE HLL
     sketches (Datasketches, Spark 3.5+ hll_* functions), built
@@ -1219,6 +1287,7 @@ QUERIES: dict[str, Q] = {
     "doc_unigram_surprisal": Q(doc_unigram_surprisal, _SURPRISAL_SQL),
     "token_postings": Q(token_postings, _POSTINGS_SQL),
     "lang_distinct_token_sketch": Q(lang_distinct_token_sketch, None),
+    "substring_dup_fraction": Q(substring_dup_fraction, _SUBSTR_DUP_SQL),
     "bpe_merge_sequence": Q(bpe_merge_sequence, None),
     "doc_bpe_tokenization": Q(doc_bpe_tokenization, None),
     "exact_dedup_docs": Q(exact_dedup_docs, _DEDUP_SQL),

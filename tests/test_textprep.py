@@ -83,6 +83,34 @@ def test_chunk_rejects_bad_stride(spark):
         textprep.chunk_documents(df, window=4, stride=0)
 
 
+def test_substring_dup_flags_planted_boilerplate(spark):
+    """Two docs sharing one long verbatim block (aligned to the window
+    grid) must both show shared windows; a doc with unique text shows
+    zero; token-set Jaccard would barely register the overlap."""
+    import tempfile
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        substring_dup_fraction)
+
+    boiler = ("subscribe to our newsletter for updates " * 6).strip()
+    uniq1 = " ".join(f"alpha{i}" for i in range(60))
+    uniq2 = " ".join(f"beta{i}" for i in range(60))
+    rows = [(0, boiler + " " + uniq1),
+            (1, boiler + " " + uniq2),
+            (2, " ".join(f"gamma{i}" for i in range(80)))]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
+        .withColumn("n_chars", F.length("text")) \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           substring_dup_fraction(spark, d).collect()}
+    assert out[0]["n_shared_windows"] >= 3  # boiler spans >= 3 windows
+    assert out[1]["n_shared_windows"] >= 3
+    assert out[2]["n_shared_windows"] == 0
+    assert out[2]["dup_fraction"] == 0.0
+    assert 0 < out[0]["dup_fraction"] < 1
+
+
 def test_hll_sketch_union_tracks_exact(spark):
     """The two-level sketch path (per-source hll_sketch_agg ->
     hll_union_agg at lang level) must track exact count_distinct
