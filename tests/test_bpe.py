@@ -105,6 +105,40 @@ def test_bpe_tokenization_matches_reference(spark, corpus_df):
         assert got[doc_id] == _py_encode(text, merges), doc_id
 
 
+def test_merge_fold_exhaustive_vs_reference(spark):
+    """The JVM fold in _merge_once must implement single-pass greedy
+    left-to-right merging EXACTLY — exhaustively checked against the
+    Python reference over every symbol sequence up to length 6 from
+    the alphabet {a, b, ab} with merge pair (a, b). This alphabet
+    packs the tricky cases: overlapping runs (a a b), merged-token
+    collisions (the literal symbol 'ab' must NOT re-merge with a
+    following b in the same round), and back-to-back merges
+    (a b a b). One Spark job evaluates all 1092 sequences."""
+    import itertools
+
+    alphabet = ["a", "b", "ab"]
+    seqs = [list(s) for n in range(1, 7)
+            for s in itertools.product(alphabet, repeat=n)]
+
+    def py_merge(syms, left, right):
+        out = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        return out
+
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "i long, syms array<string>")
+    got = {r["i"]: r["m"] for r in
+           df.select("i", bpe._merge_once(F.col("syms"), "a", "b")
+                     .alias("m")).collect()}
+    for i, s in enumerate(seqs):
+        assert got[i] == py_merge(s, "a", "b"), (s, got[i])
+
+
 def test_bpe_compression_on_real_corpus(spark):
     """Sanity at fixture scale: learned merges strictly shrink the
     token stream vs raw characters and never grow vs pretokens
