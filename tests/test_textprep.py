@@ -39,12 +39,14 @@ def test_pii_detection_and_redaction(spark):
         assert f"[{kind}]" in out[4]["redacted"]
 
 
+@pytest.mark.parametrize("W,S", [(64, 48), (16, 16), (8, 5)])
 @pytest.mark.parametrize("n_tokens", [1, 30, 63, 64, 65, 100, 200])
-def test_chunk_coverage_invariants(spark, n_tokens):
+def test_chunk_coverage_invariants(spark, n_tokens, W, S):
     """Every token lands in >= 1 chunk; chunk starts advance by the
     stride; the final chunk reaches the last token; chunk count equals
-    the closed form max(1, ceil((n - W)/S) + 1)."""
-    W, S = 64, 48
+    the closed form max(1, ceil((n - W)/S) + 1). Covers the
+    overlapping default, the stride==window (disjoint) case, and a
+    small odd pair."""
     text = " ".join(f"t{i}" for i in range(n_tokens))
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
     rows = sorted(textprep.chunk_documents(df, W, S).collect(),
