@@ -47,7 +47,6 @@ _WINDOW = [
     "wss_enriched_messages",
     "weekly_ohlc_candles",
     # similarity / dedup / multimodal (X2/X3/X5) — driver-unverified in r1
-    "embedding_norms",
     "embedding_exact_dups",
     "cosine_topk_bruteforce",
     "embedding_near_dup_pairs",
@@ -77,29 +76,60 @@ _WINDOW = [
     "doc_sequence_packing",     # concat-then-chunk 128-token packing
                                 # (two-pass distributed prefix sum)
     "top_tokens",
-    "doc_bpe_token_stats",
+    "bpe_pair_counts",          # BPE training round 1 (r5 rotation in —
+                                # VERDICT r4 #1; took doc_bpe_token_
+                                # stats' slot: pair counts subsume the
+                                # pretokenizer AND exercise the merge
+                                # machinery's first round)
     "exact_dedup_docs",
     "corpus_curation_decisions",  # keep/drop + reason codes capstone
     "eval_ngram_decontamination",  # train-vs-eval 5-gram overlap
     "doc_fingerprints",
     "lang_temperature_mixture",   # sqrt-temperature domain rebalance
+    "substring_dup_fraction",   # content-defined-anchor substring-dup
+                                # signal (r5 rotation in — VERDICT r4
+                                # #1/#2; shift-resilient as of r5)
+    "pii_redaction_report",     # PII detect+redact, md5-pinned scrubbed
+                                # text (r5 rotation in — VERDICT r4 #1)
+    "ingest_dead_letter_rates", # malformed-rate by source over the real
+                                # line-ingest machinery (r5 rotation in)
+    "embedding_covariance",     # PCA fit pass, decimal-stable moments
+                                # (r5 rotation in — VERDICT r4 #1)
     # relational surface — one representative per operator class
     "pricing_summary",          # groupBy agg (Q1)
     "regional_revenue",         # 6-way inner join (Q5)
     "priority_orders_with_late_items",  # left semi
     "customers_without_orders",         # left anti
     "event_sessionization",             # window lag + cumulative sum
-    "all_party_keys",           # union
     "revenue_rollup",           # rollup
-    "event_type_pivot",         # pivot
     "small_quantity_revenue",   # correlated scalar subquery (Q17)
-    "order_value_percentiles",  # percentile_cont
 ]
 
 # Past the driver window: redundant variants of operator classes already
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "embedding_norms",              # per-row vector norm — hash-green
+                                    # r1–r4; slot yielded (r5 rotation)
+                                    # to embedding_covariance, which
+                                    # exercises strictly more vector
+                                    # machinery
+    "doc_bpe_token_stats",          # regex-pretokenizer token counts —
+                                    # hash-green r1–r4; slot yielded
+                                    # (r5) to bpe_pair_counts, which
+                                    # runs the same pretokenizer plus
+                                    # the merge round
+    "all_party_keys",               # union — hash-green r1–r4; slot
+                                    # yielded (r5) to the r4 oracled
+                                    # tail; set-op family stays pytest-
+                                    # oracled here + intersect/except
+    "event_type_pivot",             # pivot — hash-green r1–r4; slot
+                                    # yielded (r5); grouping family
+                                    # stays repped by revenue_rollup
+    "order_value_percentiles",      # percentile_cont — hash-green
+                                    # r1–r4; slot yielded (r5); the
+                                    # mergeable-sketch variant below is
+                                    # the 100 TB path anyway
     "nation_presence_full_outer",   # full outer — hash-green r1–r3;
                                     # slot yielded (r4 rotation) to
                                     # semantic_dedup_keepers; outer-
@@ -215,22 +245,12 @@ _TAIL = [
                                     # percentiles (the 100 TB path);
                                     # rank-error bound vs the exact
                                     # query pinned in pytest
-    "bpe_pair_counts",              # BPE training round 1 (adjacent
-                                    # char-pair counts over pretokens)
-                                    # — DuckDB-oracled; new r4
     "bpe_merge_sequence",           # rows-only; 16 greedy merge
                                     # rounds — pinned vs pure-Python
                                     # BPE in pytest; new r4
     "doc_bpe_tokenization",         # rows-only; encode corpus with
                                     # the learned merges (memoized by
                                     # distinct pretoken); new r4
-    "ingest_dead_letter_rates",     # malformed-rate by source over
-                                    # the real line-ingest machinery
-                                    # (dead-letter triage report);
-                                    # DuckDB-oracled; new r4
-    "pii_redaction_report",         # PII detect + redact (email/ipv4/
-                                    # phone), md5-pinned scrubbed
-                                    # output; DuckDB-oracled; new r4
     "doc_rag_chunks",               # overlapping 64/48 token-window
                                     # chunking with offsets (RAG prep);
                                     # DuckDB-oracled; new r4
@@ -241,9 +261,6 @@ _TAIL = [
     "token_postings",               # inverted-index stats (df,
                                     # total_tf, postings head);
                                     # DuckDB-oracled; new r4
-    "embedding_covariance",         # per-dimension covariance (PCA
-                                    # fit pass, decimal-stable);
-                                    # DuckDB-oracled; new r4
     "embedding_pca_projection",     # rows-only; k=8 PCA projection —
                                     # distributed moments + driver
                                     # eigh + in-plan folds; pinned vs
@@ -253,11 +270,6 @@ _TAIL = [
                                     # (two-level sketch union — the
                                     # rescan-free reaggregation path);
                                     # error band pinned in pytest
-    "substring_dup_fraction",       # windowed substring-dup signal
-                                    # (Lee-et-al shape: rolling char-
-                                    # window digests, cross-doc
-                                    # sharing fraction); DuckDB-
-                                    # oracled; new r4
 ]
 
 

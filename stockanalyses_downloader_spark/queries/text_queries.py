@@ -350,30 +350,51 @@ GROUP BY token
 
 def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication signal (the Lee et al. 2022
-    "Deduplicating Training Data" shape, windowed instead of
-    suffix-array-exact): slide a 64-char window at stride 32 over the
-    canonicalized text, digest each window, count DISTINCT docs per
-    digest corpus-wide, and report per doc the fraction of its windows
-    that also occur in ANOTHER doc. Catches long verbatim overlaps
-    that token-set Jaccard dilutes away (a 10k-token doc embedding a
-    500-char boilerplate block scores near-zero Jaccard but ~1.0 on
-    the shared windows).
+    "Deduplicating Training Data" shape, anchored instead of
+    suffix-array-exact): pick CONTENT-DEFINED anchor points in the
+    canonicalized text, digest the 64-char window after each anchor,
+    count DISTINCT docs per digest corpus-wide, and report per doc the
+    fraction of its windows that also occur in ANOTHER doc. Catches
+    long verbatim overlaps that token-set Jaccard dilutes away (a
+    10k-token doc embedding a 500-char boilerplate block scores
+    near-zero Jaccard but ~1.0 on the shared windows).
 
-    Scale shape: per-row window explode (rows × len/stride), digest-
-    keyed agg with map-side combine (16-byte keys on the wire), one
-    broadcast-joinable digest->df map, one doc-keyed agg. No pairwise
-    anything — the digest IS the bucket."""
-    W, S = 64, 32
+    Anchor rule (VERDICT r4 #2 — the r4 grid-aligned windows were
+    shift-sensitive: a shared block at offsets differing by a
+    non-multiple of the stride produced disjoint digests): an anchor
+    is a SPACE position whose following 16-char window's md5 starts
+    with a hex digit in 0-3 (expected anchor gap ~= 4 word gaps,
+    ~24 chars of typical prose — the old stride-32 density). Both the
+    space test and the md5 test depend only on LOCAL content, so a
+    verbatim block carries its anchors with it at ANY offset — the
+    same cut-rule idea as multimodal.payload_cdc_chunks, specialized
+    to text where word boundaries give a free cheap prefilter (md5 is
+    only evaluated at the ~1/6 of positions that are spaces; Catalyst's
+    And short-circuits). A head anchor at position 0 is always
+    included so every doc has >= 1 window.
+
+    Scale shape: per-row anchor scan + window explode (rows ×
+    len/gap), digest-keyed agg with map-side combine (16-byte keys on
+    the wire), one digest->df map join, one doc-keyed agg. No
+    pairwise anything — the digest IS the bucket."""
+    AW, W = 16, 64
     d = _docs(spark, sf_dir)
     canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     base = d.select("doc_id", canon.alias("c"))
-    n_win = F.greatest(
-        F.lit(1),
-        (F.ceil((F.length("c") - W) / F.lit(float(S))) + 1).cast("int"))
+    # sequence(1, 0) would run DESCENDING on an empty doc — guard it.
+    anchors = F.when(
+        F.length("c") >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.length("c")),
+            lambda i: (F.col("c").substr(i, F.lit(1)) == " ")
+            & F.substring(
+                F.md5(F.col("c").substr(i + 1, F.lit(AW)).cast("binary")),
+                1, 1).isin("0", "1", "2", "3"))
+    ).otherwise(F.array().cast("array<int>"))
+    all_anchors = F.concat(F.array(F.lit(0)), anchors)
     wins = F.transform(
-        F.sequence(F.lit(0), n_win - 1),
-        lambda i: F.md5(F.substring(F.col("c"), i * S + 1, W)
-                        .cast("binary")))
+        all_anchors,
+        lambda a: F.md5(F.col("c").substr(a + 1, F.lit(W)).cast("binary")))
     ex = (base.select("doc_id", F.explode(wins).alias("wd"))
           .dropDuplicates(["doc_id", "wd"]))
     df_counts = ex.groupBy("wd").agg(F.countDistinct("doc_id").alias("ndocs"))
@@ -392,17 +413,19 @@ WITH base AS (
   SELECT doc_id,
          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c
   FROM documents
-), n AS (
-  SELECT doc_id, c,
-         greatest(1, CAST(ceil((length(c) - 64) / 32.0) AS INT) + 1)
-           AS n_win
-  FROM base
-), ex AS (
-  SELECT DISTINCT doc_id,
-         md5(substring(c, i * 32 + 1, 64)) AS wd
+), anchors AS (
+  SELECT doc_id, c, 0 AS a FROM base
+  UNION ALL
+  SELECT doc_id, c, i AS a
   FROM (SELECT doc_id, c,
-               unnest(generate_series(0, n_win - 1)) AS i
-        FROM n)
+               unnest(generate_series(1, length(c))) AS i
+        FROM base)
+  WHERE substring(c, i, 1) = ' '
+    AND substring(md5(substring(c, i + 1, 16)), 1, 1)
+          IN ('0', '1', '2', '3')
+), ex AS (
+  SELECT DISTINCT doc_id, md5(substring(c, a + 1, 64)) AS wd
+  FROM anchors
 ), dfc AS (
   SELECT wd, count(DISTINCT doc_id) AS ndocs FROM ex GROUP BY wd
 )

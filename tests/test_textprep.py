@@ -85,32 +85,73 @@ def test_chunk_rejects_bad_stride(spark):
         textprep.chunk_documents(df, window=4, stride=0)
 
 
-def test_substring_dup_flags_planted_boilerplate(spark):
-    """Two docs sharing one long verbatim block (aligned to the window
-    grid) must both show shared windows; a doc with unique text shows
-    zero; token-set Jaccard would barely register the overlap."""
+def _write_docs(spark, rows):
     import tempfile
-    from stockanalyses_downloader_spark.queries.text_queries import (
-        substring_dup_fraction)
-
-    boiler = ("subscribe to our newsletter for updates " * 6).strip()
-    uniq1 = " ".join(f"alpha{i}" for i in range(60))
-    uniq2 = " ".join(f"beta{i}" for i in range(60))
-    rows = [(0, boiler + " " + uniq1),
-            (1, boiler + " " + uniq2),
-            (2, " ".join(f"gamma{i}" for i in range(80)))]
     d = tempfile.mkdtemp()
     spark.createDataFrame(rows, "doc_id long, text string") \
         .withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
         .withColumn("n_chars", F.length("text")) \
         .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_substring_dup_flags_planted_boilerplate(spark):
+    """Two docs sharing one long verbatim block must both show shared
+    windows; a doc with unique text shows zero; token-set Jaccard
+    would barely register the overlap."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        substring_dup_fraction)
+
+    # varied (non-repeating) boilerplate: a repeated phrase collapses
+    # to a handful of DISTINCT window digests after the per-doc dedup
+    boiler = ("this dataset is released under the terms of the creative "
+              "commons attribution license version four point zero and "
+              "any redistribution must preserve this exact notice along "
+              "with the original authorship and citation metadata block "
+              "including checksums and provenance identifiers")
+    uniq1 = " ".join(f"alpha{i}" for i in range(60))
+    uniq2 = " ".join(f"beta{i}" for i in range(60))
+    rows = [(0, boiler + " " + uniq1),
+            (1, boiler + " " + uniq2),
+            (2, " ".join(f"gamma{i}" for i in range(80)))]
     out = {r["doc_id"]: r for r in
-           substring_dup_fraction(spark, d).collect()}
-    assert out[0]["n_shared_windows"] >= 3  # boiler spans >= 3 windows
+           substring_dup_fraction(spark, _write_docs(spark, rows))
+           .collect()}
+    assert out[0]["n_shared_windows"] >= 3  # boiler spans >= 3 anchors
     assert out[1]["n_shared_windows"] >= 3
     assert out[2]["n_shared_windows"] == 0
     assert out[2]["dup_fraction"] == 0.0
     assert 0 < out[0]["dup_fraction"] < 1
+
+
+@pytest.mark.parametrize("off_a,off_b", [(0, 7), (3, 50), (13, 31)])
+def test_substring_dup_is_shift_resilient(spark, off_a, off_b):
+    """VERDICT r4 #2: the SAME boilerplate planted at offsets
+    differing by a NON-multiple of any grid (7/47/18 chars apart —
+    none a multiple of the r4 stride 32) must still be flagged in
+    BOTH docs, because anchors are content-defined (carried by the
+    block), not offset-aligned."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        substring_dup_fraction)
+
+    boiler = ("every downstream consumer of this corpus must retain "
+              "the license header and acknowledge the upstream data "
+              "sources in full as described in the accompanying card "
+              "which lists collection dates filtering rules and known "
+              "limitations of the sampling procedure used here")
+    pre_a = " ".join(f"xq{i}" for i in range(40))[:off_a]
+    pre_b = " ".join(f"zk{i}" for i in range(40))[:off_b]
+    tail_a = " " + " ".join(f"alpha{i}" for i in range(50))
+    tail_b = " " + " ".join(f"beta{i}" for i in range(50))
+    rows = [(0, (pre_a + " " + boiler + tail_a).strip()),
+            (1, (pre_b + " " + boiler + tail_b).strip()),
+            (2, " ".join(f"gamma{i}" for i in range(80)))]
+    out = {r["doc_id"]: r for r in
+           substring_dup_fraction(spark, _write_docs(spark, rows))
+           .collect()}
+    assert out[0]["n_shared_windows"] >= 2, out[0]
+    assert out[1]["n_shared_windows"] >= 2, out[1]
+    assert out[2]["n_shared_windows"] == 0
 
 
 def test_hll_sketch_union_tracks_exact(spark):
