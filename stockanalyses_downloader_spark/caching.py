@@ -15,6 +15,20 @@ footprint returns to baseline). Releasing is safe once the consumer
 has collected/written the result — unpersist on a consumed frame
 only drops cache blocks, never data.
 
+OWNERSHIP (ADVICE r4): the global registry is HARNESS-OWNED and
+single-threaded by contract — one driver thread builds, materializes,
+and releases queries in sequence. It is NOT thread-safe: concurrent
+query threads would interleave their persists in one list, and a
+``release_tracked()`` from one thread could unpersist frames another
+thread's running query still depends on (forcing mid-query recompute
+of multi-consumer frames). Library callers running queries
+concurrently, or embedding this engine where the global lifecycle is
+inconvenient, should wrap each query in ``tracked_scope()`` — it
+releases exactly the frames persisted inside its own block and leaves
+everything else alone. A caller that never releases at all simply
+leans on Spark's LRU cache eviction; correctness is unaffected, only
+cache residency.
+
 Not tracked here: ``localCheckpoint`` frames (graph.py's iterative
 connected components, kmeans' per-iteration barrier). Those HOLD the
 result data (checkpoint truncates lineage — unpersisting one before
@@ -28,10 +42,35 @@ already freed eagerly by the loop itself where safe (kmeans'
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+
+
+@contextmanager
+def tracked_scope() -> Iterator[None]:
+    """Scope tracked persists to one query: on exit, unpersist ONLY
+    the frames ``tracked_persist`` registered inside the block (and
+    remove them from the global registry, releasing the Python refs so
+    ContextCleaner can reclaim the JVM-side blocks). Frames tracked
+    before or outside the scope are untouched — safe to nest and safe
+    next to a concurrently-running query that manages its own scope,
+    as long as the two queries don't share a persisted frame."""
+    start = len(_TRACKED)
+    try:
+        yield
+    finally:
+        scoped = _TRACKED[start:]
+        del _TRACKED[start:]
+        for df in scoped:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session already stopped
+                pass
 
 
 def tracked_persist(df: DataFrame,

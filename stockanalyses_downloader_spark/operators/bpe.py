@@ -154,8 +154,16 @@ def tokenize_with_merges(docs: DataFrame, merges: list[tuple[str, str]],
         syms = _merge_once(syms, left, right)
     encoded = distinct_pre.withColumn("bpe", syms)
     joined = ex.join(encoded, "pretoken")
-    return (joined.groupBy(id_col)
-            .agg(F.flatten(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "bpe"))),
-                lambda s: s["bpe"])).alias("tokens"))
+    per_doc = (joined.groupBy(id_col)
+               .agg(F.flatten(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "bpe"))),
+                   lambda s: s["bpe"])).alias("tokens")))
+    # left-join back onto the input ids: a doc whose text yields ZERO
+    # pretokens (empty/whitespace-only) produces no exploded rows and
+    # would silently vanish from the group-by — it must surface with
+    # an empty encoding instead (ADVICE r4)
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .withColumn("tokens",
+                        F.coalesce("tokens",
+                                   F.array().cast("array<string>")))
             .withColumn("n_bpe_tokens", F.size("tokens")))

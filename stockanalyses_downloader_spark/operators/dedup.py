@@ -46,8 +46,28 @@ def _mh_params(n: int, seed: int = 1234567) -> list[tuple[int, int]]:
     return out
 
 
-_WIDE_NODES = ("Join", "Aggregate", "Deduplicate", "Window", "Sort",
-               "Repartition", "RepartitionByExpression")
+_WIDE_NODES = frozenset({
+    "Join", "Aggregate", "Deduplicate", "Window", "Sort",
+    "Repartition", "RepartitionByExpression"})
+
+
+def _has_wide_node(jplan) -> bool:
+    """Walk the analyzed logical plan TREE (children only, not
+    expression-embedded subqueries) looking for an exchange-producing
+    node. ADVICE r4: the previous regex over the plan's toString()
+    was brittle across Spark versions AND false-skipped narrow scans
+    whose FILTER merely embeds a scalar subquery containing a
+    Join/Aggregate — subqueries live in expressions, not children, so
+    a node walk naturally excludes them."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _WIDE_NODES:
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -62,9 +82,8 @@ def spread(df: DataFrame) -> DataFrame:
     partition setting and a repartition here would only add a
     redundant exchange (the r3 shape: minhash's left-semi ``involved``
     frame passed the inputFiles probe and got re-spread after its
-    semi-join shuffle). Node detection is a per-line prefix match on
-    the logical plan string — node names lead each plan line, so
-    column names can't false-positive.
+    semi-join shuffle). Detection walks the analyzed plan's node tree
+    (see ``_has_wide_node``).
 
     Scan width is probed via ``inputFiles()`` — a driver-side file
     listing, no physical planning or RDD conversion. One file can
@@ -73,10 +92,7 @@ def spread(df: DataFrame) -> DataFrame:
     spreading, which is the safe direction for the CPU-heavy
     consumers this wraps. Non-file sources (no listing) are left
     untouched."""
-    import re
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if re.search(rf"^[\s:+'-]*(?:{'|'.join(_WIDE_NODES)})\b", plan,
-                 re.MULTILINE):
+    if _has_wide_node(df._jdf.queryExecution().analyzed()):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     try:

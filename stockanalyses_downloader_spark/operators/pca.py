@@ -32,8 +32,12 @@ def embedding_covariance(embeddings: DataFrame,
                          vec_col: str = "embedding") -> DataFrame:
     """Upper-triangle population covariance of the embedding
     dimensions: (dim_i, dim_j, cov) with 0-based dim_i <= dim_j,
-    cov = E[x_i x_j] - E[x_i] E[x_j]."""
-    e = embeddings.select(as_double(F.col(vec_col)).alias("v"))
+    cov = E[x_i x_j] - E[x_i] E[x_j]. Zero-length vectors are dropped
+    (ADVICE r4: sequence(1, 0) runs DESCENDING, and element_at(v, 0)
+    errors under ANSI mode — and a 0-d vector contributes no moments
+    anyway)."""
+    e = (embeddings.select(as_double(F.col(vec_col)).alias("v"))
+         .filter(F.size("v") >= 1))
     d = F.size("v")
 
     # first moments: one posexplode, d-row aggregate
@@ -76,6 +80,10 @@ def pca_model(embeddings: DataFrame, k: int,
     import numpy as np
 
     rows = embedding_covariance(embeddings, vec_col).collect()
+    if not rows:
+        raise ValueError(
+            "pca_model: no covariance rows — the embeddings frame is "
+            "empty or every vector has zero length")
     d = max(r["dim_j"] for r in rows) + 1
     cov = np.zeros((d, d))
     for r in rows:

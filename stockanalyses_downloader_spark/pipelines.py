@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,7 +54,8 @@ def run_rest_batch(spark: SparkSession, jobs: DataFrame,
     # outcomes, telemetry) — without the barrier each one re-runs the
     # fetcher, i.e. re-downloads (round-1 defect). The snapshot batch
     # is one row per in-flight job: always cacheable.
-    snapshots = fetcher(ticker.build_ticker_urls(resolved)).persist()
+    snapshots = fetcher(ticker.build_ticker_urls(resolved)).persist(
+        StorageLevel.MEMORY_AND_DISK)  # survive eviction: refetch = re-HTTP
     ok = pipeline.with_mid(pipeline.validate_http(snapshots))
 
     messages = pipeline.serialize_message(
@@ -62,7 +64,13 @@ def run_rest_batch(spark: SparkSession, jobs: DataFrame,
     # publish once, capture per-message success (publish_with_outcomes
     # is lazy; the persist + the telemetry aggregate below make the
     # queue client run exactly once)
-    pub = sinks.publish_with_outcomes(messages, client_factory).persist()
+    # MEMORY_AND_DISK (ADVICE r4): the effective-exactly-once publish
+    # guarantee rides on these blocks surviving from the stats action
+    # to the writeback action — a memory-only block evicted under
+    # pressure would recompute pub and re-fire the queue client,
+    # double-publishing. Disk-backed blocks spill instead of vanish.
+    pub = sinks.publish_with_outcomes(messages, client_factory).persist(
+        StorageLevel.MEMORY_AND_DISK)
 
     # real feedback edge (main.py:339-345): fetch ok comes from the
     # HTTP status, publish ok from the queue client — a failed publish

@@ -464,7 +464,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COV_SQL = """
 WITH e AS (
   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings WHERE len(embedding) >= 1
 ), m AS (
   SELECT pos, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mu
   FROM (SELECT unnest(range(len(v))) AS pos, unnest(v) AS x FROM e)

@@ -163,3 +163,39 @@ def test_bpe_compression_on_real_corpus(spark):
                   F.sum("n_bpe_tokens").alias("toks"))
              .first())
     assert stats["toks"] < stats["chars"]
+
+
+def test_tokenize_keeps_zero_pretoken_docs(spark):
+    """ADVICE r4: a doc whose text yields no pretokens (empty or
+    whitespace-only) must still appear in the encode output with an
+    empty token array, not silently vanish from the fan-back join."""
+    rows = [(0, "cat sat"), (1, ""), (2, "   \t  "), (3, "dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           bpe.tokenize_with_merges(df, [("c", "a")]).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[1]["tokens"] == [] and got[1]["n_bpe_tokens"] == 0
+    assert got[2]["tokens"] == [] and got[2]["n_bpe_tokens"] == 0
+    assert got[0]["n_bpe_tokens"] > 0 and got[3]["n_bpe_tokens"] > 0
+
+
+def test_bpe_apply_is_bounded_jobs(spark):
+    """VERDICT r4 #3: with the merge table FIT once (module memo),
+    the registered doc_bpe_tokenization query is pure APPLY — a small
+    bounded job count per run, not ~35 sequential training jobs.
+    Pinned as a ceiling with AQE off (one job per action)."""
+    from stockanalyses_downloader_spark.queries import text_queries as tq
+
+    tq._bpe_merges_for(spark, SF_SMALL, 16)  # fit (or reuse) the model
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup("bpe-apply", "bounded-jobs pin")
+    try:
+        n = tq.doc_bpe_tokenization(spark, SF_SMALL).count()
+        n_jobs = len(spark.sparkContext.statusTracker()
+                     .getJobIdsForGroup("bpe-apply"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.sparkContext.setJobGroup("post-bpe", "reset")
+    assert n > 0
+    assert n_jobs <= 3, f"apply path ran {n_jobs} jobs (re-training?)"

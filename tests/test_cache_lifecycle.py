@@ -64,3 +64,24 @@ def test_registry_sweep_cache_returns_to_baseline(spark):
     # end-of-session full release reaches the checkpoint blocks too
     caching.release_all(spark)
     assert _n_persistent(spark) == 0
+
+
+def test_tracked_scope_releases_only_its_own(spark):
+    """ADVICE r4: tracked_scope() unpersists exactly the frames
+    persisted inside its block — an outer tracked frame survives and
+    stays cached; the registry shrinks back to its pre-scope length."""
+    from stockanalyses_downloader_spark import caching
+
+    outer = caching.tracked_persist(spark.range(100))
+    outer.count()
+    before = len(caching._TRACKED)
+    with caching.tracked_scope():
+        inner = caching.tracked_persist(spark.range(200))
+        inner.count()
+        assert len(caching._TRACKED) == before + 1
+        assert inner.storageLevel.useMemory
+    assert len(caching._TRACKED) == before
+    assert not inner.storageLevel.useMemory     # released by the scope
+    assert outer.storageLevel.useMemory          # untouched
+    caching.release_tracked()
+    assert not outer.storageLevel.useMemory

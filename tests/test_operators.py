@@ -731,3 +731,28 @@ def test_ann_recall_report_floors(spark):
     assert rows["ivf"]["recall_at_k"] >= 0.5
     assert rows["ivf_trained"]["recall_at_k"] >= 0.7
     assert rows["ivf_quantized"]["recall_at_k"] >= rows["ivf"]["recall_at_k"] - 0.2
+
+
+def test_spread_widens_scans_not_shuffled_frames(spark, tmp_path):
+    """spread() (ADVICE r4 rewrite: logical-plan node walk, not a
+    plan-string regex): a narrow one-file scan widens to the default
+    parallelism; a frame already downstream of an exchange-producing
+    node is untouched; and — the r4 false-skip — a narrow scan whose
+    FILTER merely embeds a scalar subquery (whose plan contains an
+    Aggregate) must STILL be spread, because the subquery is an
+    expression, not a plan child."""
+    from pyspark.sql import functions as F
+    p = str(tmp_path / "one_file")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    target = spark.sparkContext.defaultParallelism
+
+    assert dedup.spread(df).rdd.getNumPartitions() == target
+
+    agged = df.groupBy((F.col("id") % 7).alias("k")).count()
+    assert dedup.spread(agged) is agged  # exchange already present
+
+    spark.read.parquet(p).createOrReplaceTempView("spread_probe_t")
+    sub = spark.sql("SELECT * FROM spread_probe_t "
+                    "WHERE id > (SELECT avg(id) FROM spread_probe_t)")
+    assert dedup.spread(sub).rdd.getNumPartitions() == target

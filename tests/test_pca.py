@@ -67,3 +67,25 @@ def test_pca_projection_matches_numpy(spark, emb, np_corpus):
 
     var = got.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(K - 1)), var
+
+
+def test_pca_empty_and_zero_length_inputs(spark):
+    """ADVICE r4: empty embeddings -> clear ValueError (not an opaque
+    max() crash); zero-length vectors are dropped from the covariance
+    rather than erroring under ANSI on element_at(v, 0)."""
+    import pytest
+    from stockanalyses_downloader_spark.operators import pca
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        pca.pca_model(empty, k=2)
+
+    mixed = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, []), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<float>")
+    rows = {(r["dim_i"], r["dim_j"]): r["cov"]
+            for r in pca.embedding_covariance(mixed).collect()}
+    # covariance over the two NON-EMPTY rows: var(x0)=1, var(x1)=2.25
+    assert rows[(0, 0)] == pytest.approx(1.0)
+    assert rows[(1, 1)] == pytest.approx(2.25)
+    assert rows[(0, 1)] == pytest.approx(1.5)
