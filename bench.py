@@ -38,6 +38,22 @@ HEADLINE = [
     "cosine_topk_bruteforce",
 ]
 
+# Second tier (VERDICT r4 #4): the heaviest round-4/5 additions, timed
+# and reported alongside the headline set so a perf regression in the
+# newer surface is visible, but summed SEPARATELY — `value` stays the
+# headline-only total, comparable across rounds.
+EXTENDED = [
+    "substring_dup_fraction",
+    "bpe_pair_counts",
+    "doc_bpe_tokenization",     # apply-only: the merge model is fit
+                                # once outside the timer (fit/apply
+                                # split — the model is an artifact,
+                                # not per-query work)
+    "embedding_covariance",
+    "doc_unigram_surprisal",
+    "pii_redaction_report",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -51,7 +67,7 @@ def main() -> None:
     # (the 64-min-aggregate minhash plan alone costs ~2 s of javac on
     # first execution). Guarded per query: a broken warm-up must not
     # take the bench down.
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         try:
             registry[name].spark(
                 spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
@@ -62,13 +78,23 @@ def main() -> None:
             # plans, useless to the timed sf runs — drop them
             release_tracked()
 
+    # fit the BPE merge model for the TIMED sf outside the timer: the
+    # model is a fit-once artifact (text_queries._BPE_MODEL_CACHE);
+    # doc_bpe_tokenization's timed run measures the apply path
+    try:
+        from stockanalyses_downloader_spark.queries.text_queries import (
+            _bpe_merges_for)
+        _bpe_merges_for(spark, sf_dir, 16)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bpe model prefit failed: {exc!r}", file=sys.stderr)
+
     # Per-query failure isolation: one red query records an error
     # string and the suite keeps going — the bench signal degrades
     # gracefully, never to zero (BENCH_r02 died whole on one
     # AnalysisException; never again).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         q = registry[name]
         start = time.perf_counter()
         try:
@@ -83,15 +109,23 @@ def main() -> None:
             # the same SF, so this doesn't change what's measured)
             release_tracked()
 
-    # value is the cross-round comparison number — a partial sum is
-    # not comparable to a full one, so report null when any query
-    # errored (n_ok + per-query timings still tell the whole story)
-    total = round(sum(timings.values()), 3) if not errors else None
+    # value is the cross-round comparison number — headline-only (the
+    # r1-r4 basis) and null when any headline query errored (a partial
+    # sum is not comparable to a full one; n_ok + per-query timings
+    # still tell the whole story). The extended tier reports its own
+    # subtotal the same way.
+    head_ok = [n for n in HEADLINE if n in timings]
+    ext_ok = [n for n in EXTENDED if n in timings]
+    total = (round(sum(timings[n] for n in head_ok), 3)
+             if len(head_ok) == len(HEADLINE) else None)
+    ext_total = (round(sum(timings[n] for n in ext_ok), 3)
+                 if len(ext_ok) == len(EXTENDED) else None)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "n_ok": len(timings),
+        "extended_total": ext_total,
         "queries": timings,
         "sf": sf,
     }

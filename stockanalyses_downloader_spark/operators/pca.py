@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import spread
 from .similarity import as_double
 
 
@@ -35,9 +36,14 @@ def embedding_covariance(embeddings: DataFrame,
     cov = E[x_i x_j] - E[x_i] E[x_j]. Zero-length vectors are dropped
     (ADVICE r4: sequence(1, 0) runs DESCENDING, and element_at(v, 0)
     errors under ANSI mode — and a 0-d vector contributes no moments
-    anyway)."""
-    e = (embeddings.select(as_double(F.col(vec_col)).alias("v"))
-         .filter(F.size("v") >= 1))
+    anyway).
+
+    spread() first: the pair explode amplifies every row by d(d+1)/2
+    (×2080 at d=64), so a narrow input (one parquet split on local
+    fixtures) would grind the whole second-moment scan through ONE
+    task — measured 7.4 s -> 0.4 s at sf0.1 from widening alone."""
+    e = spread(embeddings.select(as_double(F.col(vec_col)).alias("v"))
+               .filter(F.size("v") >= 1))
     d = F.size("v")
 
     # first moments: one posexplode, d-row aggregate

@@ -378,7 +378,11 @@ def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wire), one digest->df map join, one doc-keyed agg. No
     pairwise anything — the digest IS the bucket."""
     AW, W = 16, 64
-    d = _docs(spark, sf_dir)
+    from ..operators.dedup import spread
+    # spread(): the anchor scan runs one md5 per space position — a
+    # narrow one-split local input would serialize the whole corpus
+    # scan through one task
+    d = spread(_docs(spark, sf_dir))
     canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     base = d.select("doc_id", canon.alias("c"))
     # sequence(1, 0) would run DESCENDING on an empty doc — guard it.
