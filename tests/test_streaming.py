@@ -348,3 +348,64 @@ def test_corpus_ingest_watermark_bounded_dedup(spark, tmp_path):
     fps = [r.fingerprint for r in got]
     assert len(fps) == len(set(fps)) == 30
     assert "ingest_ts" not in got[0].asDict()
+
+
+def test_checkpoint_resume_no_loss_replayed_batch_dedups(spark, tmp_path):
+    """ST4 across a CRASH (VERDICT r4 #5): a foreachBatch sink that
+    dies AFTER its side effect (write landed, checkpoint commit
+    didn't) kills the query mid-stream; restarting from the same
+    checkpoint must (a) replay exactly the uncommitted batch — the
+    at-least-once contract, visible as one duplicated batch in the
+    raw sink, (b) not re-run any committed batch, (c) lose nothing,
+    and (d) collapse to exact batch semantics after keyed dedup —
+    the effective-exactly-once claim, now verified across restart
+    rather than within one run."""
+    import pyspark.sql.utils as U
+
+    src_dir = tmp_path / "src"
+    sink_dir = tmp_path / "sink"
+    ckpt = str(tmp_path / "ckpt")
+    crash_marker = tmp_path / "crashed_once"
+
+    # 12 single-file micro-batches of 10 rows each (maxFilesPerTrigger=1)
+    for f in range(12):
+        spark.range(f * 10, f * 10 + 10) \
+            .withColumn("payload", F.concat(F.lit("m"), F.col("id"))) \
+            .coalesce(1).write.mode("append").parquet(str(src_dir))
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(sink_dir))
+        if batch_id == 3 and not crash_marker.exists():
+            crash_marker.touch()   # fail only on the FIRST attempt
+            raise RuntimeError("injected crash after side effect")
+
+    def start():
+        stream = (spark.readStream
+                  .schema("id long, payload string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src_dir)))
+        return (stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    q = start()
+    with pytest.raises(U.StreamingQueryException):
+        q.awaitTermination(120)
+    assert crash_marker.exists()   # it really did crash on batch 3
+
+    q2 = start()                   # resume from the SAME checkpoint
+    assert q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(sink_dir))
+    ids = [r["id"] for r in got.collect()]
+    # (c) no loss: every source row is present
+    assert set(ids) == set(range(120))
+    # (a)+(b) exactly the replayed batch duplicated, nothing else:
+    # batch 3 carried one 10-row file -> 130 raw rows, dups all ×2
+    assert len(ids) == 130
+    from collections import Counter
+    dup_counts = {k: c for k, c in Counter(ids).items() if c > 1}
+    assert len(dup_counts) == 10 and set(dup_counts.values()) == {2}
+    # (d) effective exactly-once downstream: keyed dedup == batch run
+    dedup = got.dropDuplicates(["id"])
+    assert dedup.count() == 120
