@@ -120,6 +120,64 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
     return cent
 
 
+def _ivf_lists_probes(e: DataFrame, cent: DataFrame, query_ids: list[int],
+                      k: int, n_probe: int, probe_oversample: int,
+                      id_col: str, carry: list[str]):
+    """Shared IVF partition/probe machinery (factored r5 — three
+    variants repeated it verbatim): assign every non-query row to its
+    nearest centroid ("v"/"norm" are the ASSIGNMENT vector and norm;
+    ``carry`` columns ride along untouched), persist the inverted
+    lists (they feed both the candidate side and the list-size
+    aggregate — one scan), and compute each query's probe set with
+    the adaptive depth rule: keep probing down the centroid ranking
+    past the n_probe floor while the lists probed so far hold fewer
+    than k * probe_oversample candidates (computed IN-PLAN from the
+    lists' own sizes via a broadcast n_centroids-row aggregate, so
+    construction stays lazy). Returns (lists, probes), both shaped
+    (id_col, v, norm, *carry, list_id)."""
+    def ranked(frame: DataFrame) -> DataFrame:
+        scored = (frame.crossJoin(F.broadcast(cent))
+                  .select(frame[id_col], "v", "norm", *carry, "centroid_id",
+                          (dot(F.col("v"), F.col("cv"))
+                           / (F.col("norm") * F.col("cnorm"))).alias("csim")))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("csim").desc(), F.col("centroid_id"))
+        return scored.withColumn("__r", F.row_number().over(w))
+
+    lists = tracked_persist(
+        ranked(e.filter(~F.col(id_col).isin(query_ids)))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "v", "norm", *carry,
+                F.col("centroid_id").alias("list_id")))
+    list_sizes = (lists.groupBy("list_id")
+                  .agg(F.count("*").alias("__lsz"))
+                  .withColumnRenamed("list_id", "__sz_list"))
+    cum_w = (Window.partitionBy(id_col).orderBy("__r")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    probes = (ranked(e.filter(F.col(id_col).isin(query_ids)))
+              .join(F.broadcast(list_sizes),
+                    F.col("centroid_id") == F.col("__sz_list"), "left")
+              .withColumn("__sz", F.coalesce("__lsz", F.lit(0)))
+              .withColumn("__cum",
+                          F.coalesce(F.sum("__sz").over(cum_w), F.lit(0)))
+              .filter((F.col("__r") <= n_probe)
+                      | (F.col("__cum") < k * probe_oversample))
+              .select(id_col, "v", "norm", *carry,
+                      F.col("centroid_id").alias("list_id")))
+    return lists, probes
+
+
+def _sampled_centroids(e: DataFrame, n_centroids: int,
+                       id_col: str) -> DataFrame:
+    """Deterministic pseudo-random corpus sample as centroids — a
+    distributed TakeOrdered on a hash of the id; LAZY (no action at
+    construction, pinned by the no-job test)."""
+    return (e.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"),
+                    F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
              n_centroids: int = 16, n_probe: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -158,54 +216,17 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
     e = tracked_persist(e.withColumn("norm", l2_norm(F.col("v"))))
 
-    # default centroids = n_centroids pseudo-random corpus vectors,
-    # selected by a distributed TakeOrdered on a hash of the id —
-    # deterministic, and crucially LAZY: no count()/collect() fires
-    # during query construction (pinned by the no-job test). Pass
-    # ``centroids`` (e.g. from kmeans_centroids) for the trained
-    # variant; assignment/probe/rerank are identical either way.
+    # default centroids: deterministic lazy hash-sample (see
+    # _sampled_centroids). Pass ``centroids`` (e.g. from
+    # kmeans_centroids) for the trained variant; assignment/probe/
+    # rerank are identical either way.
     if centroids is None:
-        cent = (e.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-                 .limit(n_centroids)
-                 .select(F.col(id_col).alias("centroid_id"),
-                         F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+        cent = _sampled_centroids(e, n_centroids, id_col)
     else:
         cent = centroids.select("centroid_id", "cv", "cnorm")
 
-    def ranked(frame: DataFrame) -> DataFrame:
-        scored = (frame.crossJoin(F.broadcast(cent))
-                  .select(frame[id_col], "v", "norm", "centroid_id",
-                          (dot(F.col("v"), F.col("cv"))
-                           / (F.col("norm") * F.col("cnorm"))).alias("csim")))
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("csim").desc(), F.col("centroid_id"))
-        return scored.withColumn("__r", F.row_number().over(w))
-
-    # persist the assignment: it feeds both the candidate side and the
-    # (tiny) list-size aggregate below — one scan, not two. persist()
-    # is lazy, so nothing runs at build time.
-    lists = tracked_persist(
-        ranked(e.filter(~F.col(id_col).isin(query_ids)))
-        .filter(F.col("__r") == 1)
-        .select(id_col, "v", "norm",
-                F.col("centroid_id").alias("list_id")))
-    list_sizes = (lists.groupBy("list_id")
-                  .agg(F.count("*").alias("__lsz"))
-                  .withColumnRenamed("list_id", "__sz_list"))
-    # adaptive probe depth: keep list #r if r <= n_probe OR the lists
-    # ranked above it hold fewer than k * probe_oversample candidates.
-    cum_w = (Window.partitionBy(id_col).orderBy("__r")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    probes = (ranked(e.filter(F.col(id_col).isin(query_ids)))
-              .join(F.broadcast(list_sizes),
-                    F.col("centroid_id") == F.col("__sz_list"), "left")
-              .withColumn("__sz", F.coalesce("__lsz", F.lit(0)))
-              .withColumn("__cum",
-                          F.coalesce(F.sum("__sz").over(cum_w), F.lit(0)))
-              .filter((F.col("__r") <= n_probe)
-                      | (F.col("__cum") < k * probe_oversample))
-              .select(id_col, "v", "norm",
-                      F.col("centroid_id").alias("list_id")))
+    lists, probes = _ivf_lists_probes(
+        e, cent, query_ids, k, n_probe, probe_oversample, id_col, [])
     q = probes.select(F.col(id_col).alias("query_id"),
                       F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
                       "list_id")
@@ -432,44 +453,14 @@ def ivf_topk_quantized(embeddings: DataFrame, query_ids: list[int],
          .withColumn("norm", l2_norm(F.col("v")))
          .withColumn("rnorm", l2_norm(F.col("recon"))))
 
-    cent = (e.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-             .limit(n_centroids)
-             .select(F.col(id_col).alias("centroid_id"),
-                     F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+    cent = _sampled_centroids(e, n_centroids, id_col)
 
-    def ranked(frame: DataFrame) -> DataFrame:
-        scored = (frame.crossJoin(F.broadcast(cent))
-                  .select(frame[id_col], "v", "recon", "norm", "rnorm",
-                          "centroid_id",
-                          (dot(F.col("v"), F.col("cv"))
-                           / (F.col("norm") * F.col("cnorm"))).alias("csim")))
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("csim").desc(), F.col("centroid_id"))
-        return scored.withColumn("__r", F.row_number().over(w))
-
-    # same adaptive probe-depth rule as ivf_topk (see its docstring):
-    # n_probe is a floor, widened in-plan until the probed lists hold
-    # k * probe_oversample candidates.
-    lists = tracked_persist(
-        ranked(e.filter(~F.col(id_col).isin(query_ids)))
-        .filter(F.col("__r") == 1)
-        .select(id_col, "v", "recon", "norm", "rnorm",
-                F.col("centroid_id").alias("list_id")))
-    list_sizes = (lists.groupBy("list_id")
-                  .agg(F.count("*").alias("__lsz"))
-                  .withColumnRenamed("list_id", "__sz_list"))
-    cum_w = (Window.partitionBy(id_col).orderBy("__r")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    probes = (ranked(e.filter(F.col(id_col).isin(query_ids)))
-              .join(F.broadcast(list_sizes),
-                    F.col("centroid_id") == F.col("__sz_list"), "left")
-              .withColumn("__sz", F.coalesce("__lsz", F.lit(0)))
-              .withColumn("__cum",
-                          F.coalesce(F.sum("__sz").over(cum_w), F.lit(0)))
-              .filter((F.col("__r") <= n_probe)
-                      | (F.col("__cum") < k * probe_oversample))
-              .select(id_col, "v", "recon", "norm", "rnorm",
-                      F.col("centroid_id").alias("list_id")))
+    # same adaptive probe-depth rule as ivf_topk (see
+    # _ivf_lists_probes): n_probe is a floor, widened in-plan until
+    # the probed lists hold k * probe_oversample candidates.
+    lists, probes = _ivf_lists_probes(
+        e, cent, query_ids, k, n_probe, probe_oversample, id_col,
+        ["recon", "rnorm"])
     q = probes.select(F.col(id_col).alias("query_id"),
                       F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
                       "list_id")
@@ -491,6 +482,204 @@ def ivf_topk_quantized(embeddings: DataFrame, query_ids: list[int],
         "query_id", "neighbor_id",
         (dot(F.col("qv"), F.col("xv"))
          / (F.col("qnorm") * F.col("xnorm"))).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k))
+
+
+# --- Product quantization (VERDICT r4 #6) ----------------------------------
+
+def _subvectors(v: Column, m: int) -> Column:
+    """Split ``v`` into m contiguous subvectors (array of structs
+    (sub_id, sv)). Subvector width adapts per row (ceil(d/m)), so the
+    operator stays lazy — no driver-side dim probe; the tail subspace
+    may be narrower when m doesn't divide d."""
+    ds = F.ceil(F.size(v) / F.lit(m)).cast("int")
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(s.cast("int").alias("sub_id"),
+                               F.slice(v, s * ds + 1, ds).alias("sv"))),
+        lambda st: F.size(st["sv"]) >= 1)
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = 8, ksub: int = 16,
+                 n_iter: int = 3, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Train product-quantization codebooks: an L2 k-means of ``ksub``
+    centroids in EACH of the ``m`` subspaces — run as ONE joint Lloyd
+    loop over all subspaces (the subspace id is just another grouping
+    key), so the iteration count doesn't multiply by m. Deterministic
+    init (per-subspace hash-ordered corpus sample) and DECIMAL mean
+    accumulation, like kmeans_centroids.
+
+    Returns (sub_id, code_id, cv array<double>, sqn double) — sqn is
+    the centroid's squared norm, precomputed because ADC scoring
+    reconstructs a candidate's norm as sqrt(sum of its codes' sqn).
+
+    Scale: the codebook is m × ksub rows (model-sized); each Lloyd
+    round scans the corpus subrows once against the broadcast
+    codebook — identical cost shape to kmeans_centroids with
+    k = m·ksub, and like it, a few rounds on a corpus SAMPLE is the
+    production fit (the apply side never iterates)."""
+    from .dedup import spread
+    e = spread(embeddings.select(id_col, as_double(F.col(vec_col))
+                                 .alias("v"))
+               .filter(F.size("v") >= 1))
+    subs = tracked_persist(
+        e.select(id_col, F.explode(_subvectors(F.col("v"), m)).alias("p"))
+        .select(id_col, "p.sub_id", "p.sv"))
+
+    w = Window.partitionBy("sub_id").orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col))
+    cb = (subs.withColumn("__r", F.row_number().over(w))
+          .filter(F.col("__r") <= ksub)
+          .select("sub_id", (F.col("__r") - 1).cast("int").alias("code_id"),
+                  F.col("sv").alias("cv"))
+          # localCheckpoint, not persist: the codebook is MODEL-sized
+          # (m × ksub rows) and each Lloyd round's plan references the
+          # previous round's twice (assignment + empty-cluster merge),
+          # so an un-truncated lineage doubles per round — checkpoint
+          # keeps every downstream plan flat (bpe.py's rationale)
+          .localCheckpoint(eager=True))
+    for _ in range(n_iter):
+        d2 = F.aggregate(
+            F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda acc, t: acc + t)
+        aw = Window.partitionBy(id_col, "sub_id").orderBy("d2", "code_id")
+        assigned = (subs.join(F.broadcast(cb), "sub_id")
+                    .withColumn("d2", d2)
+                    .withColumn("__r", F.row_number().over(aw))
+                    .filter(F.col("__r") == 1)
+                    .select("sub_id", "code_id", "sv"))
+        means = (assigned
+                 .select("sub_id", "code_id",
+                         F.posexplode("sv").alias("pos", "x"))
+                 .groupBy("sub_id", "code_id", "pos")
+                 .agg((F.sum(F.col("x").cast("decimal(30,15)"))
+                       .cast("double") / F.count("*")).alias("c")))
+        newc = (means.groupBy("sub_id", "code_id")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"]).alias("cv")))
+        cb = (cb.select("sub_id", "code_id",
+                        F.col("cv").alias("__old"))
+              .join(newc, ["sub_id", "code_id"], "left")
+              .select("sub_id", "code_id",
+                      F.coalesce("cv", "__old").alias("cv"))
+              .localCheckpoint(eager=True))
+    subs.unpersist()
+    return cb.withColumn("sqn", F.aggregate(
+        "cv", F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame, m: int = 8,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as m small codes — nearest (L2) codebook
+    entry per subspace, codes ordered by sub_id. The 16–64× ANN
+    storage compression tier: an int8-per-subspace codes array
+    replaces the float vector in the inverted lists. Output:
+    (id_col, codes array<int>)."""
+    e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v")) \
+                  .filter(F.size("v") >= 1)
+    subs = (e.select(id_col,
+                     F.explode(_subvectors(F.col("v"), m)).alias("p"))
+            .select(id_col, "p.sub_id", "p.sv"))
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, t: acc + t)
+    aw = Window.partitionBy(id_col, "sub_id").orderBy("d2", "code_id")
+    assigned = (subs.join(F.broadcast(codebooks.select(
+                    "sub_id", "code_id", "cv")), "sub_id")
+                .withColumn("d2", d2)
+                .withColumn("__r", F.row_number().over(aw))
+                .filter(F.col("__r") == 1))
+    return (assigned.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "code_id"))),
+                lambda s: s["code_id"]).alias("codes")))
+
+
+def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                m: int = 8, ksub: int = 16, n_centroids: int = 16,
+                n_probe: int = 8, oversample: int = 6, n_iter: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                probe_oversample: int = 4) -> DataFrame:
+    """IVF with PRODUCT-QUANTIZED inverted lists + asymmetric distance
+    (ADC) scoring + exact float rerank — the standard 100 TB ANN
+    compression stack (IVF-PQ): lists hold m codes per vector (vs d
+    floats — 32× at d=64, m=8), candidates are scored from a per-query
+    lookup table of subspace partial dots, and only the k·oversample
+    best reach the float fetch + exact cosine.
+
+    ADC: approx_dot(q, x) = Σ_s lut[q][s][codes[s]] where
+    lut[q][s][c] = dot(q_s, codebook[s][c]); the candidate's norm is
+    reconstructed from the codebooks' precomputed squared norms. The
+    LUT is n_queries × m × ksub rows — broadcast-sized by
+    construction. Partial sums accumulate in DECIMAL so shortlist
+    membership is partitioning-order-independent.
+
+    Same output contract as cosine_topk: (query_id, neighbor_id,
+    cosine, rank) with EXACT cosines — compression only affects which
+    candidates reach the shortlist (recall floor pinned in tests)."""
+    base = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    base = tracked_persist(base.withColumn("norm", l2_norm(F.col("v"))))
+
+    cb = tracked_persist(
+        pq_codebooks(embeddings, m, ksub, n_iter, id_col, vec_col))
+    codes = pq_encode(embeddings, cb, m, id_col, vec_col)
+    e = base.join(codes, id_col, "left")
+
+    cent = _sampled_centroids(base, n_centroids, id_col)
+    lists, probes = _ivf_lists_probes(
+        e, cent, query_ids, k, n_probe, probe_oversample, id_col,
+        ["codes"])
+
+    # per-query subspace LUT (broadcast): dot(q_s, codebook[s][c])
+    qsubs = (probes.select(F.col(id_col).alias("query_id"),
+                           F.col("norm").alias("qnorm"), "v")
+             .dropDuplicates(["query_id"])
+             .select("query_id", "qnorm",
+                     F.explode(_subvectors(F.col("v"), m)).alias("p"))
+             .select("query_id", "qnorm", "p.sub_id", "p.sv"))
+    lut = (qsubs.join(F.broadcast(cb), "sub_id")
+           .select("query_id", "qnorm", "sub_id", "code_id", "sqn",
+                   dot(F.col("sv"), F.col("cv")).alias("pdot")))
+
+    q = probes.select(F.col(id_col).alias("query_id"), "list_id") \
+              .dropDuplicates(["query_id", "list_id"])
+    c = lists.select(F.col(id_col).alias("neighbor_id"), "codes",
+                     "list_id")
+    cand = (c.join(q, "list_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .select("query_id", "neighbor_id",
+                    F.posexplode("codes").alias("sub_id", "code_id")))
+    approx = (cand.join(F.broadcast(lut),
+                        ["query_id", "sub_id", "code_id"])
+              .groupBy("query_id", "neighbor_id")
+              .agg((F.sum(F.col("pdot").cast("decimal(25,15)"))
+                    .cast("double")
+                    / (F.first("qnorm")
+                       * F.sqrt(F.sum(F.col("sqn").cast("decimal(25,15)"))
+                                .cast("double")))).alias("approx_cos")))
+    sw = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id"))
+    shortlist = (approx.withColumn("__s", F.row_number().over(sw))
+                 .filter(F.col("__s") <= k * oversample)
+                 .select("query_id", "neighbor_id"))
+
+    # float fetch for the O(k) shortlist only — the honest rerank I/O
+    qv = base.select(F.col(id_col).alias("query_id"),
+                     F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    nv = base.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("v").alias("cv2"), F.col("norm").alias("cnorm2"))
+    exact = (shortlist.join(nv, "neighbor_id").join(F.broadcast(qv),
+                                                    "query_id")
+             .select("query_id", "neighbor_id",
+                     (dot(F.col("qv"), F.col("cv2"))
+                      / (F.col("qnorm") * F.col("cnorm2"))).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (exact.withColumn("rank", F.row_number().over(w))

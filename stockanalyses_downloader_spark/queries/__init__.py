@@ -223,6 +223,14 @@ _TAIL = [
     "ivf_topk_quantized",           # rows-only; int8-list IVF with
                                     # exact-rerank shortlist — recall
                                     # pinned in pytest
+    "ivf_topk_pq",                  # rows-only; IVF-PQ: product-
+                                    # quantized lists + ADC LUT
+                                    # scoring + exact rerank (new r5);
+                                    # recall floor pinned in pytest
+    "pca_ivf_topk",                 # rows-only; IVF candidates in
+                                    # PCA space (pca_k=24), exact
+                                    # full-dim rerank (new r5);
+                                    # recall floor pinned in pytest
     "twap_by_isin",                 # lead-duration weighted mean —
                                     # vwap holds the family's driver
                                     # slot; oracled in pytest
@@ -258,6 +266,10 @@ _TAIL = [
                                     # quality signal (ln-free,
                                     # decimal-stable); DuckDB-oracled;
                                     # new r4
+    "doc_bigram_surprisal",         # bigram-LM inverse conditional
+                                    # probability (catches wrong-
+                                    # SEQUENCE text unigrams miss);
+                                    # DuckDB-oracled; new r5
     "token_postings",               # inverted-index stats (df,
                                     # total_tf, postings head);
                                     # DuckDB-oracled; new r4

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import tracked_persist
-from ..operators import dedup, multimodal, similarity
+from ..operators import dedup, multimodal, pca, similarity
 from ..sources.tables import load_table
 from . import Q
 from .text_queries import _SW_ARRAY
@@ -111,6 +111,27 @@ def ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only; recall vs brute force pinned in tests."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_quantized(e, _QUERY_IDS, k=_TOPK)
+
+
+def ivf_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: product-quantized inverted lists (m=8 subspaces ×
+    ksub=16 codes — 32× smaller than float lists at d=64), ADC
+    scoring from a broadcast per-query LUT, exact float rerank of the
+    oversampled shortlist. The standard 100 TB ANN compression stack.
+    Rows-only; recall floor pinned in tests (ann_recall_report row
+    ``ivf_pq``)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_pq(e, _QUERY_IDS, k=_TOPK)
+
+
+def pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF candidate generation in PCA space (pca_k=24 of d=64),
+    exact full-dimension rerank — PCA composed into the ANN tier
+    (VERDICT r4 #7). Rows-only; recall floor pinned in tests
+    (ann_recall_report row ``pca_ivf``)."""
+    from ..operators import pca
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca.pca_ivf_topk(e, _QUERY_IDS, k=_TOPK)
 
 
 def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,6 +644,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signlsh": similarity.signlsh_topk(e, _QUERY_IDS, k=_TOPK),
         "ivf_quantized": similarity.ivf_topk_quantized(e, _QUERY_IDS,
                                                        k=_TOPK),
+        "ivf_pq": similarity.ivf_topk_pq(e, _QUERY_IDS, k=_TOPK),
+        "pca_ivf": pca.pca_ivf_topk(e, _QUERY_IDS, k=_TOPK),
     }
     reports = []
     for name, approx in methods.items():
@@ -653,6 +676,8 @@ QUERIES: dict[str, Q] = {
     "signlsh_topk_approx": Q(signlsh_topk_approx, None),
     "ivf_topk_approx": Q(ivf_topk_approx, None),
     "ivf_topk_trained": Q(ivf_topk_trained, None),
+    "ivf_topk_pq": Q(ivf_topk_pq, None),
+    "pca_ivf_topk": Q(pca_ivf_topk, None),
     "ivf_topk_quantized": Q(ivf_topk_quantized, None),
     "embedding_near_dup_pairs": Q(embedding_near_dup_pairs, _EMB_NEAR_SQL),
     "semantic_dedup_keepers": Q(semantic_dedup_keepers, _SEMANTIC_SQL),

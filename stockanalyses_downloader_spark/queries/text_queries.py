@@ -322,6 +322,70 @@ GROUP BY ex.doc_id
 """
 
 
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality signal (r5 — the conditional upgrade of
+    doc_unigram_surprisal, the ln-free stand-in for the LM-perplexity
+    filter of CCNet/Gopher-style curation): per adjacent token pair
+    the inverse conditional probability 1/p(w2|w1) =
+    corpus_bigrams_starting(w1) / corpus_count(w1, w2), averaged per
+    doc, plus the most improbable transition's ratio. High mean =
+    improbable transitions = shuffled/generated/noisy text that
+    unigram frequencies alone can't flag (every token common, the
+    SEQUENCE wrong).
+
+    Shape: one corpus bigram agg (map-side combined; the left-count
+    table derives from it, no second corpus scan), a bigram-keyed join
+    back, one doc-keyed agg. Docs with < 2 tokens have no bigrams and
+    are excluded by construction (documented; the curation capstone
+    already floors short docs). Ratio sums accumulate in DECIMAL."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ex = d.select("doc_id", F.explode(grams).alias("g")) \
+          .select("doc_id", "g.w1", "g.w2")
+    bg = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    joined = (ex.join(bg, ["w1", "w2"]).join(left, "w1")
+              .withColumn("inv",
+                          F.col("c1").cast("double") / F.col("c12")))
+    return (joined.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 (F.sum(F.col("inv").cast("decimal(30,15)")).cast("double")
+                  / F.count("*")).alias("mean_inv_cond_prob"),
+                 F.max("inv").alias("worst_transition")))
+
+
+_BIGRAM_SURPRISAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents
+), ex AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2)
+), bg AS (
+  SELECT w1, w2, count(*) AS c12 FROM ex GROUP BY w1, w2
+), lft AS (
+  SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1
+)
+SELECT ex.doc_id, count(*) AS n_bigrams,
+       CAST(SUM(CAST(CAST(lft.c1 AS DOUBLE) / bg.c12
+                     AS DECIMAL(30,15))) AS DOUBLE) / count(*)
+         AS mean_inv_cond_prob,
+       MAX(CAST(lft.c1 AS DOUBLE) / bg.c12) AS worst_transition
+FROM ex JOIN bg USING (w1, w2) JOIN lft USING (w1)
+GROUP BY ex.doc_id
+"""
+
+
 def token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index statistics: per token its document frequency,
     total occurrences, and the lowest containing doc_id (the head of
@@ -1338,6 +1402,7 @@ QUERIES: dict[str, Q] = {
     "pii_redaction_report": Q(pii_redaction_report, _pii_sql()),
     "doc_rag_chunks": Q(doc_rag_chunks, _CHUNKS_SQL),
     "doc_unigram_surprisal": Q(doc_unigram_surprisal, _SURPRISAL_SQL),
+    "doc_bigram_surprisal": Q(doc_bigram_surprisal, _BIGRAM_SURPRISAL_SQL),
     "token_postings": Q(token_postings, _POSTINGS_SQL),
     "lang_distinct_token_sketch": Q(lang_distinct_token_sketch, None),
     "substring_dup_fraction": Q(substring_dup_fraction, _SUBSTR_DUP_SQL),

@@ -721,16 +721,23 @@ def test_ann_recall_report_floors(spark):
     0.84 at sf0.001 / 0.86 at sf0.01 (floor 0.7 — the production
     shape, the bar VERDICT r3 #5 set for the driver-window IVF row);
     the quantized variant must not fall behind plain IVF by more
-    than the rerank oversample can explain."""
+    than the rerank oversample can explain. r5 adds IVF-PQ (measured
+    0.56/0.62 at sf0.001/sf0.01 — same relative floor as the int8
+    path, VERDICT r4 #6) and PCA-space IVF (measured 0.72/0.64 —
+    floor 0.55, VERDICT r4 #7)."""
     from stockanalyses_downloader_spark.queries.similarity_queries import (
         ann_recall_report)
     rows = {r["method"]: r for r in ann_recall_report(spark, SF).collect()}
-    assert set(rows) == {"ivf", "ivf_trained", "signlsh", "ivf_quantized"}
+    assert set(rows) == {"ivf", "ivf_trained", "signlsh", "ivf_quantized",
+                         "ivf_pq", "pca_ivf"}
     for r in rows.values():
         assert 0.0 <= r["worst_query_recall"] <= r["recall_at_k"] <= 1.0
     assert rows["ivf"]["recall_at_k"] >= 0.5
     assert rows["ivf_trained"]["recall_at_k"] >= 0.7
     assert rows["ivf_quantized"]["recall_at_k"] >= rows["ivf"]["recall_at_k"] - 0.2
+    assert rows["ivf_pq"]["recall_at_k"] >= rows["ivf"]["recall_at_k"] - 0.2
+    assert rows["ivf_pq"]["recall_at_k"] >= 0.45
+    assert rows["pca_ivf"]["recall_at_k"] >= 0.55
 
 
 def test_spread_widens_scans_not_shuffled_frames(spark, tmp_path):
@@ -756,3 +763,61 @@ def test_spread_widens_scans_not_shuffled_frames(spark, tmp_path):
     sub = spark.sql("SELECT * FROM spread_probe_t "
                     "WHERE id > (SELECT avg(id) FROM spread_probe_t)")
     assert dedup.spread(sub).rdd.getNumPartitions() == target
+
+
+def test_pq_codebooks_and_encode(spark):
+    """PQ fit/encode semantics: codebooks hold ksub entries per
+    subspace with per-entry squared norms; identical vectors encode
+    identically; a vector sitting ON a codebook centroid in every
+    subspace encodes to that centroid's codes; codes length == m."""
+    e = load_table(spark, SF, "embeddings").limit(200)
+    m, ksub = 4, 8
+    cb = similarity.pq_codebooks(e, m=m, ksub=ksub, n_iter=2)
+    rows = cb.collect()
+    assert {(r["sub_id"]) for r in rows} == set(range(m))
+    per_sub = {}
+    for r in rows:
+        per_sub.setdefault(r["sub_id"], set()).add(r["code_id"])
+        assert abs(r["sqn"] - sum(x * x for x in r["cv"])) < 1e-9
+    assert all(codes == set(range(ksub)) for codes in per_sub.values())
+
+    enc = {r["vec_id"]: r["codes"]
+           for r in similarity.pq_encode(e, cb, m=m).collect()}
+    assert all(len(c) == m for c in enc.values())
+
+    # plant: a vector assembled FROM centroids must encode to them
+    chosen = {s: next(r for r in rows if r["sub_id"] == s and
+                      r["code_id"] == (s % ksub)) for s in range(m)}
+    flat = [x for s in range(m) for x in chosen[s]["cv"]]
+    probe = spark.createDataFrame(
+        [(999999, flat)], "vec_id long, embedding array<double>")
+    got = similarity.pq_encode(probe, cb, m=m).collect()[0]["codes"]
+    assert got == [s % ksub for s in range(m)]
+    from stockanalyses_downloader_spark.caching import release_tracked
+    release_tracked()
+
+
+def test_pq_and_pca_ivf_exact_rerank_contract(spark):
+    """Both compressed-candidate paths return EXACT cosines: every
+    (query, neighbor) they emit must carry the same cosine value the
+    brute-force query computes for that pair (compression may change
+    WHICH pairs surface, never their scores), ranks must be 1..k
+    dense per query."""
+    from stockanalyses_downloader_spark.operators import pca
+    e = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2]
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in similarity.cosine_topk(e, qids, k=50).collect()}
+    for df in (similarity.ivf_topk_pq(e, qids, k=10),
+               pca.pca_ivf_topk(e, qids, k=10)):
+        rows = df.collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact:   # overlap with the exact top-50
+                assert abs(r["cosine"] - exact[key]) < 1e-12, key
+        for q, ranks in per_q.items():
+            assert sorted(ranks) == list(range(1, 11)), q
+        from stockanalyses_downloader_spark.caching import release_tracked
+        release_tracked()

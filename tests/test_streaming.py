@@ -409,3 +409,61 @@ def test_checkpoint_resume_no_loss_replayed_batch_dedups(spark, tmp_path):
     # (d) effective exactly-once downstream: keyed dedup == batch run
     dedup = got.dropDuplicates(["id"])
     assert dedup.count() == 120
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (r5): the same
+    interval_join_streams definition bound to two FILE STREAMS with
+    watermarks produces exactly the rows the static bind produces —
+    each tick paired with every quote of its pair in the 60 s window
+    before it. Also checks the join requires no clashing columns and
+    that results arrive in append mode (inner stream-stream joins
+    emit only watermark-final rows under availableNow)."""
+    from datetime import datetime, timezone
+    from stockanalyses_downloader_spark.streaming import joins
+
+    def ts(minute, second=0):
+        return datetime(2024, 3, 1, 10, minute, second,
+                        tzinfo=timezone.utc)
+
+    ticks = [(i, ["btceur", "etheur"][i % 2], ts(i // 2, 30), 100.0 + i)
+             for i in range(10)]
+    quotes = [(100 + j, ["btceur", "etheur"][j % 2], ts(j // 2, 15),
+               99.5 + j)
+              for j in range(10)]
+    t_dir, q_dir = str(tmp_path / "ticks"), str(tmp_path / "quotes")
+    spark.createDataFrame(
+        ticks, "tick_id long, pair string, ts timestamp, mid double") \
+        .write.parquet(t_dir)
+    spark.createDataFrame(
+        quotes, "quote_id long, qpair string, qts timestamp, bid double") \
+        .write.parquet(q_dir)
+
+    def bind(tdf, qdf):
+        return joins.interval_join_streams(
+            tdf, qdf, "pair", "qpair", "ts", "qts",
+            lookback_s=60, watermark_s=30)
+
+    batch = {tuple(r) for r in bind(
+        spark.read.parquet(t_dir), spark.read.parquet(q_dir)).collect()}
+    assert batch, "fixture produced no matches — test is vacuous"
+
+    st = (spark.readStream
+          .schema("tick_id long, pair string, ts timestamp, mid double")
+          .parquet(t_dir))
+    sq = (spark.readStream
+          .schema("quote_id long, qpair string, qts timestamp, bid double")
+          .parquet(q_dir))
+    q = (bind(st, sq).writeStream.format("memory")
+         .queryName("ssj").option("checkpointLocation",
+                                  str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
+    q.stop()
+    assert got == batch
+
+    with pytest.raises(ValueError, match="clash"):
+        joins.interval_join_streams(
+            spark.read.parquet(t_dir), spark.read.parquet(t_dir),
+            "pair", "pair", "ts", "ts")

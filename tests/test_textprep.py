@@ -208,3 +208,31 @@ def test_surprisal_flags_rare_tokens(spark):
     assert out[2]["mean_inv_freq"] > out[0]["mean_inv_freq"]
     assert out[2]["rarest_count"] == 1
     assert out[0]["rarest_count"] == 10  # 'common' appears 10x
+
+
+def test_bigram_surprisal_flags_shuffled_text(spark):
+    """The bigram signal's reason to exist: two docs with the SAME
+    token multiset — one in natural repeated order, one shuffled —
+    are indistinguishable to unigram frequencies, but the shuffled
+    doc's transitions are rarer corpus-wide, so its mean inverse
+    conditional probability must come out strictly higher. Docs with
+    fewer than two tokens are excluded by construction."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        doc_bigram_surprisal, doc_unigram_surprisal)
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    natural = " ".join([phrase] * 8)
+    toks = natural.split(" ")
+    # deterministic shuffle: reverse + interleave halves
+    half = len(toks) // 2
+    shuffled = " ".join(x for p in zip(toks[:half][::-1], toks[half:])
+                        for x in p)
+    rows = [(0, natural), (1, shuffled), (2, "solo"), (3, "")]
+    d = _write_docs(spark, rows)
+    bi = {r["doc_id"]: r for r in doc_bigram_surprisal(spark, d).collect()}
+    uni = {r["doc_id"]: r for r in doc_unigram_surprisal(spark, d).collect()}
+    assert set(bi) == {0, 1}          # <2-token docs have no bigrams
+    assert bi[1]["mean_inv_cond_prob"] > bi[0]["mean_inv_cond_prob"]
+    assert bi[1]["worst_transition"] >= bi[0]["worst_transition"]
+    # unigram signal is blind to the difference (same token multiset)
+    assert abs(uni[0]["mean_inv_freq"] - uni[1]["mean_inv_freq"]) < 1e-9
