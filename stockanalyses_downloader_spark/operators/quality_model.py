@@ -1,0 +1,116 @@
+"""Model-based quality filtering (X4 extension, round 5): the
+fastText-/CCNet-style tier of a training-data pipeline — a LINEAR
+classifier over cheap surface features, trained distributively,
+applied in-plan.
+
+Reference scope note: the reference has no ML surface; this extends
+the LLM-pipeline tier (like BPE/PCA/kmeans) where heuristic quality
+signals (text_queries.doc_quality_scores) get an upgrade: a trained
+model combines them with weights learned from labels instead of
+hand-tuned thresholds.
+
+Scale shape — the same contract as kmeans/PCA/BPE:
+  * features: pure in-plan expressions (one scan, whole-stage codegen,
+    no shuffle);
+  * training: batch gradient descent where each iteration is ONE scan
+    producing a (d+1)-row gradient via posexplode + DECIMAL partial
+    sums (map-side combined; wire cost executors × d, corpus-size-
+    independent) and ONE model-sized driver collect — the documented
+    iterative-convergence action (kmeans' count(), BPE's argmax);
+  * apply: the learned weights embed as literals (broadcast-by-
+    construction), scoring is one fold per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: feature names in array order (index = position in the vector)
+FEATURE_NAMES = ["bias", "len_k", "alpha_frac", "digit_frac",
+                 "mean_tok_len", "space_frac"]
+
+
+def surface_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id_col, x array<double>): bias, capped length (kchars), alpha
+    fraction, digit fraction, mean token length (deca-chars), space
+    fraction — all single-scan JVM expressions over the canonicalized
+    text, each roughly unit-scaled so one learning rate fits all
+    dimensions. The exact expressions are mirrored in
+    text_queries._QUALITY_LOGITS_SQL — change both together."""
+    c = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    ln = F.length(c).cast("double")
+    safe = F.greatest(ln, F.lit(1.0))
+    toks = F.split(c, " ")
+    ntok = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    x = F.array(
+        F.lit(1.0),
+        F.least(ln / 1000.0, F.lit(10.0)),
+        F.length(F.regexp_replace(c, "[^a-z]", "")).cast("double") / safe,
+        F.length(F.regexp_replace(c, "[^0-9]", "")).cast("double") / safe,
+        tok_chars / ntok / 10.0,
+        (ln - F.length(F.regexp_replace(c, " ", ""))) / safe,
+    )
+    return docs.select(id_col, x.alias("x"))
+
+
+def logit(x: Column, weights: list[float]) -> Column:
+    """dot(weights, x) as a sequential fold — deterministic, and
+    exactly reproducible by the DuckDB oracle's list_reduce."""
+    return F.aggregate(
+        F.zip_with(x, F.array(*[F.lit(w) for w in weights]),
+                   lambda xi, wi: xi * wi),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def train_logistic(features: DataFrame, label_col: str,
+                   n_iter: int = 20, lr: float = 1.0,
+                   x_col: str = "x") -> list[float]:
+    """Batch gradient descent on logistic loss: w <- w - lr * mean of
+    (sigmoid(w·x) - y)·x. Returns the learned weights (model-sized,
+    driver-held — like kmeans centroids before broadcast).
+
+    Each iteration is one distributed scan: the per-row residual
+    (sigmoid - y) multiplies the feature vector, posexplode keys the
+    products by position, and DECIMAL partial sums make the gradient
+    partitioning/order-independent — so the learned weights are
+    bit-reproducible run to run and pinnable against a single-threaded
+    numpy reference (tests/test_quality_model.py)."""
+    d = features.select(
+        F.col(x_col).alias("x"),
+        F.col(label_col).cast("double").alias("y")).persist()
+    n = d.count()   # one materialization; also the GD denominator
+    w = [0.0] * len(FEATURE_NAMES)
+    for _ in range(n_iter):
+        z = logit(F.col("x"), w)
+        resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) - F.col("y")
+        grad_rows = (d.select(F.posexplode(
+                        F.transform("x", lambda xi: xi * resid))
+                        .alias("pos", "g"))
+                     .groupBy("pos")
+                     .agg(F.sum(F.col("g").cast("decimal(30,15)"))
+                          .cast("double").alias("g"))
+                     .collect())
+        grad = [0.0] * len(w)
+        for r in grad_rows:
+            grad[r["pos"]] = r["g"] / n
+        w = [wi - lr * gi for wi, gi in zip(w, grad)]
+    d.unpersist()
+    return w
+
+
+def score_with_weights(features: DataFrame, weights: list[float],
+                       id_col: str = "doc_id",
+                       x_col: str = "x") -> DataFrame:
+    """(id_col, logit double, prob double): apply a (learned or
+    pinned) weight vector in-plan. ``logit`` is the oracle-stable
+    output (monotone in prob; exp's last ulp differs across libm
+    implementations, plain folds don't)."""
+    z = logit(F.col(x_col), weights)
+    return features.select(
+        id_col, z.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("prob"))

@@ -270,6 +270,15 @@ _TAIL = [
                                     # probability (catches wrong-
                                     # SEQUENCE text unigrams miss);
                                     # DuckDB-oracled; new r5
+    "doc_quality_logits",           # frozen linear quality model over
+                                    # in-plan surface features (the
+                                    # fastText-filter tier); DuckDB-
+                                    # oracled; new r5
+    "quality_model_weights",        # rows-only; distributed logistic-
+                                    # regression training (decimal-
+                                    # accumulated batch GD) — pinned
+                                    # vs pure-numpy GD in pytest;
+                                    # new r5
     "token_postings",               # inverted-index stats (df,
                                     # total_tf, postings head);
                                     # DuckDB-oracled; new r4

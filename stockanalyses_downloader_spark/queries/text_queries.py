@@ -1422,3 +1422,80 @@ QUERIES: dict[str, Q] = {
                                     _decon_sql()),
     "lang_temperature_mixture": Q(lang_temperature_mixture, _MIXTURE_SQL),
 }
+
+
+def doc_quality_logits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (r5 — the fastText/CCNet-style
+    tier): apply a FROZEN linear quality model over in-plan surface
+    features (operators/quality_model.surface_features). The weights
+    here are a hand-calibrated quality prior — rewarding alphabetic,
+    normally-word-lengthed, well-spaced text and penalizing digit
+    soup — i.e. the shipped model artifact; training its replacement
+    is quality_model_weights below. Output logit (not sigmoid):
+    monotone in the probability and exactly engine-portable (exp's
+    last ulp is libm-specific, folds aren't)."""
+    from ..operators import quality_model as qm
+    d = _docs(spark, sf_dir)
+    feats = qm.surface_features(d)
+    return (qm.score_with_weights(feats, _QUALITY_W)
+            .select("doc_id", "logit"))
+
+
+#: frozen quality prior (see doc_quality_logits); mirrored in the SQL
+_QUALITY_W = [-2.0, 0.3, 3.0, -2.0, 0.8, 1.5]
+
+_QUALITY_LOGITS_SQL = r"""
+WITH canon AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         [1.0,
+          least(CAST(length(c) AS DOUBLE) / 1000.0, 10.0),
+          CAST(length(regexp_replace(c, '[^a-z]', '', 'g')) AS DOUBLE)
+            / greatest(CAST(length(c) AS DOUBLE), 1.0),
+          CAST(length(regexp_replace(c, '[^0-9]', '', 'g')) AS DOUBLE)
+            / greatest(CAST(length(c) AS DOUBLE), 1.0),
+          list_reduce(list_transform(string_split(c, ' '),
+                                     t -> CAST(length(t) AS DOUBLE)),
+                      (a, b) -> a + b)
+            / greatest(CAST(len(string_split(c, ' ')) AS DOUBLE), 1.0)
+            / 10.0,
+          (CAST(length(c) AS DOUBLE)
+           - length(regexp_replace(c, ' ', '', 'g')))
+            / greatest(CAST(length(c) AS DOUBLE), 1.0)
+         ] AS x
+  FROM canon
+)
+SELECT doc_id,
+       list_reduce(list_transform(
+           list_zip(x, [-2.0, 0.3, 3.0, -2.0, 0.8, 1.5]),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+         (a, b) -> a + b) AS logit
+FROM f
+"""
+
+
+def quality_model_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality model distributively (operators/
+    quality_model.train_logistic — decimal-accumulated batch GD, one
+    scan + one model-sized collect per iteration) on the lang=='en'
+    label and return (pos, feature, weight). Rows-only (iterative
+    optimization isn't SQL-expressible); the trainer is pinned against
+    a pure-numpy GD reference in tests/test_quality_model.py."""
+    from ..operators import quality_model as qm
+    d = _docs(spark, sf_dir)
+    feats = qm.surface_features(d).join(
+        d.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id")
+    w = qm.train_logistic(feats, "y", n_iter=10, lr=1.0)
+    return spark.createDataFrame(
+        [(i, name, float(wi)) for i, (name, wi) in
+         enumerate(zip(qm.FEATURE_NAMES, w))],
+        "pos int, feature string, weight double")
+
+
+QUERIES.update({
+    "doc_quality_logits": Q(doc_quality_logits, _QUALITY_LOGITS_SQL),
+    "quality_model_weights": Q(quality_model_weights, None),
+})

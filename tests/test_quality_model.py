@@ -1,0 +1,83 @@
+"""quality_model: the distributed logistic-regression trainer is
+pinned against a single-threaded pure-numpy batch-GD reference on the
+SAME features (third-oracle style, like BPE's), and the learned model
+must actually separate a planted task."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stockanalyses_downloader_spark.operators import quality_model as qm
+from stockanalyses_downloader_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_gd(X, y, n_iter, lr):
+    w = np.zeros(X.shape[1])
+    n = len(y)
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - lr * (X.T @ (p - y)) / n
+    return w
+
+
+def test_train_logistic_matches_numpy_reference(spark):
+    """Same features, same labels, same update rule: the distributed
+    trainer's weights after 15 iterations must match numpy's within
+    1e-6 (decimal gradient accumulation keeps the distributed sums
+    order-independent; residual drift is exp()'s last ulp)."""
+    d = load_table(spark, SF, "documents")
+    feats = qm.surface_features(d).join(
+        d.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id")
+    rows = feats.orderBy("doc_id").collect()
+    X = np.array([r["x"] for r in rows])
+    y = np.array([float(r["y"]) for r in rows])
+    expected = _numpy_gd(X, y, n_iter=15, lr=1.0)
+    got = qm.train_logistic(feats, "y", n_iter=15, lr=1.0)
+    assert np.max(np.abs(np.array(got) - expected)) < 1e-6, (got, expected)
+
+
+def test_trained_model_separates_planted_task(spark):
+    """A task surface features CAN express — digit-heavy junk vs
+    alphabetic prose — must be learned to >= 95% accuracy in a few
+    iterations; the frozen quality prior must rank the prose doc
+    above the junk doc too (its whole reason to exist)."""
+    rows = []
+    for i in range(60):
+        rows.append((i, " ".join(f"word{j} text here" for j in range(8))
+                     .replace(str(i % 10), ""), 1))
+        rows.append((1000 + i,
+                     " ".join(f"{i}{j}937 4459 x9" for j in range(8)), 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    feats = qm.surface_features(df).join(df.select("doc_id", "y"), "doc_id")
+    w = qm.train_logistic(feats, "y", n_iter=25, lr=2.0)
+    scored = qm.score_with_weights(feats, w).join(
+        df.select("doc_id", "y"), "doc_id")
+    acc = scored.select(F.avg(
+        ((F.col("prob") > 0.5) == (F.col("y") == 1)).cast("double"))
+    ).first()[0]
+    assert acc >= 0.95, acc
+
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        _QUALITY_W)
+    prior = {r["doc_id"]: r["logit"] for r in
+             qm.score_with_weights(feats, _QUALITY_W).collect()}
+    assert prior[0] > prior[1000]   # prose above digit soup
+
+
+def test_surface_features_edge_rows(spark):
+    """Empty and single-char docs produce finite, well-shaped feature
+    vectors (no div-by-zero under ANSI; bias always 1)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, " "), (2, "a"), (3, "7")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["x"] for r in qm.surface_features(df).collect()}
+    for i, x in out.items():
+        assert len(x) == len(qm.FEATURE_NAMES)
+        assert x[0] == 1.0
+        assert all(np.isfinite(v) for v in x), (i, x)
+    assert out[2][2] == pytest.approx(1.0)   # 'a' is all-alpha
+    assert out[3][3] == pytest.approx(1.0)   # '7' is all-digit

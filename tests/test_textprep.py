@@ -236,3 +236,37 @@ def test_bigram_surprisal_flags_shuffled_text(spark):
     assert bi[1]["worst_transition"] >= bi[0]["worst_transition"]
     # unigram signal is blind to the difference (same token multiset)
     assert abs(uni[0]["mean_inv_freq"] - uni[1]["mean_inv_freq"]) < 1e-9
+
+
+def test_substring_dup_unicode_engine_parity(spark):
+    """Engine-parity guard for the content-defined anchor rule on
+    NON-ASCII text: Spark's substring/md5-of-binary operates on
+    characters then UTF-8 bytes, DuckDB's on characters then UTF-8
+    bytes — multi-byte chars (accents, CJK, emoji) must produce the
+    SAME anchors and digests in both engines or the driver's value
+    hash would diverge on any real multilingual corpus."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        substring_dup_fraction, _SUBSTR_DUP_SQL)
+    from stockanalyses_downloader_spark.testing import assert_matches_oracle
+
+    boiler = ("les données doivent être citées avec café naïveté et "
+              "日本語 の テキスト 中文 文本 处理 емоџи тест "
+              "😀 🚀 données élaborées über größe straße")
+    rows = [(0, boiler + " " + " ".join(f"α{i} β{i}" for i in range(30))),
+            (1, boiler + " " + " ".join(f"γ{i} δ{i}" for i in range(30))),
+            (2, " ".join(f"uniq{i} 独自{i}" for i in range(40)))]
+    # single parquet FILE (not a Spark part-dir): DuckDB's view in the
+    # oracle harness reads the path directly, like the real testdata
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["xx"] * len(rows),
+        "source": ["t"] * len(rows),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), f"{d}/documents.parquet")
+    assert_matches_oracle(substring_dup_fraction(spark, d),
+                          _SUBSTR_DUP_SQL, d)
