@@ -279,6 +279,20 @@ _TAIL = [
                                     # accumulated batch GD) — pinned
                                     # vs pure-numpy GD in pytest;
                                     # new r5
+    "source_level_split_assignment",  # GROUP-leakage-safe splits
+                                    # (keyed on source — siblings
+                                    # never straddle train/test);
+                                    # DuckDB-oracled; new r5
+    "token_countmin_sketch",        # mergeable count-min frequency
+                                    # grid (bounded memory at any
+                                    # vocab size; portable md5 bucket
+                                    # hash so even the sketch grid is
+                                    # DuckDB-oracled); new r5
+    "countmin_token_estimates",     # point-query estimates for a
+                                    # deterministic 2% vocab probe;
+                                    # DuckDB-oracled end-to-end;
+                                    # error band pinned in pytest;
+                                    # new r5
     "token_postings",               # inverted-index stats (df,
                                     # total_tf, postings head);
                                     # DuckDB-oracled; new r4

@@ -1499,3 +1499,114 @@ QUERIES.update({
     "doc_quality_logits": Q(doc_quality_logits, _QUALITY_LOGITS_SQL),
     "quality_model_weights": Q(quality_model_weights, None),
 })
+
+
+def source_level_split_assignment(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """GROUP-leakage-safe splits (r5): assignment keyed on SOURCE, not
+    doc_id — every doc from one source/domain lands in the same split,
+    so near-duplicates and templated siblings within a domain can
+    never straddle train/test (the leakage mode per-doc splitting
+    can't prevent: two near-identical pages from the same site drawn
+    into different splits). Same md5-prefix machinery as
+    doc_split_assignment — one linear scan, engine-stable."""
+    from ..operators import sampling
+    d = _docs(spark, sf_dir)
+    return (sampling.assign_splits(d, key="source")
+            .select("doc_id", "source", "split"))
+
+
+def _source_split_case_sql() -> str:
+    from ..operators.sampling import _threshold_hex
+    h = "substr(md5(CAST(source AS VARCHAR) || ''), 1, 8)"
+    return (f"CASE WHEN {h} < '{_threshold_hex(0.8)}' THEN 'train' "
+            f"WHEN {h} < '{_threshold_hex(0.9)}' THEN 'val' "
+            f"ELSE 'test' END")
+
+
+_SOURCE_SPLIT_SQL = f"""
+SELECT doc_id, source, {_source_split_case_sql()} AS split
+FROM documents
+"""
+
+QUERIES.update({
+    "source_level_split_assignment": Q(source_level_split_assignment,
+                                       _SOURCE_SPLIT_SQL),
+})
+
+
+def token_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch GRID over the corpus token stream (operators/
+    sketches — the mergeable-frequency tier next to the HLL distinct
+    tier): at most depth×width rows regardless of vocabulary size.
+    Fully DuckDB-oracled — the md5-prefix bucket hash is engine-
+    portable, so even the sketch internals hash-match (the HLL row
+    can't: Datasketches internals aren't portable)."""
+    from ..operators import sketches
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("token"))
+    return sketches.countmin_build(toks, "token")
+
+
+_CM_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), cells AS (
+  SELECT i AS row_id,
+         CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || token),
+                                  1, 8) AS BIGINT) % 1024 AS INT) AS bucket
+  FROM toks, (SELECT unnest(generate_series(0, 3)) AS i)
+)
+SELECT row_id, bucket, count(*) AS c
+FROM cells GROUP BY row_id, bucket
+"""
+
+
+def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-query the sketch for a deterministic ~2% probe sample of
+    the vocabulary (md5-prefix membership, the sampling.py primitive):
+    (token, est). est >= true count always; the error-vs-exact band is
+    pinned in pytest. Oracled end-to-end — build + probe + estimate
+    all recomputed by DuckDB."""
+    from ..operators import sampling, sketches
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("token"))
+    sketch = sketches.countmin_build(toks, "token")
+    probes = (toks.distinct()
+              .filter(sampling.hash_key(F.col("token"), "cmprobe")
+                      < sampling._threshold_hex(0.02)))
+    return sketches.countmin_estimate(sketch, probes, "token")
+
+
+_CM_EST_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), sketch AS (
+  SELECT row_id, bucket, count(*) AS c FROM (
+    SELECT i AS row_id,
+           CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || token),
+                                    1, 8) AS BIGINT) % 1024 AS INT) AS bucket
+    FROM toks, (SELECT unnest(generate_series(0, 3)) AS i)
+  ) GROUP BY row_id, bucket
+), probes AS (
+  SELECT DISTINCT token FROM toks
+  WHERE substr(md5(token || 'cmprobe'), 1, 8) < '051eb851'
+), probe_cells AS (
+  SELECT token, i AS row_id,
+         CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || token),
+                                  1, 8) AS BIGINT) % 1024 AS INT) AS bucket
+  FROM probes, (SELECT unnest(generate_series(0, 3)) AS i)
+)
+SELECT token, MIN(COALESCE(c, 0)) AS est
+FROM probe_cells LEFT JOIN sketch USING (row_id, bucket)
+GROUP BY token
+"""
+
+QUERIES.update({
+    "token_countmin_sketch": Q(token_countmin_sketch, _CM_SQL),
+    "countmin_token_estimates": Q(countmin_token_estimates, _CM_EST_SQL),
+})

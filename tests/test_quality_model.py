@@ -81,3 +81,69 @@ def test_surface_features_edge_rows(spark):
         assert all(np.isfinite(v) for v in x), (i, x)
     assert out[2][2] == pytest.approx(1.0)   # 'a' is all-alpha
     assert out[3][3] == pytest.approx(1.0)   # '7' is all-digit
+
+
+def test_source_level_split_has_no_group_leakage(spark):
+    """Every source maps to exactly ONE split (the guarantee the
+    query exists for), and doc-level splitting on the same corpus
+    demonstrably violates it (some source straddles splits) — i.e.
+    the group-level variant isn't vacuously equal to the doc-level
+    one on this corpus."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        source_level_split_assignment, doc_split_assignment)
+    from stockanalyses_downloader_spark.sources.tables import load_table
+
+    by_source = (source_level_split_assignment(spark, SF)
+                 .groupBy("source")
+                 .agg(F.countDistinct("split").alias("n")))
+    assert by_source.filter(F.col("n") > 1).count() == 0
+
+    d = load_table(spark, SF, "documents").select("doc_id", "source")
+    doc_level = doc_split_assignment(spark, SF).join(d, ["doc_id"])
+    straddling = (doc_level.groupBy("source")
+                  .agg(F.countDistinct("split").alias("n"))
+                  .filter(F.col("n") > 1).count())
+    assert straddling > 0   # doc-level leaks across groups here
+
+
+def test_countmin_never_underestimates_and_merges(spark):
+    """Count-min contracts: (1) estimate >= true count for EVERY
+    token (the one-sided guarantee); (2) overestimation stays inside
+    the classic e*N/width band for the median probe; (3) sketches of
+    two half-corpora MERGE by bucket addition into exactly the
+    whole-corpus sketch — the re-aggregation property that justifies
+    a sketch over the exact histogram."""
+    from stockanalyses_downloader_spark.operators import sketches
+    from stockanalyses_downloader_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("token"))
+    exact = {r["token"]: r["n"] for r in
+             toks.groupBy("token").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(exact.values())
+
+    sketch = sketches.countmin_build(toks, "token")
+    probes = spark.createDataFrame(
+        [(t,) for t in sorted(exact)[:200]], "token string")
+    est = {r["token"]: r["est"] for r in
+           sketches.countmin_estimate(sketch, probes, "token").collect()}
+    overs = []
+    for t, e in est.items():
+        assert e >= exact[t], (t, e, exact[t])
+        overs.append(e - exact[t])
+    overs.sort()
+    bound = 2.718 * n_total / sketches.CM_WIDTH
+    assert overs[len(overs) // 2] <= bound, (overs[len(overs) // 2], bound)
+
+    half1 = sketches.countmin_build(
+        toks.filter(F.col("doc_id") % 2 == 0), "token")
+    half2 = sketches.countmin_build(
+        toks.filter(F.col("doc_id") % 2 == 1), "token")
+    merged = {(r["row_id"], r["bucket"]): r["c"] for r in
+              sketches.countmin_merge(half1, half2).collect()}
+    whole = {(r["row_id"], r["bucket"]): r["c"] for r in
+             sketch.collect()}
+    assert merged == whole
