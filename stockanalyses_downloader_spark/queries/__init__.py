@@ -293,6 +293,10 @@ _TAIL = [
                                     # DuckDB-oracled end-to-end;
                                     # error band pinned in pytest;
                                     # new r5
+    "doc_winnow_fingerprints",      # MOSS winnowing (min k-gram hash
+                                    # per w-window; shared runs >= 23
+                                    # chars GUARANTEED to collide);
+                                    # DuckDB-oracled; new r5
     "token_postings",               # inverted-index stats (df,
                                     # total_tf, postings head);
                                     # DuckDB-oracled; new r4

@@ -1610,3 +1610,75 @@ QUERIES.update({
     "token_countmin_sketch": Q(token_countmin_sketch, _CM_SQL),
     "countmin_token_estimates": Q(countmin_token_estimates, _CM_EST_SQL),
 })
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (r5 — Schleimer/Wilkerson/Aiken's MOSS
+    selection rule, the canonical local fingerprinting algorithm; the
+    deterministic-guarantee sibling of substring_dup_fraction's
+    anchor heuristic): hash every k-gram (k=8), slide a window of
+    w=16 consecutive hashes, keep each window's MINIMUM value,
+    dedupe. Guarantees: any substring shared between two docs
+    of length >= w + k - 1 = 23 chars contributes at least one
+    IDENTICAL fingerprint to both (the window spanning it picks the
+    same minimum), and fingerprint density is ~2/(w+1) — bounded
+    output per input char, position-independent.
+
+    The k-gram hash is the count-min trick: 32-bit md5 prefix via
+    conv/CAST — engine-portable, so the fingerprint SET itself is
+    DuckDB-oracled. Cost: one md5 per character position — heavier
+    per char than the anchor heuristic (which hashes only at spaces)
+    but with a provable recall floor; at 100 TB pick by contract:
+    guarantee -> winnowing, cheapest scan -> anchors. Output one row
+    per distinct (doc_id, fingerprint): (doc_id, fp, n_positions)."""
+    K, W = 8, 16
+    from ..operators.dedup import spread
+    d = spread(_docs(spark, sf_dir))
+    canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    base = d.select("doc_id", canon.alias("c")).filter(
+        F.length("c") >= K)
+    n_grams = F.length("c") - (K - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("c").substr(i, F.lit(K))
+                              .cast("binary")), 1, 8), 16, 10)
+        .cast("long"))
+    base = base.select("doc_id", hashes.alias("hs"))
+    n_win = F.greatest(F.size("hs") - (W - 1), F.lit(1))
+    wmin = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.array_min(F.slice("hs", j, W)))
+    ex = base.select("doc_id", F.explode(wmin).alias("fp"))
+    return (ex.groupBy("doc_id", "fp")
+            .agg(F.count("*").alias("n_positions")))
+
+
+_WINNOW_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c
+  FROM documents
+), g AS (
+  SELECT doc_id, c, length(c) - 7 AS n_grams
+  FROM base WHERE length(c) >= 8
+), hs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, n_grams),
+           i -> CAST('0x' || substr(md5(substring(c, i, 8)), 1, 8)
+                     AS BIGINT)) AS hs
+  FROM g
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(hs) - 15, 1)),
+             j -> list_min(hs[j : j + 15]))) AS fp
+  FROM hs
+)
+SELECT doc_id, fp, count(*) AS n_positions
+FROM wins GROUP BY doc_id, fp
+"""
+
+QUERIES.update({
+    "doc_winnow_fingerprints": Q(doc_winnow_fingerprints, _WINNOW_SQL),
+})

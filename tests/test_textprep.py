@@ -270,3 +270,26 @@ def test_substring_dup_unicode_engine_parity(spark):
     }), f"{d}/documents.parquet")
     assert_matches_oracle(substring_dup_fraction(spark, d),
                           _SUBSTR_DUP_SQL, d)
+
+
+@pytest.mark.parametrize("off_b", [0, 5, 13, 37])
+def test_winnowing_guarantee_on_shared_runs(spark, off_b):
+    """Winnowing's detection guarantee: ANY substring of length
+    >= w + k - 1 = 23 chars shared between two docs yields at least
+    one identical fingerprint in both — at ANY relative offset
+    (position-independence is the algorithm's point). A doc with no
+    shared run of that length shares nothing."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        doc_winnow_fingerprints)
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 51 ch
+    pre_b = "z" * off_b + (" " if off_b else "")
+    rows = [(0, "aaa " + shared + " bbb"),
+            (1, pre_b + "ccc " + shared + " ddd"),
+            (2, " ".join(f"q{i}w" for i in range(40)))]
+    d = _write_docs(spark, rows)
+    fps = {}
+    for r in doc_winnow_fingerprints(spark, d).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "guaranteed fingerprint collision missing"
+    assert not (fps[0] & fps[2] & fps[1])
