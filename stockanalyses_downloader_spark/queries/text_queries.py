@@ -1565,8 +1565,11 @@ FROM cells GROUP BY row_id, bucket
 
 
 def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-query the sketch for a deterministic ~2% probe sample of
-    the vocabulary (md5-prefix membership, the sampling.py primitive):
+    """Point-query the sketch for a deterministic ~20% probe sample
+    of the vocabulary (md5-prefix membership, the sampling.py
+    primitive — the rate is sized to the synthetic corpus's tiny
+    31-token vocabulary so the probe set is never vacuously empty;
+    a web-scale vocab would probe a far smaller fraction):
     (token, est). est >= true count always; the error-vs-exact band is
     pinned in pytest. Oracled end-to-end — build + probe + estimate
     all recomputed by DuckDB."""
@@ -1577,7 +1580,7 @@ def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = sketches.countmin_build(toks, "token")
     probes = (toks.distinct()
               .filter(sampling.hash_key(F.col("token"), "cmprobe")
-                      < sampling._threshold_hex(0.02)))
+                      < sampling._threshold_hex(0.2)))
     return sketches.countmin_estimate(sketch, probes, "token")
 
 
@@ -1594,7 +1597,7 @@ WITH toks AS (
   ) GROUP BY row_id, bucket
 ), probes AS (
   SELECT DISTINCT token FROM toks
-  WHERE substr(md5(token || 'cmprobe'), 1, 8) < '051eb851'
+  WHERE substr(md5(token || 'cmprobe'), 1, 8) < '33333333'
 ), probe_cells AS (
   SELECT token, i AS row_id,
          CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || token),

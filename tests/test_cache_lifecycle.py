@@ -34,6 +34,11 @@ CHECKPOINTING = {
     # BPE training localCheckpoints the vocab once per merge round
     "bpe_merge_sequence",
     "doc_bpe_tokenization",
+    # PQ codebook training localCheckpoints the (model-sized) codebook
+    # per Lloyd round — in ivf_topk_pq directly and inside
+    # ann_recall_report's ivf_pq method row (r5)
+    "ivf_topk_pq",
+    "ann_recall_report",
 }
 
 
