@@ -297,6 +297,11 @@ _TAIL = [
                                     # per w-window; shared runs >= 23
                                     # chars GUARANTEED to collide);
                                     # DuckDB-oracled; new r5
+    "join_key_skew_report",         # per-key count distribution for
+                                    # the orders⋈lineitem probe side
+                                    # (max/p99/top1-share — the pre-
+                                    # salting diagnosis); DuckDB-
+                                    # oracled; new r5
     "token_postings",               # inverted-index stats (df,
                                     # total_tf, postings head);
                                     # DuckDB-oracled; new r4

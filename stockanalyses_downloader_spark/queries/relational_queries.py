@@ -840,7 +840,45 @@ FROM events GROUP BY event_type
 """
 
 
+
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (r5 ops tier — the query an engineer
+    runs BEFORE choosing a salting factor / AQE skew threshold for
+    the orders⋈lineitem join, operators/skew.py's knobs): per-key row
+    counts on the probe side reduced to one distribution row —
+    distinct keys, max/mean per-key count, p99, and the heaviest
+    key's share of all rows. A max≫p99 or top1_share in the percents
+    is the signature that one reducer will strangle the shuffle at
+    100 TB. One groupBy (exact counts) + one single-row aggregate
+    over the key-count table — vocab-of-keys-sized, never
+    corpus-wide state."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_n"),
+        F.expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY n)")
+         .alias("p99_n"),
+        (F.max("n").cast("double") / F.sum("n")).alias("top1_share"))
+
+
+_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+)
+SELECT count(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       MAX(n) AS max_n,
+       CAST(SUM(n) AS DOUBLE) / count(*) AS mean_n,
+       percentile_cont(0.99) WITHIN GROUP (ORDER BY n) AS p99_n,
+       CAST(MAX(n) AS DOUBLE) / SUM(n) AS top1_share
+FROM counts
+"""
+
 QUERIES: dict[str, Q] = {
+    "join_key_skew_report": Q(join_key_skew_report, _SKEW_REPORT_SQL),
     "pricing_summary": Q(pricing_summary, _PRICING_SQL),
     "shipping_priority": Q(shipping_priority, _SHIPPING_SQL),
     "regional_revenue": Q(regional_revenue, _REGIONAL_SQL),

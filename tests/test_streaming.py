@@ -467,3 +467,51 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         joins.interval_join_streams(
             spark.read.parquet(t_dir), spark.read.parquet(t_dir),
             "pair", "pair", "ts", "ts")
+
+
+def test_streaming_countmin_sketches_merge_to_batch(spark, tmp_path):
+    """Live sketch maintenance (r5): each micro-batch's count-min
+    grid is APPENDED to a sketch store (foreachBatch — the
+    per-day/partition sketch pattern), and merging the stored grids
+    at query time (countmin_merge IS a groupBy-sum) yields exactly
+    the sketch of the whole corpus computed in one batch pass. This
+    is the property that lets 100 TB of history answer frequency
+    queries without rescanning: new data only appends a bounded
+    grid."""
+    from stockanalyses_downloader_spark.operators import sketches
+
+    src = tmp_path / "texts"
+    store = str(tmp_path / "sketch_store")
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    for f in range(6):
+        rows = [(f * 50 + i, " ".join(words[(i + j + f) % 5]
+                                      for j in range(12)))
+                for i in range(50)]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+
+    def to_tokens(df):
+        return df.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                           r"\s+")).alias("token"))
+
+    def upsert(batch_df, batch_id):
+        (sketches.countmin_build(to_tokens(batch_df), "token")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(store))
+
+    q = (spark.readStream.schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", "2").parquet(str(src))
+         .writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+
+    stored = spark.read.parquet(store)
+    assert stored.select("batch_id").distinct().count() >= 2  # >1 grid
+    merged = {(r["row_id"], r["bucket"]): r["c"] for r in
+              sketches.countmin_merge(stored.drop("batch_id")).collect()}
+    whole = {(r["row_id"], r["bucket"]): r["c"] for r in
+             sketches.countmin_build(
+                 to_tokens(spark.read.parquet(str(src))), "token")
+             .collect()}
+    assert merged == whole
