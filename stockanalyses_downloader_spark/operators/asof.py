@@ -25,16 +25,29 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
-              how: str = "inner") -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` within the same ``on`` key.
+              how: str = "inner", direction: str = "backward",
+              tolerance_s: float | None = None) -> DataFrame:
+    """For each left row, attach the nearest right row within the same
+    ``on`` key: ``direction='backward'`` (default) the greatest
+    ``right_ts <= left_ts``; ``direction='forward'`` the smallest
+    ``right_ts >= left_ts`` (pandas ``merge_asof`` semantics, both
+    inclusive at equality). ``tolerance_s`` bounds the allowed gap
+    ``|left_ts - right_ts|`` in seconds — a match farther away than
+    the tolerance counts as NO match (stale quotes must not serve
+    fresh ticks); None = unbounded.
 
     Right payload column names must not clash with left columns
     (rename, e.g. ``quote_price``, before calling). ``how`` is
-    ``inner`` (drop left rows with no prior right row) or ``left``
-    (keep them with NULL payload)."""
+    ``inner`` (drop left rows with no match) or ``left`` (keep them
+    with NULL payload). Cost is identical for both directions and
+    with/without tolerance: one exchange + one sort; the tolerance is
+    a post-carry filter on the matched timestamp, not a join
+    condition."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be backward|forward, got {direction!r}")
     payload = [c for c in right.columns if c not in (on, right_ts)]
     clash = set(payload) & set(left.columns)
     if clash:
@@ -43,25 +56,39 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     l_tagged = left.withColumn("__ats", F.col(left_ts)).withColumn(
         "__side", F.lit(1))
     # The whole right payload travels as ONE struct (never NULL on a
-    # right row, even when every payload field is NULL), so
-    # last(ignorenulls) carries the most recent right ROW atomically.
+    # right row, even when every payload field is NULL), so the
+    # ignorenulls carry moves the nearest right ROW atomically.
     # Per-column carry would leak an OLDER row's value into a field
     # the matching row holds as NULL; first-payload-column match
     # detection additionally IndexErrors on a payload-less right side.
     # The struct's __match_ts field doubles as the match marker.
+    # Side tag ordering makes equality INCLUSIVE in both directions:
+    # backward, a right row at the exact left ts must sort BEFORE the
+    # left row (tag 0 < 1); forward, AFTER it (tag 2 > 1) so the
+    # forward-looking window still sees it.
+    r_side = 0 if direction == "backward" else 2
     r_tagged = (right.select(
                     on, F.col(right_ts).alias("__ats"),
                     F.struct(F.col(right_ts).alias("__match_ts"), *payload)
                      .alias("__rpay"))
-                .withColumn("__side", F.lit(0)))
+                .withColumn("__side", F.lit(r_side)))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    w = (Window.partitionBy(on).orderBy("__ats", "__side")
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned.withColumn(
-        "__rpay", F.last("__rpay", ignorenulls=True).over(w))
+    base = Window.partitionBy(on).orderBy("__ats", "__side")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last("__rpay", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first("__rpay", ignorenulls=True).over(w)
+    carried = unioned.withColumn("__rpay", carry)
 
     out = carried.filter(F.col("__side") == 1)
+    if tolerance_s is not None:
+        gap = F.abs(F.col(left_ts).cast("double")
+                    - F.col("__rpay.__match_ts").cast("double"))
+        out = out.withColumn(
+            "__rpay", F.when(gap <= float(tolerance_s), F.col("__rpay")))
     if how == "inner":
         out = out.filter(F.col("__rpay").isNotNull())
     out = out.select(*left.columns,

@@ -297,6 +297,12 @@ _TAIL = [
                                     # per w-window; shared runs >= 23
                                     # chars GUARANTEED to collide);
                                     # DuckDB-oracled; new r5
+    "ticks_asof_quotes_tolerant",   # as-of with a staleness bound
+                                    # (tolerance -> NULL match, left
+                                    # semantics); DuckDB-oracled via
+                                    # correlated subqueries; pandas
+                                    # merge_asof parity in pytest;
+                                    # new r5
     "join_key_skew_report",         # per-key count distribution for
                                     # the orders⋈lineitem probe side
                                     # (max/p99/top1-share — the pre-

@@ -254,6 +254,52 @@ def ticks_asof_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("last_price") - F.col("quote_price")).alias("drift"))
 
 
+def ticks_asof_quotes_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (r5 — asof_join's
+    direction/tolerance surface, pandas merge_asof semantics pinned
+    in tests): same tick-vs-official-quote enrichment, but a quote
+    older than 100,000 s must NOT serve the tick — it surfaces as a
+    NULL match instead (how='left'), the "don't price off a stale
+    book" rule every market-data consumer enforces. The tolerance is
+    a post-carry filter on the matched timestamp: same one-exchange
+    plan as the unbounded variant."""
+    from ..operators.asof import asof_join
+
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    quotes = (t.filter(F.col("tick_id") % 10 == 0)
+               .select("isin", F.col("ts").alias("quote_ts"),
+                       F.col("tick_id").alias("quote_id"),
+                       F.col("last_price").alias("quote_price")))
+    joined = asof_join(t.select("tick_id", "isin", "ts", "last_price"),
+                       quotes, on="isin", left_ts="ts",
+                       right_ts="quote_ts", how="left",
+                       tolerance_s=100_000)
+    return joined.select("tick_id", "isin", "ts", "last_price",
+                         "quote_id", "quote_price")
+
+
+_ASOF_TOL_SQL = f"""
+WITH t AS (
+  SELECT tick_id, isin, ts, last_price FROM {synthetic.TICKS_SQL}
+  WHERE status = 200
+), quotes AS (
+  SELECT isin, ts AS quote_ts, tick_id AS quote_id,
+         last_price AS quote_price
+  FROM {synthetic.TICKS_SQL} WHERE status = 200 AND tick_id % 10 = 0
+)
+SELECT t.tick_id, t.isin, t.ts, t.last_price,
+       (SELECT q.quote_id FROM quotes q
+        WHERE q.isin = t.isin AND q.quote_ts <= t.ts
+          AND epoch(t.ts) - epoch(q.quote_ts) <= 100000
+        ORDER BY q.quote_ts DESC LIMIT 1) AS quote_id,
+       (SELECT q.quote_price FROM quotes q
+        WHERE q.isin = t.isin AND q.quote_ts <= t.ts
+          AND epoch(t.ts) - epoch(q.quote_ts) <= 100000
+        ORDER BY q.quote_ts DESC LIMIT 1) AS quote_price
+FROM t
+"""
+
+
 _ASOF_SQL = f"""
 WITH t AS (
   SELECT tick_id, isin, ts, last_price FROM {synthetic.TICKS_SQL}
@@ -395,6 +441,7 @@ QUERIES: dict[str, Q] = {
     "ticks_in_candle_ranges": Q(ticks_in_candle_ranges, _RANGE_SQL),
     "rest_fetch_pipeline": Q(rest_fetch_pipeline, None),
     "ticks_asof_quotes": Q(ticks_asof_quotes, _ASOF_SQL),
+    "ticks_asof_quotes_tolerant": Q(ticks_asof_quotes_tolerant, _ASOF_TOL_SQL),
     "vwap_by_isin": Q(vwap_by_isin, _VWAP_SQL),
     "twap_by_isin": Q(twap_by_isin, _TWAP_SQL),
     "jobs_parse_dispatch": Q(jobs_parse_dispatch, _JOBS_PARSE_SQL),

@@ -821,3 +821,51 @@ def test_pq_and_pca_ivf_exact_rerank_contract(spark):
             assert sorted(ranks) == list(range(1, 11)), q
         from stockanalyses_downloader_spark.caching import release_tracked
         release_tracked()
+
+
+def test_asof_join_directions_tolerance_vs_pandas(spark):
+    """asof_join's direction/tolerance semantics (r5) pinned against
+    pandas.merge_asof — the de-facto reference implementation — over
+    an adversarial fixture: duplicate left timestamps, exact-equality
+    matches, gaps larger than the tolerance, keys with no right rows,
+    and unmatched-at-the-edges rows. Checked for backward/forward ×
+    with/without tolerance × inner/left."""
+    import pandas as pd
+    from stockanalyses_downloader_spark.operators.asof import asof_join
+
+    lrows, rrows = [], []
+    for k, key in enumerate(["aa", "bb", "cc"]):   # cc: no right rows
+        for i in range(14):
+            lrows.append((key, 100 + i * 7 + k, k * 100 + i))
+        if key != "cc":
+            for j in range(5):
+                rrows.append((key, 95 + j * 20 + k, 1000 + j * 10 + k))
+    ldf = spark.createDataFrame(lrows, "pair string, ts long, tick_id long")
+    rdf = spark.createDataFrame(rrows, "pair string, ts long, qval long")
+
+    lpd = pd.DataFrame(lrows, columns=["pair", "ts", "tick_id"]) \
+            .sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(rrows, columns=["pair", "ts", "qval"]) \
+            .sort_values("ts", kind="stable")
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 15):
+            got = asof_join(
+                ldf, rdf.withColumnRenamed("ts", "qts"), on="pair",
+                left_ts="ts", right_ts="qts", how="left",
+                direction=direction, tolerance_s=tol)
+            got_map = {r["tick_id"]: r["qval"] for r in got.collect()}
+            exp = pd.merge_asof(
+                lpd, rpd, on="ts", by="pair", direction=direction,
+                tolerance=tol)
+            exp_map = {int(r.tick_id): (None if pd.isna(r.qval)
+                                        else int(r.qval))
+                       for r in exp.itertuples()}
+            assert got_map == exp_map, (direction, tol)
+
+            inner = asof_join(
+                ldf, rdf.withColumnRenamed("ts", "qts"), on="pair",
+                left_ts="ts", right_ts="qts", how="inner",
+                direction=direction, tolerance_s=tol)
+            assert {r["tick_id"] for r in inner.collect()} \
+                == {t for t, v in exp_map.items() if v is not None}
