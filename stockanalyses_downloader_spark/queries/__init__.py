@@ -303,6 +303,13 @@ _TAIL = [
                                     # correlated subqueries; pandas
                                     # merge_asof parity in pytest;
                                     # new r5
+    "user_state_history",           # SCD2 build: change events ->
+                                    # compacted validity intervals
+                                    # (lag filter + lead close);
+                                    # DuckDB-oracled; new r5
+    "user_state_snapshot",          # point-in-time dim snapshot from
+                                    # the SCD2 history; DuckDB-
+                                    # oracled; new r5
     "join_key_skew_report",         # per-key count distribution for
                                     # the orders⋈lineitem probe side
                                     # (max/p99/top1-share — the pre-

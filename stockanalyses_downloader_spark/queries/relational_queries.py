@@ -913,3 +913,55 @@ QUERIES: dict[str, Q] = {
     "event_value_histogram": Q(event_value_histogram, _HIST_SQL),
     "event_props_extract": Q(event_props_extract, _JSON_SQL),
 }
+
+
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (r5 — operators/scd.py): the event log's
+    per-user event_type stream compacted into validity intervals
+    (valid_from inclusive, valid_to exclusive, NULL = current). The
+    temporal-dimension dual of the as-of join: this query BUILDS the
+    versioned dim that point-in-time enrichment reads."""
+    from ..operators import scd
+    ev = _t(spark, sf_dir, "events")
+    return scd.history_from_events(ev, "user_id", "ts", "event_type")
+
+
+_SCD2_HISTORY_SQL = """
+WITH changed AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_type) AS prev
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_type) AS valid_to
+  FROM changed WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type, ts AS valid_from, valid_to FROM runs
+"""
+
+
+def user_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension snapshot (r5): the one live state per
+    user at 2024-01-15T00:00:00Z — SCD2 history filtered to the rows
+    whose validity interval contains the instant. Users whose first
+    event is later are absent (didn't exist yet)."""
+    from ..operators import scd
+    ev = _t(spark, sf_dir, "events")
+    hist = scd.history_from_events(ev, "user_id", "ts", "event_type")
+    at = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return scd.snapshot_as_of(hist, at)
+
+
+_SCD2_SNAPSHOT_SQL = _SCD2_HISTORY_SQL.replace(
+    "SELECT user_id, event_type, ts AS valid_from, valid_to FROM runs",
+    """SELECT user_id, event_type, ts AS valid_from, valid_to FROM runs
+WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')""")
+
+
+QUERIES.update({
+    "user_state_history": Q(user_state_history, _SCD2_HISTORY_SQL),
+    "user_state_snapshot": Q(user_state_snapshot, _SCD2_SNAPSHOT_SQL),
+})

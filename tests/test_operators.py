@@ -869,3 +869,34 @@ def test_asof_join_directions_tolerance_vs_pandas(spark):
                 direction=direction, tolerance_s=tol)
             assert {r["tick_id"] for r in inner.collect()} \
                 == {t for t, v in exp_map.items() if v is not None}
+
+
+def test_scd2_history_compaction_and_snapshot(spark):
+    """SCD2 semantics on a planted change log: consecutive duplicate
+    states compact into one version, intervals chain exactly
+    (valid_to == next valid_from), the last version is open-ended,
+    and the point-in-time snapshot returns the one live row per key —
+    absent for keys born later."""
+    from datetime import datetime
+    from stockanalyses_downloader_spark.operators import scd
+
+    def ts(d):
+        return datetime(2024, 1, d)
+
+    rows = [  # user 1: A,A,B,A (dup compacts); user 2: born on day 20
+        (1, ts(1), "A"), (1, ts(5), "A"), (1, ts(10), "B"),
+        (1, ts(15), "A"),
+        (2, ts(20), "X"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, st string")
+    hist = scd.history_from_events(ev, "user_id", "ts", "st")
+    h1 = sorted([r for r in hist.collect() if r["user_id"] == 1],
+                key=lambda r: r["valid_from"])
+    assert [(r["st"], r["valid_from"].day,
+             r["valid_to"].day if r["valid_to"] else None) for r in h1] \
+        == [("A", 1, 10), ("B", 10, 15), ("A", 15, None)]
+
+    snap = {r["user_id"]: r["st"] for r in
+            scd.snapshot_as_of(hist, F.lit("2024-01-12 00:00:00")
+                               .cast("timestamp")).collect()}
+    assert snap == {1: "B"}      # user 2 not born yet; user 1 in run B
