@@ -310,6 +310,10 @@ _TAIL = [
     "user_state_snapshot",          # point-in-time dim snapshot from
                                     # the SCD2 history; DuckDB-
                                     # oracled; new r5
+    "data_quality_report",          # declarative constraint audit
+                                    # (pk-unique / not-null / range /
+                                    # FK anti-join) — the dbt-test
+                                    # tier; DuckDB-oracled; new r5
     "join_key_skew_report",         # per-key count distribution for
                                     # the orders⋈lineitem probe side
                                     # (max/p99/top1-share — the pre-

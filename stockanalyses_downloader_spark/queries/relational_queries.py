@@ -965,3 +965,95 @@ QUERIES.update({
     "user_state_history": Q(user_state_history, _SCD2_HISTORY_SQL),
     "user_state_snapshot": Q(user_state_snapshot, _SCD2_SNAPSHOT_SQL),
 })
+
+
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (r5 ops tier — the dbt-test /
+    Great-Expectations surface every ingest owner runs before
+    publishing a table): one row per constraint with its violation
+    count. Families covered: PRIMARY-KEY uniqueness (count minus
+    distinct), NOT-NULL, ACCEPTED-RANGE (each one aggregate-only —
+    single scan, no join), and REFERENTIAL integrity (anti-join
+    count — key-width shuffle only). The report unions six 1-row
+    aggregates; at 100 TB each constraint is an independent linear
+    scan or key join, and AQE runs the tiny union legs in parallel."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cu = _t(spark, sf_dir, "customer")
+    return dq_report_for(o, li, cu)
+
+
+def dq_report_for(o: DataFrame, li: DataFrame, cu: DataFrame) -> DataFrame:
+    """data_quality_report's constraint legs over caller-supplied
+    frames — the test entry point (plant corrupt rows, assert each
+    constraint fires with the exact expected count)."""
+
+    def one(name, df):
+        return df.select(F.lit(name).alias("constraint"),
+                         F.col("n").cast("long").alias("n_violations"))
+
+    legs = [
+        one("orders_pk_unique",
+            o.agg((F.count("o_orderkey")
+                   - F.countDistinct("o_orderkey")).alias("n"))),
+        one("lineitem_pk_unique",
+            li.agg((F.count("*") - F.countDistinct(
+                "l_orderkey", "l_linenumber")).alias("n"))),
+        one("orders_custkey_not_null",
+            o.agg(F.sum(F.col("o_custkey").isNull().cast("int"))
+                  .alias("n"))),
+        one("lineitem_qty_positive",
+            li.agg(F.sum((F.col("l_quantity") <= 0).cast("int"))
+                   .alias("n"))),
+        one("lineitem_discount_in_unit_range",
+            li.agg(F.sum(((F.col("l_discount") < 0)
+                          | (F.col("l_discount") > 1)).cast("int"))
+                   .alias("n"))),
+        one("orders_custkey_fk_customer",
+            # SQL FK semantics: a NULL key is not a referential
+            # violation (the not-null constraint owns that case)
+            o.filter(F.col("o_custkey").isNotNull())
+             .join(cu, o.o_custkey == cu.c_custkey, "left_anti")
+             .agg(F.count("*").alias("n"))),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+_DQ_SQL = """
+SELECT 'orders_pk_unique' AS constraint,
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'lineitem_pk_unique',
+       CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_qty_positive',
+       CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_in_unit_range',
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_custkey_fk_customer',
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+"""
+
+QUERIES.update({
+    "data_quality_report": Q(data_quality_report, _DQ_SQL),
+})

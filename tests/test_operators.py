@@ -900,3 +900,50 @@ def test_scd2_history_compaction_and_snapshot(spark):
             scd.snapshot_as_of(hist, F.lit("2024-01-12 00:00:00")
                                .cast("timestamp")).collect()}
     assert snap == {1: "B"}      # user 2 not born yet; user 1 in run B
+
+
+def test_data_quality_constraints_fire_on_planted_corruption(spark):
+    """Each constraint leg must count EXACTLY its planted violations:
+    a duplicated order key, a NULL custkey, a negative quantity, a
+    discount > 1, a dangling FK — and the clean fixture reports all
+    zeros (proven by the oracled registered query; here the
+    corruption side)."""
+    from stockanalyses_downloader_spark.queries.relational_queries import (
+        dq_report_for)
+
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    cu = load_table(spark, SF, "customer")
+
+    dup = o.limit(1)                               # duplicate pk
+    nullk = o.limit(1).withColumn(
+        "o_custkey", F.lit(None).cast(dict(o.dtypes)["o_custkey"]))
+    dangling = o.limit(1).withColumn(
+        "o_custkey", F.lit(-999999).cast(dict(o.dtypes)["o_custkey"]))
+    bad_o = o.unionByName(dup).unionByName(nullk).unionByName(dangling)
+
+    bad_qty = li.limit(1).withColumn(
+        "l_quantity", F.lit(-5).cast(dict(li.dtypes)["l_quantity"]))
+    bad_disc = li.limit(1).withColumn(
+        "l_discount", F.lit(1.5).cast(dict(li.dtypes)["l_discount"]))
+    # the two planted lineitems also duplicate their (okey, lineno) pk
+    bad_li = li.unionByName(bad_qty).unionByName(bad_disc)
+
+    base = {r["constraint"]: r["n_violations"]
+            for r in dq_report_for(o, li, cu).collect()}
+    got = {r["constraint"]: r["n_violations"]
+           for r in dq_report_for(bad_o, bad_li, cu).collect()}
+    delta = {k: got[k] - base[k] for k in got}
+    # all three planted order rows clone the SAME order -> its key
+    # now appears 4 times: count - countDistinct = +3. Deltas, because
+    # the synthetic fixture legitimately violates some constraints on
+    # its own (1401 duplicate lineitem keys at sf0.001 — the report's
+    # whole point is to surface that).
+    assert delta["orders_pk_unique"] == 3
+    assert delta["orders_custkey_not_null"] == 1
+    assert delta["orders_custkey_fk_customer"] == 1  # dangling key only
+    assert delta["lineitem_pk_unique"] == 2
+    assert delta["lineitem_qty_positive"] == 1
+    assert delta["lineitem_discount_in_unit_range"] == 1
+    assert base["orders_pk_unique"] == 0      # orders pk IS unique
+    assert base["orders_custkey_fk_customer"] == 0
