@@ -71,11 +71,27 @@ _WINDOW = [
                                 # in — VERDICT r3 #3)
     # text analysis (X1/X4) + deterministic sampling
     "doc_tfidf_top_terms",      # TF-IDF characteristic terms
-    "bigram_collocations",      # word-pair lift (PMI ratio form)
-    "doc_split_assignment",     # md5-prefix train/val/test assignment
+    "doc_bigram_surprisal",     # bigram-LM inverse conditional prob
+                                # (r5 rotation in — catches wrong-
+                                # SEQUENCE text; took collocations'
+                                # slot: same token-pair machinery plus
+                                # the conditional upgrade)
+    "source_level_split_assignment",  # GROUP-leakage-safe splits (r5
+                                # rotation in — took the per-doc
+                                # split's slot: same md5 primitive
+                                # plus the no-straddle guarantee)
     "doc_sequence_packing",     # concat-then-chunk 128-token packing
                                 # (two-pass distributed prefix sum)
-    "top_tokens",
+    "token_countmin_sketch",    # mergeable count-min grid (r5
+                                # rotation in — took top_tokens'
+                                # slot: the bounded-memory frequency
+                                # tier vs the exact histogram)
+    "doc_winnow_fingerprints",  # MOSS winnowing (r5 rotation in —
+                                # took doc_fingerprints' slot: the
+                                # guarantee-carrying fingerprint rep)
+    "doc_quality_logits",       # frozen linear quality model (r5 —
+                                # the fastText-filter tier, oracled
+                                # incl. its in-plan features)
     "bpe_pair_counts",          # BPE training round 1 (r5 rotation in —
                                 # VERDICT r4 #1; took doc_bpe_token_
                                 # stats' slot: pair counts subsume the
@@ -84,7 +100,6 @@ _WINDOW = [
     "exact_dedup_docs",
     "corpus_curation_decisions",  # keep/drop + reason codes capstone
     "eval_ngram_decontamination",  # train-vs-eval 5-gram overlap
-    "doc_fingerprints",
     "lang_temperature_mixture",   # sqrt-temperature domain rebalance
     "substring_dup_fraction",   # content-defined-anchor substring-dup
                                 # signal (r5 rotation in — VERDICT r4
@@ -98,17 +113,44 @@ _WINDOW = [
     # relational surface — one representative per operator class
     "pricing_summary",          # groupBy agg (Q1)
     "regional_revenue",         # 6-way inner join (Q5)
-    "priority_orders_with_late_items",  # left semi
-    "customers_without_orders",         # left anti
     "event_sessionization",             # window lag + cumulative sum
-    "revenue_rollup",           # rollup
     "small_quantity_revenue",   # correlated scalar subquery (Q17)
+    "user_state_history",       # SCD2 build (r5 — lag-compaction +
+                                # lead-close validity intervals)
+    "data_quality_report",      # constraint audit (r5 — carries the
+                                # anti-join family's driver coverage
+                                # via its FK leg after the semi/anti
+                                # reps yielded their slots)
 ]
 
 # Past the driver window: redundant variants of operator classes already
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "top_tokens",                   # exact token histogram — hash-
+                                    # green r1–r4; slot yielded (r5)
+                                    # to token_countmin_sketch (the
+                                    # scale path); still benched
+    "bigram_collocations",          # PMI lift — hash-green r1–r4;
+                                    # slot yielded (r5) to the bigram
+                                    # surprisal (conditional upgrade)
+    "doc_split_assignment",         # per-doc splits — hash-green
+                                    # r1–r4; slot yielded (r5) to the
+                                    # group-leakage-safe variant
+    "doc_fingerprints",             # whole-doc digests — hash-green
+                                    # r1–r4; slot yielded (r5) to
+                                    # winnowing; still benched
+    "priority_orders_with_late_items",  # left semi — hash-green
+                                    # r1–r4; slot yielded (r5);
+                                    # family stays pytest-oracled
+    "customers_without_orders",     # left anti — hash-green r1–r4;
+                                    # slot yielded (r5); the FK leg
+                                    # of data_quality_report keeps an
+                                    # anti join driver-visible
+    "revenue_rollup",               # rollup — hash-green r1–r4; slot
+                                    # yielded (r5); grouping family
+                                    # stays pytest-oracled (cube/
+                                    # grouping sets here)
     "embedding_norms",              # per-row vector norm — hash-green
                                     # r1–r4; slot yielded (r5 rotation)
                                     # to embedding_covariance, which
@@ -266,54 +308,25 @@ _TAIL = [
                                     # quality signal (ln-free,
                                     # decimal-stable); DuckDB-oracled;
                                     # new r4
-    "doc_bigram_surprisal",         # bigram-LM inverse conditional
-                                    # probability (catches wrong-
-                                    # SEQUENCE text unigrams miss);
-                                    # DuckDB-oracled; new r5
-    "doc_quality_logits",           # frozen linear quality model over
-                                    # in-plan surface features (the
-                                    # fastText-filter tier); DuckDB-
-                                    # oracled; new r5
     "quality_model_weights",        # rows-only; distributed logistic-
                                     # regression training (decimal-
                                     # accumulated batch GD) — pinned
                                     # vs pure-numpy GD in pytest;
                                     # new r5
-    "source_level_split_assignment",  # GROUP-leakage-safe splits
-                                    # (keyed on source — siblings
-                                    # never straddle train/test);
-                                    # DuckDB-oracled; new r5
-    "token_countmin_sketch",        # mergeable count-min frequency
-                                    # grid (bounded memory at any
-                                    # vocab size; portable md5 bucket
-                                    # hash so even the sketch grid is
-                                    # DuckDB-oracled); new r5
     "countmin_token_estimates",     # point-query estimates for a
                                     # deterministic 2% vocab probe;
                                     # DuckDB-oracled end-to-end;
                                     # error band pinned in pytest;
                                     # new r5
-    "doc_winnow_fingerprints",      # MOSS winnowing (min k-gram hash
-                                    # per w-window; shared runs >= 23
-                                    # chars GUARANTEED to collide);
-                                    # DuckDB-oracled; new r5
     "ticks_asof_quotes_tolerant",   # as-of with a staleness bound
                                     # (tolerance -> NULL match, left
                                     # semantics); DuckDB-oracled via
                                     # correlated subqueries; pandas
                                     # merge_asof parity in pytest;
                                     # new r5
-    "user_state_history",           # SCD2 build: change events ->
-                                    # compacted validity intervals
-                                    # (lag filter + lead close);
-                                    # DuckDB-oracled; new r5
     "user_state_snapshot",          # point-in-time dim snapshot from
                                     # the SCD2 history; DuckDB-
                                     # oracled; new r5
-    "data_quality_report",          # declarative constraint audit
-                                    # (pk-unique / not-null / range /
-                                    # FK anti-join) — the dbt-test
-                                    # tier; DuckDB-oracled; new r5
     "join_key_skew_report",         # per-key count distribution for
                                     # the orders⋈lineitem probe side
                                     # (max/p99/top1-share — the pre-
