@@ -29,7 +29,8 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
                           left_key: str, right_key: str,
                           left_ts: str, right_ts: str,
                           lookback_s: int = 60,
-                          watermark_s: int = 120) -> DataFrame:
+                          watermark_s: int = 120,
+                          how: str = "inner") -> DataFrame:
     """Inner-join each left event to every right event of the same key
     whose timestamp lies in the closed window
     ``[left_ts - lookback_s, left_ts]`` (the "context the tick arrived
@@ -47,7 +48,15 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
     range condition bounds both buffers: left state can be dropped
     once right's watermark passes left_ts + lookback, right state once
     left's watermark passes right_ts (Spark derives both from the
-    condition)."""
+    condition).
+
+    ``how='left_outer'`` keeps left events with no in-window partner,
+    NULL-padded — emitted only once the watermark has passed the
+    event's window (the engine must be SURE no partner can still
+    arrive), so outer results trail the watermark by construction; a
+    batch bind emits them immediately."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     clash = set(left.columns) & set(right.columns)
     if clash:
         raise ValueError(f"column names clash across sides: {clash}")
@@ -57,4 +66,4 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
             & (wr[right_ts] <= wl[left_ts])
             & (wr[right_ts] >= wl[left_ts]
                - F.expr(f"INTERVAL {int(lookback_s)} SECONDS")))
-    return wl.join(wr, cond, "inner")
+    return wl.join(wr, cond, how)

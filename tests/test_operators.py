@@ -947,3 +947,60 @@ def test_data_quality_constraints_fire_on_planted_corruption(spark):
     assert delta["lineitem_discount_in_unit_range"] == 1
     assert base["orders_pk_unique"] == 0      # orders pk IS unique
     assert base["orders_custkey_fk_customer"] == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 3),        # key
+                          st.integers(0, 20),       # day offset
+                          st.sampled_from("ABC")),  # state
+                min_size=1, max_size=40))
+def test_scd2_history_property_vs_python(spark, events):
+    """history_from_events against a pure-Python SCD2 reference over
+    random change logs (duplicate timestamps, re-sent states, single-
+    event keys): identical version rows for every input."""
+    from datetime import datetime
+    from stockanalyses_downloader_spark.operators import scd
+
+    rows = [(k, datetime(2024, 2, 1 + d), s) for k, d, s in events]
+    ev = spark.createDataFrame(rows, "k long, ts timestamp, st string")
+    got = {(r["k"], r["st"], r["valid_from"], r["valid_to"])
+           for r in scd.history_from_events(ev, "k", "ts", "st").collect()}
+
+    expected = set()
+    by_key: dict = {}
+    for k, ts, s in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_key.setdefault(k, []).append((ts, s))
+    for k, seq in by_key.items():
+        changed = []
+        for ts, s in seq:
+            if not changed or changed[-1][1] != s:
+                changed.append((ts, s))
+        for i, (ts, s) in enumerate(changed):
+            nxt = changed[i + 1][0] if i + 1 < len(changed) else None
+            expected.add((k, s, ts, nxt))
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff"]),
+                min_size=1, max_size=60))
+def test_countmin_one_sided_property(spark, items):
+    """Count-min's one-sided guarantee on arbitrary multisets:
+    estimate >= exact for EVERY item, and with width >> distinct
+    items the estimate is exact (no collisions possible to force)."""
+    import collections
+    from stockanalyses_downloader_spark.operators import sketches
+
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    sketch = sketches.countmin_build(df, "item", depth=3, width=64)
+    probes = spark.createDataFrame(
+        [(x,) for x in set(items)], "item string")
+    est = {r["item"]: r["est"] for r in
+           sketches.countmin_estimate(sketch, probes, "item",
+                                      depth=3, width=64).collect()}
+    exact = collections.Counter(items)
+    for item, n in exact.items():
+        assert est[item] >= n
+    # 6-item vocab in 64 buckets x 3 rows: a collision in EVERY row is
+    # needed to overestimate; assert the total overshoot stays tiny
+    assert sum(est[i] - exact[i] for i in exact) <= len(items)

@@ -515,3 +515,60 @@ def test_streaming_countmin_sketches_merge_to_batch(spark, tmp_path):
                  to_tokens(spark.read.parquet(str(src))), "token")
              .collect()}
     assert merged == whole
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """Left-outer stream-stream join (r5): ticks with NO quote in
+    their window must surface NULL-padded — but only after the
+    watermark proves no partner can still arrive, so both streams
+    carry a far-future flusher event that drags the watermark past
+    all real data. Stream result (minus flushers) must equal the
+    batch bind exactly, including the NULL rows."""
+    from datetime import datetime, timezone
+    from stockanalyses_downloader_spark.streaming import joins
+
+    def ts(minute, second=0):
+        return datetime(2024, 3, 1, 10, minute, second,
+                        tzinfo=timezone.utc)
+
+    # pair 'btceur' quoted; pair 'orphan' never quoted -> NULL rows
+    ticks = [(i, "btceur", ts(i, 30), 100.0 + i) for i in range(6)] \
+        + [(100 + i, "orphan", ts(i, 40), 50.0 + i) for i in range(4)] \
+        + [(999, "flush", ts(59), 0.0)]
+    quotes = [(200 + j, "btceur", ts(j, 15), 99.0 + j) for j in range(6)] \
+        + [(998, "flushq", ts(59), 0.0)]
+    t_dir, q_dir = str(tmp_path / "t"), str(tmp_path / "q")
+    spark.createDataFrame(
+        ticks, "tick_id long, pair string, ts timestamp, mid double") \
+        .write.parquet(t_dir)
+    spark.createDataFrame(
+        quotes, "quote_id long, qpair string, qts timestamp, bid double") \
+        .write.parquet(q_dir)
+
+    def bind(t, q):
+        return joins.interval_join_streams(
+            t, q, "pair", "qpair", "ts", "qts",
+            lookback_s=60, watermark_s=10, how="left_outer")
+
+    real = F.col("tick_id") < 900
+    batch = {tuple(r) for r in bind(
+        spark.read.parquet(t_dir),
+        spark.read.parquet(q_dir)).filter(real).collect()}
+    assert any(r[4] is None for r in batch)      # orphan NULL rows exist
+    assert any(r[4] is not None for r in batch)  # and matched rows too
+
+    st = (spark.readStream
+          .schema("tick_id long, pair string, ts timestamp, mid double")
+          .parquet(t_dir))
+    sq = (spark.readStream
+          .schema("quote_id long, qpair string, qts timestamp, bid double")
+          .parquet(q_dir))
+    qy = (bind(st, sq).writeStream.format("memory")
+          .queryName("ssoj").option("checkpointLocation",
+                                    str(tmp_path / "ck"))
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM ssoj").filter(real).collect()}
+    qy.stop()
+    assert got == batch
