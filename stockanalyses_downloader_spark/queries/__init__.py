@@ -327,6 +327,11 @@ _TAIL = [
     "user_state_snapshot",          # point-in-time dim snapshot from
                                     # the SCD2 history; DuckDB-
                                     # oracled; new r5
+    "split_leakage_report",         # cross-split near-dup pair
+                                    # counts (eval-leakage audit —
+                                    # composition of two oracled
+                                    # primitives); DuckDB-oracled;
+                                    # new r5
     "join_key_skew_report",         # per-key count distribution for
                                     # the orders⋈lineitem probe side
                                     # (max/p99/top1-share — the pre-

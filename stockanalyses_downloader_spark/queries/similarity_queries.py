@@ -696,3 +696,59 @@ QUERIES: dict[str, Q] = {
     "multimodal_cdc_dedup": Q(multimodal_cdc_dedup, _CDC_DEDUP_SQL),
     "multimodal_stub_features": Q(multimodal_stub_features, _STUB_SQL),
 }
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit (r5 — the measurement that
+    motivates source_level_split_assignment): join the exact
+    n-gram-Jaccard near-dup pairs to the PER-DOC split assignment and
+    count pairs per (ordered) split pair. Off-diagonal rows —
+    train⋈test, train⋈val — are evaluation leakage: a test doc whose
+    near-twin was trained on. Composition of two already-oracled
+    primitives, so the whole chain hash-verifies; the group-level
+    split kills these rows by construction (blocked pairs share a
+    source, and source-keyed splits can't straddle)."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, block_cols=["lang", "source"],
+                                      n=3, threshold=0.3, hashed=True)
+    splits = sampling.assign_splits(d.select("doc_id"), key="doc_id") \
+                     .select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("id_a"),
+                       F.col("split").alias("split_raw_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"),
+                       F.col("split").alias("split_raw_b"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select(F.least("split_raw_a", "split_raw_b").alias("split_a"),
+                    F.greatest("split_raw_a", "split_raw_b")
+                     .alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count("*").alias("n_near_dup_pairs")))
+
+
+_LEAKAGE_SQL = _JACCARD_SQL.replace(
+    'SELECT lang, source, id_a, id_b, jaccard FROM scored '
+    'WHERE jaccard >= 0.3',
+    """, near AS (
+  SELECT id_a, id_b FROM scored WHERE jaccard >= 0.3
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8)
+                   < 'cccccccc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8)
+                   < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(a.split, b.split) AS split_a,
+       greatest(a.split, b.split) AS split_b,
+       count(*) AS n_near_dup_pairs
+FROM near JOIN sp a ON near.id_a = a.doc_id
+          JOIN sp b ON near.id_b = b.doc_id
+GROUP BY split_a, split_b""")
+
+
+QUERIES.update({
+    "split_leakage_report": Q(split_leakage_report, _LEAKAGE_SQL),
+})

@@ -147,3 +147,33 @@ def test_countmin_never_underestimates_and_merges(spark):
     whole = {(r["row_id"], r["bucket"]): r["c"] for r in
              sketch.collect()}
     assert merged == whole
+
+
+def test_split_leakage_report_flags_cross_split_pairs(spark):
+    """Planted leakage: near-identical docs whose doc_ids hash into
+    train (1), val (0) and test (3) must produce off-diagonal rows —
+    the eval-contamination signal the report exists to surface — and
+    an unrelated doc contributes nothing."""
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from stockanalyses_downloader_spark.queries.similarity_queries import (
+        split_leakage_report)
+
+    base = ("the quarterly report shows steady growth across all "
+            "regional markets with revenue up and costs contained")
+    rows = [(1, base + " alpha"),        # train (md5 split of doc_id)
+            (0, base + " beta"),         # val
+            (3, base + " gamma"),        # test
+            (44, " ".join(f"zz{i}" for i in range(40)))]  # unrelated
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * 4, "source": ["s"] * 4,
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), f"{d}/documents.parquet")
+    got = {(r["split_a"], r["split_b"]): r["n_near_dup_pairs"]
+           for r in split_leakage_report(spark, d).collect()}
+    assert got == {("train", "val"): 1, ("test", "train"): 1,
+                   ("test", "val"): 1}
