@@ -293,3 +293,41 @@ def test_winnowing_guarantee_on_shared_runs(spark, off_b):
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[0] & fps[1], "guaranteed fingerprint collision missing"
     assert not (fps[0] & fps[2] & fps[1])
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_winnowing_matches_python_reference(spark, seed):
+    """doc_winnow_fingerprints against a pure-Python winnowing
+    implementation (same k=8 md5-prefix hash, same w=16 min-window
+    rule) on pseudo-random word-ish text: identical fingerprint
+    multisets per doc."""
+    import hashlib
+    import random
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        doc_winnow_fingerprints)
+
+    rng = random.Random(seed)
+    words = ["data", "spark", "query", "join", "merge", "scan", "row"]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 60))))
+            for i in range(6)]
+    d = _write_docs(spark, rows)
+
+    def py_winnow(text, k=8, w=16):
+        import re
+        c = re.sub(r"\s+", " ", text.lower()).strip()
+        if len(c) < k:
+            return {}
+        hs = [int(hashlib.md5(c[i:i + k].encode()).hexdigest()[:8], 16)
+              for i in range(len(c) - k + 1)]
+        n_win = max(len(hs) - w + 1, 1)
+        fps = [min(hs[j:j + w]) for j in range(n_win)]
+        out = {}
+        for fp in fps:
+            out[fp] = out.get(fp, 0) + 1
+        return out
+
+    got = {}
+    for r in doc_winnow_fingerprints(spark, d).collect():
+        got.setdefault(r["doc_id"], {})[r["fp"]] = r["n_positions"]
+    for doc_id, text in rows:
+        assert got.get(doc_id, {}) == py_winnow(text), doc_id
