@@ -52,6 +52,10 @@ EXTENDED = [
     "embedding_covariance",
     "doc_unigram_surprisal",
     "pii_redaction_report",
+    # round-5 additions (same rationale)
+    "doc_winnow_fingerprints",
+    "token_countmin_sketch",
+    "user_state_history",
 ]
 
 
