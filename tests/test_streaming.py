@@ -572,3 +572,36 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
            spark.sql("SELECT * FROM ssoj").filter(real).collect()}
     qy.stop()
     assert got == batch
+
+
+def test_streaming_quality_scoring_matches_batch(spark, tmp_path):
+    """ST7 for the quality-model tier (r5): score_with_weights bound
+    to a document STREAM produces exactly the batch scores — the
+    frozen model's literals embed in the streaming plan the same way,
+    so live ingest can gate on quality with zero code divergence."""
+    from stockanalyses_downloader_spark.operators import quality_model as qm
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        _QUALITY_W)
+
+    rows = [(i, ("clean readable prose here " * (1 + i % 4)).strip()
+             if i % 3 else f"99{i} 737 4459 x{i}z 00") for i in range(30)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src)
+
+    def score(df):
+        return qm.score_with_weights(qm.surface_features(df), _QUALITY_W)
+
+    batch = {(r["doc_id"], r["logit"], r["prob"])
+             for r in score(spark.read.parquet(src)).collect()}
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    q = (score(stream).writeStream.format("memory").queryName("qscore")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["logit"], r["prob"])
+           for r in spark.sql("SELECT * FROM qscore").collect()}
+    q.stop()
+    assert got == batch and len(got) == 30
