@@ -186,20 +186,25 @@ def pca_ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             .withColumn("fnorm", l2_norm(F.col("fv")))
             .select(id_col, "v", "norm", "fv", "fnorm"))
 
-    cent = _sampled_centroids(e, n_centroids, id_col)
+    # lists/probes see ONLY the projected vectors (carry=[]): the
+    # whole point is pca_k-narrow inverted lists, so the d-dim floats
+    # must not ride through the assignment shuffle and the persisted
+    # lists (review r5) — the rerank fetches them by id instead: the
+    # query side from a broadcast-sized filtered lookup, the neighbor
+    # side for the O(k·oversample) shortlist only.
+    proj = e.select(id_col, "v", "norm")
+    cent = _sampled_centroids(proj, n_centroids, id_col)
     lists, probes = _ivf_lists_probes(
-        e, cent, query_ids, k, n_probe, probe_oversample, id_col,
-        ["fv", "fnorm"])
+        proj, cent, query_ids, k, n_probe, probe_oversample, id_col, [])
 
     q = probes.select(F.col(id_col).alias("query_id"),
                       F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
-                      F.col("fv").alias("qfv"),
-                      F.col("fnorm").alias("qfnorm"), "list_id")
+                      "list_id")
     c = lists.select(F.col(id_col).alias("neighbor_id"),
                      F.col("v").alias("nv"), F.col("norm").alias("nnorm"),
                      "list_id")
     approx = (c.join(q, "list_id")
-              .select("query_id", "neighbor_id", "qfv", "qfnorm",
+              .select("query_id", "neighbor_id",
                       (dot(F.col("qv"), F.col("nv"))
                        / (F.col("qnorm") * F.col("nnorm")))
                       .alias("approx_cos"))
@@ -209,9 +214,14 @@ def pca_ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     shortlist = (approx.withColumn("__s", F.row_number().over(sw))
                  .filter(F.col("__s") <= k * oversample))
 
+    qf = (e.filter(F.col(id_col).isin(query_ids))
+          .select(F.col(id_col).alias("query_id"),
+                  F.col("fv").alias("qfv"),
+                  F.col("fnorm").alias("qfnorm")))
     nv = e.select(F.col(id_col).alias("neighbor_id"),
                   F.col("fv").alias("cfv"), F.col("fnorm").alias("cfnorm"))
     exact = (shortlist.join(nv, "neighbor_id")
+             .join(F.broadcast(qf), "query_id")
              .select("query_id", "neighbor_id",
                      (dot(F.col("qfv"), F.col("cfv"))
                       / (F.col("qfnorm") * F.col("cfnorm"))).alias("cosine")))

@@ -40,12 +40,21 @@ def history_from_events(events: DataFrame, key: str, ts: str,
     RUN. Ties on (key, ts) are broken by state so the build is
     deterministic even if a feed emits two different states at one
     timestamp (the later-sorting state wins the instant; both rows
-    surface, the earlier with a zero-length interval)."""
+    surface, the earlier with a zero-length interval).
+
+    NULL states are ordinary values (review r5): a transition TO NULL
+    (state cleared) opens a NULL-state version, consecutive NULL
+    states compact like any other run, and a key whose FIRST event
+    carries NULL still appears — change detection is null-safe
+    (eqNullSafe / IS DISTINCT FROM, with an explicit first-row
+    marker, since `lag IS NULL` can't distinguish "no previous row"
+    from "previous state was NULL")."""
     w = Window.partitionBy(key).orderBy(ts, state)
     changed = (events.select(key, ts, state)
+               .withColumn("__rn", F.row_number().over(w))
                .withColumn("__prev", F.lag(state).over(w))
-               .filter(F.col("__prev").isNull()
-                       | (F.col(state) != F.col("__prev"))))
+               .filter((F.col("__rn") == 1)
+                       | ~F.col(state).eqNullSafe(F.col("__prev"))))
     w2 = Window.partitionBy(key).orderBy(ts, state)
     return (changed
             .withColumn("valid_to", F.lead(ts).over(w2))

@@ -670,9 +670,12 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                  .filter(F.col("__s") <= k * oversample)
                  .select("query_id", "neighbor_id"))
 
-    # float fetch for the O(k) shortlist only — the honest rerank I/O
-    qv = base.select(F.col(id_col).alias("query_id"),
-                     F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    # float fetch for the O(k) shortlist only — the honest rerank I/O.
+    # qv is restricted to the QUERY ids before the broadcast: the
+    # unfiltered frame would broadcast the whole corpus (review r5).
+    qv = (base.filter(F.col(id_col).isin(query_ids))
+          .select(F.col(id_col).alias("query_id"),
+                  F.col("v").alias("qv"), F.col("norm").alias("qnorm")))
     nv = base.select(F.col(id_col).alias("neighbor_id"),
                      F.col("v").alias("cv2"), F.col("norm").alias("cnorm2"))
     exact = (shortlist.join(nv, "neighbor_id").join(F.broadcast(qv),

@@ -314,7 +314,9 @@ _TAIL = [
                                     # vs pure-numpy GD in pytest;
                                     # new r5
     "countmin_token_estimates",     # point-query estimates for a
-                                    # deterministic 2% vocab probe;
+                                    # deterministic 20% vocab probe
+                                    # (rate sized to the fixture's
+                                    # 31-token vocabulary);
                                     # DuckDB-oracled end-to-end;
                                     # error band pinned in pytest;
                                     # new r5

@@ -929,6 +929,8 @@ def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_HISTORY_SQL = """
 WITH changed AS (
   SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_type) AS rn,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_type) AS prev
   FROM events
@@ -936,7 +938,7 @@ WITH changed AS (
   SELECT user_id, event_type, ts,
          lead(ts) OVER (PARTITION BY user_id
                         ORDER BY ts, event_type) AS valid_to
-  FROM changed WHERE prev IS NULL OR event_type <> prev
+  FROM changed WHERE rn = 1 OR event_type IS DISTINCT FROM prev
 )
 SELECT user_id, event_type, ts AS valid_from, valid_to FROM runs
 """
@@ -997,8 +999,14 @@ def dq_report_for(o: DataFrame, li: DataFrame, cu: DataFrame) -> DataFrame:
             o.agg((F.count("o_orderkey")
                    - F.countDistinct("o_orderkey")).alias("n"))),
         one("lineitem_pk_unique",
+            # countDistinct over a STRUCT, not the bare columns: a
+            # multi-arg countDistinct drops rows where ANY argument
+            # is NULL (so a NULL-keyed duplicate would go uncounted,
+            # and the DuckDB oracle's count(DISTINCT (a, b)) — which
+            # counts the tuple — would diverge); the struct is
+            # non-null even when its fields are (review r5)
             li.agg((F.count("*") - F.countDistinct(
-                "l_orderkey", "l_linenumber")).alias("n"))),
+                F.struct("l_orderkey", "l_linenumber"))).alias("n"))),
         one("orders_custkey_not_null",
             o.agg(F.sum(F.col("o_custkey").isNull().cast("int"))
                   .alias("n"))),

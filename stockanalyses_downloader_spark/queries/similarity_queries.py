@@ -129,7 +129,6 @@ def pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact full-dimension rerank — PCA composed into the ANN tier
     (VERDICT r4 #7). Rows-only; recall floor pinned in tests
     (ann_recall_report row ``pca_ivf``)."""
-    from ..operators import pca
     e = load_table(spark, sf_dir, "embeddings")
     return pca.pca_ivf_topk(e, _QUERY_IDS, k=_TOPK)
 

@@ -442,12 +442,22 @@ def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wire), one digest->df map join, one doc-keyed agg. No
     pairwise anything — the digest IS the bucket."""
     AW, W = 16, 64
+    CAP = 1_000_000   # chars scanned per doc — see below
     from ..operators.dedup import spread
     # spread(): the anchor scan runs one md5 per space position — a
     # narrow one-split local input would serialize the whole corpus
-    # scan through one task
+    # scan through one task.
+    # CAP (review r5): the position scan materializes a len(c)-int
+    # sequence per row before the anchor filter, so a pathological
+    # multi-MB document would hold a same-sized transient array in
+    # the project stage; capping the scanned prefix at 1M chars
+    # bounds that at ~8 MB/row while leaving the signal intact
+    # (duplication fractions over the first 1M chars — the standard
+    # long-doc truncation every quality signal here applies). The
+    # oracle applies the identical cap.
     d = spread(_docs(spark, sf_dir))
-    canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    canon = F.substring(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, CAP)
     base = d.select("doc_id", canon.alias("c"))
     # sequence(1, 0) would run DESCENDING on an empty doc — guard it.
     anchors = F.when(
@@ -479,7 +489,8 @@ def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_DUP_SQL = r"""
 WITH base AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c
+         substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   1, 1000000) AS c
   FROM documents
 ), anchors AS (
   SELECT doc_id, c, 0 AS a FROM base

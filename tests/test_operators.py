@@ -1004,3 +1004,27 @@ def test_countmin_one_sided_property(spark, items):
     # 6-item vocab in 64 buckets x 3 rows: a collision in EVERY row is
     # needed to overestimate; assert the total overshoot stays tiny
     assert sum(est[i] - exact[i] for i in exact) <= len(items)
+
+
+def test_scd2_null_states_are_real_versions(spark):
+    """Review r5: NULL is a legitimate state value — a transition TO
+    NULL (cleared) opens a NULL version, consecutive NULLs compact,
+    and a key whose FIRST event is NULL still appears."""
+    from datetime import datetime
+    from stockanalyses_downloader_spark.operators import scd
+
+    def ts(d):
+        return datetime(2024, 1, d)
+
+    rows = [(1, ts(1), "A"), (1, ts(5), None), (1, ts(8), None),
+            (1, ts(12), "B"),
+            (2, ts(3), None), (2, ts(6), "X")]
+    ev = spark.createDataFrame(rows, "k long, ts timestamp, st string")
+    hist = {}
+    for r in scd.history_from_events(ev, "k", "ts", "st").collect():
+        hist.setdefault(r["k"], []).append(
+            (r["st"], r["valid_from"].day,
+             r["valid_to"].day if r["valid_to"] else None))
+    hist = {k: sorted(v, key=lambda t: t[1]) for k, v in hist.items()}
+    assert hist[1] == [("A", 1, 5), (None, 5, 12), ("B", 12, None)]
+    assert hist[2] == [(None, 3, 6), ("X", 6, None)]

@@ -292,7 +292,7 @@ def test_winnowing_guarantee_on_shared_runs(spark, off_b):
     for r in doc_winnow_fingerprints(spark, d).collect():
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[0] & fps[1], "guaranteed fingerprint collision missing"
-    assert not (fps[0] & fps[2] & fps[1])
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
