@@ -1,0 +1,73 @@
+"""Rolling technical indicators over the tick feed — the analytics a
+stock-downloader's consumers compute first from the stored ticks
+(reference scope: main.py stores raw bid/ask/last; SMA/volatility/RSI
+are the canonical derived series over that store).
+
+All three are single-window derivations per instrument:
+
+  sma_n    simple moving average of the last n ticks
+  std_n    rolling sample standard deviation (annualizable volatility)
+  rsi_n    Wilder's relative-strength index on an n-tick lookback
+           (simple-average variant: 100 * avg_gain / (avg_gain +
+           avg_loss); NULL until a full lookback exists and when the
+           window moved nowhere — no fake neutral 50s)
+
+Scale shape: everything is ONE shuffle per instrument key — all
+windows share the same (isin) partitioning and (ts, tick_id) sort, so
+Catalyst plans a single Exchange + Sort feeding every frame. State per
+key is the n-row frame, never the full series.
+
+Cross-engine float discipline (cf. queries/helpers.py): window sums
+accumulate in DECIMAL (order-fixed by the frame, but decimal keeps
+partial-vs-sequential addition exact), then divide/sqrt in double —
+bit-identical between Spark and the DuckDB oracle. The rolling
+variance uses the moment identity (sum2 - sum^2/n)/(n-1) evaluated in
+double AFTER the exact decimal sums, with a greatest(.,0) clamp for
+the tiny negative residue a constant window produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,10)"
+
+
+def with_rolling_indicators(ticks: DataFrame, price_col: str = "last_price",
+                            key: str = "isin", ts: str = "ts",
+                            tiebreak: str = "tick_id",
+                            n: int = 5) -> DataFrame:
+    """Append sma_n / std_n / rsi_n columns (NULL until the frame holds
+    n rows — a deterministic warm-up cutoff rather than noisy partial
+    averages)."""
+    order = [F.col(ts), F.col(tiebreak)]
+    w = Window.partitionBy(key).orderBy(*order)
+    frame = w.rowsBetween(-(n - 1), 0)
+
+    price = F.col(price_col)
+    cnt = F.count(price).over(frame)
+    s1 = F.sum(price.cast(_DEC)).over(frame).cast("double")
+    s2 = F.sum((price * price).cast(_DEC)).over(frame).cast("double")
+    full = cnt == n
+
+    sma = F.when(full, s1 / n)
+    var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
+    std = F.when(full, F.sqrt(var))
+
+    diff = price - F.lag(price).over(w)
+    gain = F.when(diff > 0, diff).otherwise(F.lit(0.0))
+    loss = F.when(diff < 0, -diff).otherwise(F.lit(0.0))
+    # diff is NULL on each key's first row; decimal SUM skips NULLs in
+    # both engines, and the full-lookback gate below only opens once
+    # n diffs exist anyway
+    gsum = F.sum(gain.cast(_DEC)).over(frame).cast("double")
+    lsum = F.sum(loss.cast(_DEC)).over(frame).cast("double")
+    ndiff = F.count(diff).over(frame)
+    rsi = F.when((ndiff == n) & (gsum + lsum > 0),
+                 100.0 * gsum / (gsum + lsum))
+
+    return (ticks
+            .withColumn(f"sma_{n}", sma)
+            .withColumn(f"std_{n}", std)
+            .withColumn(f"rsi_{n}", rsi))

@@ -1,7 +1,8 @@
-"""Mergeable frequency sketches (X4 sketch tier, round 5): count-min —
-the bounded-memory answer to "how often does token X occur in 100 TB"
-when the exact vocabulary histogram (top_tokens / token_postings) is
-itself too large to materialize per partition/day.
+"""Mergeable sketches (X4 sketch tier, rounds 4-5): count-min
+(frequencies) and a log-bucket HDR histogram (quantiles) — the
+bounded-memory answers to "how often does token X occur in 100 TB" and
+"what is p99 of this value over 100 TB" when the exact histogram /
+exact sort is itself too large to materialize per partition/day.
 
 Why a sketch and not the exact agg: the exact token histogram is
 vocab-sized state per aggregation window; at web scale with daily
@@ -93,3 +94,103 @@ def countmin_estimate(sketch: DataFrame, probes: DataFrame,
             .withColumn("c", F.coalesce("c", F.lit(0)))
             .groupBy(item_col)
             .agg(F.min("c").alias("est")))
+
+
+# --- log-bucket HDR histogram: mergeable QUANTILES --------------------------
+#
+# The third mergeable tier next to HLL (distinct) and count-min
+# (frequency): per-partition/day fixed-size histograms that merge by
+# ADDITION and answer any quantile with a bounded RELATIVE error —
+# what percentile_cont cannot do without a full re-sort of history.
+#
+# Bucketing is HdrHistogram-style but built from EXACT integer
+# arithmetic so the grid itself is DuckDB-oracle-checkable (the same
+# portability property as cm_bucket; float log() would diverge between
+# JVM Math.log and libm at bucket boundaries):
+#
+#     k = floor(value * 100)            exact double->int (cents)
+#     e = length(bin(k)) - 1            the octave: floor(log2(k))
+#     s = ((k - 2^e) * m) div 2^e       linear sub-bucket, 0..m-1
+#
+# Bucket width is 2^e / m cents, i.e. <= 1/m RELATIVE to any value in
+# the bucket — with m=16, every quantile estimate lands within ~6.25%
+# of the exact order statistic regardless of the value distribution's
+# range. 2^e is materialized via pow(2.0, e): exact for integral
+# exponents (IEEE powers of two) in both engines.
+
+HDR_M = 16          # sub-buckets per octave -> <= 1/m relative error
+HDR_SCALE = 100     # fixed-point cents: resolution floor of 0.01
+
+
+def hdr_bucket(value: Column, m: int = HDR_M) -> Column:
+    """Ordinal bucket id ``o = e*m + s`` for a positive value —
+    order-preserving (higher value => higher ``o``), so cumulative
+    sums over ``o`` walk the value axis. Values below 1/HDR_SCALE
+    (k < 1) are the caller's to filter out (the fixture's prices sit
+    orders of magnitude above the resolution floor).
+
+    The sub-bucket division ``floor((k - p) * m / p)`` runs in DOUBLE
+    in both engines (Spark int/int and DuckDB int/int both promote):
+    the operands are exact integers well under 2**53, the quotient is
+    correctly rounded in both, and the quotient's distance to any
+    integer boundary is at least 1/p >> one ulp — so the floor is
+    engine-identical despite the float detour."""
+    k = F.floor(value * HDR_SCALE).cast("long")
+    e = (F.length(F.bin(k)) - 1).cast("long")
+    p = F.pow(F.lit(2.0), e).cast("long")
+    s = F.floor((k - p) * m / p).cast("long")
+    return (e * m + s).cast("long")
+
+
+def hdr_bucket_value(o: Column, m: int = HDR_M) -> Column:
+    """Midpoint representative value of bucket ``o`` (inverse of
+    hdr_bucket up to the <=1/m bucket width): 2^e * (m + s + 0.5) /
+    (m * HDR_SCALE). Pure double arithmetic on exact integer inputs —
+    engine-identical."""
+    e = F.floor(o / m).cast("long")
+    s = (o - e * m).cast("long")
+    p = F.pow(F.lit(2.0), e)
+    return (p * (s + F.lit(m + 0.5)) / F.lit(float(m * HDR_SCALE)))
+
+
+def hdr_build(values: DataFrame, value_col: str,
+              m: int = HDR_M) -> DataFrame:
+    """Histogram grid (o, c): at most m*64 rows no matter the corpus
+    size. Merging two grids is UNION ALL + groupBy-sum — same
+    re-aggregation contract as countmin_merge."""
+    return (values
+            .filter(F.floor(F.col(value_col) * HDR_SCALE) >= 1)
+            .select(hdr_bucket(F.col(value_col), m).alias("o"))
+            .groupBy("o").agg(F.count("*").alias("c")))
+
+
+def hdr_merge(*grids: DataFrame) -> DataFrame:
+    """Merge grids built with the same m/scale: buckets add."""
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.unionByName(g)
+    return out.groupBy("o").agg(F.sum("c").alias("c"))
+
+
+def hdr_quantiles(grid: DataFrame, qs: tuple[float, ...],
+                  m: int = HDR_M) -> DataFrame:
+    """Quantile estimates from the grid: for each q, the midpoint of
+    the bucket containing the ceil(q*N)-th smallest value (rank
+    semantics of percentile_disc). Output (q, est, n_total). The
+    cumulative walk is over the <=m*64-row grid — driver-trivial at
+    any corpus size, and the grid itself came from a merge, not a
+    rescan."""
+    from pyspark.sql import Window
+    w = Window.orderBy("o").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = grid.select("o", "c", F.sum("c").over(w).alias("cum"))
+    total = grid.agg(F.sum("c").alias("n_total"))
+    qf = total.select(
+        "n_total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
+    hits = (cum.join(F.broadcast(qf),
+                     F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+            .groupBy("q", "n_total").agg(F.min("o").alias("o")))
+    return hits.select(
+        "q", hdr_bucket_value(F.col("o"), m).alias("est"),
+        F.col("n_total").cast("long").alias("n_total"))

@@ -346,6 +346,18 @@ _TAIL = [
                                     # distributed moments + driver
                                     # eigh + in-plan folds; pinned vs
                                     # numpy in pytest; new r4
+    "order_price_hdr_sketch",       # mergeable quantile-sketch grid
+                                    # (exact-integer log buckets);
+                                    # DuckDB-oracled; new r5
+    "order_price_hdr_quantiles",    # p50/p90/p99 FROM the sketch,
+                                    # <=1/16 relative error pinned;
+                                    # DuckDB-oracled; new r5
+    "user_profile_merged",          # CDC changelog apply (MERGE
+                                    # semantics: latest-per-key upsert
+                                    # /delete); DuckDB-oracled; new r5
+    "tick_rolling_indicators",      # rolling SMA/volatility/RSI per
+                                    # ISIN, one shared shuffle;
+                                    # DuckDB-oracled; new r5
     "lang_distinct_token_sketch",   # rows-only; mergeable HLL
                                     # distinct-token cardinality
                                     # (two-level sketch union — the

@@ -454,3 +454,56 @@ QUERIES: dict[str, Q] = {
     "wss_enriched_messages": Q(wss_enriched_messages, _WSS_SQL),
     "weekly_ohlc_candles": Q(weekly_ohlc_candles, _CANDLES_SQL),
 }
+
+
+def tick_rolling_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling SMA / volatility / RSI per ISIN over the tick feed
+    (r5 — operators/indicators.py): the first derived series any
+    consumer of the reference's stored ticks computes. One shuffle on
+    isin; every frame shares the (ts, tick_id) sort. NULL until a
+    full 5-tick lookback exists (deterministic warm-up, no partial
+    averages)."""
+    from ..operators import indicators
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    out = indicators.with_rolling_indicators(
+        t, price_col="last_price", key="isin", ts="ts",
+        tiebreak="tick_id", n=5)
+    return out.select("isin", "tick_id", "ts", "last_price",
+                      "sma_5", "std_5", "rsi_5")
+
+
+_INDICATORS_SQL = f"""
+WITH t AS (SELECT * FROM {synthetic.TICKS_SQL} x WHERE status = 200),
+d AS (
+  SELECT isin, tick_id, ts, last_price,
+         last_price - lag(last_price) OVER
+           (PARTITION BY isin ORDER BY ts, tick_id) AS diff
+  FROM t
+),
+w AS (
+  SELECT isin, tick_id, ts, last_price,
+         COUNT(last_price) OVER f AS cnt,
+         CAST(SUM(CAST(last_price AS DECIMAL(30,10))) OVER f AS DOUBLE) AS s1,
+         CAST(SUM(CAST(last_price * last_price AS DECIMAL(30,10))) OVER f
+              AS DOUBLE) AS s2,
+         COUNT(diff) OVER f AS ndiff,
+         CAST(SUM(CAST(CASE WHEN diff > 0 THEN diff ELSE 0.0 END
+                       AS DECIMAL(30,10))) OVER f AS DOUBLE) AS gsum,
+         CAST(SUM(CAST(CASE WHEN diff < 0 THEN -diff ELSE 0.0 END
+                       AS DECIMAL(30,10))) OVER f AS DOUBLE) AS lsum
+  FROM d
+  WINDOW f AS (PARTITION BY isin ORDER BY ts, tick_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT isin, tick_id, ts, last_price,
+       CASE WHEN cnt = 5 THEN s1 / 5 END AS sma_5,
+       CASE WHEN cnt = 5
+            THEN sqrt(greatest((s2 - s1 * s1 / 5) / 4, 0.0)) END AS std_5,
+       CASE WHEN ndiff = 5 AND gsum + lsum > 0
+            THEN 100.0 * gsum / (gsum + lsum) END AS rsi_5
+FROM w
+"""
+
+QUERIES.update({
+    "tick_rolling_indicators": Q(tick_rolling_indicators, _INDICATORS_SQL),
+})

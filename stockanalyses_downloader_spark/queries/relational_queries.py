@@ -1065,3 +1065,141 @@ SELECT 'orders_custkey_fk_customer',
 QUERIES.update({
     "data_quality_report": Q(data_quality_report, _DQ_SQL),
 })
+
+
+def order_price_hdr_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sketch grid over o_totalprice (r5 —
+    operators/sketches.py HDR tier): <= m*64 rows of (bucket, count)
+    no matter the corpus size, merging by addition across partitions/
+    days. The exact-integer log-bucketing makes the GRID itself
+    DuckDB-oracled — same portability property as the count-min
+    sketch."""
+    from ..operators import sketches
+    o = _t(spark, sf_dir, "orders")
+    return sketches.hdr_build(o, "o_totalprice")
+
+
+_HDR_BUCKETS_SQL = """(
+  WITH k AS (
+    SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS k
+    FROM orders
+    WHERE floor(o_totalprice * 100) >= 1
+  ), b AS (
+    SELECT CAST(length(bin(k)) - 1 AS BIGINT) AS e,
+           CAST(pow(2.0, length(bin(k)) - 1) AS BIGINT) AS p, k
+    FROM k
+  )
+  SELECT CAST(e * 16 + floor((k - p) * 16 / p) AS BIGINT) AS o
+  FROM b
+)"""
+
+_HDR_GRID_SQL = f"""
+SELECT o, count(*) AS c FROM {_HDR_BUCKETS_SQL} GROUP BY o
+"""
+
+
+def order_price_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of o_totalprice estimated FROM the sketch grid
+    (r5): cumulative walk over the <=1024-row grid, midpoint of the
+    bucket holding the ceil(q*N)-th smallest value. Bounded <=1/16
+    relative error vs the exact order statistic (pinned in
+    tests/test_sketches.py) — the answer a year of merged daily
+    sketches gives without re-sorting history."""
+    from ..operators import sketches
+    o = _t(spark, sf_dir, "orders")
+    grid = sketches.hdr_build(o, "o_totalprice")
+    return sketches.hdr_quantiles(grid, (0.5, 0.9, 0.99))
+
+
+_HDR_QUANTILES_SQL = f"""
+WITH g AS ({_HDR_GRID_SQL}),
+cum AS (
+  SELECT o, c,
+         SUM(c) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM g
+),
+n AS (SELECT SUM(c) AS n_total FROM g),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+hit AS (
+  SELECT q, n_total, MIN(o) AS o
+  FROM cum, qs, n
+  WHERE cum >= ceil(q * n_total)
+  GROUP BY q, n_total
+),
+dec AS (
+  SELECT q, n_total, o,
+         CAST(floor(o / 16) AS BIGINT) AS e,
+         o - CAST(floor(o / 16) AS BIGINT) * 16 AS s
+  FROM hit
+)
+SELECT q, pow(2.0, e) * (s + 16.5) / 1600.0 AS est,
+       CAST(n_total AS BIGINT) AS n_total
+FROM dec
+"""
+
+
+def user_profile_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (r5 — operators/cdc.py): the per-user
+    profile snapshot as of the cutoff, merged with the post-cutoff
+    event changelog under MERGE semantics — latest change per key
+    wins, 'error' events delete the profile, everything else upserts.
+    The current-state dual of user_state_history's full SCD2 history.
+    One changelog shuffle on the key + one co-partitioned full-outer
+    join; applying a day never rescans history."""
+    from ..operators import cdc
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base = cdc.latest_changes(
+        ev.filter(F.col("ts") < cutoff), "user_id",
+        ["ts", "event_id"]).select(
+            "user_id", F.col("event_type").alias("state"),
+            F.col("ts").alias("updated_ts"))
+    changes = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("updated_ts"))
+    return cdc.apply_changelog(base, changes, "user_id",
+                               ["ts", "event_id"], "op",
+                               ["state", "updated_ts"])
+
+
+_CDC_MERGE_SQL = """
+WITH base AS (
+  SELECT user_id, event_type AS state, ts AS updated_ts
+  FROM (SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-15 00:00:00') x
+  WHERE rn = 1
+),
+latest AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type AS state, ts AS updated_ts
+  FROM (SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') x
+  WHERE rn = 1
+)
+SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+       CASE WHEN c.user_id IS NOT NULL THEN c.state
+            ELSE b.state END AS state,
+       CASE WHEN c.user_id IS NOT NULL THEN c.updated_ts
+            ELSE b.updated_ts END AS updated_ts
+FROM base b FULL OUTER JOIN latest c ON b.user_id = c.user_id
+WHERE c.user_id IS NULL OR c.op <> 'D'
+"""
+
+QUERIES.update({
+    "order_price_hdr_sketch": Q(order_price_hdr_sketch, _HDR_GRID_SQL),
+    "order_price_hdr_quantiles": Q(order_price_hdr_quantiles,
+                                   _HDR_QUANTILES_SQL),
+    "user_profile_merged": Q(user_profile_merged, _CDC_MERGE_SQL),
+})

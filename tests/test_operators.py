@@ -1028,3 +1028,75 @@ def test_scd2_null_states_are_real_versions(spark):
     hist = {k: sorted(v, key=lambda t: t[1]) for k, v in hist.items()}
     assert hist[1] == [("A", 1, 5), (None, 5, 12), ("B", 12, None)]
     assert hist[2] == [(None, 3, 6), ("X", 6, None)]
+
+
+def test_hdr_quantiles_relative_error_bound(spark, sf_dir):
+    """The HDR grid's whole contract: every quantile estimate lands
+    within the bucket holding the exact order statistic, i.e. within
+    1/m (=1/16) RELATIVE error plus the 0.01 cent-truncation floor —
+    regardless of the value distribution."""
+    import math
+    from stockanalyses_downloader_spark.operators import sketches
+    from stockanalyses_downloader_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    grid = sketches.hdr_build(o, "o_totalprice")
+    qs = (0.5, 0.9, 0.99)
+    est = {r["q"]: r["est"] for r in
+           sketches.hdr_quantiles(grid, qs).collect()}
+
+    vals = sorted(r["o_totalprice"] for r in
+                  o.select("o_totalprice").collect())
+    n = len(vals)
+    for q in qs:
+        exact = vals[max(0, math.ceil(q * n) - 1)]
+        assert abs(est[q] - exact) <= exact / 16 + 0.01, (
+            q, est[q], exact)
+
+
+def test_hdr_merge_half_vs_whole(spark, sf_dir):
+    """Sketches built on disjoint halves merge (bucket addition) to
+    EXACTLY the whole-corpus grid — the re-aggregation property that
+    makes per-day sketches answer year-level quantiles without a
+    rescan."""
+    from pyspark.sql import functions as F
+    from stockanalyses_downloader_spark.operators import sketches
+    from stockanalyses_downloader_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    whole = sketches.hdr_build(o, "o_totalprice")
+    even = sketches.hdr_build(o.filter(F.col("o_orderkey") % 2 == 0),
+                              "o_totalprice")
+    odd = sketches.hdr_build(o.filter(F.col("o_orderkey") % 2 == 1),
+                             "o_totalprice")
+    merged = sketches.hdr_merge(even, odd)
+    a = {(r["o"], r["c"]) for r in whole.collect()}
+    b = {(r["o"], r["c"]) for r in merged.collect()}
+    assert a == b
+    # grid is sketch-sized: <= 64 octaves x 16 sub-buckets
+    assert len(a) <= 64 * 16
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.floats(min_value=1.0, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+def test_hdr_quantiles_property(spark, values):
+    """Relative-error bound on arbitrary positive multisets
+    (hypothesis): for each q, |est - exact_rank_stat| <= exact/m +
+    0.01. floor-to-cents is monotone, so the rank statistic of the
+    truncated values is the truncation of the rank statistic — the
+    0.01 term absorbs exactly that."""
+    import math
+    from stockanalyses_downloader_spark.operators import sketches
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    grid = sketches.hdr_build(df, "v")
+    qs = (0.25, 0.75, 1.0)
+    est = {r["q"]: r["est"] for r in
+           sketches.hdr_quantiles(grid, qs).collect()}
+    vals = sorted(values)
+    for q in qs:
+        exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
+        assert abs(est[q] - exact) <= exact / 16 + 0.01, (
+            q, est[q], exact)
