@@ -56,6 +56,13 @@ EXTENDED = [
     "doc_winnow_fingerprints",
     "token_countmin_sketch",
     "user_state_history",
+    "dedup_passages_rebuild",       # passage explode + global window
+    "tick_rolling_indicators",      # shared-shuffle window frames
+    "user_profile_merged",          # CDC reduce + full-outer merge
+    "order_price_hdr_quantiles",    # sketch build + cumulative walk
+    "near_dup_edit_distances",      # jaccard propose + levenshtein
+                                    # confirm (capped prefixes)
+    "corpus_snapshot_diff",         # digest full-outer diff
 ]
 
 

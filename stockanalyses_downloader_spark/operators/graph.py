@@ -177,3 +177,63 @@ def dedup_keepers(docs: DataFrame, pair_edges: DataFrame,
                    F.coalesce("component", F.col(id_col))
                     .alias("keeper_id")))
     return out.withColumn("is_kept", F.col(id_col) == F.col("keeper_id"))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+    """Distributed PageRank power iteration over an edge list —
+    the centrality tier next to connected components (components say
+    WHICH vertices belong together; rank says which vertices MATTER).
+
+    Standard damped formulation with dangling-mass redistribution:
+    each round, every vertex's rank splits evenly over its out-edges;
+    vertices with NO out-edges (dangling) donate their rank to all N
+    vertices uniformly; new_rank = (1-d)/N + d * (received +
+    dangling_mass/N). Total rank stays 1 every round (asserted in
+    tests against a pure-Python reference).
+
+    Scale shape: per round ONE shuffle (contribs join ranks on src,
+    aggregate on dst) plus a 1-row dangling-mass aggregate that
+    broadcasts; out-degrees computed once up front. localCheckpoint
+    per round truncates the iterative lineage (same requirement as
+    the CC loops and the Lloyd/BPE trainers — the round count is a
+    model hyperparameter, never data-sized). Rank state is one row
+    per VERTEX — at 100 TB of edges the vertex table is the small
+    side, and the per-round join co-shuffles edges once on src.
+
+    Output: (vertex, rank) for every vertex appearing in the edge
+    list (either side). Fixed n_iter (the production norm) rather
+    than convergence polling keeps the job count bounded and
+    deterministic."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().localCheckpoint(eager=True))
+    verts = (e.select(F.col("src").alias("vertex"))
+             .unionByName(e.select(F.col("dst").alias("vertex")))
+             .distinct().localCheckpoint(eager=True))
+    n = verts.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        linked = ranks.join(outdeg, ranks.vertex == outdeg.src, "left")
+        # dangling vertices: rank with no out-edges -> uniform spread
+        dangling = (linked.filter(F.col("outdeg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("dmass")))
+        contribs = (e.join(ranks.withColumnRenamed("vertex", "src"),
+                           "src")
+                    .join(outdeg, "src")
+                    .select(F.col("dst").alias("vertex"),
+                            (F.col("rank") / F.col("outdeg"))
+                            .alias("contrib"))
+                    .groupBy("vertex")
+                    .agg(F.sum("contrib").alias("received")))
+        ranks = (verts.join(contribs, "vertex", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("vertex",
+                         (F.lit((1.0 - damping) / n)
+                          + damping * (F.coalesce("received", F.lit(0.0))
+                                       + F.col("dmass") / n))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks

@@ -687,3 +687,105 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (exact.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= k))
+
+
+# --- IVF index persistence: build once, serve many (r5b) -------------------
+
+def save_ivf_index(embeddings: DataFrame, path: str,
+                   n_centroids: int = 16, kmeans_iters: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> None:
+    """Materialize a trained IVF index AT REST: Lloyd centroids,
+    per-list sizes, and the inverted lists themselves, the lists
+    directory-partitioned BY list_id — so a later probe of 4 lists
+    reads 4 directories and the other n_centroids-4 never touch disk
+    (partition pruning on the index layout; cf. write_partitioned).
+
+    This splits index BUILD cost (one k-means + one assignment pass —
+    the 100 TB part) from QUERY cost, which ivf_topk pays per call by
+    recomputing the assignment. Build nightly, serve all day.
+
+    Layout: {path}/centroids (n rows), {path}/list_sizes (n rows),
+    {path}/lists/list_id=*/ (corpus rows, vector+norm per id)."""
+    cent = kmeans_centroids(embeddings, k=n_centroids,
+                            n_iter=kmeans_iters, id_col=id_col,
+                            vec_col=vec_col)
+    e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("norm", l2_norm(F.col("v")))
+    scored = (e.crossJoin(F.broadcast(cent))
+              .select(id_col, "v", "norm", "centroid_id",
+                      (dot(F.col("v"), F.col("cv"))
+                       / (F.col("norm") * F.col("cnorm"))).alias("csim")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("csim").desc(), F.col("centroid_id"))
+    lists = (scored.withColumn("__r", F.row_number().over(w))
+             .filter(F.col("__r") == 1)
+             .select(id_col, "v", "norm",
+                     F.col("centroid_id").alias("list_id")))
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    lists.write.mode("overwrite").partitionBy("list_id") \
+        .parquet(f"{path}/lists")
+    # sizes stored separately: the adaptive probe rule needs them
+    # WITHOUT scanning the lists
+    (lists.groupBy("list_id").agg(F.count("*").alias("lsz"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/list_sizes"))
+
+
+def ivf_topk_from_index(spark, path: str, queries: DataFrame,
+                        k: int = 10, n_probe: int = 4,
+                        probe_oversample: int = 4,
+                        query_id_col: str = "query_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Serve top-k from a saved index — queries arrive as their own
+    frame (the serving reality: they were never in the corpus scan).
+    Probe selection runs against the n_centroids-row centroid table
+    with the same adaptive coverage rule as ivf_topk; the probed
+    list_ids are collected to the driver (bounded by
+    queries x n_centroids ints — a documented serving-path action)
+    and pushed into the lists scan as a STATIC partition filter, so
+    only the probed directories are read. Exact cosine rerank inside
+    the probed lists, same output contract as ivf_topk."""
+    cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    sizes = F.broadcast(spark.read.parquet(f"{path}/list_sizes"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("qnorm", l2_norm(F.col("qv")))
+
+    ranked = (q.crossJoin(cent)
+              .select("query_id", "qv", "qnorm", "centroid_id",
+                      (dot(F.col("qv"), F.col("cv"))
+                       / (F.col("qnorm") * F.col("cnorm"))).alias("csim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id"))
+    cum_w = (Window.partitionBy("query_id").orderBy("__r")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    probes = (ranked.withColumn("__r", F.row_number().over(w))
+              .join(sizes, F.col("centroid_id") == F.col("list_id"),
+                    "left")
+              .withColumn("__sz", F.coalesce("lsz", F.lit(0)))
+              .withColumn("__cum",
+                          F.coalesce(F.sum("__sz").over(cum_w), F.lit(0)))
+              .filter((F.col("__r") <= n_probe)
+                      | (F.col("__cum") < k * probe_oversample))
+              .select("query_id", "qv", "qnorm",
+                      F.col("centroid_id").alias("probe_list")))
+
+    probed_ids = sorted({r["probe_list"] for r in
+                         probes.select("probe_list").distinct().collect()})
+    lists = (spark.read.parquet(f"{path}/lists")
+             .filter(F.col("list_id").isin(probed_ids)))
+    id_col = next(c for c in lists.columns
+                  if c not in ("v", "norm", "list_id"))
+    scored = (lists.join(probes,
+                         lists["list_id"] == probes["probe_list"])
+              .select("query_id",
+                      lists[id_col].alias("neighbor_id"),
+                      (dot(F.col("qv"), F.col("v"))
+                       / (F.col("qnorm") * F.col("norm")))
+                      .alias("cosine"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k))

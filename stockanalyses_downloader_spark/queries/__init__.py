@@ -43,7 +43,12 @@ _WINDOW = [
     "rest_pipeline_messages",
     "dead_letter_by_exchange",
     "job_state_claim_counts",
-    "job_state_outcomes",
+    "user_profile_merged",      # CDC changelog MERGE apply (r5 second
+                                # block rotation in — took job_state_
+                                # outcomes' slot: ST6 keeps claim_
+                                # counts driver-visible, and the CDC
+                                # merge is the state machine's
+                                # batch-writeback dual)
     "wss_enriched_messages",
     "weekly_ohlc_candles",
     # similarity / dedup / multimodal (X2/X3/X5) — driver-unverified in r1
@@ -54,11 +59,21 @@ _WINDOW = [
     "ngram_jaccard_near_dups",
     "near_dup_components",      # transitive dedup keeper selection
     "multimodal_asset_stats",
-    "multimodal_stub_features",
+    "dedup_passages_rebuild",   # C4-style transforming dedup (r5
+                                # second block rotation in — took
+                                # multimodal_stub_features' slot; X5
+                                # keeps two driver rows)
     "multimodal_chunk_dedup",   # binary content dedup via chunk digests
     "minhash_near_dups",
-    "simhash_near_pairs",
-    "signlsh_topk_approx",
+    "tick_rolling_indicators",  # rolling SMA/vol/RSI (r5 second block
+                                # rotation in — took simhash's slot:
+                                # near-dup keeps minhash/jaccard/CC
+                                # driver rows, simhash stays pytest-
+                                # pinned with its radius guarantee)
+    "order_price_hdr_quantiles",  # mergeable quantile sketch (r5
+                                # second block rotation in — took
+                                # signlsh's slot: ANN approx keeps
+                                # ivf_topk_trained driver-visible)
     "ivf_topk_trained",         # the production IVF shape (kmeans
                                 # centroids, recall ≥ 0.7 pinned);
                                 # r4 rotation — took ivf_topk_approx's
@@ -127,6 +142,23 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "job_state_outcomes",           # ST6 second rep — hash-green
+                                    # r1–r5a; slot yielded (r5 second
+                                    # block) to user_profile_merged;
+                                    # claim_counts keeps the state
+                                    # machine driver-visible
+    "multimodal_stub_features",     # X5 third rep — hash-green
+                                    # r1–r5a; slot yielded (r5 second
+                                    # block) to dedup_passages_rebuild
+    "simhash_near_pairs",           # rows-only by design; slot
+                                    # yielded (r5 second block) to
+                                    # tick_rolling_indicators; radius
+                                    # guarantee + hot-bucket worst
+                                    # case stay pytest-pinned
+    "signlsh_topk_approx",          # rows-only by design; slot
+                                    # yielded (r5 second block) to
+                                    # order_price_hdr_quantiles;
+                                    # recall floor stays pytest-pinned
     "top_tokens",                   # exact token histogram — hash-
                                     # green r1–r4; slot yielded (r5)
                                     # to token_countmin_sketch (the
@@ -348,16 +380,32 @@ _TAIL = [
                                     # numpy in pytest; new r4
     "order_price_hdr_sketch",       # mergeable quantile-sketch grid
                                     # (exact-integer log buckets);
-                                    # DuckDB-oracled; new r5
-    "order_price_hdr_quantiles",    # p50/p90/p99 FROM the sketch,
-                                    # <=1/16 relative error pinned;
-                                    # DuckDB-oracled; new r5
-    "user_profile_merged",          # CDC changelog apply (MERGE
-                                    # semantics: latest-per-key upsert
-                                    # /delete); DuckDB-oracled; new r5
-    "tick_rolling_indicators",      # rolling SMA/volatility/RSI per
-                                    # ISIN, one shared shuffle;
-                                    # DuckDB-oracled; new r5
+                                    # DuckDB-oracled; new r5 — the
+                                    # quantile walk over it holds the
+                                    # family's driver slot
+    "near_dup_edit_distances",      # Levenshtein confirmation of
+                                    # jaccard candidates (capped
+                                    # prefixes — bounded per-pair
+                                    # cost); DuckDB-oracled; new r5b
+    "supplier_purchase_pagerank",   # rows-only; damped PageRank with
+                                    # dangling redistribution over
+                                    # the customer->supplier graph;
+                                    # pinned vs pure-Python power
+                                    # iteration; new r5b
+    "corpus_snapshot_diff",         # incremental-ingest snapshot
+                                    # diff: added/removed/changed/
+                                    # unchanged by digest compare;
+                                    # DuckDB-oracled; new r5b
+    "order_priority_check",         # Q4: EXISTS agg as a cross-
+                                    # column left-semi join;
+                                    # DuckDB-oracled; new r5b
+    "promo_revenue_share",          # Q14: conditional-aggregate
+                                    # ratio over a broadcast dim;
+                                    # DuckDB-oracled; new r5b
+    "disjunctive_brand_revenue",    # Q19: OR-ed cross-side clauses
+                                    # as post-join residual (no
+                                    # cartesian); DuckDB-oracled;
+                                    # new r5b
     "lang_distinct_token_sketch",   # rows-only; mergeable HLL
                                     # distinct-token cardinality
                                     # (two-level sketch union — the

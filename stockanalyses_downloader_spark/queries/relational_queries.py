@@ -1103,7 +1103,7 @@ def order_price_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r5): cumulative walk over the <=1024-row grid, midpoint of the
     bucket holding the ceil(q*N)-th smallest value. Bounded <=1/16
     relative error vs the exact order statistic (pinned in
-    tests/test_sketches.py) — the answer a year of merged daily
+    tests/test_operators.py) — the answer a year of merged daily
     sketches gives without re-sorting history."""
     from ..operators import sketches
     o = _t(spark, sf_dir, "orders")
@@ -1202,4 +1202,126 @@ QUERIES.update({
     "order_price_hdr_quantiles": Q(order_price_hdr_quantiles,
                                    _HDR_QUANTILES_SQL),
     "user_profile_merged": Q(user_profile_merged, _CDC_MERGE_SQL),
+})
+
+
+def supplier_purchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph (r5b —
+    operators/graph.pagerank): who actually matters in the supply
+    network, weighted by the structure of who buys from whom — the
+    centrality companion to the component/keeper machinery. Rows-only
+    (iterative power iteration isn't ANSI-SQL-expressible without
+    unbounded recursion); the algorithm itself is pinned against a
+    pure-Python power iteration in tests/test_operators.py."""
+    from ..operators import graph
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     # supplier vertices offset out of the customer id
+                     # space (both are small positive ints)
+                     (F.col("l_suppkey") + 1_000_000).alias("dst")))
+    return (graph.pagerank(edges, n_iter=8)
+            .filter(F.col("vertex") >= 1_000_000)
+            .select((F.col("vertex") - 1_000_000).alias("s_suppkey"),
+                    "rank"))
+
+
+QUERIES.update({
+    "supplier_purchase_pagerank": Q(supplier_purchase_pagerank, None),
+})
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style EXISTS aggregate (r5b): orders in one quarter counted
+    by priority, keeping only orders with at least one lineitem
+    shipped after the order date — a correlated-EXISTS expressed as a
+    left-semi join with a CROSS-COLUMN condition (the semi join's
+    build side prunes before the aggregate; no row multiplication
+    from multi-lineitem orders)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(li, (o.o_orderkey == li.l_orderkey)
+                  & (li.l_shipdate > o.o_orderdate), "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-style conditional-aggregate ratio (r5b): PROMO parts'
+    share of one month's revenue — a single-row answer whose
+    numerator is a CASE inside the decimal sum. The part join
+    broadcasts (dim-sized); one scan of the month's lineitems."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .agg((100.0 * dsum(promo_rev) / dsum(rev))
+                 .alias("promo_revenue_pct"),
+                 F.count("*").alias("n_lineitems")))
+
+
+_Q14_SQL = f"""
+SELECT 100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+         / {dsum_sql('l_extendedprice * (1 - l_discount)')}
+         AS promo_revenue_pct,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-style disjunctive-predicate join (r5b): revenue from two
+    OR-ed (brand, size-range, quantity-range) clauses spanning BOTH
+    join sides — the shape that tests whether the optimizer keeps the
+    equi-join key clean and evaluates the disjunction as a post-join
+    residual instead of falling into a cartesian."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    clause1 = ((F.col("p_brand") == "Brand#1")
+               & F.col("p_size").between(1, 10)
+               & F.col("l_quantity").between(1, 20))
+    clause2 = ((F.col("p_brand") == "Brand#2")
+               & F.col("p_size").between(1, 15)
+               & F.col("l_quantity").between(10, 30))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .filter(clause1 | clause2)
+            .agg(dsum(rev).alias("revenue"),
+                 F.count("*").alias("n_lineitems")))
+
+
+_Q19_SQL = f"""
+SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 10 AND 30)
+"""
+
+QUERIES.update({
+    "order_priority_check": Q(order_priority_check, _Q4_SQL),
+    "promo_revenue_share": Q(promo_revenue_share, _Q14_SQL),
+    "disjunctive_brand_revenue": Q(disjunctive_brand_revenue, _Q19_SQL),
 })

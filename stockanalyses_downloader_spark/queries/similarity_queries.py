@@ -751,3 +751,49 @@ GROUP BY split_a, split_b""")
 QUERIES.update({
     "split_leakage_report": Q(split_leakage_report, _LEAKAGE_SQL),
 })
+
+
+def near_dup_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance VERIFICATION of near-dup candidates (r5b): the
+    final-confirmation tier a production dedup runs after set-based
+    scoring — Levenshtein distance + normalized similarity on capped
+    200-char prefixes for every n-gram-Jaccard candidate pair.
+    Levenshtein is O(len_a x len_b) PER PAIR, so it must never see
+    the corpus: the cap bounds each evaluation at a constant and the
+    candidate set (blocked + size-prefiltered) bounds the pair count
+    — the standard shape at 100 TB (cheap shingle pass proposes,
+    bounded edit-distance pass confirms)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, block_cols=["lang", "source"],
+                                      n=3, threshold=0.3, hashed=True)
+    prefix = F.substring(F.col("text"), 1, 200)
+    ta = d.select(F.col("doc_id").alias("id_a"), prefix.alias("txt_a"))
+    tb = d.select(F.col("doc_id").alias("id_b"), prefix.alias("txt_b"))
+    lev = F.levenshtein("txt_a", "txt_b")
+    glen = F.greatest(F.length("txt_a"), F.length("txt_b"), F.lit(1))
+    return (pairs.join(ta, "id_a").join(tb, "id_b")
+            .select("id_a", "id_b", "jaccard",
+                    lev.cast("long").alias("edit_distance"),
+                    (1.0 - lev.cast("double") / glen)
+                    .alias("edit_similarity")))
+
+
+_EDIT_DIST_SQL = f"""
+WITH cand AS ({_JACCARD_SQL.strip()})
+SELECT p.id_a, p.id_b, p.jaccard,
+       CAST(levenshtein(substr(a.text, 1, 200),
+                        substr(b.text, 1, 200)) AS BIGINT)
+         AS edit_distance,
+       1.0 - CAST(levenshtein(substr(a.text, 1, 200),
+                              substr(b.text, 1, 200)) AS DOUBLE)
+             / greatest(length(substr(a.text, 1, 200)),
+                        length(substr(b.text, 1, 200)), 1)
+         AS edit_similarity
+FROM cand p
+JOIN documents a ON p.id_a = a.doc_id
+JOIN documents b ON p.id_b = b.doc_id
+"""
+
+QUERIES.update({
+    "near_dup_edit_distances": Q(near_dup_edit_distances, _EDIT_DIST_SQL),
+})

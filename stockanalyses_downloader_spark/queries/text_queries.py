@@ -1696,3 +1696,150 @@ FROM wins GROUP BY doc_id, fp
 QUERIES.update({
     "doc_winnow_fingerprints": Q(doc_winnow_fingerprints, _WINNOW_SQL),
 })
+
+
+# --- X1/X4: repeated-passage removal with text rebuild (r5) ----------------
+
+def dedup_passages_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-passage removal that REBUILDS the cleaned
+    text (r5): segment every doc into 10-word passages, keep only the
+    globally FIRST occurrence of each distinct passage (order: doc_id,
+    then position), and reassemble each doc from its surviving
+    passages in order. Unlike the detection-only signals
+    (substring_dup_fraction, winnowing), this is the TRANSFORMING
+    dedup a training-corpus build actually applies before
+    tokenization — boilerplate that recurs across the corpus survives
+    exactly once, in its earliest host doc.
+
+    Output: (doc_id, clean_text, n_kept, n_dropped); fully-deduped
+    docs surface with clean_text = '' and n_kept = 0 rather than
+    vanishing.
+
+    Scale shape: words explode linearly; passages re-aggregate by
+    (doc, position-block) with map-side combine; the first-occurrence
+    decision is ONE window over the passage string (key-width
+    shuffle — at 100 TB the partition key would be the passage's
+    128-bit digest to shrink shuffle width, semantics identical);
+    the rebuild shuffles passage-width rows by doc. No pairwise
+    stage anywhere."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"))
+    passages = (words
+                .withColumn("grp", F.floor(F.col("pos") / 10))
+                .groupBy("doc_id", "grp")
+                .agg(F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "word"))),
+                        lambda s: s["word"])).alias("passage")))
+    w = Window.partitionBy("passage").orderBy("doc_id", "grp")
+    ranked = passages.withColumn("rn", F.row_number().over(w))
+    return (ranked
+            .groupBy("doc_id")
+            .agg(F.concat_ws(
+                     " ",
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("rn") == 1,
+                             F.struct("grp", "passage")))),
+                         lambda s: s["passage"])).alias("clean_text"),
+                 F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+                 F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped")))
+
+
+_PASSAGE_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), packed AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+             j -> struct_pack(grp := j - 1,
+                              passage := array_to_string(
+                                  ws[(j-1)*10+1 : j*10], ' ')))) AS p
+  FROM d
+), passages AS (
+  SELECT doc_id, CAST(p.grp AS BIGINT) AS grp, p.passage AS passage
+  FROM packed
+), ranked AS (
+  SELECT doc_id, grp, passage,
+         row_number() OVER (PARTITION BY passage
+                            ORDER BY doc_id, grp) AS rn
+  FROM passages
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' '
+                           ORDER BY grp), '') AS clean_text,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY doc_id
+"""
+
+QUERIES.update({
+    "dedup_passages_rebuild": Q(dedup_passages_rebuild,
+                                _PASSAGE_DEDUP_SQL),
+})
+
+
+# --- incremental ingest: snapshot diff (r5b) -------------------------------
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff (r5b) — the first step of any
+    INCREMENTAL pipeline run: classify every doc_id across two corpus
+    snapshots as added / removed / changed / unchanged, comparing
+    md5 digests (16 bytes/doc crosses the wire, never the text — the
+    same digest-not-payload discipline as the dedup tier). Downstream
+    stages then process `added`+`changed` only, instead of rescanning
+    100 TB of `unchanged`.
+
+    The two snapshots are deterministic derivations of the fixture
+    (old: every 7th doc missing = later additions, every 5th text
+    uppercased = later edits, an extra id-range = later removals) so
+    the classification is oracle-checkable end-to-end."""
+    d = _docs(spark, sf_dir)
+    old = (d.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 5 == 0,
+                          F.upper(F.col("text")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               d.filter(F.col("doc_id") % 11 == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       "text")))
+    new = d.select("doc_id", "text")
+    o = old.select("doc_id", F.md5("text").alias("old_digest"))
+    n = new.select("doc_id", F.md5("text").alias("new_digest"))
+    j = o.join(n, "doc_id", "full_outer")
+    status = (F.when(F.col("old_digest").isNull(), "added")
+              .when(F.col("new_digest").isNull(), "removed")
+              .when(F.col("old_digest") != F.col("new_digest"),
+                    "changed")
+              .otherwise("unchanged"))
+    return j.select("doc_id", status.alias("status"))
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 11 = 0
+), o AS (SELECT doc_id, md5(text) AS old_digest FROM old),
+n AS (SELECT doc_id, md5(text) AS new_digest FROM documents)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_digest IS NULL THEN 'added'
+            WHEN n.new_digest IS NULL THEN 'removed'
+            WHEN o.old_digest <> n.new_digest THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+QUERIES.update({
+    "corpus_snapshot_diff": Q(corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
+})

@@ -70,3 +70,55 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet`` loses the bucket spec and re-introduces
     the shuffle."""
     return spark.table(table)
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: Sequence[str],
+                      mode: str = "overwrite") -> None:
+    """Directory-partitioned parquet layout — the OTHER at-rest
+    lever, orthogonal to bucketing: bucketing co-locates a JOIN key
+    across files, directory partitioning prunes FILTER keys before a
+    single byte is read (the scan's PartitionFilters run against
+    directory names, not data). At 100 TB the standard layout is
+    both: partition by the dominant filter (e.g. event date), bucket
+    by the dominant join key within each partition.
+
+    Low-cardinality partition columns only: every distinct value is a
+    directory, and a high-cardinality partition key (user_id...)
+    produces millions of tiny files — the small-files problem that
+    kills listing time. Pruning is pinned in
+    tests/test_bucketing.py::test_partitioned_layout_prunes_directories.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    mode: str = "overwrite") -> int:
+    """Small-files compaction — the maintenance job every streaming
+    ingest needs eventually: micro-batches write a file (or several)
+    per trigger, and a year of 30-second triggers is ~10^6 files
+    whose per-file open/footer/listing overhead dominates scan time
+    long before data volume does.
+
+    Sizing is from the SOURCE's actual bytes (Hadoop FileSystem
+    content summary — works on any supported filesystem, not just
+    local), one output file per `target_file_bytes` of input.
+    `repartition(n)` round-robins rows for even output sizes — this
+    is the one deliberate full shuffle in the module, PAID ONCE to
+    delete per-file overhead from every future scan (the same
+    write-time-vs-read-time trade as bucketing). Compacting into a
+    bucketed/partitioned layout instead is `write_bucketed` /
+    `write_partitioned` composed with this read.
+
+    Returns the number of output files requested."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(path).getLength()
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+    (spark.read.parquet(src)
+     .repartition(int(n_files))
+     .write.mode(mode).parquet(dst))
+    return int(n_files)

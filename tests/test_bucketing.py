@@ -132,3 +132,87 @@ def test_raw_parquet_read_loses_bucket_spec(spark, bucketed_tables):
         assert "Exchange" in plan
     finally:
         _restore(spark, *saved)
+
+
+def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
+    """Directory partitioning: a filter on the partition column shows
+    up as a PartitionFilter (pruned from directory NAMES, before any
+    read) and the scan's input files are exclusively the matching
+    partition's — plus values survive the layout roundtrip."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    bucketing.write_partitioned(ev, path, ["event_type"])
+
+    back = spark.read.parquet(path)
+    clicks = back.filter(F.col("event_type") == "click")
+    plan = clicks._jdf.queryExecution().executedPlan().toString()
+    # the filter lands in PartitionFilters (evaluated on directory
+    # names during listing), NOT in PushedFilters/data filters
+    pf_segment = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "event_type" in pf_segment and "click" in pf_segment
+    # and the pruned scan's file-level metric confirms only the one
+    # partition's files were read: numFiles(pruned) < numFiles(full)
+    def num_files(df):
+        # execute THIS dataframe's own query execution (df.count()
+        # would plan a separate aggregate query whose metrics live
+        # elsewhere), then read the scan leaf's numFiles metric
+        qe = df._jdf.queryExecution()
+        qe.toRdd().count()
+        node = qe.executedPlan()
+        if node.nodeName() == "AdaptiveSparkPlan":
+            node = node.executedPlan()
+        leaf = node.collectLeaves().apply(0)
+        return leaf.metrics().apply("numFiles").value()
+    assert num_files(clicks) < num_files(back)
+
+    # correctness across the layout roundtrip (partition col moves
+    # into the directory name and back)
+    assert clicks.count() == ev.filter(
+        F.col("event_type") == "click").count()
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """Format breadth: the engine's tables round-trip through ORC
+    (Spark's second columnar format — some warehouses standardize on
+    it) with identical values, and filters push into the ORC scan
+    the same way they do for parquet."""
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    o.write.mode("overwrite").orc(path)
+
+    back = spark.read.orc(path)
+    assert back.schema == o.schema
+    a = o.agg(F.count("*"), F.sum("o_totalprice").cast("decimal(30,2)"),
+              F.min("o_orderdate"), F.max("o_orderkey")).collect()[0]
+    b = back.agg(F.count("*"), F.sum("o_totalprice").cast("decimal(30,2)"),
+                 F.min("o_orderdate"), F.max("o_orderkey")).collect()[0]
+    assert tuple(a) == tuple(b)
+
+    filtered = back.filter(F.col("o_orderkey") == 42).select("o_custkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    seg = plan.split("PushedFilters")[1][:160]
+    assert "o_orderkey" in seg and "EqualTo" in seg
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    """40 micro-batch-sized files compact to the byte-sized target
+    count with zero row loss — and the compacted copy's scan reads
+    a fraction of the file count."""
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    for b in range(40):
+        spark.range(b * 100, (b + 1) * 100) \
+            .withColumn("payload", F.md5(F.col("id").cast("string"))) \
+            .coalesce(1).write.mode("append").parquet(src)
+    import glob
+    n_small = len(glob.glob(src + "/part-*"))
+    assert n_small >= 40
+
+    n_target = bucketing.compact_parquet(spark, src, dst,
+                                         target_file_bytes=64 * 1024)
+    n_out = len(glob.glob(dst + "/part-*"))
+    assert n_out <= n_target < n_small
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == a.count() == 4000
+    assert a.agg(F.sum("id")).first()[0] == b.agg(F.sum("id")).first()[0]

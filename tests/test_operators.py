@@ -1100,3 +1100,77 @@ def test_hdr_quantiles_property(spark, values):
         exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
         assert abs(est[q] - exact) <= exact / 16 + 0.01, (
             q, est[q], exact)
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """pagerank vs a pure-Python power iteration with the same
+    formulation (damping + dangling redistribution) on a graph with a
+    sink (dangling) vertex, a hub, and a cycle: per-vertex agreement
+    to 1e-9, total mass exactly ~1, and the hub outranks the spokes."""
+    import pytest
+    from stockanalyses_downloader_spark.operators import graph
+
+    # 1<->2 cycle feeding 3; 3 is dangling (sink); 4 points at 3 too
+    edges = [(1, 2), (2, 1), (1, 3), (2, 3), (4, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vertex"]: r["rank"] for r in
+           graph.pagerank(e, n_iter=12).collect()}
+
+    verts = sorted({v for edge in edges for v in edge})
+    n, d = len(verts), 0.85
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, []).append(t)
+    ranks = {v: 1.0 / n for v in verts}
+    for _ in range(12):
+        dmass = sum(r for v, r in ranks.items() if v not in out)
+        recv = {v: 0.0 for v in verts}
+        for s, ts in out.items():
+            for t in ts:
+                recv[t] += ranks[s] / len(ts)
+        ranks = {v: (1 - d) / n + d * (recv[v] + dmass / n)
+                 for v in verts}
+
+    assert set(got) == set(verts)
+    for v in verts:
+        assert got[v] == pytest.approx(ranks[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # 3 receives from three vertices incl. the cycle pair: top rank
+    assert max(got, key=got.get) == 3
+
+
+def test_ivf_index_save_load_serving(spark, tmp_path):
+    """IVF index persistence (r5b): build the trained index once at
+    rest, serve top-k from the saved layout with queries arriving as
+    their OWN frame. Pins: (1) recall@10 vs brute force holds the
+    trained-IVF floor, (2) the lists scan carries a list_id partition
+    filter — only probed directories are read, (3) self-query returns
+    itself as the top neighbor (sanity that vectors round-tripped)."""
+    from stockanalyses_downloader_spark.operators import similarity
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    similarity.save_ivf_index(e, path, n_centroids=16, kmeans_iters=3)
+
+    qids = [0, 1, 2, 3, 4]
+    queries = (e.filter(F.col("vec_id").isin(qids))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    served = similarity.ivf_topk_from_index(spark, path, queries,
+                                            k=10, n_probe=4)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters")[1][:200]
+
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in served.collect()}
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(e, qids, k=10).collect()}
+    # the index contains the query vectors themselves (whole-corpus
+    # index); each query's top hit must be itself
+    tops = {r["query_id"]: r["neighbor_id"]
+            for r in served.filter(F.col("rank") == 1).collect()}
+    assert all(tops[q] == q for q in qids)
+    # brute-force excludes self-matches? cosine_topk keeps corpus rows
+    # incl. queries — same contract, so recall compares like for like
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"served-index recall collapsed: {recall}"

@@ -146,3 +146,37 @@ def test_temperature_mixture_plan_quality(spark):
     plan = explain_str(q)
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans and all("text" not in ln for ln in scans), scans
+
+
+def test_rolling_indicators_single_exchange(spark):
+    """tick_rolling_indicators: sma/std/rsi + the lag all hang off
+    ONE exchange on isin with a shared (ts, tick_id) sort — Catalyst
+    must not plan a shuffle per window expression. A second exchange
+    appearing here means the frames stopped sharing their
+    partitioning (the single-shuffle property is the whole scale
+    story for per-key derived series)."""
+    df = all_queries()["tick_rolling_indicators"].spark(spark, SF)
+    rep = plan_report(df)
+    assert rep["shuffles"] == 1, rep
+    assert rep["python_evals"] == 0 and not rep["cartesian"]
+
+
+def test_cdc_merge_exchange_reuse(spark):
+    """user_profile_merged: the changelog's row_number shuffle is
+    REUSED into the full-outer merge (both hash-partition on
+    user_id), so the whole MERGE costs two exchanges — one per input
+    side — never three."""
+    df = all_queries()["user_profile_merged"].spark(spark, SF)
+    rep = plan_report(df)
+    assert rep["shuffles"] <= 2, rep
+    assert rep["python_evals"] == 0 and not rep["cartesian"]
+
+
+def test_hdr_quantiles_probe_is_broadcast(spark):
+    """order_price_hdr_quantiles: the (q, n_total) probe joins the
+    cumulative grid via broadcast — a shuffle join over a <=1024-row
+    frame would be pure overhead, and a cartesian would be a bug."""
+    df = all_queries()["order_price_hdr_quantiles"].spark(spark, SF)
+    rep = plan_report(df)
+    assert not rep["cartesian"]
+    assert rep["python_evals"] == 0

@@ -605,3 +605,108 @@ def test_streaming_quality_scoring_matches_batch(spark, tmp_path):
            for r in spark.sql("SELECT * FROM qscore").collect()}
     q.stop()
     assert got == batch and len(got) == 30
+
+
+def test_streaming_hdr_quantile_sketch_merges_to_batch(spark, tmp_path):
+    """Live QUANTILE sketch maintenance (r5, the HDR sibling of the
+    count-min test above): each micro-batch appends its bounded
+    histogram grid; merging the stored grids at query time equals the
+    whole-corpus grid from one batch pass — so p99-over-all-history
+    stays answerable without rescanning or re-sorting history."""
+    from stockanalyses_downloader_spark.operators import sketches
+
+    src = tmp_path / "vals"
+    store = str(tmp_path / "hdr_store")
+    for f in range(5):
+        rows = [(f * 40 + i, 10.0 + ((i * 37 + f * 11) % 997) * 3.25)
+                for i in range(40)]
+        spark.createDataFrame(rows, "id long, price double") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+
+    def upsert(batch_df, batch_id):
+        (sketches.hdr_build(batch_df, "price")
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(store))
+
+    q = (spark.readStream.schema("id long, price double")
+         .option("maxFilesPerTrigger", "2").parquet(str(src))
+         .writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+
+    stored = spark.read.parquet(store)
+    assert stored.select("batch_id").distinct().count() >= 2
+    merged_grid = sketches.hdr_merge(stored.drop("batch_id"))
+    merged = {(r["o"], r["c"]) for r in merged_grid.collect()}
+    whole = {(r["o"], r["c"]) for r in
+             sketches.hdr_build(spark.read.parquet(str(src)),
+                                "price").collect()}
+    assert merged == whole
+
+    # and the merged grid answers quantiles within the sketch bound
+    import math
+    vals = sorted(r["price"] for r in
+                  spark.read.parquet(str(src)).collect())
+    est = {r["q"]: r["est"] for r in
+           sketches.hdr_quantiles(merged_grid, (0.5, 0.99)).collect()}
+    for qq in (0.5, 0.99):
+        exact = vals[max(0, math.ceil(qq * len(vals)) - 1)]
+        assert abs(est[qq] - exact) <= exact / 16 + 0.01
+
+
+def test_streaming_scd2_enrichment_matches_batch(spark, tmp_path):
+    """Point-in-time dimension enrichment on a LIVE stream (r5b):
+    each streaming event joins the SCD2 history on (key, valid_from
+    <= ts < valid_to) — a stream-static join with a range condition,
+    exactly the batch definition bound to a readStream. Boundary
+    events (ts == a version's valid_from) land in the NEW version;
+    events predating the key's first version surface NULL-padded
+    (left join), not dropped. Stream result == batch result."""
+    from datetime import datetime
+    from stockanalyses_downloader_spark.operators import scd
+
+    def ts(d, h=0):
+        return datetime(2024, 4, d, h)
+
+    changes = spark.createDataFrame(
+        [(1, ts(1), "A"), (1, ts(10), "B"), (1, ts(20), "C"),
+         (2, ts(5), "X")],
+        "k long, cts timestamp, st string")
+    hist = scd.history_from_events(changes, "k", "cts", "st") \
+        .withColumnRenamed("cts", "valid_from")
+
+    events = [(100, 1, ts(10)),   # boundary: exactly B's valid_from
+              (101, 1, ts(9, 23)),  # last hour of A
+              (102, 1, ts(25)),   # open-ended current version C
+              (103, 2, ts(4)),    # predates key 2's first version
+              (104, 2, ts(6)),    # inside X
+              (105, 3, ts(6))]    # key never in the dim
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        events, "event_id long, k long, ts timestamp").write.parquet(src)
+
+    def enrich(df):
+        cond = ((df["k"] == hist["k"])
+                & (hist["valid_from"] <= df["ts"])
+                & (hist["valid_to"].isNull()
+                   | (df["ts"] < hist["valid_to"])))
+        return (df.join(hist, cond, "left")
+                .select("event_id", df["k"], "ts", "st"))
+
+    batch = {(r["event_id"], r["st"])
+             for r in enrich(spark.read.parquet(src)).collect()}
+    assert batch == {(100, "B"), (101, "A"), (102, "C"), (103, None),
+                     (104, "X"), (105, None)}
+
+    stream = (spark.readStream.schema("event_id long, k long, ts timestamp")
+              .parquet(src))
+    q = (enrich(stream).writeStream.format("memory")
+         .queryName("scd2_enriched")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["st"])
+           for r in spark.sql("SELECT * FROM scd2_enriched").collect()}
+    q.stop()
+    assert got == batch

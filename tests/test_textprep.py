@@ -331,3 +331,34 @@ def test_winnowing_matches_python_reference(spark, seed):
         got.setdefault(r["doc_id"], {})[r["fp"]] = r["n_positions"]
     for doc_id, text in rows:
         assert got.get(doc_id, {}) == py_winnow(text), doc_id
+
+
+def test_passage_dedup_rebuild_semantics(spark):
+    """Planted corpus for dedup_passages_rebuild's core claims: the
+    globally FIRST occurrence of a repeated passage survives (in its
+    earliest doc), later hosts lose exactly that passage but keep
+    their unique content in order, and a fully-duplicate doc comes
+    back as an empty string instead of vanishing."""
+    from pyspark.sql import functions as F
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        dedup_passages_rebuild)
+
+    boiler = " ".join(f"b{i}" for i in range(10))    # one exact passage
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, uniq_a + " " + boiler),       # first host: keeps boiler
+         (1, boiler + " " + uniq_c),       # later host: loses boiler
+         (2, uniq_a + " " + boiler)],      # exact dup of doc 0: empty
+        "doc_id long, text string")
+    docs.createOrReplaceTempView("documents")
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+               for r in dedup_passages_rebuild(spark, td).collect()}
+
+    assert out[0] == (uniq_a + " " + boiler, 2, 0)
+    assert out[1] == (uniq_c, 1, 1)          # boiler gone, order kept
+    assert out[2] == ("", 0, 2)              # dup doc: empty, present
