@@ -63,6 +63,9 @@ EXTENDED = [
     "near_dup_edit_distances",      # jaccard propose + levenshtein
                                     # confirm (capped prefixes)
     "corpus_snapshot_diff",         # digest full-outer diff
+    "global_near_dup_pairs",        # prefix-filtered global join
+    "signup_conversion_funnel",     # chained conditional aggs
+    "isin_price_trend",             # grouped closed-form OLS
 ]
 
 

@@ -441,3 +441,65 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", F.lit(0).alias("hamming")))
     return cross.unionByName(same)
+
+
+def jaccard_pairs_prefix_filter(docs: DataFrame, n: int = 3,
+                                threshold: float = 0.5,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """GLOBAL exact Jaccard join via prefix filtering (PPJoin-family,
+    r5b) — the scalable all-corpus similarity join when there is no
+    blocking key to hide behind (ngram_jaccard_pairs needs one; LSH
+    trades exactness). Published basis: Chaudhuri et al., "A
+    Primitive Operator for Similarity Joins" (ICDE'06) / Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection"
+    (WWW'08).
+
+    Prefix-filter lemma: order every doc's shingle set by one GLOBAL
+    ordering; if J(A,B) >= t then A and B must share at least one
+    token among each one's first |S| - ceil(t*|S|) + 1 tokens. So
+    candidates = pairs sharing ANY prefix token, and that set
+    provably contains every qualifying pair (equality vs brute force
+    pinned in tests). Ordering by ascending document frequency puts
+    the RAREST shingles in prefixes, so candidate buckets stay small
+    exactly where the corpus is redundant.
+
+    Scale shape: df-count agg (shingle-keyed, map-side combined) ->
+    per-doc sort is an in-plan array_sort over (df, token) structs ->
+    prefix explode emits ~(1-t)*|S| rows per doc -> token-bucket
+    self-join on the prefix token -> DISTINCT candidate pairs ->
+    one exact set-op verify per candidate. No quadratic stage except
+    inside token buckets, which rare-first ordering keeps thin."""
+    s = (with_hashed_shingles(spread(docs), text_col, n)
+         .select(id_col, "shingles")
+         .filter(F.size("shingles") > 0))
+    s = tracked_persist(s)
+    tok = s.select(id_col, F.explode("shingles").alias("tok"))
+    df_counts = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (tok.join(df_counts, "tok")
+               .groupBy(id_col)
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                   lambda x: x["tok"]).alias("toks")))
+    plen = (F.size("toks")
+            - F.ceil(F.lit(threshold) * F.size("toks")) + 1).cast("int")
+    prefixes = (ordered
+                .select(id_col, F.explode(F.slice("toks", 1, plen))
+                        .alias("ptok")))
+    a = prefixes.select(F.col(id_col).alias("id_a"), "ptok")
+    b = prefixes.select(F.col(id_col).alias("id_b"), "ptok")
+    cand = (a.join(b, "ptok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = s.select(F.col(id_col).alias("id_a"),
+                  F.col("shingles").alias("sh_a"))
+    sb = s.select(F.col(id_col).alias("id_b"),
+                  F.col("shingles").alias("sh_b"))
+    verified = (cand.join(sa, "id_a").join(sb, "id_b")
+                .select("id_a", "id_b",
+                        (F.size(F.array_intersect("sh_a", "sh_b"))
+                         .cast("double")
+                         / F.size(F.array_union("sh_a", "sh_b")))
+                        .alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    return verified

@@ -194,3 +194,42 @@ def hdr_quantiles(grid: DataFrame, qs: tuple[float, ...],
     return hits.select(
         "q", hdr_bucket_value(F.col("o"), m).alias("est"),
         F.col("n_total").cast("long").alias("n_total"))
+
+
+def hdr_build_grouped(values: DataFrame, group_cols: list[str],
+                      value_col: str, m: int = HDR_M) -> DataFrame:
+    """Per-group histogram grids in one aggregate: (group_cols..., o,
+    c), at most m*64 rows PER GROUP. The grouped form of hdr_build —
+    same bucketing, same merge-by-addition contract per group."""
+    return (values
+            .filter(F.floor(F.col(value_col) * HDR_SCALE) >= 1)
+            .select(*group_cols,
+                    hdr_bucket(F.col(value_col), m).alias("o"))
+            .groupBy(*group_cols, "o")
+            .agg(F.count("*").alias("c")))
+
+
+def hdr_quantiles_grouped(grid: DataFrame, group_cols: list[str],
+                          qs: tuple[float, ...],
+                          m: int = HDR_M) -> DataFrame:
+    """Per-group quantile estimates from a grouped grid: the same
+    cumulative-walk rule as hdr_quantiles, windowed per group — so
+    ONE pass answers every group's p50/p99 from bounded state
+    (groups × m*64 rows), where exact per-group percentiles would
+    re-sort every group's full history."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*group_cols).orderBy("o")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = grid.select(*group_cols, "o", "c",
+                      F.sum("c").over(w).alias("cum"))
+    totals = grid.groupBy(*group_cols).agg(F.sum("c").alias("n_total"))
+    qf = totals.select(
+        *group_cols, "n_total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
+    hits = (cum.join(qf, group_cols)
+            .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+            .groupBy(*group_cols, "q", "n_total")
+            .agg(F.min("o").alias("o")))
+    return hits.select(
+        *group_cols, "q", hdr_bucket_value(F.col("o"), m).alias("est"),
+        F.col("n_total").cast("long").alias("n_total"))

@@ -406,6 +406,31 @@ _TAIL = [
                                     # as post-join residual (no
                                     # cartesian); DuckDB-oracled;
                                     # new r5b
+    "signup_conversion_funnel",     # order-sensitive funnel via
+                                    # chained conditional aggs;
+                                    # DuckDB-oracled; new r5b
+    "weekly_retention_cohorts",     # cohort-week x offset retention
+                                    # triangle; DuckDB-oracled; r5b
+    "isin_price_trend",             # grouped OLS (slope/intercept/
+                                    # r^2) from decimal moment sums,
+                                    # closed-form, no UDF;
+                                    # DuckDB-oracled; new r5b
+    "global_near_dup_pairs",        # rows-only; PPJoin-style global
+                                    # prefix-filtered exact-Jaccard
+                                    # join (no blocking key — finds
+                                    # cross-block dups); equality vs
+                                    # brute force pinned in pytest;
+                                    # new r5b
+    "hopping_volume_windows",       # 14d/7d sliding windows (each
+                                    # tick in exactly two) — the
+                                    # overlap tumbling candles can't
+                                    # express; epoch-aligned origin
+                                    # documented in the oracle;
+                                    # DuckDB-oracled; new r5b
+    "order_price_quantiles_by_status",  # per-group mergeable HDR
+                                    # quantiles (one pass, bounded
+                                    # state per group);
+                                    # DuckDB-oracled; new r5b
     "lang_distinct_token_sketch",   # rows-only; mergeable HLL
                                     # distinct-token cardinality
                                     # (two-level sketch union — the

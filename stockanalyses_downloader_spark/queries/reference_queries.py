@@ -507,3 +507,118 @@ FROM w
 QUERIES.update({
     "tick_rolling_indicators": Q(tick_rolling_indicators, _INDICATORS_SQL),
 })
+
+
+def isin_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instrument OLS price trend (r5b): slope / intercept / r²
+    of last_price over time for every ISIN, computed CLOSED-FORM from
+    decimal-accumulated moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — the
+    grouped model-fitting shape that needs NO UDF and NO per-group
+    iteration: one scan, one key-partitioned aggregate, exact the
+    same answer at any partitioning. Time is rebased to seconds since
+    2024-01-01 so squared sums stay inside the decimal budget.
+    Degenerate groups (single tick / zero variance) yield NULL slope
+    rather than a division blow-up."""
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    x = ((F.unix_micros(F.col("ts"))
+          - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp")))
+         / F.lit(1000000.0))
+    y = F.col("last_price")
+    dec = "decimal(30,10)"
+    g = (t.select("isin", x.alias("x"), y.alias("y"))
+         .groupBy("isin")
+         .agg(F.count("*").alias("n"),
+              F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+              F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+              F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double")
+               .alias("sxy"),
+              F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double")
+               .alias("sxx"),
+              F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double")
+               .alias("syy")))
+    den_x = g["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = g["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    num = g["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num / F.nullif(den_x, F.lit(0.0))
+    return g.select(
+        "isin", "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / g["n"]).alias("intercept"),
+        (num * num / F.nullif(den_x * den_y, F.lit(0.0))).alias("r2"))
+
+
+_TREND_SQL = f"""
+WITH pts AS (
+  SELECT isin,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+           / 1000000.0 AS x,
+         last_price AS y
+  FROM {synthetic.TICKS_SQL} t WHERE status = 200
+), g AS (
+  SELECT isin, count(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy
+  FROM pts GROUP BY isin
+)
+SELECT isin, n,
+       (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope,
+       (sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)) * sx)
+         / n AS intercept,
+       (n * sxy - sx * sy) * (n * sxy - sx * sy)
+         / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0) AS r2
+FROM g
+"""
+
+QUERIES.update({
+    "isin_price_trend": Q(isin_price_trend, _TREND_SQL),
+})
+
+
+def hopping_volume_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation (r5b): 14-day windows
+    advancing every 7 days — each tick lands in exactly TWO
+    overlapping windows, the overlap structure tumbling candles
+    (weekly_ohlc_candles) can't express. Spark's F.window handles
+    slide natively (epoch-aligned origins); the oracle reconstructs
+    the same windows from exact integer epoch math, which also
+    documents the alignment contract (1970-01-01 origin, NOT ISO
+    weeks). Streaming-ready: the identical expression binds to a
+    readStream with a watermark."""
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    w = F.window("ts", "14 days", "7 days")
+    return (t.groupBy("isin", w.alias("w"))
+            .agg(F.sum(F.col("volume").cast("decimal(30,10)"))
+                 .cast("double").alias("volume"),
+                 F.count("*").alias("n_ticks"))
+            .select("isin", F.col("w.start").alias("win_start"),
+                    F.col("w.end").alias("win_end"),
+                    "volume", "n_ticks"))
+
+
+_HOPPING_SQL = f"""
+WITH t AS (SELECT * FROM {synthetic.TICKS_SQL} x WHERE status = 200),
+placed AS (
+  SELECT isin, volume,
+         make_timestamp((epoch_us(ts) // 604800000000)
+                        * 604800000000 - off.o * 604800000000)
+           AS win_start
+  FROM t, (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS o) off
+  WHERE epoch_us(ts) >= (epoch_us(ts) // 604800000000) * 604800000000
+                        - off.o * 604800000000
+    AND epoch_us(ts) <  (epoch_us(ts) // 604800000000) * 604800000000
+                        - off.o * 604800000000 + 1209600000000
+)
+SELECT isin, win_start,
+       win_start + INTERVAL 14 DAY AS win_end,
+       CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE) AS volume,
+       count(*) AS n_ticks
+FROM placed
+GROUP BY isin, win_start
+"""
+
+QUERIES.update({
+    "hopping_volume_windows": Q(hopping_volume_windows, _HOPPING_SQL),
+})

@@ -1325,3 +1325,160 @@ QUERIES.update({
     "promo_revenue_share": Q(promo_revenue_share, _Q14_SQL),
     "disjunctive_brand_revenue": Q(disjunctive_brand_revenue, _Q19_SQL),
 })
+
+
+def signup_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (r5b): per user, the first signup,
+    the first click AFTER that signup, and the first purchase AFTER
+    that click — the order-sensitive conversion question a flat
+    event count can't answer (a purchase before the click must NOT
+    convert). Three key-partitioned conditional aggregations chained
+    by their predecessors' timestamps; every shuffle is on user_id,
+    so the chain co-partitions end to end. Output one row per user
+    who entered the funnel, with NULL stages after the drop-off."""
+    ev = _t(spark, sf_dir, "events")
+    t1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    t2 = (ev.filter(F.col("event_type") == "click")
+          .join(t1, "user_id")
+          .filter(F.col("ts") > F.col("signup_ts"))
+          .groupBy("user_id", "signup_ts")
+          .agg(F.min("ts").alias("click_ts")))
+    t3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(t2, "user_id")
+          .filter(F.col("ts") > F.col("click_ts"))
+          .groupBy("user_id", "click_ts")
+          .agg(F.min("ts").alias("purchase_ts")))
+    return (t1
+            .join(t2.select("user_id", "click_ts"), "user_id", "left")
+            .join(t3.select("user_id", "purchase_ts"), "user_id", "left")
+            .select("user_id", "signup_ts", "click_ts", "purchase_ts",
+                    F.col("purchase_ts").isNotNull().alias("converted")))
+
+
+_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, t1.signup_ts, min(e.ts) AS click_ts
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.signup_ts
+  GROUP BY e.user_id, t1.signup_ts
+), t3 AS (
+  SELECT e.user_id, t2.click_ts, min(e.ts) AS purchase_ts
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.click_ts
+  GROUP BY e.user_id, t2.click_ts
+)
+SELECT t1.user_id, t1.signup_ts, t2.click_ts, t3.purchase_ts,
+       t3.purchase_ts IS NOT NULL AS converted
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (r5b): users grouped by the week of
+    their FIRST event (the cohort), counted in each later week they
+    were active, keyed by week offset — the table behind every
+    retention curve. Two aggregations: per-user cohort anchor, then
+    (cohort, offset) distinct-user counts; both shuffle on keys that
+    shrink monotonically (user, then week pairs)."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    act = (ev.select("user_id",
+                     F.date_trunc("week", F.col("ts")).alias("act_week"))
+           .distinct())
+    return (act.join(anchor, "user_id")
+            .select("user_id", "cohort_week",
+                    (F.datediff("act_week", "cohort_week") / 7)
+                    .cast("int").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+_COHORT_SQL = """
+WITH anchor AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, act_week) / 7 AS INT)
+         AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN anchor USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+QUERIES.update({
+    "signup_conversion_funnel": Q(signup_conversion_funnel, _FUNNEL_SQL),
+    "weekly_retention_cohorts": Q(weekly_retention_cohorts, _COHORT_SQL),
+})
+
+
+def order_price_quantiles_by_status(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Per-group mergeable quantiles (r5b): p50/p99 of o_totalprice
+    for every order status, from grouped HDR grids — one pass,
+    bounded state per group, same <=1/16 relative-error contract as
+    the global sketch. The grouped dual of order_price_hdr_quantiles."""
+    from ..operators import sketches
+    o = _t(spark, sf_dir, "orders")
+    grid = sketches.hdr_build_grouped(o, ["o_orderstatus"],
+                                      "o_totalprice")
+    return sketches.hdr_quantiles_grouped(grid, ["o_orderstatus"],
+                                          (0.5, 0.99))
+
+
+_HDR_GROUPED_SQL = """
+WITH k AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS k
+  FROM orders WHERE floor(o_totalprice * 100) >= 1
+), b AS (
+  SELECT o_orderstatus,
+         CAST(length(bin(k)) - 1 AS BIGINT) AS e,
+         CAST(pow(2.0, length(bin(k)) - 1) AS BIGINT) AS p, k
+  FROM k
+), g AS (
+  SELECT o_orderstatus,
+         CAST(e * 16 + floor((k - p) * 16 / p) AS BIGINT) AS o,
+         count(*) AS c
+  FROM b GROUP BY o_orderstatus, e * 16 + floor((k - p) * 16 / p)
+), cum AS (
+  SELECT o_orderstatus, o, c,
+         SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY o
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM g
+), n AS (
+  SELECT o_orderstatus, SUM(c) AS n_total FROM g GROUP BY o_orderstatus
+), qs AS (
+  SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.99)) t(q)
+), hit AS (
+  SELECT cum.o_orderstatus, q, n_total, MIN(o) AS o
+  FROM cum JOIN n USING (o_orderstatus), qs
+  WHERE cum >= ceil(q * n_total)
+  GROUP BY cum.o_orderstatus, q, n_total
+), dec AS (
+  SELECT o_orderstatus, q, n_total, o,
+         CAST(floor(o / 16) AS BIGINT) AS e,
+         o - CAST(floor(o / 16) AS BIGINT) * 16 AS s
+  FROM hit
+)
+SELECT o_orderstatus, q,
+       pow(2.0, e) * (s + 16.5) / 1600.0 AS est,
+       CAST(n_total AS BIGINT) AS n_total
+FROM dec
+"""
+
+QUERIES.update({
+    "order_price_quantiles_by_status": Q(order_price_quantiles_by_status,
+                                         _HDR_GROUPED_SQL),
+})

@@ -797,3 +797,23 @@ JOIN documents b ON p.id_b = b.doc_id
 QUERIES.update({
     "near_dup_edit_distances": Q(near_dup_edit_distances, _EDIT_DIST_SQL),
 })
+
+
+def global_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL exact-Jaccard near-dup pairs via prefix filtering (r5b,
+    operators/dedup.jaccard_pairs_prefix_filter) — no blocking key,
+    so cross-(lang, source) duplicates are catchable (pinned in
+    tests: the blocked join provably misses a planted cross-block
+    twin this query finds). Rows-only by necessity: the DuckDB
+    equivalent is an all-pairs quadratic the oracle harness cannot
+    afford — exactness is instead pinned in-engine against a
+    brute-force crossJoin at test scale (equality, both directions:
+    nothing lost by pruning, nothing added by verification)."""
+    from ..operators import dedup as dd
+    d = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs_prefix_filter(d, n=3, threshold=0.5)
+
+
+QUERIES.update({
+    "global_near_dup_pairs": Q(global_near_dup_pairs, None),
+})

@@ -222,3 +222,48 @@ def parquet_sink(df: DataFrame, path: str, checkpoint: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def cdc_materialized_view(table_path: str, key: str,
+                          seq_cols: list[str], op_col: str,
+                          payload_cols: list[str]):
+    """Streaming MERGE materialized view (r5b): each micro-batch of
+    change records (op I/U/D + per-key sequence) merges into the
+    at-rest snapshot via operators/cdc.apply_changelog_VERSIONED —
+    the stored table keeps each key's sequence and delete TOMBSTONES,
+    so a replayed or out-of-order batch (the at-least-once reality
+    of foreachBatch after crash recovery) can never regress a newer
+    row or resurrect a deleted key; plain apply_changelog would
+    (it trusts its changelog as the final word — correct for the
+    daily batch, wrong across micro-batches). Read the view with
+    cdc.visible(spark.read.parquet(path)). Same crash-safety swap
+    protocol as jobs_state_writeback (temp dir + renames). Pinned in
+    tests/test_streaming.py::test_cdc_materialized_view_stream
+    (out-of-order seq, delete-then-reinsert, full replay onto the
+    already-materialized table)."""
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        from ..operators import cdc
+
+        spark = batch_df.sparkSession
+        try:
+            base = spark.read.parquet(table_path) \
+                .select(key, *seq_cols, *payload_cols, "is_deleted")
+        except Exception as exc:
+            if not _is_path_not_found(exc):
+                raise
+            base = (batch_df.select(key, *seq_cols, *payload_cols)
+                    .withColumn("is_deleted", F.lit(False))
+                    .filter(F.lit(False)))
+        merged = cdc.apply_changelog_versioned(
+            base, batch_df, key, seq_cols, op_col, payload_cols)
+        token = uuid.uuid4().hex
+        tmp = f"{table_path.rstrip('/')}.__tmp-{token}"
+        old = f"{table_path.rstrip('/')}.__old-{token}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(table_path):
+            os.rename(table_path, old)
+        os.rename(tmp, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+    return _apply

@@ -39,6 +39,9 @@ CHECKPOINTING = {
     # ann_recall_report's ivf_pq method row (r5)
     "ivf_topk_pq",
     "ann_recall_report",
+    # PageRank localCheckpoints the rank table per power-iteration
+    # round (r5b) — the checkpoint RDDs hold the final ranks
+    "supplier_purchase_pagerank",
 }
 
 

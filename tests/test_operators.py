@@ -1174,3 +1174,59 @@ def test_ivf_index_save_load_serving(spark, tmp_path):
     # incl. queries — same contract, so recall compares like for like
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, f"served-index recall collapsed: {recall}"
+
+
+def test_prefix_filter_join_equals_bruteforce(spark):
+    """The prefix-filter lemma end-to-end: the PPJoin-style global
+    similarity join returns EXACTLY the pairs an all-pairs
+    brute-force scoring finds at the same threshold — candidate
+    pruning must lose nothing (guaranteed recall) and verification
+    must add nothing (exactness). Brute force is a deliberate
+    crossJoin, affordable only because this is a 500-doc test."""
+    d = load_table(spark, SF, "documents")
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+           for r in dedup.jaccard_pairs_prefix_filter(
+               d, n=3, threshold=0.4).collect()}
+
+    s = (dedup.with_hashed_shingles(d, "text", 3)
+         .select("doc_id", "shingles").filter(F.size("shingles") > 0))
+    a = s.select(F.col("doc_id").alias("id_a"),
+                 F.col("shingles").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("id_b"),
+                 F.col("shingles").alias("sh_b"))
+    brute = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     (F.size(F.array_intersect("sh_a", "sh_b"))
+                      .cast("double")
+                      / F.size(F.array_union("sh_a", "sh_b")))
+                     .alias("jaccard"))
+             .filter(F.col("jaccard") >= 0.4))
+    expected = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in brute.collect()}
+    assert got == expected and len(expected) > 0
+
+
+def test_prefix_filter_join_catches_cross_block_dups(spark):
+    """The capability blocking can't have: two near-identical docs in
+    DIFFERENT (lang, source) blocks. ngram_jaccard_pairs (blocked on
+    lang+source) misses the pair by construction; the global
+    prefix-filter join finds it."""
+    d = load_table(spark, SF, "documents").limit(30)
+    twin = (d.filter(F.col("doc_id") == 0)
+            .select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                    F.concat("text", F.lit(" zz")).alias("text"),
+                    F.lit("xx").alias("lang"),
+                    F.lit("other_src").alias("source"),
+                    "n_chars"))
+    corpus = d.unionByName(twin)
+
+    blocked = dedup.ngram_jaccard_pairs(
+        corpus, block_cols=["lang", "source"], n=3, threshold=0.5,
+        hashed=True)
+    assert blocked.filter(F.col("id_b") == 5_000_000).count() == 0
+
+    global_pairs = dedup.jaccard_pairs_prefix_filter(
+        corpus, n=3, threshold=0.5)
+    hit = global_pairs.filter((F.col("id_a") == 0)
+                              & (F.col("id_b") == 5_000_000))
+    assert hit.count() == 1

@@ -710,3 +710,68 @@ def test_streaming_scd2_enrichment_matches_batch(spark, tmp_path):
            for r in spark.sql("SELECT * FROM scd2_enriched").collect()}
     q.stop()
     assert got == batch
+
+
+def test_cdc_materialized_view_stream(spark, tmp_path):
+    """Streaming MERGE materialized view (r5b): change records arrive
+    across micro-batches with OUT-OF-ORDER sequences (a later batch
+    carries an older change) and delete-then-reinsert; the versioned
+    + tombstoned snapshot must equal one apply_changelog over the
+    full log, and a FULL REPLAY of the stream onto the
+    already-materialized table must converge (stale changes refused
+    by stored sequence, deletes held by tombstones) — the
+    at-least-once story plain per-batch MERGE cannot survive."""
+    from stockanalyses_downloader_spark.operators import cdc
+    from stockanalyses_downloader_spark.streaming import sinks
+
+    rows = [
+        # (k, seq, op, state) — 3 files = 3 micro-batches of 4
+        (1, 1, "I", "a1"), (2, 1, "I", "b1"),
+        (3, 1, "I", "c1"), (4, 1, "I", "d1"),
+        (2, 3, "U", "b3"), (3, 2, "D", None),
+        (5, 1, "I", "e1"), (1, 2, "U", "a2"),
+        (2, 2, "U", "b2_late"),   # arrives AFTER seq 3: must lose
+        (4, 2, "D", None), (4, 3, "I", "d3"),  # delete then re-insert
+        (6, 1, "D", None),        # delete of never-seen key: tombstone
+    ]
+    src = str(tmp_path / "changes")
+    for b in range(3):
+        spark.createDataFrame(rows[b * 4:(b + 1) * 4],
+                              "k long, seq long, op string, state string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream(ck):
+        sink = sinks.cdc_materialized_view(table, "k", ["seq"], "op",
+                                           ["state"])
+        q = (spark.readStream
+             .schema("k long, seq long, op string, state string")
+             .option("maxFilesPerTrigger", "1").parquet(src)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / ck))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    table = str(tmp_path / "mv")
+    run_stream("ck")
+    got = {r["k"]: r["state"] for r in
+           cdc.visible(spark.read.parquet(table)).collect()}
+
+    all_changes = spark.createDataFrame(
+        rows, "k long, seq long, op string, state string")
+    empty = all_changes.select("k", "state").filter(F.lit(False))
+    expected = {r["k"]: r["state"] for r in
+                cdc.apply_changelog(empty, all_changes, "k",
+                                    ["seq", "op"],
+                                    "op", ["state"]).collect()}
+    assert got == expected
+    assert got == {1: "a2", 2: "b3", 4: "d3", 5: "e1"}  # 3,6 deleted
+    # tombstones persist in the versioned table itself
+    stored = {r["k"] for r in spark.read.parquet(table).collect()}
+    assert stored == {1, 2, 3, 4, 5, 6}
+
+    # full replay from a FRESH checkpoint onto the existing table:
+    # stale batches are refused, final state identical
+    run_stream("ck2")
+    again = {r["k"]: r["state"] for r in
+             cdc.visible(spark.read.parquet(table)).collect()}
+    assert again == expected
