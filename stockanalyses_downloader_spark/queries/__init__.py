@@ -431,6 +431,26 @@ _TAIL = [
                                     # quantiles (one pass, bounded
                                     # state per group);
                                     # DuckDB-oracled; new r5b
+    "pyds_ticker_snapshot",         # custom Python DataSource
+                                    # (Spark-4 DataSource API) end to
+                                    # end: partition planning +
+                                    # pushdown; even the connector's
+                                    # rows are DuckDB-oracled (md5
+                                    # fixture math); new r5b
+    "event_props_variant",          # Spark-4 VARIANT semi-structured
+                                    # path (try_parse_json +
+                                    # variant_get: parse once,
+                                    # traverse binary) — same oracle
+                                    # as the JSON-string path; r5b
+    "customer_order_distribution",  # Q13: left-outer + double agg
+                                    # keeping the zero bucket;
+                                    # DuckDB-oracled; new r5b
+    "large_volume_customers",       # Q18: HAVING-subquery semi-join
+                                    # shape; DuckDB-oracled; new r5b
+    "suppliers_with_sole_late_lines",  # Q21: EXISTS + NOT-EXISTS as
+                                    # per-key aggregate flags (one
+                                    # shuffle, no correlated
+                                    # re-scans); DuckDB-oracled; r5b
     "lang_distinct_token_sketch",   # rows-only; mergeable HLL
                                     # distinct-token cardinality
                                     # (two-level sketch union — the

@@ -622,3 +622,51 @@ GROUP BY isin, win_start
 QUERIES.update({
     "hopping_volume_windows": Q(hopping_volume_windows, _HOPPING_SQL),
 })
+
+
+def pyds_ticker_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource end-to-end (r5b —
+    sources/pyds.py): ``spark.read.format("tickersnap")`` over the 84
+    dim pairs, both exchanges — connector-owned partition planning
+    (pair chunks × exchange) and filter-pushdown capability, surfaced
+    as a first-class registry query. The md5-derived fixture rows are
+    engine-reproducible, so even the CONNECTOR is DuckDB-oracled —
+    the oracle recomputes every emitted row from the same md5 math.
+    The 84-row dim collect that builds the option string is dim-sized
+    by construction."""
+    from ..dims.currency import currency_dim
+    from ..sources import pyds
+
+    pyds.register(spark)
+    pairs = sorted(r["pair"] for r in
+                   currency_dim(spark).select("pair").collect())
+    return (spark.read.format("tickersnap")
+            .option("pairs", ",".join(pairs)).option("chunk", "16")
+            .load())
+
+
+_PYDS_SNAP_SQL = f"""
+WITH px AS (
+  SELECT ex.exchange, d.pair,
+         md5(ex.exchange || '|' || d.pair || '|0') AS h
+  FROM {_DIM} d,
+       (SELECT unnest(['btsp', 'btfx']) AS exchange) ex
+), derived AS (
+  SELECT exchange, pair,
+         10.0 + (CAST('0x' || substr(h, 1, 8) AS BIGINT) % 100000)
+                / 100.0 AS level,
+         CASE WHEN CAST('0x' || substr(h, 9, 4) AS BIGINT) % 97 = 0
+              THEN 500 ELSE 200 END AS status,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + CAST('0x' || substr(h, 13, 2) AS BIGINT)
+             * INTERVAL 1 SECOND AS ts
+  FROM px
+)
+SELECT exchange, pair, CAST(status AS INT) AS status,
+       level * 0.999 AS bid, level * 1.001 AS ask, level AS last, ts
+FROM derived
+"""
+
+QUERIES.update({
+    "pyds_ticker_snapshot": Q(pyds_ticker_snapshot, _PYDS_SNAP_SQL),
+})

@@ -1482,3 +1482,141 @@ QUERIES.update({
     "order_price_quantiles_by_status": Q(order_price_quantiles_by_status,
                                          _HDR_GROUPED_SQL),
 })
+
+
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT path for semi-structured props (r5b): parse
+    once into the binary variant encoding, extract typed fields with
+    variant_get — the engine-native upgrade of per-extraction JSON
+    string re-parsing (get_json_object re-tokenizes the string for
+    every path; a variant column parses ONCE and every later
+    extraction is a binary traversal — the difference between 1 and
+    N parses per row at 100 TB). try_parse_json routes malformed
+    props to NULL instead of failing the scan (the dead-letter
+    discipline, in-type). Output mirrors event_props_extract so the
+    two paths are directly comparable."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("k").alias("n_with_k"),
+                 F.sum(F.col("k").cast("long")).alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+QUERIES.update({
+    "event_props_variant": Q(event_props_variant, _JSON_SQL),
+})
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style: the distribution of orders-per-customer INCLUDING
+    the zero bucket — the left outer join + double aggregation whose
+    whole point is that customers with no orders must survive into
+    c_count=0 (an inner join silently erases the most interesting
+    cohort)."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (cu.join(o, cu.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("n_customers")))
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS n_customers
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) x
+GROUP BY c_count
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style: customers whose single orders exceed a quantity
+    threshold — an IN/HAVING subquery shape: the qualifying order set
+    comes from an aggregate-with-HAVING, then re-joins the facts. The
+    semi join against the HAVING result is the scalable form (the
+    qualifying set is tiny; never materialize the full join first)."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
+            .join(cu, o.o_custkey == cu.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "total_qty"))
+
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       total_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             {dsum_sql('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {dsum_sql('l_quantity')} > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def suppliers_with_sole_late_lines(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Q21-style EXISTS + NOT-EXISTS combination: suppliers whose
+    lineitem shipped late (shipdate > orderdate + 60 days) on a
+    multi-supplier order where NO OTHER supplier shipped late — the
+    'who alone held up the order' question. Two anti/semi
+    correlations against the same fact table, expressed as aggregate
+    flags per (order, supplier) then per order — one shuffle on the
+    order key instead of two correlated re-scans."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .withColumn("late",
+                           F.col("l_shipdate")
+                           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    per_os = (flagged.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max(F.col("late").cast("int")).alias("supp_late")))
+    per_o = (per_os.groupBy("l_orderkey")
+             .agg(F.count("*").alias("n_supps"),
+                  F.sum("supp_late").alias("n_late_supps")))
+    return (per_os.join(per_o, "l_orderkey")
+            .filter((F.col("supp_late") == 1)
+                    & (F.col("n_late_supps") == 1)
+                    & (F.col("n_supps") > 1))
+            .groupBy("l_suppkey")
+            .agg(F.count("*").alias("n_solo_late_orders")))
+
+
+_Q21_SQL = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+  FROM flagged GROUP BY l_orderkey, l_suppkey
+), per_o AS (
+  SELECT l_orderkey, count(*) AS n_supps,
+         SUM(supp_late) AS n_late_supps
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT l_suppkey, count(*) AS n_solo_late_orders
+FROM per_os JOIN per_o USING (l_orderkey)
+WHERE supp_late = 1 AND n_late_supps = 1 AND n_supps > 1
+GROUP BY l_suppkey
+"""
+
+QUERIES.update({
+    "customer_order_distribution": Q(customer_order_distribution, _Q13_SQL),
+    "large_volume_customers": Q(large_volume_customers, _Q18_SQL),
+    "suppliers_with_sole_late_lines": Q(suppliers_with_sole_late_lines,
+                                        _Q21_SQL),
+})
