@@ -39,7 +39,13 @@ _WINDOW = [
     "ticks_in_candle_ranges",   # range/interval join (bucketed)
     "vwap_by_isin",
     "jobs_parse_dispatch",
-    "jobs_resolve_pair",
+    "pyds_ticker_snapshot",     # custom Python DataSource connector,
+                                # oracled end to end (r5b rotation in
+                                # — took jobs_resolve_pair's slot:
+                                # the J1 dim join stays driver-
+                                # visible inside flagship/wss, and a
+                                # certified CONNECTOR is the stronger
+                                # source-tier evidence)
     "rest_pipeline_messages",
     "dead_letter_by_exchange",
     "job_state_claim_counts",
@@ -142,6 +148,11 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "jobs_resolve_pair",            # S2+J1 — hash-green r1–r5a; slot
+                                    # yielded (r5b) to the certified
+                                    # custom connector; resolve_pair
+                                    # stays driver-visible in
+                                    # flagship/wss/rest_pipeline
     "job_state_outcomes",           # ST6 second rep — hash-green
                                     # r1–r5a; slot yielded (r5 second
                                     # block) to user_profile_merged;
@@ -431,12 +442,6 @@ _TAIL = [
                                     # quantiles (one pass, bounded
                                     # state per group);
                                     # DuckDB-oracled; new r5b
-    "pyds_ticker_snapshot",         # custom Python DataSource
-                                    # (Spark-4 DataSource API) end to
-                                    # end: partition planning +
-                                    # pushdown; even the connector's
-                                    # rows are DuckDB-oracled (md5
-                                    # fixture math); new r5b
     "event_props_variant",          # Spark-4 VARIANT semi-structured
                                     # path (try_parse_json +
                                     # variant_get: parse once,
@@ -451,6 +456,11 @@ _TAIL = [
                                     # per-key aggregate flags (one
                                     # shuffle, no correlated
                                     # re-scans); DuckDB-oracled; r5b
+    "tick_grid_hourly",             # regularized hourly grid with
+                                    # forward-fill (grid explode +
+                                    # one as-of exchange) — vs
+                                    # DuckDB's native ASOF LEFT
+                                    # JOIN; DuckDB-oracled; r5b
     "lang_distinct_token_sketch",   # rows-only; mergeable HLL
                                     # distinct-token cardinality
                                     # (two-level sketch union — the

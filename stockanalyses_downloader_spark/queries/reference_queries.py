@@ -670,3 +670,45 @@ FROM derived
 QUERIES.update({
     "pyds_ticker_snapshot": Q(pyds_ticker_snapshot, _PYDS_SNAP_SQL),
 })
+
+
+def tick_grid_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized hourly price grid with forward-fill (r5b —
+    operators/resample.py): one row per ISIN per hour across the
+    instrument's observed span, carrying the last tick at or before
+    each grid instant — the evenly-spaced series every downstream
+    return/volatility model assumes. Grid explode + ONE as-of
+    exchange; per-key spans mean no pre-listing fabrication."""
+    from ..operators import resample
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    return resample.resample_ffill(
+        t.select("isin", "ts", "last_price"),
+        key="isin", ts="ts", value_cols=["last_price"],
+        interval_s=3600)
+
+
+_GRID_SQL = f"""
+WITH t AS (
+  SELECT isin, ts, last_price FROM {synthetic.TICKS_SQL} x
+  WHERE status = 200
+), span AS (
+  SELECT isin,
+         make_timestamp((epoch_us(min(ts)) // 3600000000)
+                        * 3600000000) AS t0,
+         make_timestamp((epoch_us(max(ts)) // 3600000000)
+                        * 3600000000) AS t1
+  FROM t GROUP BY isin
+), grid AS (
+  SELECT isin,
+         unnest(generate_series(t0, t1, INTERVAL 3600 SECOND))
+           AS grid_ts
+  FROM span
+)
+SELECT g.isin, g.grid_ts, t.last_price AS ff_last_price
+FROM grid g
+ASOF LEFT JOIN t ON g.isin = t.isin AND g.grid_ts >= t.ts
+"""
+
+QUERIES.update({
+    "tick_grid_hourly": Q(tick_grid_hourly, _GRID_SQL),
+})

@@ -216,3 +216,29 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     b = spark.read.parquet(dst)
     assert b.count() == a.count() == 4000
     assert a.agg(F.sum("id")).first()[0] == b.agg(F.sum("id")).first()[0]
+
+
+def test_schema_evolution_merge_and_defaults(spark, tmp_path):
+    """Schema evolution across parquet batches: day 2 adds a column;
+    mergeSchema unifies the read, day-1 rows surface NULL for the
+    new column (no rewrite of history), and the scan stays
+    vectorized. The at-rest reality of any long-lived ingest."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string") \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 0.9), (4, "d", 0.1)],
+        "id long, payload string, quality double") \
+        .write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "payload", "quality"}
+    rows = {r["id"]: r["quality"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] == 0.9 and rows[4] == 0.1
+    # default read (no mergeSchema) picks ONE footer's schema —
+    # documented trap; coalesce-with-default is the query-side fix
+    patched = merged.withColumn(
+        "quality", F.coalesce("quality", F.lit(0.5)))
+    assert patched.filter(F.col("quality") == 0.5).count() == 2

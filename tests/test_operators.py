@@ -1230,3 +1230,24 @@ def test_prefix_filter_join_catches_cross_block_dups(spark):
     hit = global_pairs.filter((F.col("id_a") == 0)
                               & (F.col("id_b") == 5_000_000))
     assert hit.count() == 1
+
+
+def test_prefix_filter_join_edge_inputs(spark):
+    """Degenerate inputs: docs too short for any 3-gram shingle are
+    excluded without error; identical docs score jaccard 1.0; a
+    single-doc corpus yields no pairs."""
+    d = spark.createDataFrame(
+        [(1, "one two"),            # < 3 tokens: no shingles
+         (2, "alpha beta gamma delta"),
+         (3, "alpha beta gamma delta"),   # exact twin of 2
+         (4, "")],                  # empty text
+        "doc_id long, text string")
+    pairs = dedup.jaccard_pairs_prefix_filter(d, n=3, threshold=0.5) \
+        .collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"],
+            pairs[0]["jaccard"]) == (2, 3, 1.0)
+
+    solo = spark.createDataFrame([(1, "just one single document here")],
+                                 "doc_id long, text string")
+    assert dedup.jaccard_pairs_prefix_filter(solo).count() == 0

@@ -775,3 +775,47 @@ def test_cdc_materialized_view_stream(spark, tmp_path):
     again = {r["k"]: r["state"] for r in
              cdc.visible(spark.read.parquet(table)).collect()}
     assert again == expected
+
+
+def test_rocksdb_state_store_matches_default(spark, tmp_path):
+    """Production state backend: the same watermarked streaming
+    dedup runs on the RocksDB state store provider (bounded JVM heap
+    — the backend a 1000-executor cluster uses for large keyed
+    state) and produces exactly the rows of the default HDFS-backed
+    provider run. Provider is resolved per QUERY start, so flipping
+    the session conf between runs is safe."""
+    rows = [(i % 7, i) for i in range(60)]  # dup-heavy keys
+
+    def run(provider_conf, name):
+        src = tmp_path / f"src_{name}"
+        spark.createDataFrame(rows, "k long, seq long") \
+            .write.mode("overwrite").parquet(str(src))
+        saved = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None)
+        if provider_conf:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                provider_conf)
+        try:
+            q = (spark.readStream.schema("k long, seq long")
+                 .parquet(str(src))
+                 .dropDuplicates(["k"])
+                 .writeStream.format("memory").queryName(name)
+                 .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+                 .trigger(availableNow=True).start())
+            assert q.awaitTermination(120)
+        finally:
+            if saved is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", saved)
+        return {r["k"] for r in
+                spark.sql(f"SELECT * FROM {name}").collect()}
+
+    default_keys = run(None, "dedup_default")
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    rocks_keys = run(rocks, "dedup_rocks")
+    assert rocks_keys == default_keys == set(range(7))
