@@ -196,6 +196,69 @@ def hdr_quantiles(grid: DataFrame, qs: tuple[float, ...],
         F.col("n_total").cast("long").alias("n_total"))
 
 
+# --- Bloom filter: mergeable MEMBERSHIP --------------------------------------
+#
+# The fourth mergeable tier: HLL answers "how many distinct", count-min
+# "how often", HDR "what quantile" — the Bloom filter answers "have I
+# seen this item AT ALL" from fixed-size state that merges by bitwise
+# OR (here: UNION + DISTINCT over set bit positions). The contract is
+# one-sided like count-min's: NO false negatives ever (an inserted
+# item's k bits are all set by construction), false positives bounded
+# by (1 - e^(-k*n/bits))^k. The 100 TB use case is membership tests
+# that exact anti-joins make expensive to repeat: "is this training
+# n-gram in the eval set" probed per-partition against a broadcast
+# bit set instead of shuffling the corpus against the eval corpus on
+# every refresh — per-day bloom grids of new eval material merge into
+# the standing filter without rescanning history.
+#
+# Same portable hash family as cm_bucket (32-bit md5 prefix), so the
+# bit-set frame itself is DuckDB-oracled, sketch internals included.
+
+BLOOM_K = 4         # hash functions per item
+BLOOM_BITS = 32768  # bit-space size; frame holds only SET bits
+
+
+def bloom_build(items: DataFrame, item_col: str,
+                k: int = BLOOM_K, bits: int = BLOOM_BITS) -> DataFrame:
+    """Bit-set frame (bit,) — the distinct bit positions set by the
+    items. At most min(k*n_distinct, bits) rows regardless of corpus
+    size; an absent row means bit 0. Merging two filters built with
+    the same k/bits is UNION + DISTINCT (bitwise OR) — pinned by the
+    half-vs-whole merge test."""
+    b = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: cm_bucket(F.col(item_col), i, bits)))
+    return items.select(b.alias("bit")).distinct()
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR together filters built with the same k/bits: union of set
+    bits."""
+    out = blooms[0]
+    for s in blooms[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_contains(bloom: DataFrame, probes: DataFrame, item_col: str,
+                   k: int = BLOOM_K, bits: int = BLOOM_BITS) -> DataFrame:
+    """Membership verdict per probe item: might_contain = all k probed
+    bits are set. TRUE may be a false positive (bounded rate); FALSE
+    is definitive. The filter side is broadcast (<= bits rows by
+    construction) so the probe scan never shuffles — the property
+    that makes per-partition decontamination probes free at scale.
+    Output: (item_col, might_contain)."""
+    cells = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: cm_bucket(F.col(item_col), i, bits)))
+    probe_bits = probes.select(item_col, cells.alias("bit"))
+    return (probe_bits
+            .join(F.broadcast(bloom.withColumn("hit", F.lit(1))),
+                  ["bit"], "left")
+            .groupBy(item_col)
+            .agg((F.count("hit") == k).alias("might_contain")))
+
+
 def hdr_build_grouped(values: DataFrame, group_cols: list[str],
                       value_col: str, m: int = HDR_M) -> DataFrame:
     """Per-group histogram grids in one aggregate: (group_cols..., o,

@@ -466,6 +466,16 @@ _TAIL = [
                                     # (two-level sketch union — the
                                     # rescan-free reaggregation path);
                                     # error band pinned in pytest
+    "token_bloom_sketch",           # mergeable MEMBERSHIP bit set
+                                    # (completes the sketch family:
+                                    # HLL/count-min/HDR/Bloom);
+                                    # DuckDB-oracled incl. the bit
+                                    # positions; new r5c
+    "bloom_decontamination_probes", # bloom-filtered decontamination
+                                    # next to the exact join — the
+                                    # no-false-negative contract
+                                    # certified per doc;
+                                    # DuckDB-oracled; new r5c
 ]
 
 

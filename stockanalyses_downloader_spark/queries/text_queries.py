@@ -1626,6 +1626,140 @@ QUERIES.update({
 })
 
 
+def token_bloom_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter BIT SET over the corpus token stream (operators/
+    sketches — the mergeable-MEMBERSHIP tier completing the sketch
+    family: HLL distinct / count-min frequency / HDR quantile / Bloom
+    membership): at most BLOOM_BITS rows regardless of vocabulary
+    size, merges across partitions/days by UNION+DISTINCT (bitwise
+    OR). Fully DuckDB-oracled — same engine-portable md5-prefix hash
+    family as the count-min grid."""
+    from ..operators import sketches
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("token"))
+    return sketches.bloom_build(toks, "token")
+
+
+_BLOOM_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+)
+SELECT DISTINCT
+  CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || token), 1, 8)
+            AS BIGINT) % 32768 AS INT) AS bit
+FROM toks, (SELECT unnest(generate_series(0, 3)) AS i)
+"""
+
+
+def bloom_decontamination_probes(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Bloom-filtered decontamination — the SCALE path for
+    eval_ngram_decontamination's exact digest join: build a Bloom
+    filter over the eval split's distinct 5-grams ONCE (a broadcast
+    bit set, <= BLOOM_BITS rows no matter how large the eval suite),
+    then probe every training doc's distinct 5-grams against it with
+    zero shuffle on the training side. Per train doc the report
+    carries the bloom verdict count NEXT TO the exact join count, so
+    the one-sided contract is driver-certified on real data:
+    n_bloom_hits >= n_exact_hits for every doc (no false negatives),
+    with the surplus = bounded false positives. At 100 TB the exact
+    leg runs once per release; the bloom leg runs per ingest batch
+    against the standing merged filter without rescanning the eval
+    corpus. Output: (doc_id, n_probe_grams, n_bloom_hits,
+    n_exact_hits)."""
+    from ..operators import sampling, sketches
+    d = _docs(spark, sf_dir)
+    n = _DECON_N
+    s = sampling.assign_splits(d.select("doc_id", "text"), key="doc_id")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = (s.select("doc_id", "split", toks.alias("t"))
+         .withColumn("nt", F.size("t")))
+    grams = (t.filter(F.col("nt") >= n)
+             .select("doc_id", "split",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.col("nt") - n + 1),
+                         lambda i: F.concat_ws(" ", F.slice("t", i, n)),
+                     )).alias("gram")))
+    ev = grams.filter(F.col("split") == "test").select("gram").distinct()
+    tr = (grams.filter(F.col("split") == "train")
+          .select("doc_id", "gram").distinct())
+    bloom = sketches.bloom_build(ev, "gram")
+    k, bits = sketches.BLOOM_K, sketches.BLOOM_BITS
+    cells = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: sketches.cm_bucket(F.col("gram"), i, bits)))
+    probe_bits = tr.select("doc_id", "gram", cells.alias("bit"))
+    verdicts = (probe_bits
+                .join(F.broadcast(bloom.withColumn("hit", F.lit(1))),
+                      ["bit"], "left")
+                .groupBy("doc_id", "gram")
+                .agg((F.count("hit") == k).cast("int").alias("might")))
+    per_doc = (verdicts.groupBy("doc_id")
+               .agg(F.count("*").alias("n_probe_grams"),
+                    F.sum("might").cast("long").alias("n_bloom_hits")))
+    exact = (tr.join(ev.withColumn("ex", F.lit(1)), ["gram"], "left")
+             .groupBy("doc_id")
+             .agg(F.sum(F.coalesce("ex", F.lit(0))).cast("long")
+                  .alias("n_exact_hits")))
+    return (per_doc.join(exact, "doc_id")
+            .select("doc_id", "n_probe_grams", "n_bloom_hits",
+                    "n_exact_hits"))
+
+
+def _bloom_decon_sql() -> str:
+    return rf"""
+WITH s AS (
+  SELECT doc_id, {_split_case_sql()} AS split,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, split,
+         array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
+  FROM s, UNNEST(generate_series(1, len(t) - {_DECON_N - 1})) AS u(i)
+  WHERE len(t) >= {_DECON_N}
+), ev AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+   tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'train'),
+   bloom AS (
+     SELECT DISTINCT
+       CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || gram),
+                                1, 8) AS BIGINT) % 32768 AS INT) AS bit,
+       1 AS hit
+     FROM ev, (SELECT unnest(generate_series(0, 3)) AS i)
+   ), probe_bits AS (
+     SELECT doc_id, gram,
+       CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || gram),
+                                1, 8) AS BIGINT) % 32768 AS INT) AS bit
+     FROM tr, (SELECT unnest(generate_series(0, 3)) AS i)
+   ), verdicts AS (
+     SELECT doc_id, gram,
+            CASE WHEN count(hit) = 4 THEN 1 ELSE 0 END AS might
+     FROM probe_bits LEFT JOIN bloom USING (bit)
+     GROUP BY doc_id, gram
+   ), per_doc AS (
+     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_probe_grams,
+            CAST(sum(might) AS BIGINT) AS n_bloom_hits
+     FROM verdicts GROUP BY doc_id
+   ), exact AS (
+     SELECT tr.doc_id AS doc_id,
+            CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_exact_hits
+     FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+     GROUP BY tr.doc_id
+   )
+SELECT doc_id, n_probe_grams, n_bloom_hits, n_exact_hits
+FROM per_doc JOIN exact USING (doc_id)
+"""
+
+
+QUERIES.update({
+    "token_bloom_sketch": Q(token_bloom_sketch, _BLOOM_SQL),
+    "bloom_decontamination_probes": Q(bloom_decontamination_probes,
+                                      _bloom_decon_sql()),
+})
+
+
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (r5 — Schleimer/Wilkerson/Aiken's MOSS
     selection rule, the canonical local fingerprinting algorithm; the

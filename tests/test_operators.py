@@ -16,6 +16,8 @@ from stockanalyses_downloader_spark.operators import (candles, dedup,
 from stockanalyses_downloader_spark.sources import synthetic, ticker
 from stockanalyses_downloader_spark.sources.tables import load_table
 
+from conftest import SF_SMALL
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -1004,6 +1006,81 @@ def test_countmin_one_sided_property(spark, items):
     # 6-item vocab in 64 buckets x 3 rows: a collision in EVERY row is
     # needed to overestimate; assert the total overshoot stays tiny
     assert sum(est[i] - exact[i] for i in exact) <= len(items)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.sets(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+               min_size=1, max_size=40))
+def test_bloom_no_false_negatives_property(spark, inserted):
+    """Bloom's one-sided guarantee on arbitrary item sets: every
+    inserted item tests might_contain=True (NEVER a false negative),
+    and with the default 32768-bit space the handful of set bits makes
+    a false positive on the disjoint probe set astronomically unlikely
+    ((k*n/bits)^k < 1e-8 here) — so absent probes all test False."""
+    from stockanalyses_downloader_spark.operators import sketches
+
+    absent = [x + "_zz" for x in inserted]  # disjoint by construction
+    df = spark.createDataFrame([(x,) for x in inserted], "item string")
+    bloom = sketches.bloom_build(df, "item")
+    probes = spark.createDataFrame(
+        [(x,) for x in list(inserted) + absent], "item string")
+    got = {r["item"]: r["might_contain"] for r in
+           sketches.bloom_contains(bloom, probes, "item").collect()}
+    for x in inserted:
+        assert got[x] is True
+    assert all(got[x] is False for x in absent)
+
+
+def test_bloom_saturated_filter_stays_one_sided(spark):
+    """A deliberately tiny bit space (64 bits, 80 items) saturates the
+    filter: false positives MUST appear on absent probes (non-vacuous
+    evidence the approximation is real), yet every inserted item still
+    tests True — the contract survives saturation."""
+    from stockanalyses_downloader_spark.operators import sketches
+
+    inserted = [f"tok{i}" for i in range(80)]
+    absent = [f"abs{i}" for i in range(80)]
+    df = spark.createDataFrame([(x,) for x in inserted], "item string")
+    bloom = sketches.bloom_build(df, "item", k=4, bits=64)
+    probes = spark.createDataFrame(
+        [(x,) for x in inserted + absent], "item string")
+    got = {r["item"]: r["might_contain"] for r in
+           sketches.bloom_contains(bloom, probes, "item",
+                                   k=4, bits=64).collect()}
+    assert all(got[x] for x in inserted)          # no false negatives
+    assert any(got[x] for x in absent)            # saturation: FPs real
+
+
+def test_bloom_merge_half_vs_whole(spark):
+    """Per-partition/day filters OR together to exactly the filter of
+    the union — the rescan-free maintenance contract shared with
+    count-min/HDR merge."""
+    from stockanalyses_downloader_spark.operators import sketches
+
+    items = [f"w{i % 37}x{i % 11}" for i in range(200)]
+    half_a = spark.createDataFrame([(x,) for x in items[:100]], "item string")
+    half_b = spark.createDataFrame([(x,) for x in items[100:]], "item string")
+    whole = spark.createDataFrame([(x,) for x in items], "item string")
+    merged = sketches.bloom_merge(sketches.bloom_build(half_a, "item"),
+                                  sketches.bloom_build(half_b, "item"))
+    direct = sketches.bloom_build(whole, "item")
+    assert ({r["bit"] for r in merged.collect()}
+            == {r["bit"] for r in direct.collect()})
+
+
+def test_bloom_decontamination_dominates_exact(spark):
+    """Query-level contract on the real fixture: for EVERY train doc,
+    n_bloom_hits >= n_exact_hits (one-sidedness driver-certifiable),
+    and the probe universe is strictly wider than the contaminated
+    subset (the query is non-vacuous)."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        bloom_decontamination_probes)
+
+    rows = bloom_decontamination_probes(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["n_bloom_hits"] >= r["n_exact_hits"] for r in rows)
+    assert sum(r["n_probe_grams"] for r in rows) > \
+        sum(r["n_exact_hits"] for r in rows)
 
 
 def test_scd2_null_states_are_real_versions(spark):
