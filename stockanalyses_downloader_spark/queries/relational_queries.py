@@ -1620,3 +1620,65 @@ QUERIES.update({
     "suppliers_with_sole_late_lines": Q(suppliers_with_sole_late_lines,
                                         _Q21_SQL),
 })
+
+
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog (operators/linkage —
+    Fellegi-Sunter shape: block / compare / decide / cluster): the
+    same product family is listed many times ("blue rod" appears 7
+    times in the sf0.001 catalog under different brands); per-entity
+    analytics need one entity id. Blocking key = the name's last
+    token (the noun), score = 0.7 * edit-similarity(full name) +
+    0.3 * [p_type agrees], match >= 0.8 — so exact-name+same-type
+    pairs (1.0) and close-name+same-type pairs ("red gear"/"new
+    gear": 0.825) merge, while exact-name+DIFFERENT-type pairs (0.7)
+    stay distinct entities. Transitive closure via min-label CC;
+    oracle = the same scoring + a recursive CTE, so one hash match
+    certifies block->score->threshold->closure->map-back end to end."""
+    from ..operators import linkage
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type")
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    return (linkage.resolve_entities(p, "p_partkey", blk, "p_name",
+                                     agree_col="p_type",
+                                     threshold=0.8, w_name=0.7)
+            .select("p_partkey", "p_name", "p_type",
+                    "entity_id", "is_canonical"))
+
+
+_ER_SQL = """
+WITH RECURSIVE recs AS (
+  SELECT p_partkey, p_name, p_type,
+         string_split(p_name, ' ')[-1] AS blk
+  FROM part
+), pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         0.7 * (CASE WHEN greatest(len(a.p_name), len(b.p_name)) > 0
+                THEN 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                       / greatest(len(a.p_name), len(b.p_name))
+                ELSE 1.0 END)
+         + 0.3 * (CASE WHEN a.p_type = b.p_type THEN 1.0 ELSE 0.0 END)
+           AS score
+  FROM recs a JOIN recs b
+    ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+), matches AS (
+  SELECT id_a, id_b FROM pairs WHERE score >= 0.8
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM matches
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM matches
+), reach AS (
+  SELECT DISTINCT a AS id, a AS comp FROM edges
+  UNION
+  SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON r.id = e.a
+), comp AS (
+  SELECT id, min(comp) AS component FROM reach GROUP BY id
+)
+SELECT p.p_partkey, p.p_name, p.p_type,
+       coalesce(c.component, p.p_partkey) AS entity_id,
+       p.p_partkey = coalesce(c.component, p.p_partkey) AS is_canonical
+FROM part p LEFT JOIN comp c ON p.p_partkey = c.id
+"""
+
+QUERIES.update({
+    "part_entity_resolution": Q(part_entity_resolution, _ER_SQL),
+})
