@@ -71,3 +71,36 @@ def with_rolling_indicators(ticks: DataFrame, price_col: str = "last_price",
             .withColumn(f"sma_{n}", sma)
             .withColumn(f"std_{n}", std)
             .withColumn(f"rsi_{n}", rsi))
+
+
+def with_anomaly_zscores(ticks: DataFrame, price_col: str = "last_price",
+                         key: str = "isin", ts: str = "ts",
+                         tiebreak: str = "tick_id",
+                         n: int = 12, z_thresh: float = 2.5) -> DataFrame:
+    """Trailing-window z-score anomaly flags: each tick scored against
+    the mean/std of the n ticks STRICTLY BEFORE it (frame (-n, -1) —
+    the current row is excluded so a spike can't inflate its own
+    baseline and mask itself, the classic self-contamination bug in
+    rolling anomaly detectors). NULL until a full n-row baseline
+    exists and when the baseline is flat (std = 0 makes z undefined —
+    no fabricated infinities). Same decimal-moment discipline as the
+    indicators above; one shuffle shared with them when composed (all
+    frames sort on (ts, tiebreak) per key).
+
+    Appends ``zscore`` and ``is_anomaly`` (|z| > z_thresh)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+    frame = w.rowsBetween(-n, -1)
+
+    price = F.col(price_col)
+    cnt = F.count(price).over(frame)
+    s1 = F.sum(price.cast(_DEC)).over(frame).cast("double")
+    s2 = F.sum((price * price).cast(_DEC)).over(frame).cast("double")
+    mean = s1 / n
+    var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
+    std = F.sqrt(var)
+    zscore = F.when((cnt == n) & (std > 0), (price - mean) / std)
+    return (ticks
+            .withColumn("zscore", zscore)
+            .withColumn("is_anomaly",
+                        F.when(zscore.isNotNull(),
+                               F.abs(zscore) > z_thresh)))

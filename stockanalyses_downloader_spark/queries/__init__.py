@@ -476,6 +476,19 @@ _TAIL = [
                                     # no-false-negative contract
                                     # certified per doc;
                                     # DuckDB-oracled; new r5c
+    "part_entity_resolution",       # record linkage (Fellegi-Sunter
+                                    # block/compare/decide/cluster)
+                                    # over the part catalog;
+                                    # DuckDB-oracled incl. the
+                                    # recursive closure; new r5c
+    "tick_price_anomalies",         # trailing-window z-score flags
+                                    # (baseline excludes the current
+                                    # row — no self-masking);
+                                    # DuckDB-oracled; new r5c
+    "tick_feed_islands",            # gaps-and-islands feed-outage
+                                    # report (lag break + running
+                                    # island number);
+                                    # DuckDB-oracled; new r5c
 ]
 
 

@@ -509,6 +509,101 @@ QUERIES.update({
 })
 
 
+def tick_price_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags per ISIN (operators/indicators.
+    with_anomaly_zscores — the monitoring layer over the tick store):
+    each tick scored against the 12 ticks strictly before it, so a
+    spike can't mask itself by inflating its own baseline. NULL
+    during warm-up and on flat baselines. Same single-exchange window
+    shape as the indicators query."""
+    from ..operators import indicators
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    out = indicators.with_anomaly_zscores(
+        t, price_col="last_price", key="isin", ts="ts",
+        tiebreak="tick_id", n=12, z_thresh=2.5)
+    return out.select("isin", "tick_id", "ts", "last_price",
+                      "zscore", "is_anomaly")
+
+
+_ANOMALY_SQL = f"""
+WITH t AS (SELECT * FROM {synthetic.TICKS_SQL} x WHERE status = 200),
+w AS (
+  SELECT isin, tick_id, ts, last_price,
+         COUNT(last_price) OVER f AS cnt,
+         CAST(SUM(CAST(last_price AS DECIMAL(30,10))) OVER f AS DOUBLE) AS s1,
+         CAST(SUM(CAST(last_price * last_price AS DECIMAL(30,10))) OVER f
+              AS DOUBLE) AS s2
+  FROM t
+  WINDOW f AS (PARTITION BY isin ORDER BY ts, tick_id
+               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT isin, tick_id, ts, last_price,
+       CASE WHEN cnt = 12
+             AND sqrt(greatest((s2 - s1 * s1 / 12) / 11, 0.0)) > 0
+            THEN (last_price - s1 / 12)
+                 / sqrt(greatest((s2 - s1 * s1 / 12) / 11, 0.0))
+       END AS zscore,
+       CASE WHEN cnt = 12
+             AND sqrt(greatest((s2 - s1 * s1 / 12) / 11, 0.0)) > 0
+            THEN abs((last_price - s1 / 12)
+                 / sqrt(greatest((s2 - s1 * s1 / 12) / 11, 0.0))) > 2.5
+       END AS is_anomaly
+FROM w
+"""
+
+
+def tick_feed_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands feed-outage detection: per ISIN, consecutive
+    ticks whose inter-arrival stays within 24 h form one island; a
+    longer silence starts the next (the feed-health report the
+    reference's single-threaded poller can't compute but its
+    consumers need: WHERE was the feed dark?). Two stacked windows
+    sharing one (isin)-keyed sort — lag to flag breaks, running sum
+    to number islands — then one aggregate. Output: (isin, island_id,
+    start_ts, end_ts, n_ticks)."""
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    w = Window.partitionBy("isin").orderBy("ts", "tick_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(prev.isNull()
+                 | (F.col("ts") > prev + F.expr("INTERVAL 24 HOURS")),
+                 F.lit(1)).otherwise(F.lit(0))
+    run = (Window.partitionBy("isin").orderBy("ts", "tick_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (t.withColumn("brk", brk)
+            .withColumn("island_id", F.sum("brk").over(run).cast("long"))
+            .groupBy("isin", "island_id")
+            .agg(F.min("ts").alias("start_ts"),
+                 F.max("ts").alias("end_ts"),
+                 F.count("*").alias("n_ticks")))
+
+
+_ISLANDS_SQL = f"""
+WITH t AS (SELECT * FROM {synthetic.TICKS_SQL} x WHERE status = 200),
+d AS (
+  SELECT isin, tick_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 24 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM t
+  WINDOW w AS (PARTITION BY isin ORDER BY ts, tick_id)
+), i AS (
+  SELECT isin, ts,
+         CAST(SUM(brk) OVER (PARTITION BY isin ORDER BY ts, tick_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS island_id
+  FROM d
+)
+SELECT isin, island_id, min(ts) AS start_ts, max(ts) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM i GROUP BY isin, island_id
+"""
+
+QUERIES.update({
+    "tick_price_anomalies": Q(tick_price_anomalies, _ANOMALY_SQL),
+    "tick_feed_islands": Q(tick_feed_islands, _ISLANDS_SQL),
+})
+
+
 def isin_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-instrument OLS price trend (r5b): slope / intercept / r²
     of last_price over time for every ISIN, computed CLOSED-FORM from

