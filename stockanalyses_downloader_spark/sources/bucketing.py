@@ -122,3 +122,72 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
      .repartition(int(n_files))
      .write.mode(mode).parquet(dst))
     return int(n_files)
+
+
+ZORDER_BITS = 16
+
+
+def zorder_value(df: DataFrame, cols: Sequence[str],
+                 bits: int = ZORDER_BITS) -> DataFrame:
+    """Append ``zvalue``: the Morton (Z-order) interleave of the
+    numeric ``cols`` — the THIRD at-rest lever, for workloads that
+    filter on SEVERAL columns. Sorting by one column gives perfect
+    min/max skipping on it and none on the others; sorting by the
+    Z-curve gives every interleaved column locality proportional to
+    its bit share, so parquet footer min/max stats stay tight on ALL
+    of them (this is exactly Delta/Databricks OPTIMIZE ZORDER BY and
+    Iceberg's sort-order z-curve, built here from plain DataFrame
+    ops).
+
+    Each column is min-max scaled to a ``bits``-bit integer grid (one
+    tiny agg; the two-row min/max frame is broadcast via crossJoin —
+    model-sized by construction). Linear binning keeps the scan
+    one-pass; heavily skewed layout keys should pre-transform (log,
+    rank) before interleaving — the standard caveat, documented here
+    rather than hidden behind an implicit sort. Bit interleave is a
+    static fold of shifts/ORs — whole-stage-codegen'd, no UDF.
+
+    ``bits * len(cols)`` must fit a signed long (<= 62)."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    assert bits * k <= 62, "zvalue must fit a signed long"
+    mx = F.lit((1 << bits) - 1)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    ranges = df.agg(*aggs)
+    scaled = df.crossJoin(F.broadcast(ranges))
+    grid_cols = []
+    for c in cols:
+        mn, mxc = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = (mxc - mn).cast("double")
+        g = F.when(span > 0,
+                   F.floor((F.col(c) - mn) / span * ((1 << bits) - 1)))\
+             .otherwise(F.lit(0)).cast("long")
+        grid_cols.append(F.least(g, mx.cast("long")))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, g in enumerate(grid_cols):
+            bit = F.shiftright(g, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + (k - 1 - j)))
+    out = scaled.withColumn("zvalue", z)
+    drop = [f"__mn_{c}" for c in cols] + [f"__mx_{c}" for c in cols]
+    return out.drop(*drop)
+
+
+def write_zordered(df: DataFrame, path: str, cols: Sequence[str],
+                   n_files: int, bits: int = ZORDER_BITS,
+                   mode: str = "overwrite") -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned on
+    the Z-curve: each file covers one contiguous z-range, so its
+    footer min/max on EVERY interleaved column is a tight box and a
+    reader filtering on any of them skips most files/row-groups
+    (measured, not assumed: tests/test_bucketing.py reads the footer
+    stats back and counts overlapping files vs a single-column sort).
+    ``repartitionByRange`` samples the z distribution for balanced
+    file sizes — the one shuffle, paid at write time."""
+    zdf = zorder_value(df, cols, bits)
+    (zdf.repartitionByRange(n_files, "zvalue")
+     .sortWithinPartitions("zvalue")
+     .write.mode(mode).parquet(path))

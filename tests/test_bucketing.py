@@ -242,3 +242,79 @@ def test_schema_evolution_merge_and_defaults(spark, tmp_path):
     patched = merged.withColumn(
         "quality", F.coalesce("quality", F.lit(0.5)))
     assert patched.filter(F.col("quality") == 0.5).count() == 2
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column sort, measured from the actual parquet
+    footer min/max stats (what any stats-aware reader prunes with):
+    two independent uniform columns, 16 output files.
+
+    * sorted-by-x layout: a narrow y predicate overlaps ~EVERY file
+      (y min/max spans the full range in each file);
+    * z-ordered (x, y) layout: the same y predicate overlaps only the
+      files whose z-range maps to that y slab — strictly fewer, and
+      an x predicate also skips (the both-columns property neither
+      single sort has)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from stockanalyses_downloader_spark.sources import bucketing
+
+    n, files = 4096, 16
+    # deterministic pseudo-uniform pair derived from the row id
+    df = (spark.range(n)
+          .withColumn("x", (F.conv(F.substring(F.md5(
+              F.concat(F.lit("x"), F.col("id").cast("string"))), 1, 6),
+              16, 10).cast("long") % 1000).cast("double"))
+          .withColumn("y", (F.conv(F.substring(F.md5(
+              F.concat(F.lit("y"), F.col("id").cast("string"))), 1, 6),
+              16, 10).cast("long") % 1000).cast("double")))
+
+    p_sorted = str(tmp_path / "sorted_x")
+    (df.repartitionByRange(files, "x").sortWithinPartitions("x")
+     .write.mode("overwrite").parquet(p_sorted))
+    p_z = str(tmp_path / "zorder")
+    bucketing.write_zordered(df, p_z, ["x", "y"], n_files=files)
+
+    def overlapping(path, col, lo, hi):
+        import glob
+        total, hit = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cmin = min(md.row_group(i).column(
+                [md.schema.column(j).name
+                 for j in range(md.num_columns)].index(col)).statistics.min
+                for i in range(md.num_row_groups))
+            cmax = max(md.row_group(i).column(
+                [md.schema.column(j).name
+                 for j in range(md.num_columns)].index(col)).statistics.max
+                for i in range(md.num_row_groups))
+            total += 1
+            if cmax >= lo and cmin <= hi:
+                hit += 1
+        return hit, total
+
+    y_hit_sorted, y_tot_sorted = overlapping(p_sorted, "y", 100.0, 160.0)
+    y_hit_z, y_tot_z = overlapping(p_z, "y", 100.0, 160.0)
+    x_hit_z, _ = overlapping(p_z, "x", 100.0, 160.0)
+
+    assert y_tot_sorted == files and y_tot_z == files
+    assert y_hit_sorted == files            # single sort: y stats useless
+    assert y_hit_z < files // 2             # z-order: y skips most files
+    assert x_hit_z < files // 2             # ... and x still skips too
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """The Morton contract on a known 2-bit grid: corners map to the
+    canonical interleave order (0,0)->0 (1,0)->2 (0,1)->1 (1,1)->3
+    scaled to the bit width, and zvalue is deterministic."""
+    from pyspark.sql import functions as F
+
+    from stockanalyses_downloader_spark.sources import bucketing
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)], "x double, y double")
+    out = bucketing.zorder_value(df, ["x", "y"], bits=1)
+    got = {(r["x"], r["y"]): r["zvalue"] for r in out.collect()}
+    assert got == {(0.0, 0.0): 0, (1.0, 0.0): 2, (0.0, 1.0): 1,
+                   (1.0, 1.0): 3}
