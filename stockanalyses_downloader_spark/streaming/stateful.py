@@ -32,6 +32,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql import types as T
 
 STATS_SCHEMA = T.StructType([
@@ -85,6 +86,69 @@ def _make_update(idle_timeout_ms: int | None):
                              "min_price": mn, "max_price": mx}])
 
     return _update
+
+
+class _PairStatsProcessor(StatefulProcessor):
+    """Spark-4 ``transformWithState`` successor of ``_make_update`` —
+    the same per-key running stats on the new arbitrary-state API:
+    typed ValueState instead of a positional tuple schema string at
+    the call site, native per-state TTL instead of manually re-armed
+    ProcessingTimeTimeout, and a processor object whose lifecycle
+    (init/close) the engine owns."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl = ttl_ms
+
+    def init(self, handle) -> None:
+        self._stats = handle.getValueState(
+            "stats", _STATE_SCHEMA, ttlDurationMs=self._ttl)
+
+    def handleInputRows(self, key: tuple, rows, timerValues):
+        (pair,) = key
+        prev = self._stats.get() if self._stats.exists() else None
+        if prev is not None:
+            n, vol, last, mn, mx = prev
+        else:
+            n, vol, last, mn, mx = 0, 0.0, None, None, None
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "last_price"])
+            n += len(pdf)
+            vol += float(pdf["volume"].sum())
+            last = float(pdf["last_price"].iloc[-1])
+            lo = float(pdf["last_price"].min())
+            hi = float(pdf["last_price"].max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        self._stats.update((n, vol, last, mn, mx))
+        yield pd.DataFrame([{"pair": pair, "n_ticks": n,
+                             "total_volume": vol, "last_price": last,
+                             "min_price": mn, "max_price": mx}])
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def running_pair_stats_tws(ticks: DataFrame, key: str = "pair",
+                           ttl_ms: int | None = None) -> DataFrame:
+    """``running_pair_stats`` on the transformWithStateInPandas API
+    (Spark 4 arbitrary-state operator — REQUIRES the RocksDB state
+    store provider; the caller sets
+    ``spark.sql.streaming.stateStore.providerClass``). Semantics are
+    pinned equal to the applyInPandasWithState path in
+    tests/test_streaming.py; ``ttl_ms`` maps the idle-eviction
+    contract onto native state TTL."""
+    return (ticks.groupBy(key)
+            .transformWithStateInPandas(
+                statefulProcessor=_PairStatsProcessor(ttl_ms),
+                outputStructType=STATS_SCHEMA,
+                outputMode="update",
+                timeMode="none"))
 
 
 def running_pair_stats(ticks: DataFrame, key: str = "pair",
