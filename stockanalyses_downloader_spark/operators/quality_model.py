@@ -114,3 +114,34 @@ def score_with_weights(features: DataFrame, weights: list[float],
     return features.select(
         id_col, z.alias("logit"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("prob"))
+
+
+def roc_auc(scored: DataFrame, score_col: str = "logit",
+            label_col: str = "y") -> DataFrame:
+    """Exact ROC-AUC without a global row sort: scores collapse to
+    DISTINCT values (one groupBy), the Mann-Whitney midrank formula
+    runs as a cumulative window over that distinct-value frame —
+    shuffle width = |distinct scores|, not |rows| (bin to fixed
+    precision upstream if scores are continuous at 100 TB). Ties are
+    exact midranks: AUC = sum_v P(v)*(N_below(v) + N(v)/2) / (P*N).
+    Decimal accumulation; one final double division. Output 1 row:
+    (n_pos, n_neg, auc)."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("int")
+    by_v = (scored.select(F.col(score_col).alias("s"), y.alias("y"))
+            .groupBy("s")
+            .agg(F.count("*").alias("n"), F.sum("y").alias("p")))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    neg = (F.col("n") - F.col("p")).cast("decimal(38,1)")
+    cum_neg_below = F.coalesce(F.sum(neg).over(w),
+                               F.lit(0).cast("decimal(38,1)"))
+    contrib = (F.col("p").cast("decimal(38,1)")
+               * (cum_neg_below + neg / 2)).cast("decimal(38,2)")
+    return (by_v.select("n", "p", contrib.alias("c"))
+            .agg(F.sum("p").cast("long").alias("n_pos"),
+                 (F.sum("n") - F.sum("p")).cast("long").alias("n_neg"),
+                 F.sum("c").alias("num"))
+            .select("n_pos", "n_neg",
+                    (F.col("num").cast("double")
+                     / (F.col("n_pos") * F.col("n_neg"))).alias("auc")))

@@ -489,6 +489,13 @@ _TAIL = [
                                     # report (lag break + running
                                     # island number);
                                     # DuckDB-oracled; new r5c
+    "quality_model_auc",            # Mann-Whitney midrank ROC-AUC of
+                                    # the frozen quality prior over
+                                    # DISTINCT scores (no global row
+                                    # sort); DuckDB-oracled; new r5c
+    "quality_calibration_deciles",  # equal-width logit bands with
+                                    # per-band positive rate;
+                                    # DuckDB-oracled; new r5c
 ]
 
 

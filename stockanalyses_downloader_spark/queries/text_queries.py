@@ -1977,3 +1977,115 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 QUERIES.update({
     "corpus_snapshot_diff": Q(corpus_snapshot_diff, _SNAPSHOT_DIFF_SQL),
 })
+
+
+def quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the frozen quality prior against the lang=='en'
+    label — the eval leg every model-based filter needs before its
+    scores gate a corpus. Computed WITHOUT a global row sort: scores
+    collapse to DISTINCT logit values first (groupBy), then the
+    Mann-Whitney midrank formula runs as one cumulative window over
+    the distinct-value frame — the shuffle carries |distinct scores|
+    rows, not |corpus| (at 100 TB, bin scores to fixed precision
+    first and the frame is constant-sized; here logits are already
+    few per text shape). Ties handled exactly via midranks:
+    AUC = sum_v P(v) * (N_below(v) + N(v)/2) / (P_total * N_total).
+    Decimal accumulation end to end; the single division happens
+    last. Output: (n_pos, n_neg, auc)."""
+    from ..operators import quality_model as qm
+    d = _docs(spark, sf_dir)
+    feats = qm.surface_features(d)
+    scored = (qm.score_with_weights(feats, _QUALITY_W)
+              .select("doc_id", "logit")
+              .join(d.select("doc_id",
+                             (F.col("lang") == "en").cast("int").alias("y")),
+                    "doc_id"))
+    return qm.roc_auc(scored, "logit", "y")
+
+
+def _auc_sql() -> str:
+    return f"""
+WITH scored AS (
+  SELECT s.doc_id, s.logit,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM ({_QUALITY_LOGITS_SQL.strip()}) s
+  JOIN documents d ON s.doc_id = d.doc_id
+), by_v AS (
+  SELECT logit, count(*) AS n, sum(y) AS p FROM scored GROUP BY logit
+), cum AS (
+  SELECT logit, n, p,
+         CAST(coalesce(SUM(CAST(n - p AS DECIMAL(38,1))) OVER
+              (ORDER BY logit ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS DECIMAL(38,1)) AS cum_neg_below
+  FROM by_v
+), contrib AS (
+  SELECT n, p,
+         CAST(CAST(p AS DECIMAL(38,1))
+              * (cum_neg_below + CAST(n - p AS DECIMAL(38,1)) / 2)
+              AS DECIMAL(38,2)) AS c
+  FROM cum
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(n) - sum(p) AS BIGINT) AS n_neg,
+       CAST(sum(c) AS DOUBLE) / (sum(p) * (sum(n) - sum(p))) AS auc
+FROM contrib
+"""
+
+
+def quality_calibration_deciles(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Calibration curve for the frozen quality prior: docs bucketed
+    into 10 equal-width logit bands between the corpus min and max
+    (equal-WIDTH, not ntile — rank-based deciles need a global row
+    sort and tie-break contract; width bands are one broadcast
+    min/max scalar and engine-exact), with per-band volume and
+    positive rate. A well-calibrated score is monotone in pos_rate
+    across bands. Output: (band, n_docs, n_pos, pos_rate)."""
+    from ..operators import quality_model as qm
+    d = _docs(spark, sf_dir)
+    feats = qm.surface_features(d)
+    scored = (qm.score_with_weights(feats, _QUALITY_W)
+              .select("doc_id", "logit")
+              .join(d.select("doc_id",
+                             (F.col("lang") == "en").cast("int").alias("y")),
+                    "doc_id"))
+    rng = scored.agg(F.min("logit").alias("lo"), F.max("logit").alias("hi"))
+    banded = (scored.crossJoin(F.broadcast(rng))
+              .withColumn(
+                  "band",
+                  F.least(F.floor((F.col("logit") - F.col("lo"))
+                                  / ((F.col("hi") - F.col("lo")) / 10)),
+                          F.lit(9)).cast("int")))
+    return (banded.groupBy("band")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("y").cast("long").alias("n_pos"))
+            .withColumn("pos_rate",
+                        F.col("n_pos") / F.col("n_docs").cast("double")))
+
+
+def _calibration_sql() -> str:
+    return f"""
+WITH scored AS (
+  SELECT s.doc_id, s.logit,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM ({_QUALITY_LOGITS_SQL.strip()}) s
+  JOIN documents d ON s.doc_id = d.doc_id
+), rng AS (
+  SELECT min(logit) AS lo, max(logit) AS hi FROM scored
+), banded AS (
+  SELECT CAST(least(floor((logit - lo) / ((hi - lo) / 10)), 9) AS INT)
+           AS band, y
+  FROM scored, rng
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE) AS pos_rate
+FROM banded GROUP BY band
+"""
+
+
+QUERIES.update({
+    "quality_model_auc": Q(quality_model_auc, _auc_sql()),
+    "quality_calibration_deciles": Q(quality_calibration_deciles,
+                                     _calibration_sql()),
+})

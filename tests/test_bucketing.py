@@ -318,3 +318,37 @@ def test_zorder_value_interleaves_bits(spark):
     got = {(r["x"], r["y"]): r["zvalue"] for r in out.collect()}
     assert got == {(0.0, 0.0): 0, (1.0, 0.0): 2, (0.0, 1.0): 1,
                    (1.0, 1.0): 3}
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: a partitioned FACT joined to a dim
+    whose filter only exists at runtime gets its partition list
+    narrowed by a dynamicpruning subquery fed from the dim's
+    broadcast — the mechanism that makes star-schema scans at 100 TB
+    read only the qualifying date/type directories even when the
+    qualifying set is data-dependent (vs the STATIC PartitionFilters
+    of test_partitioned_layout_prunes_directories). Pinned in the
+    plan text; result equality vs a pre-filtered read pinned too."""
+    from pyspark.sql import functions as F
+
+    fact = (spark.range(2000)
+            .withColumn("k", (F.col("id") % 20).cast("int"))
+            .withColumn("v", F.col("id") * 2))
+    p = str(tmp_path / "fact_part")
+    fact.write.mode("overwrite").partitionBy("k").parquet(p)
+
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 3 else "drop") for i in range(20)],
+        "k int, tag string")
+
+    f = spark.read.parquet(p)
+    joined = (f.join(dim.filter(F.col("tag") == "keep"), "k")
+              .groupBy("k").agg(F.sum("v").alias("s")))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    got = {(r["k"], r["s"]) for r in joined.collect()}
+    want = {(r["k"], r["s"]) for r in
+            (f.filter(F.col("k") < 3).groupBy("k")
+             .agg(F.sum("v").alias("s")).collect())}
+    assert got == want and len(got) == 3

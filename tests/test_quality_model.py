@@ -177,3 +177,38 @@ def test_split_leakage_report_flags_cross_split_pairs(spark):
            for r in split_leakage_report(spark, d).collect()}
     assert got == {("train", "val"): 1, ("test", "train"): 1,
                    ("test", "val"): 1}
+
+
+def test_roc_auc_matches_brute_force_pairs(spark):
+    """The midrank AUC equals the probabilistic definition computed
+    by brute pair enumeration (ties counted 1/2) on a planted score
+    set WITH duplicated scores across both classes."""
+    rows = [(1.0, 1), (1.0, 0), (0.5, 1), (0.5, 0), (0.5, 1),
+            (0.2, 0), (0.2, 0), (0.9, 1), (0.1, 0), (0.9, 0)]
+    from stockanalyses_downloader_spark.operators import quality_model as qm
+
+    df = spark.createDataFrame(rows, "logit double, y int")
+    got = qm.roc_auc(df, "logit", "y").collect()[0]
+
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0
+              for p in pos for n in neg)
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - num / (len(pos) * len(neg))) < 1e-12
+
+
+def test_roc_auc_boundary_values(spark):
+    """Perfect separation = 1.0; inverted separation = 0.0; a
+    constant score (all ties) = 0.5 exactly."""
+    from stockanalyses_downloader_spark.operators import quality_model as qm
+
+    perfect = spark.createDataFrame(
+        [(2.0, 1), (1.9, 1), (0.1, 0), (0.0, 0)], "logit double, y int")
+    assert qm.roc_auc(perfect).collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.0, 1), (0.1, 1), (1.9, 0), (2.0, 0)], "logit double, y int")
+    assert qm.roc_auc(inverted).collect()[0]["auc"] == 0.0
+    ties = spark.createDataFrame(
+        [(1.0, 1), (1.0, 0), (1.0, 1), (1.0, 0)], "logit double, y int")
+    assert qm.roc_auc(ties).collect()[0]["auc"] == 0.5
