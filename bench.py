@@ -66,6 +66,12 @@ EXTENDED = [
     "global_near_dup_pairs",        # prefix-filtered global join
     "signup_conversion_funnel",     # chained conditional aggs
     "isin_price_trend",             # grouped closed-form OLS
+    # round-5c additions
+    "part_entity_resolution",       # blocked linkage + CC closure
+    "bloom_decontamination_probes", # bloom probe vs exact join
+    "quality_model_auc",            # distinct-value midrank AUC
+    "tick_price_anomalies",         # trailing z-score windows
+    "tick_feed_islands",            # lag break + running island id
 ]
 
 

@@ -691,6 +691,62 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
 
 # --- IVF index persistence: build once, serve many (r5b) -------------------
 
+def _assign_to_lists(embeddings: DataFrame, cent: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid list assignment (cosine argmax over the
+    broadcast centroid table): (id, v, norm, list_id). Shared by the
+    one-shot index build and the incremental append, so both produce
+    IDENTICAL list content for the same centroids — pinned in
+    tests/test_analytics (append == one-shot parity)."""
+    e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("norm", l2_norm(F.col("v")))
+    scored = (e.crossJoin(F.broadcast(cent))
+              .select(id_col, "v", "norm", "centroid_id",
+                      (dot(F.col("v"), F.col("cv"))
+                       / (F.col("norm") * F.col("cnorm"))).alias("csim")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("csim").desc(), F.col("centroid_id"))
+    return (scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(id_col, "v", "norm",
+                    F.col("centroid_id").alias("list_id")))
+
+
+def append_to_ivf_index(spark, path: str, new_embeddings: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Incremental index maintenance: assign NEW vectors to the
+    FROZEN stored centroids and APPEND them to the partitioned lists
+    — today's ingest becomes searchable without rebuilding the index
+    or rescanning the corpus (the nightly-rebuild/daily-append
+    cadence every 100 TB ANN deployment runs). The list_sizes table
+    is updated by ADDITION (old sizes + the delta's per-list counts
+    — an n_centroids-row merge, collected driver-side because the
+    sizes frame is model-sized by construction and its output path
+    must be overwritten while still readable).
+
+    The deliberate trade: appended mass does NOT move centroids, so
+    assignment quality degrades as the corpus drifts from the
+    training snapshot — rebuild (save_ivf_index) on a cadence chosen
+    by drift, append in between. Caller owns id uniqueness across
+    appends (same contract as any upsert-free log)."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    lists = _assign_to_lists(new_embeddings, cent, id_col, vec_col)
+    lists.write.mode("append").partitionBy("list_id") \
+        .parquet(f"{path}/lists")
+    old = {r["list_id"]: r["lsz"] for r in
+           spark.read.parquet(f"{path}/list_sizes").collect()}
+    delta = {r["list_id"]: r["n"] for r in
+             lists.groupBy("list_id")
+             .agg(F.count("*").alias("n")).collect()}
+    for lid, n in delta.items():
+        old[lid] = old.get(lid, 0) + n
+    (spark.createDataFrame([(int(k), int(v)) for k, v in old.items()],
+                           "list_id int, lsz long")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/list_sizes"))
+
+
 def save_ivf_index(embeddings: DataFrame, path: str,
                    n_centroids: int = 16, kmeans_iters: int = 4,
                    id_col: str = "vec_id",
@@ -710,18 +766,7 @@ def save_ivf_index(embeddings: DataFrame, path: str,
     cent = kmeans_centroids(embeddings, k=n_centroids,
                             n_iter=kmeans_iters, id_col=id_col,
                             vec_col=vec_col)
-    e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
-    e = e.withColumn("norm", l2_norm(F.col("v")))
-    scored = (e.crossJoin(F.broadcast(cent))
-              .select(id_col, "v", "norm", "centroid_id",
-                      (dot(F.col("v"), F.col("cv"))
-                       / (F.col("norm") * F.col("cnorm"))).alias("csim")))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("csim").desc(), F.col("centroid_id"))
-    lists = (scored.withColumn("__r", F.row_number().over(w))
-             .filter(F.col("__r") == 1)
-             .select(id_col, "v", "norm",
-                     F.col("centroid_id").alias("list_id")))
+    lists = _assign_to_lists(embeddings, cent, id_col, vec_col)
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
     lists.write.mode("overwrite").partitionBy("list_id") \
         .parquet(f"{path}/lists")

@@ -1328,3 +1328,48 @@ def test_prefix_filter_join_edge_inputs(spark):
     solo = spark.createDataFrame([(1, "just one single document here")],
                                  "doc_id long, text string")
     assert dedup.jaccard_pairs_prefix_filter(solo).count() == 0
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """Incremental index maintenance (r5c): build on half the corpus,
+    append the other half against the FROZEN centroids. Pins:
+    (1) appended list content is IDENTICAL to a one-shot assignment
+    of the full corpus under the same centroids (shared
+    _assign_to_lists), (2) list_sizes was updated by addition and
+    matches the actual per-list counts, (3) an appended vector is
+    immediately searchable (self-query top-1 = itself)."""
+    from stockanalyses_downloader_spark.operators import similarity
+
+    e = load_table(spark, SF, "embeddings")
+    half_a = e.filter(F.col("vec_id") < 250)
+    half_b = e.filter(F.col("vec_id") >= 250)
+    path = str(tmp_path / "ivf_inc")
+    similarity.save_ivf_index(half_a, path, n_centroids=16,
+                              kmeans_iters=3)
+    similarity.append_to_ivf_index(spark, path, half_b)
+
+    lists = spark.read.parquet(f"{path}/lists")
+    cent = spark.read.parquet(f"{path}/centroids")
+    got_assign = {(r["vec_id"], r["list_id"])
+                  for r in lists.select("vec_id", "list_id").collect()}
+    want_assign = {(r["vec_id"], r["list_id"])
+                   for r in similarity._assign_to_lists(e, cent)
+                   .select("vec_id", "list_id").collect()}
+    assert got_assign == want_assign
+    assert len(got_assign) == e.count()
+
+    sizes = {r["list_id"]: r["lsz"] for r in
+             spark.read.parquet(f"{path}/list_sizes").collect()}
+    actual = {r["list_id"]: r["n"] for r in
+              lists.groupBy("list_id").agg(F.count("*").alias("n"))
+              .collect()}
+    assert sizes == actual
+
+    appended_qids = [400, 401, 402]
+    queries = (e.filter(F.col("vec_id").isin(appended_qids))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    served = similarity.ivf_topk_from_index(spark, path, queries,
+                                            k=5, n_probe=4)
+    tops = {r["query_id"]: r["neighbor_id"]
+            for r in served.filter(F.col("rank") == 1).collect()}
+    assert all(tops[q] == q for q in appended_qids)
