@@ -38,7 +38,13 @@ _WINDOW = [
     "ticks_asof_quotes",
     "ticks_in_candle_ranges",   # range/interval join (bucketed)
     "vwap_by_isin",
-    "jobs_parse_dispatch",
+    "tick_feed_islands",        # gaps-and-islands outage report (r5c
+                                # rotation in — took jobs_parse_
+                                # dispatch's slot: S1 job parsing
+                                # stays driver-visible through
+                                # job_state_claim_counts, which runs
+                                # the same parse machinery into the
+                                # state machine)
     "pyds_ticker_snapshot",     # custom Python DataSource connector,
                                 # oracled end to end (r5b rotation in
                                 # — took jobs_resolve_pair's slot:
@@ -47,7 +53,11 @@ _WINDOW = [
                                 # certified CONNECTOR is the stronger
                                 # source-tier evidence)
     "rest_pipeline_messages",
-    "dead_letter_by_exchange",
+    "part_entity_resolution",   # record linkage capstone (r5c
+                                # rotation in — took dead_letter_by_
+                                # exchange's slot: K5 dead-letter
+                                # stays driver-visible via in-window
+                                # ingest_dead_letter_rates)
     "job_state_claim_counts",
     "user_profile_merged",      # CDC changelog MERGE apply (r5 second
                                 # block rotation in — took job_state_
@@ -58,7 +68,13 @@ _WINDOW = [
     "wss_enriched_messages",
     "weekly_ohlc_candles",
     # similarity / dedup / multimodal (X2/X3/X5) — driver-unverified in r1
-    "embedding_exact_dups",
+    "bloom_decontamination_probes",  # bloom-vs-exact decontamination
+                                # (r5c rotation in — took embedding_
+                                # exact_dups' slot: X1 exact dedup
+                                # keeps exact_dedup_docs + the
+                                # multimodal digest rows; the
+                                # membership-sketch tier earns its
+                                # first driver row)
     "cosine_topk_bruteforce",
     "embedding_near_dup_pairs",
     "label_centroid_components",  # element-wise vector mean (k-means step)
@@ -91,7 +107,12 @@ _WINDOW = [
     "corpus_datacard",          # release-report rollup (r4 rotation
                                 # in — VERDICT r3 #3)
     # text analysis (X1/X4) + deterministic sampling
-    "doc_tfidf_top_terms",      # TF-IDF characteristic terms
+    "quality_model_auc",        # midrank ROC-AUC of the quality
+                                # prior (r5c rotation in — took
+                                # doc_tfidf_top_terms' slot: X4 keeps
+                                # surprisal/winnowing/substring-dup/
+                                # pii driver rows; the EVAL tier
+                                # earns its first)
     "doc_bigram_surprisal",     # bigram-LM inverse conditional prob
                                 # (r5 rotation in — catches wrong-
                                 # SEQUENCE text; took collocations'
@@ -148,6 +169,22 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "jobs_parse_dispatch",          # S1 — hash-green r1–r5b; slot
+                                    # yielded (r5c) to tick_feed_
+                                    # islands; job parsing stays
+                                    # driver-visible via job_state_
+                                    # claim_counts
+    "dead_letter_by_exchange",      # K5 — hash-green r1–r5b; slot
+                                    # yielded (r5c) to part_entity_
+                                    # resolution; dead-letter stays
+                                    # driver-visible via ingest_
+                                    # dead_letter_rates
+    "embedding_exact_dups",         # X1 vector rep — hash-green
+                                    # r1–r5b; slot yielded (r5c) to
+                                    # bloom_decontamination_probes
+    "doc_tfidf_top_terms",          # X4 rep — hash-green r1–r5b;
+                                    # slot yielded (r5c) to
+                                    # quality_model_auc; still benched
     "jobs_resolve_pair",            # S2+J1 — hash-green r1–r5a; slot
                                     # yielded (r5b) to the certified
                                     # custom connector; resolve_pair
@@ -471,31 +508,23 @@ _TAIL = [
                                     # HLL/count-min/HDR/Bloom);
                                     # DuckDB-oracled incl. the bit
                                     # positions; new r5c
-    "bloom_decontamination_probes", # bloom-filtered decontamination
-                                    # next to the exact join — the
-                                    # no-false-negative contract
-                                    # certified per doc;
-                                    # DuckDB-oracled; new r5c
-    "part_entity_resolution",       # record linkage (Fellegi-Sunter
-                                    # block/compare/decide/cluster)
-                                    # over the part catalog;
-                                    # DuckDB-oracled incl. the
-                                    # recursive closure; new r5c
     "tick_price_anomalies",         # trailing-window z-score flags
                                     # (baseline excludes the current
                                     # row — no self-masking);
                                     # DuckDB-oracled; new r5c
-    "tick_feed_islands",            # gaps-and-islands feed-outage
-                                    # report (lag break + running
-                                    # island number);
-                                    # DuckDB-oracled; new r5c
-    "quality_model_auc",            # Mann-Whitney midrank ROC-AUC of
-                                    # the frozen quality prior over
-                                    # DISTINCT scores (no global row
-                                    # sort); DuckDB-oracled; new r5c
     "quality_calibration_deciles",  # equal-width logit bands with
                                     # per-band positive rate;
                                     # DuckDB-oracled; new r5c
+    "cheapest_supplier_per_part",   # Q2 correlated-minimum shape,
+                                    # decorrelated into a window over
+                                    # the part key; DuckDB-oracled;
+                                    # new r5c
+    "regional_market_share",        # Q8 conditional revenue share per
+                                    # year (single-aggregate num/den);
+                                    # DuckDB-oracled; new r5c
+    "suppliers_with_excess_supply", # Q20 nested-agg subquery as two
+                                    # aggregates off one shuffled
+                                    # frame; DuckDB-oracled; new r5c
 ]
 
 

@@ -1682,3 +1682,163 @@ FROM part p LEFT JOIN comp c ON p.p_partkey = c.id
 QUERIES.update({
     "part_entity_resolution": Q(part_entity_resolution, _ER_SQL),
 })
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated-minimum shape on this schema (no partsupp
+    table — the observed supply relation is lineitem): for each part,
+    the supplier(s) whose realized unit price (decimal-summed
+    extendedprice / quantity) equals the part's minimum. Spark-first
+    decorrelation: instead of re-scanning the aggregate per part (the
+    literal Q2 subquery), the per-(part, supplier) aggregate is built
+    once and the correlated MIN becomes a window over the part key —
+    one extra exchange-free window on the same partitioning. Doubles
+    compare exactly because both engines produce them from identical
+    decimal sums and identical division order."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per = (li.groupBy("l_partkey", "l_suppkey")
+           .agg(dsum(F.col("l_extendedprice")).alias("sum_price"),
+                dsum(F.col("l_quantity")).alias("sum_qty")))
+    per = per.withColumn("unit_cost", F.col("sum_price") / F.col("sum_qty"))
+    w = Window.partitionBy("l_partkey")
+    best = (per.withColumn("min_cost", F.min("unit_cost").over(w))
+            .filter(F.col("unit_cost") == F.col("min_cost")))
+    return (best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    "s_name", "n_name", "unit_cost"))
+
+
+_Q2_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+           AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         MIN(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM per
+)
+SELECT b.l_partkey AS p_partkey, s.s_name AS s_name, n.n_name AS n_name,
+       b.unit_cost AS unit_cost
+FROM best b
+JOIN supplier s ON b.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE b.unit_cost = b.min_cost
+"""
+
+
+def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8's conditional-share shape: among orders placed by customers
+    of region 'ASIA', the revenue share supplied by nation 'NATION_3'
+    suppliers, per order year. One join tree, decimal numerator and
+    denominator in the SAME aggregate (no second scan), final double
+    division. Output: (o_year, total_rev, share)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cust_region = (c.join(F.broadcast(
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+         .filter(F.col("r_name") == "ASIA").select("n_nationkey")),
+        c["c_nationkey"] == F.col("n_nationkey")))
+    supp_nation = (s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+                   .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+              .join(cust_region.select("c_custkey"),
+                    o["o_custkey"] == F.col("c_custkey"))
+              .join(F.broadcast(supp_nation),
+                    li["l_suppkey"] == F.col("s_suppkey"))
+              .select(F.year("o_orderdate").alias("o_year"),
+                      rev.alias("rev"), "supp_nation"))
+    return (joined.groupBy("o_year")
+            .agg(dsum(F.col("rev")).alias("total_rev"),
+                 dsum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("rev")).otherwise(F.lit(0.0)))
+                 .alias("n0_rev"))
+            .select("o_year", "total_rev",
+                    (F.col("n0_rev") / F.col("total_rev")).alias("share")))
+
+
+_Q8_SQL = """
+WITH cust_r AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), supp_n AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(30,10))) AS DOUBLE) AS total_rev,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3'
+                          THEN l_extendedprice * (1.0 - l_discount)
+                          ELSE 0.0 END AS DECIMAL(30,10))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(30,10))) AS DOUBLE) AS share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN cust_r ON o_custkey = c_custkey
+JOIN supp_n ON l_suppkey = s_suppkey
+GROUP BY year(o_orderdate)
+"""
+
+
+def suppliers_with_excess_supply(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Q20's nested-aggregate-subquery shape: suppliers who shipped
+    MORE THAN HALF of some part's total shipped quantity (dominant
+    suppliers — the availability-risk audit). The literal form is a
+    correlated 'qty > 0.5 * (SELECT sum ...)' subquery; Spark-first
+    it's the per-(part, supplier) aggregate joined to the per-part
+    aggregate — both grow out of ONE shuffled frame (partial agg
+    reuse), then a semi-style distinct count per supplier. Output:
+    (s_suppkey, s_name, n_parts_dominated)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_ps = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum(F.col("l_quantity").cast("decimal(30,10)"))
+                   .alias("sq")))
+    per_p = (per_ps.groupBy("l_partkey")
+             .agg(F.sum("sq").alias("tq")))
+    dom = (per_ps.join(per_p, "l_partkey")
+           .filter(F.col("sq") * 2 > F.col("tq")))
+    return (dom.groupBy("l_suppkey")
+            .agg(F.count("*").alias("n_parts_dominated"))
+            .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+            .select("s_suppkey", "s_name", "n_parts_dominated"))
+
+
+_Q20_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(30,10))) AS sq
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), per_p AS (
+  SELECT l_partkey, SUM(sq) AS tq FROM per_ps GROUP BY l_partkey
+), dom AS (
+  SELECT l_suppkey, count(*) AS n_parts_dominated
+  FROM per_ps JOIN per_p USING (l_partkey)
+  WHERE sq * 2 > tq
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+       CAST(d.n_parts_dominated AS BIGINT) AS n_parts_dominated
+FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+"""
+
+QUERIES.update({
+    "cheapest_supplier_per_part": Q(cheapest_supplier_per_part, _Q2_SQL),
+    "regional_market_share": Q(regional_market_share, _Q8_SQL),
+    "suppliers_with_excess_supply": Q(suppliers_with_excess_supply,
+                                      _Q20_SQL),
+})
