@@ -76,8 +76,19 @@ def resolve_entities(records: DataFrame, id_col: str,
     plus ``entity_id`` and ``is_canonical`` (the cluster minimum
     keeps the record-of-reference role, the dedup_keepers
     contract)."""
+    assert threshold <= 1.0, "exact-form pairs score 1.0 and must match"
     carry = [name_col] + ([agree_col] if agree_col else [])
-    pairs = candidate_pairs(records, id_col, block_col, carry)
+    # Exact-form collapse — the linkage scale shape: records sharing
+    # the same (name, agree) surface form ALWAYS merge (sim 1.0 +
+    # agreement 1.0 >= any threshold <= 1.0), so the pairwise stage
+    # runs over DISTINCT forms and the comparison cost is
+    # |surface forms|^2 per block, not |records|^2 (a catalog with
+    # 320 listings per product name pays 1 comparison, not ~50k).
+    # Each form's representative id is its min record id; transitive
+    # closure over rep ids then maps back through one form join —
+    # provably the same clusters/minima as record-level closure.
+    forms = records.groupBy(*carry).agg(F.min(id_col).alias("__rep"))
+    pairs = candidate_pairs(forms, "__rep", block_col, carry)
     sim = name_similarity(F.col(f"{name_col}_a"), F.col(f"{name_col}_b"))
     if agree_col:
         agree = (F.col(f"{agree_col}_a") == F.col(f"{agree_col}_b")
@@ -88,9 +99,19 @@ def resolve_entities(records: DataFrame, id_col: str,
     edges = (pairs.filter(score >= threshold)
              .select("id_a", "id_b"))
     comp = connected_components(edges)
-    out = records.join(
-        comp.withColumnRenamed("id", id_col), id_col, "left")
-    entity = F.coalesce("component", F.col(id_col))
-    return (out.withColumn("entity_id", entity)
-            .withColumn("is_canonical", F.col(id_col) == entity)
-            .drop("component"))
+    form_entity = (forms.join(
+        comp.withColumnRenamed("id", "__rep"), "__rep", "left")
+        .withColumn("__entity", F.coalesce("component", F.col("__rep")))
+        .select(*carry, "__entity"))
+    # null-safe equi-join on the form columns (a NULL name is still a
+    # form; plain equality would drop those records)
+    cond = None
+    for c in carry:
+        eq = records[c].eqNullSafe(form_entity[c])
+        cond = eq if cond is None else cond & eq
+    out = (records.join(form_entity, cond)
+           .drop(form_entity[carry[0]], *[form_entity[c]
+                                          for c in carry[1:]]))
+    return (out.withColumn("entity_id", F.col("__entity"))
+            .withColumn("is_canonical", F.col(id_col) == F.col("__entity"))
+            .drop("__entity"))
