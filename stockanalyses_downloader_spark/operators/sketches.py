@@ -296,3 +296,22 @@ def hdr_quantiles_grouped(grid: DataFrame, group_cols: list[str],
     return hits.select(
         *group_cols, "q", hdr_bucket_value(F.col("o"), m).alias("est"),
         F.col("n_total").cast("long").alias("n_total"))
+
+
+def countmin_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two count-min grids (AMS-style:
+    |A ⋈ B on k| = sum_v fA(v)*fB(v), estimated per hash row by the
+    bucket-wise inner product, min over rows). One-sided like the
+    point query: estimate >= true join size always (colliding keys
+    only ADD cross terms), error bounded by e * N_a * N_b / width
+    per row. The 100 TB use: join-size forecasting from per-day
+    mergeable grids BEFORE running the join — shuffle sizing, skew
+    alerts, AQE hints — without touching either fact table again.
+    Input frames are (row_id, bucket, c) grids built by
+    countmin_build on the JOIN KEY with identical depth/width (the
+    grids carry the geometry — no parameters needed here).
+    Output 1 row: (est_join_size)."""
+    prod = (a.alias("a").join(b.alias("b"), ["row_id", "bucket"])
+            .groupBy("row_id")
+            .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("ip")))
+    return prod.agg(F.min("ip").cast("long").alias("est_join_size"))

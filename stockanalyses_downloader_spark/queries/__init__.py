@@ -525,6 +525,14 @@ _TAIL = [
     "suppliers_with_excess_supply", # Q20 nested-agg subquery as two
                                     # aggregates off one shuffled
                                     # frame; DuckDB-oracled; new r5c
+    "orders_join_size_estimate",    # AMS inner-product join-size
+                                    # forecast from two count-min
+                                    # grids, exact count alongside
+                                    # (one-sided contract driver-
+                                    # visible); DuckDB-oracled; r5c
+    "token_heavy_hitters",          # count-min heavy hitters (no
+                                    # false dismissals, exact count
+                                    # alongside); DuckDB-oracled; r5c
 ]
 
 

@@ -1842,3 +1842,68 @@ QUERIES.update({
     "suppliers_with_excess_supply": Q(suppliers_with_excess_supply,
                                       _Q20_SQL),
 })
+
+
+def orders_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size forecasting from mergeable sketches (operators/
+    sketches.countmin_inner_product — the AMS inner-product estimate):
+    |orders ⋈ lineitem on orderkey| predicted from the two key grids
+    WITHOUT running the join — the shuffle-sizing / skew-alert signal
+    a planner wants before committing 100 TB to an exchange, and the
+    grids are the same per-day mergeable artifacts the frequency tier
+    already maintains. The exact join count rides along so the
+    one-sided contract (est >= exact, collisions only ADD) is
+    driver-certified on real data. Output: (est_join_size,
+    exact_join_size)."""
+    from ..operators import sketches
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"))
+    # join-size estimation needs width >> distinct keys (cross terms
+    # add Na*Nb/width per hash row): 64k buckets against the ~20k
+    # distinct orderkeys keeps the overshoot ~30% where the default
+    # 1024-bucket frequency grid would be ~16x. Grid rows stay
+    # bounded by depth x distinct keys.
+    ga = sketches.countmin_build(o, "key", width=65536)
+    gb = sketches.countmin_build(li, "key", width=65536)
+    est = sketches.countmin_inner_product(ga, gb)
+    exact = (o.join(li, "key")
+             .agg(F.count("*").alias("exact_join_size")))
+    return est.crossJoin(F.broadcast(exact))
+
+
+_JOINSIZE_SQL = r"""
+WITH ga AS (
+  SELECT row_id, bucket, count(*) AS c FROM (
+    SELECT i AS row_id,
+           CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' ||
+                CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+                % 65536 AS INT) AS bucket
+    FROM orders, (SELECT unnest(generate_series(0, 3)) AS i)
+  ) GROUP BY row_id, bucket
+), gb AS (
+  SELECT row_id, bucket, count(*) AS c FROM (
+    SELECT i AS row_id,
+           CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' ||
+                CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+                % 65536 AS INT) AS bucket
+    FROM lineitem, (SELECT unnest(generate_series(0, 3)) AS i)
+  ) GROUP BY row_id, bucket
+), ip AS (
+  SELECT ga.row_id, SUM(ga.c * gb.c) AS ip
+  FROM ga JOIN gb ON ga.row_id = gb.row_id AND ga.bucket = gb.bucket
+  GROUP BY ga.row_id
+), est AS (
+  SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip
+), ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT est_join_size, exact_join_size FROM est, ex
+"""
+
+QUERIES.update({
+    "orders_join_size_estimate": Q(orders_join_size_estimate,
+                                   _JOINSIZE_SQL),
+})

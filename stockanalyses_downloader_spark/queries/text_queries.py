@@ -2089,3 +2089,65 @@ QUERIES.update({
     "quality_calibration_deciles": Q(quality_calibration_deciles,
                                      _calibration_sql()),
 })
+
+
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters from the count-min sketch: tokens whose
+    estimated frequency clears phi = 1/50 of the stream. The
+    guarantee chain is the point-query's: est >= exact ALWAYS, so
+    every TRUE heavy hitter is captured (no false dismissals — the
+    property a sampled histogram can't give); false admissions are
+    bounded by the e*N/width band and carry their exact count here
+    for the driver to certify. At scale the candidate enumeration is
+    the DISTINCT vocab (vocab << corpus) against the broadcast grid;
+    the exact column rides along fixture-side as contract evidence.
+    Output: (token, est, exact)."""
+    from ..operators import sketches
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("token"))
+    sketch = sketches.countmin_build(toks, "token")
+    thr = toks.agg((F.count("*") / 50).cast("long").alias("t"))
+    est = sketches.countmin_estimate(sketch, toks.distinct(), "token")
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact"))
+    return (est.crossJoin(F.broadcast(thr))
+            .filter(F.col("est") >= F.col("t"))
+            .join(exact, "token")
+            .select("token", "est", "exact"))
+
+
+_HH_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), sketch AS (
+  SELECT row_id, bucket, count(*) AS c FROM (
+    SELECT i AS row_id,
+           CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || token),
+                                    1, 8) AS BIGINT) % 1024 AS INT) AS bucket
+    FROM toks, (SELECT unnest(generate_series(0, 3)) AS i)
+  ) GROUP BY row_id, bucket
+), probe_cells AS (
+  SELECT token, i AS row_id,
+         CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || token),
+                                  1, 8) AS BIGINT) % 1024 AS INT) AS bucket
+  FROM (SELECT DISTINCT token FROM toks),
+       (SELECT unnest(generate_series(0, 3)) AS i)
+), est AS (
+  SELECT token, MIN(COALESCE(c, 0)) AS est
+  FROM probe_cells LEFT JOIN sketch USING (row_id, bucket)
+  GROUP BY token
+), exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact
+  FROM toks GROUP BY token
+), thr AS (
+  SELECT CAST(count(*) AS BIGINT) // 50 AS t FROM toks
+)
+SELECT e.token AS token, e.est AS est, x.exact AS exact
+FROM est e JOIN exact x ON e.token = x.token, thr
+WHERE e.est >= thr.t
+"""
+
+QUERIES.update({
+    "token_heavy_hitters": Q(token_heavy_hitters, _HH_SQL),
+})

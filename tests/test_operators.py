@@ -1373,3 +1373,33 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     tops = {r["query_id"]: r["neighbor_id"]
             for r in served.filter(F.col("rank") == 1).collect()}
     assert all(tops[q] == q for q in appended_qids)
+
+
+def test_countmin_inner_product_one_sided(spark):
+    """AMS join-size estimate: est >= exact on a planted dup-heavy
+    key pair, and EXACT when the grid is wide enough that no two
+    distinct keys share a bucket in every row (collisions only add)."""
+    import collections
+    from stockanalyses_downloader_spark.operators import sketches
+
+    ka = [i % 7 for i in range(50)] + [99] * 5
+    kb = [i % 5 for i in range(40)] + [99] * 3
+    a = spark.createDataFrame([(k,) for k in ka], "key int")
+    b = spark.createDataFrame([(k,) for k in kb], "key int")
+    exact = sum(ca * collections.Counter(kb)[k]
+                for k, ca in collections.Counter(ka).items())
+
+    # tight grid: one-sided
+    ga = sketches.countmin_build(a, "key", depth=3, width=8)
+    gb = sketches.countmin_build(b, "key", depth=3, width=8)
+    est = sketches.countmin_inner_product(
+        ga, gb).collect()[0]["est_join_size"]
+    assert est >= exact
+
+    # wide grid: 8 distinct keys in 4096 buckets x 3 rows — the min
+    # over rows is exact unless every row collides (p ~ 1e-9)
+    ga = sketches.countmin_build(a, "key", depth=3, width=4096)
+    gb = sketches.countmin_build(b, "key", depth=3, width=4096)
+    est = sketches.countmin_inner_product(
+        ga, gb).collect()[0]["est_join_size"]
+    assert est == exact
