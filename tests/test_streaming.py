@@ -887,3 +887,55 @@ def test_transformwithstate_matches_applyinpandaswithstate(spark, tmp_path):
     new = final_stats(stateful.running_pair_stats_tws, "st_new",
                       provider=rocks)
     assert new == old and len(new) > 0
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dedup state is EVICTED once the
+    watermark passes a key's event time — the bounded-state streaming
+    dedup (plain dropDuplicates keeps every key forever; at 100 TB of
+    lifetime keys that state never stops growing). Semantics traded
+    for boundedness: a duplicate arriving WITHIN the watermark window
+    is suppressed; the same key re-arriving long after (late restated
+    feed) passes again. Both halves pinned."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    # batch 1: keys 1..5 at t0, with in-batch duplicates of key 1
+    rows1 = [(k, base) for k in (1, 1, 2, 3, 4, 5)]
+    # batch 2: near-time duplicate of key 2 (inside 10m watermark
+    # window, suppressed) + a fresh key far in the future that pushes
+    # the WATERMARK past every batch-1 key's eviction horizon
+    rows2 = [(2, base + timedelta(minutes=5)),
+             (9, base + timedelta(hours=6))]
+    # batch 3: key 1 reappears AFTER its state was evicted (the
+    # watermark only advances at batch boundaries, so eviction needs
+    # its own batch between first sight and reappearance)
+    rows3 = [(1, base + timedelta(hours=6, minutes=5))]
+    src = str(tmp_path / "dupsrc")
+    out = []
+    # one availableNow cycle per batch over ONE checkpoint: batch
+    # boundaries (and therefore watermark advancement) are
+    # deterministic, unlike maxFilesPerTrigger over unordered files
+    for rows in (rows1, rows2, rows3):
+        spark.createDataFrame(rows, "k long, ts timestamp") \
+            .coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("k long, ts timestamp")
+                  .parquet(src)
+                  .withWatermark("ts", "10 minutes")
+                  .dropDuplicatesWithinWatermark(["k"]))
+        q = (stream.writeStream.format("parquet")
+             .option("path", str(tmp_path / "sink"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+    out = [(r["k"], r["ts"]) for r in
+           spark.read.parquet(str(tmp_path / "sink")).collect()]
+
+    ks = sorted(k for k, _ in out)
+    # in-batch dup of key 1 suppressed; near-time dup of key 2
+    # suppressed; far-future key 1 re-emitted after state eviction
+    assert ks == [1, 1, 2, 3, 4, 5, 9]
+    assert sum(1 for k, t in out if k == 1 and t == base) == 1
+    assert any(k == 1 and t > base for k, t in out)
+    assert sum(1 for k, _ in out if k == 2) == 1
