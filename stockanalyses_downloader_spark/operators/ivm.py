@@ -13,10 +13,12 @@ pipelines.incremental_quality_refresh (per-row digest diff) and
 sinks.cdc_materialized_view (keyed upsert): three IVM tiers —
 per-row, per-key, per-group.
 
-Scope contract: APPEND-ONLY ingest. min/max are not maintainable
-under deletes/updates (removing the current max requires history);
-under append they merge exactly. For updatable sources, route
-changes through the CDC tier and recompute affected groups.
+Scope contract: ``refresh_aggregate_table`` handles APPEND-ONLY
+ingest — min/max are not maintainable under deletes/updates
+(removing the current max requires history), under append they
+merge exactly. For updatable sources, route the changes through the
+CDC tier and use ``touched_groups`` + ``refresh_groups``: partial
+recompute of exactly the affected groups, everything else carried.
 
 State discipline: sums accumulate in DECIMAL (order- and
 batching-independent — the merge tree must not change the value),
@@ -124,3 +126,48 @@ def finalize(state: DataFrame,
     for name, num, den in derived:
         out = out.withColumn(name, F.col(num) / F.col(den))
     return out
+
+
+def touched_groups(base_before: DataFrame, changes: DataFrame,
+                   key: str, group_cols: Sequence[str]) -> DataFrame:
+    """Distinct group keys an update/delete/insert changelog can
+    affect: the groups of the changed keys' BEFORE-image rows (a row
+    may leave a group) unioned with the groups carried by the change
+    payloads themselves (a row may enter a group). Everything else
+    is provably untouched."""
+    changed_keys = changes.select(key).distinct()
+    before = (base_before.join(changed_keys, key, "semi")
+              .select(*group_cols))
+    after = changes.select(*group_cols)
+    return before.unionByName(after).distinct()
+
+
+def refresh_groups(spark: SparkSession, table_path: str,
+                   source: DataFrame, touched: DataFrame,
+                   group_cols: Sequence[str],
+                   specs: Sequence[tuple[str, str, str | None]]) -> None:
+    """IVM under UPDATES/DELETES — the partial-recompute tier for
+    non-append sources (append-only refresh can merge states; an
+    update can't, because min/max/sums would need retraction):
+    recompute ONLY the groups the changelog touched from the
+    CURRENT base table (maintained by the CDC tier), carry every
+    other group's state untouched via an anti join. With the base
+    partitioned/bucketed by the group key, the semi join prunes the
+    scan to the touched groups' files — refresh cost tracks the
+    CHANGE footprint, not the table. The partiality contract is
+    pinned by a test that hands this function a source containing
+    ONLY the touched groups' rows and still gets the globally
+    correct state."""
+    recomputed = agg_state(
+        source.join(F.broadcast(touched), list(group_cols), "semi"),
+        group_cols, specs)
+    old = spark.read.parquet(table_path)
+    kept = old.join(F.broadcast(touched), list(group_cols), "anti")
+    merged = kept.unionByName(recomputed)
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{table_path.rstrip('/')}.__tmp-{token}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old_dir = f"{table_path.rstrip('/')}.__old-{token}"
+    os.rename(table_path, old_dir)
+    os.rename(tmp, table_path)
+    shutil.rmtree(old_dir, ignore_errors=True)

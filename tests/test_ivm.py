@@ -84,3 +84,49 @@ def test_ivm_crash_leaves_old_state_readable(spark, tmp_path):
            for r in spark.read.parquet(path).collect()}
     assert got == {("A", 3.0, 2)}
     assert glob.glob(f"{path}.__old-*") == []
+
+
+def test_ivm_cdc_partial_refresh_equals_full_recompute(spark, tmp_path):
+    """IVM under updates/deletes (the case append-only merge can't
+    handle): changes flow through the CDC merge, touched_groups
+    derives the affected group set (before-image groups + payload
+    groups), refresh_groups recomputes ONLY those. Final state ==
+    full recompute on the new base — including a row that MOVED
+    between groups, a delete, an insert, and an untouched group.
+    The partiality contract is proven by handing refresh_groups a
+    source PRUNED to the touched groups' rows only: untouched
+    groups never need scanning."""
+    from stockanalyses_downloader_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 5.0),
+         (4, "C", 7.0), (5, "E", 100.0)],
+        "k long, grp string, v double")
+    spec = [("s", "sum", "v"), ("n", "count", None),
+            ("mn", "min", "v"), ("mx", "max", "v")]
+    path = str(tmp_path / "cdc_state")
+    ivm.refresh_aggregate_table(spark, path, base, ["grp"], spec)
+
+    changes = spark.createDataFrame(
+        [(1, 1, "U", "B", 11.0),    # k1 moves A -> B
+         (3, 1, "D", None, None),   # k3 deleted from B
+         (6, 1, "I", "D", 3.0)],    # new key in new group D
+        "k long, seq long, op string, grp string, v double")
+    new_base = cdc.apply_changelog(base, changes, "k", ["seq"],
+                                   "op", ["grp", "v"])
+    touched = ivm.touched_groups(base, changes, "k", ["grp"])
+    tg = {r["grp"] for r in touched.collect()}
+    assert {"A", "B", "D"} <= tg and "E" not in tg
+
+    pruned = new_base.join(F.broadcast(touched), ["grp"], "semi")
+    ivm.refresh_groups(spark, path, pruned, touched, ["grp"], spec)
+
+    def snap(df):
+        return {r["grp"]: (float(r["s"]), r["n"], r["mn"], r["mx"])
+                for r in df.collect()}
+    got = snap(spark.read.parquet(path))
+    want = snap(ivm.agg_state(new_base, ["grp"], spec))
+    assert got == want
+    assert got["E"] == (100.0, 1, 100.0, 100.0)   # untouched, carried
+    assert "C" in got        # untouched group survives the anti join
+    assert got["B"] == (11.0, 1, 11.0, 11.0)      # move + delete net
