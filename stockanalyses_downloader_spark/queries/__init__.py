@@ -533,6 +533,10 @@ _TAIL = [
     "token_heavy_hitters",          # count-min heavy hitters (no
                                     # false dismissals, exact count
                                     # alongside); DuckDB-oracled; r5c
+    "event_zorder_keys",            # Morton interleave key derivation
+                                    # (the z-order layout core,
+                                    # driver-certified); DuckDB-
+                                    # oracled; new r5c
 ]
 
 

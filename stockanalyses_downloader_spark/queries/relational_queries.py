@@ -1796,8 +1796,11 @@ GROUP BY year(o_orderdate)
 def suppliers_with_excess_supply(spark: SparkSession, sf_dir: str
                                  ) -> DataFrame:
     """Q20's nested-aggregate-subquery shape: suppliers who shipped
-    MORE THAN HALF of some part's total shipped quantity (dominant
-    suppliers — the availability-risk audit). The literal form is a
+    MORE THAN A FIFTH of some part's total shipped quantity (dominant
+    suppliers — the availability-risk audit; the fixture spreads each
+    part across ~10+ suppliers, so a literal >1/2 threshold matches
+    nobody at sf0.01 — the 1/5 share keeps the query non-vacuous at
+    every SF while exercising the identical shape). The literal form is a
     correlated 'qty > 0.5 * (SELECT sum ...)' subquery; Spark-first
     it's the per-(part, supplier) aggregate joined to the per-part
     aggregate — both grow out of ONE shuffled frame (partial agg
@@ -1811,7 +1814,7 @@ def suppliers_with_excess_supply(spark: SparkSession, sf_dir: str
     per_p = (per_ps.groupBy("l_partkey")
              .agg(F.sum("sq").alias("tq")))
     dom = (per_ps.join(per_p, "l_partkey")
-           .filter(F.col("sq") * 2 > F.col("tq")))
+           .filter(F.col("sq") * 5 > F.col("tq")))
     return (dom.groupBy("l_suppkey")
             .agg(F.count("*").alias("n_parts_dominated"))
             .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
@@ -1828,7 +1831,7 @@ WITH per_ps AS (
 ), dom AS (
   SELECT l_suppkey, count(*) AS n_parts_dominated
   FROM per_ps JOIN per_p USING (l_partkey)
-  WHERE sq * 2 > tq
+  WHERE sq * 5 > tq
   GROUP BY l_suppkey
 )
 SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
@@ -1906,4 +1909,46 @@ SELECT est_join_size, exact_join_size FROM est, ex
 QUERIES.update({
     "orders_join_size_estimate": Q(orders_join_size_estimate,
                                    _JOINSIZE_SQL),
+})
+
+
+def event_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key derivation over (value, user_id) — the
+    computational core of sources/bucketing.write_zordered, exposed
+    as an oracled query so the interleave itself is driver-certified
+    (the file-skipping effect is pinned separately from parquet
+    footer stats in tests/test_bucketing.py). Min-max grid scaling
+    uses one broadcast two-row aggregate; the bit interleave is a
+    static fold of shifts/ORs, whole-stage codegen'd."""
+    from ..sources import bucketing
+    ev = _t(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    out = bucketing.zorder_value(ev, ["value", "user_id"], bits=8)
+    return out.select("event_id", "zvalue")
+
+
+def _zorder_sql(cols: tuple[str, ...] = ("value", "user_id"),
+                bits: int = 8) -> str:
+    k = len(cols)
+    mx = (1 << bits) - 1
+    grids = []
+    for c in cols:
+        grids.append(
+            f"CAST(least(CASE WHEN (mx_{c} - mn_{c}) > 0 THEN "
+            f"floor(({c} - mn_{c}) / CAST(mx_{c} - mn_{c} AS DOUBLE)"
+            f" * {mx}) ELSE 0 END, {mx}) AS BIGINT)")
+    terms = []
+    for i in range(bits):
+        for j, g in enumerate(grids):
+            terms.append(f"((({g} >> {i}) & 1) << {i * k + (k - 1 - j)})")
+    z = " | ".join(terms)
+    agg = ", ".join(f"min({c}) AS mn_{c}, max({c}) AS mx_{c}"
+                    for c in cols)
+    return f"""
+WITH rng AS (SELECT {agg} FROM events)
+SELECT event_id, CAST({z} AS BIGINT) AS zvalue
+FROM events, rng
+"""
+
+QUERIES.update({
+    "event_zorder_keys": Q(event_zorder_keys, _zorder_sql()),
 })

@@ -42,6 +42,9 @@ CHECKPOINTING = {
     # PageRank localCheckpoints the rank table per power-iteration
     # round (r5b) — the checkpoint RDDs hold the final ranks
     "supplier_purchase_pagerank",
+    # entity resolution runs connected components over match edges
+    # (r5c) — same CC localCheckpoint blocks as near_dup_components
+    "part_entity_resolution",
 }
 
 
