@@ -537,6 +537,13 @@ _TAIL = [
                                     # (the z-order layout core,
                                     # driver-certified); DuckDB-
                                     # oracled; new r5c
+    "langid_nb_predictions",        # trained char-trigram NB langid
+                                    # (rows-only: ln is libm-bound);
+                                    # python-parity + planted-corpus
+                                    # accuracy pinned; new r5c
+    "copurchase_lift",              # market-basket pair lift (basket-
+                                    # blocked self-join, broadcast
+                                    # scalar); DuckDB-oracled; r5c
 ]
 
 

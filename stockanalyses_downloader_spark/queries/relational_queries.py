@@ -1952,3 +1952,70 @@ FROM events, rng
 QUERIES.update({
     "event_zorder_keys": Q(event_zorder_keys, _zorder_sql()),
 })
+
+
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the recommendation tier's first
+    signal): part pairs bought in the same order, with lift =
+    P(a,b) / (P(a) P(b)) — the support-normalized ratio that
+    separates genuinely-associated parts from merely-popular ones.
+    Shape: distinct (order, part) -> self-join WITHIN order (the
+    basket is the block, so the join is bounded by basket size, not
+    catalog size: C(3,2) pairs per typical order, never |parts|^2)
+    -> pair counts joined to the two per-part supports and one
+    broadcast order-count scalar. Lift is a ratio of exact integers,
+    double-divided in identical order both engines. Output pairs
+    with support >= 3."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count("*").alias("n_both")))
+    support = op.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    n_orders = op.select("l_orderkey").distinct().agg(
+        F.count("*").alias("total_orders"))
+    return (pairs.filter(F.col("n_both") >= 3)
+            .join(support.select(F.col("l_partkey").alias("part_a"),
+                                 F.col("n_orders").alias("n_a")), "part_a")
+            .join(support.select(F.col("l_partkey").alias("part_b"),
+                                 F.col("n_orders").alias("n_b")), "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("part_a", "part_b", "n_both", "n_a", "n_b",
+                    (F.col("n_both").cast("double")
+                     * F.col("total_orders")
+                     / (F.col("n_a") * F.col("n_b"))).alias("lift")))
+
+
+_COPURCHASE_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), support AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders FROM op
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total_orders
+  FROM op
+)
+SELECT p.part_a, p.part_b, p.n_both,
+       sa.n_orders AS n_a, sb.n_orders AS n_b,
+       CAST(p.n_both AS DOUBLE) * tot.total_orders
+         / (sa.n_orders * sb.n_orders) AS lift
+FROM pairs p
+JOIN support sa ON p.part_a = sa.l_partkey
+JOIN support sb ON p.part_b = sb.l_partkey, tot
+WHERE p.n_both >= 3
+"""
+
+QUERIES.update({
+    "copurchase_lift": Q(copurchase_lift, _COPURCHASE_SQL),
+})

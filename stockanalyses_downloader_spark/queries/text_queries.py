@@ -2151,3 +2151,29 @@ WHERE e.est >= thr.t
 QUERIES.update({
     "token_heavy_hitters": Q(token_heavy_hitters, _HH_SQL),
 })
+
+
+def langid_nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained char-trigram Naive Bayes language ID (operators/
+    langid): fit on the deterministic train split's (text, lang),
+    score the test split. Rows-only: ln's last ulp is libm-specific
+    (same tier as the HLL sketch); the classifier is pinned against
+    a pure-Python NB at 1e-9 and a 0.95 accuracy floor on a planted
+    separable corpus in tests/test_langid.py. NOTE the fixture's
+    lang labels are independent of its text BY CONSTRUCTION (every
+    doc draws the same token pool), so predictions here certify the
+    machinery, not fixture accuracy — the honest caveat is part of
+    the contract."""
+    from ..operators import langid, sampling
+    d = _docs(spark, sf_dir)
+    s = sampling.assign_splits(d.select("doc_id", "text", "lang"),
+                               key="doc_id")
+    train = s.filter(F.col("split") == "train")
+    test = s.filter(F.col("split") == "test")
+    logps, stats = langid.train_nb(train)
+    return langid.score_nb(test, logps, stats)
+
+
+QUERIES.update({
+    "langid_nb_predictions": Q(langid_nb_predictions, None),
+})
