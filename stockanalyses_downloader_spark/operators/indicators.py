@@ -104,3 +104,38 @@ def with_anomaly_zscores(ticks: DataFrame, price_col: str = "last_price",
             .withColumn("is_anomaly",
                         F.when(zscore.isNotNull(),
                                F.abs(zscore) > z_thresh)))
+
+
+def ema_by_key(ticks: DataFrame, price_col: str = "last_price",
+               key: str = "isin", ts: str = "ts",
+               tiebreak: str = "tick_id",
+               alpha: float = 0.2) -> DataFrame:
+    """Exponential moving average per key — the recurrence
+    s_t = alpha*x_t + (1-alpha)*s_{t-1} (s_1 = x_1) is inherently
+    SEQUENTIAL per key: no window frame expresses it and the pow()
+    closed form changes the float summation order. This is the
+    sanctioned Arrow escape hatch (applyInPandas — same policy tier
+    as the stateful processors): one grouped Arrow batch per key,
+    a per-key Python fold whose expression order matches the
+    DuckDB oracle's recursive fold EXACTLY — so even this
+    pandas-backed operator is HASH-verified cross-engine, the
+    property the repo's UDF policy exists to protect. State per key
+    is one float; cost is one shuffle on the key.
+
+    Output: (key, tiebreak, ema)."""
+    import pandas as pd
+
+    a = float(alpha)
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts, tiebreak])
+        s = None
+        out = []
+        for x in pdf[price_col].astype("float64"):
+            s = x if s is None else a * x + (1.0 - a) * s
+            out.append(s)
+        return pd.DataFrame({key: pdf[key], tiebreak: pdf[tiebreak],
+                             "ema": out})
+
+    out_schema = f"{key} string, {tiebreak} long, ema double"
+    return ticks.groupBy(key).applyInPandas(fold, out_schema)

@@ -37,7 +37,12 @@ _WINDOW = [
     "rest_fetch_pipeline",
     "ticks_asof_quotes",
     "ticks_in_candle_ranges",   # range/interval join (bucketed)
-    "vwap_by_isin",
+    "copurchase_lift",          # market-basket lift (r5c rotation
+                                # in — took vwap's slot: the
+                                # volume-weighted mean family stays
+                                # driver-visible inside pricing_
+                                # summary's weighted aggs and twap
+                                # stays pytest-oracled in the tail)
     "tick_feed_islands",        # gaps-and-islands outage report (r5c
                                 # rotation in — took jobs_parse_
                                 # dispatch's slot: S1 job parsing
@@ -76,9 +81,20 @@ _WINDOW = [
                                 # membership-sketch tier earns its
                                 # first driver row)
     "cosine_topk_bruteforce",
-    "embedding_near_dup_pairs",
+    "event_zorder_keys",        # Morton layout keys (r5c rotation
+                                # in — took embedding_near_dup's
+                                # slot: blocked cosine pairing stays
+                                # driver-visible INSIDE semantic_
+                                # dedup_keepers, which recomputes
+                                # the same pairs)
     "label_centroid_components",  # element-wise vector mean (k-means step)
-    "ngram_jaccard_near_dups",
+    "orders_join_size_estimate",  # AMS join-size forecast (r5c
+                                # rotation in — took ngram_jaccard's
+                                # slot: the jaccard pair machinery
+                                # stays driver-visible INSIDE
+                                # near_dup_components, which
+                                # recomputes the same pairs before
+                                # its closure)
     "near_dup_components",      # transitive dedup keeper selection
     "multimodal_asset_stats",
     "dedup_passages_rebuild",   # C4-style transforming dedup (r5
@@ -169,6 +185,20 @@ _WINDOW = [
 # represented above; all were hash-green in CORRECTNESS_r01.json (except
 # the by-design rows-only approx_distinct_users).
 _TAIL = [
+    "vwap_by_isin",                 # A2 weighted mean — hash-green
+                                    # r1–r5b; slot yielded (r5c) to
+                                    # copurchase_lift; VWAP machinery
+                                    # stays benched + pytest-oracled
+    "ngram_jaccard_near_dups",      # X2 rep — hash-green r1–r5b;
+                                    # slot yielded (r5c) to the
+                                    # join-size forecast; the same
+                                    # pair computation runs inside
+                                    # in-window near_dup_components
+    "embedding_near_dup_pairs",     # X3 rep — hash-green r1–r5b;
+                                    # slot yielded (r5c) to
+                                    # event_zorder_keys; blocked
+                                    # cosine runs inside in-window
+                                    # semantic_dedup_keepers
     "jobs_parse_dispatch",          # S1 — hash-green r1–r5b; slot
                                     # yielded (r5c) to tick_feed_
                                     # islands; job parsing stays
@@ -525,25 +555,24 @@ _TAIL = [
     "suppliers_with_excess_supply", # Q20 nested-agg subquery as two
                                     # aggregates off one shuffled
                                     # frame; DuckDB-oracled; new r5c
-    "orders_join_size_estimate",    # AMS inner-product join-size
-                                    # forecast from two count-min
-                                    # grids, exact count alongside
-                                    # (one-sided contract driver-
-                                    # visible); DuckDB-oracled; r5c
     "token_heavy_hitters",          # count-min heavy hitters (no
                                     # false dismissals, exact count
                                     # alongside); DuckDB-oracled; r5c
-    "event_zorder_keys",            # Morton interleave key derivation
-                                    # (the z-order layout core,
-                                    # driver-certified); DuckDB-
-                                    # oracled; new r5c
     "langid_nb_predictions",        # trained char-trigram NB langid
                                     # (rows-only: ln is libm-bound);
                                     # python-parity + planted-corpus
                                     # accuracy pinned; new r5c
-    "copurchase_lift",              # market-basket pair lift (basket-
-                                    # blocked self-join, broadcast
-                                    # scalar); DuckDB-oracled; r5c
+    "event_type_drift_chi2",        # chi-squared distribution-drift
+                                    # report (ln-free, fully
+                                    # hash-oracled); new r5c
+    "tick_ema",                     # per-key EMA via applyInPandas —
+                                    # the Arrow escape hatch itself
+                                    # HASH-oracled vs a recursive-CTE
+                                    # fold; new r5c
+    "customer_kanonymity_report",   # k-anonymity audit over quasi-
+                                    # identifier groups (privacy
+                                    # release gate); DuckDB-oracled;
+                                    # new r5c
 ]
 
 

@@ -807,3 +807,38 @@ ASOF LEFT JOIN t ON g.isin = t.isin AND g.grid_ts >= t.ts
 QUERIES.update({
     "tick_grid_hourly": Q(tick_grid_hourly, _GRID_SQL),
 })
+
+
+def tick_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ISIN EMA (operators/indicators.ema_by_key — the
+    applyInPandas escape hatch, used ONLY because the recurrence is
+    sequential per key). The oracle folds the identical expression
+    through a recursive CTE over per-key ordered lists, so the
+    pandas path itself is hash-certified — the strongest form of the
+    no-unverified-UDF policy."""
+    from ..operators import indicators
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    return indicators.ema_by_key(t, price_col="last_price", key="isin",
+                                 ts="ts", tiebreak="tick_id", alpha=0.2)
+
+
+_EMA_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT * FROM {synthetic.TICKS_SQL} x WHERE status = 200
+), s AS (
+  SELECT isin,
+         list(last_price ORDER BY ts, tick_id) AS xs,
+         list(tick_id ORDER BY ts, tick_id) AS ids
+  FROM t GROUP BY isin
+), ema AS (
+  SELECT isin, xs, ids, 1 AS i, xs[1] AS s FROM s
+  UNION ALL
+  SELECT isin, xs, ids, i + 1, 0.2 * xs[i + 1] + 0.8 * s
+  FROM ema WHERE i < len(xs)
+)
+SELECT isin, ids[i] AS tick_id, s AS ema FROM ema
+"""
+
+QUERIES.update({
+    "tick_ema": Q(tick_ema, _EMA_SQL),
+})

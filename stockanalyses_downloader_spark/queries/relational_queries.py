@@ -2019,3 +2019,106 @@ WHERE p.n_both >= 3
 QUERIES.update({
     "copurchase_lift": Q(copurchase_lift, _COPURCHASE_SQL),
 })
+
+
+def event_type_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (the ops check every scoring
+    pipeline needs between a reference window and the current one):
+    chi-squared decomposition of the event_type distribution, first
+    half of the month as reference vs second half as current.
+    Per type: expected = n_ref * (N_cur / N_ref); chi2_term =
+    (n_cur - expected)^2 / expected. The per-type terms localize WHAT
+    drifted (sum them for the global statistic). Ratio-of-exact-ints
+    double math in identical order both engines — unlike PSI, no ln,
+    so the whole report is hash-oracled. One scan, one conditional
+    aggregate, one broadcast totals scalar."""
+    ev = _t(spark, sf_dir, "events")
+    cur = F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+    per = (ev.groupBy("event_type")
+           .agg(F.sum(F.when(~cur, 1).otherwise(0)).alias("n_ref"),
+                F.sum(F.when(cur, 1).otherwise(0)).alias("n_cur")))
+    tot = per.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    expected = (F.col("n_ref").cast("double")
+                * F.col("tc") / F.col("tr"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("event_type",
+                    F.col("n_ref").cast("long").alias("n_ref"),
+                    F.col("n_cur").cast("long").alias("n_cur"),
+                    expected.alias("expected"),
+                    ((F.col("n_cur") - expected) * (F.col("n_cur") - expected)
+                     / expected).alias("chi2_term")))
+
+
+_DRIFT_SQL = """
+WITH per AS (
+  SELECT event_type,
+         SUM(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-16') THEN 1 ELSE 0 END)
+           AS n_ref,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+           AS n_cur
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM per
+)
+SELECT event_type,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(n_ref AS DOUBLE) * tc / tr AS expected,
+       (n_cur - CAST(n_ref AS DOUBLE) * tc / tr)
+         * (n_cur - CAST(n_ref AS DOUBLE) * tc / tr)
+         / (CAST(n_ref AS DOUBLE) * tc / tr) AS chi2_term
+FROM per, tot
+"""
+
+QUERIES.update({
+    "event_type_drift_chi2": Q(event_type_drift_chi2, _DRIFT_SQL),
+})
+
+
+def customer_kanonymity_report(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers
+    (nation, market segment) — the privacy-tier counterpart of the
+    PII scrubber: a release is k-anonymous iff every quasi-identifier
+    combination matches at least k records; smaller groups
+    re-identify. Per combination: group size, at_risk flag (size <
+    k=5), and the share of ALL records sitting in at-risk groups
+    (broadcast total — the headline number a release gate checks).
+    One aggregate + one broadcast scalar; generalization (coarsening
+    QIs until the audit passes) is the caller's loop."""
+    c = _t(spark, sf_dir, "customer")
+    groups = (c.groupBy("c_nationkey", "c_mktsegment")
+              .agg(F.count("*").alias("group_size")))
+    tot = groups.agg(
+        F.sum("group_size").alias("n_total"),
+        F.sum(F.when(F.col("group_size") < 5, F.col("group_size"))
+              .otherwise(F.lit(0))).alias("n_at_risk"))
+    return (groups.crossJoin(F.broadcast(tot))
+            .select("c_nationkey", "c_mktsegment",
+                    F.col("group_size").cast("long").alias("group_size"),
+                    (F.col("group_size") < 5).alias("at_risk"),
+                    (F.col("n_at_risk").cast("double") / F.col("n_total"))
+                    .alias("at_risk_share")))
+
+
+_KANON_SQL = """
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+  FROM customer GROUP BY 1, 2
+), tot AS (
+  SELECT SUM(group_size) AS n_total,
+         SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+           AS n_at_risk
+  FROM groups
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(group_size AS BIGINT) AS group_size,
+       group_size < 5 AS at_risk,
+       CAST(n_at_risk AS DOUBLE) / n_total AS at_risk_share
+FROM groups, tot
+"""
+
+QUERIES.update({
+    "customer_kanonymity_report": Q(customer_kanonymity_report,
+                                    _KANON_SQL),
+})

@@ -330,3 +330,28 @@ def test_feed_islands_planted_gaps(spark):
                 F.max("ts").alias("e")))
     got = {(r["isin"], r["island_id"]): r["n"] for r in out.collect()}
     assert got == {("A", 1): 3, ("A", 2): 3, ("B", 1): 3}
+
+
+def test_ema_matches_pandas_ewm_and_isolates_keys(spark):
+    """ema_by_key == pandas ewm(alpha, adjust=False) per key to
+    1e-12, and a second key's series never bleeds into the first
+    (each key's fold restarts at its own first price)."""
+    rows = []
+    for i in range(30):
+        rows.append(("A", i, datetime(2024, 1, 1, 0, i),
+                     100.0 + (i % 7) * 1.5))
+        rows.append(("B", 100 + i, datetime(2024, 1, 1, 0, i),
+                     500.0 - (i % 5) * 2.0))
+    df = spark.createDataFrame(
+        rows, "isin string, tick_id long, ts timestamp, last_price double")
+    got = {(r["isin"], r["tick_id"]): r["ema"] for r in
+           indicators.ema_by_key(df, alpha=0.2).collect()}
+
+    pdf = pd.DataFrame(rows, columns=["isin", "tick_id", "ts", "p"])
+    for isin, g in pdf.groupby("isin"):
+        g = g.sort_values(["ts", "tick_id"])
+        ewm = g["p"].ewm(alpha=0.2, adjust=False).mean()
+        for tid, want in zip(g["tick_id"], ewm):
+            assert abs(got[(isin, tid)] - want) < 1e-12
+    # key isolation: B's first ema is exactly its own first price
+    assert got[("B", 100)] == 500.0
