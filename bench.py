@@ -72,6 +72,9 @@ EXTENDED = [
     "quality_model_auc",            # distinct-value midrank AUC
     "tick_price_anomalies",         # trailing z-score windows
     "tick_feed_islands",            # lag break + running island id
+    "copurchase_lift",              # basket-blocked pair join
+    "tick_ema",                     # applyInPandas sequential fold
+    "tick_trailing_hour_volume",    # RANGE interval frames
 ]
 
 

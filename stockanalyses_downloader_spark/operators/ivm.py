@@ -171,3 +171,74 @@ def refresh_groups(spark: SparkSession, table_path: str,
     os.rename(table_path, old_dir)
     os.rename(tmp, table_path)
     shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def _applied_batch_path(table_path: str) -> str:
+    # underscore prefix: Spark's file listing ignores it, so the
+    # marker can live INSIDE the table directory and ride the same
+    # atomic rename as the data — no window where state and marker
+    # disagree
+    return os.path.join(table_path, "_applied_batch.json")
+
+
+def last_applied_batch(table_path: str) -> int:
+    """-1 if the table doesn't exist or predates streaming refresh."""
+    import json
+    p = _applied_batch_path(table_path)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as fh:
+        return int(json.load(fh)["batch_id"])
+
+
+def refresh_aggregate_table_once(spark: SparkSession, table_path: str,
+                                 batch: DataFrame, batch_id: int,
+                                 group_cols: Sequence[str],
+                                 specs: Sequence[tuple[str, str,
+                                                       str | None]]) -> bool:
+    """Exactly-once batch application for at-least-once callers
+    (foreachBatch replays the in-flight batch after crash recovery —
+    additive state would DOUBLE-COUNT it; cf. the dedup the publish
+    sink needs for the same reason): the applied batch id is written
+    inside the new table directory BEFORE the atomic rename, so
+    state and marker swap together — a crash at any point leaves
+    either the old table (marker says replay needed) or the new one
+    (marker says skip). Returns False when the batch was already
+    applied. Monotonic batch ids are Structured Streaming's
+    contract."""
+    import json
+
+    if batch_id <= last_applied_batch(table_path):
+        return False
+    delta = agg_state(batch, group_cols, specs)
+    if os.path.exists(table_path):
+        old = spark.read.parquet(table_path)
+        merged = merge_state(old, delta, group_cols, specs)
+    else:
+        merged = delta
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{table_path.rstrip('/')}.__tmp-{token}"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_applied_batch.json"), "w") as fh:
+        json.dump({"batch_id": int(batch_id)}, fh)
+    if os.path.exists(table_path):
+        old_dir = f"{table_path.rstrip('/')}.__old-{token}"
+        os.rename(table_path, old_dir)
+        os.rename(tmp, table_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+    else:
+        os.rename(tmp, table_path)
+    return True
+
+
+def streaming_refresh(table_path: str, group_cols: Sequence[str],
+                      specs: Sequence[tuple[str, str, str | None]]):
+    """foreachBatch binding of the exactly-once refresh: attach with
+    ``stream.writeStream.foreachBatch(streaming_refresh(...))`` and
+    the stored aggregate tracks the stream with no loss and no
+    double-count across crash/replay."""
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_aggregate_table_once(batch_df.sparkSession, table_path,
+                                     batch_df, batch_id,
+                                     group_cols, specs)
+    return _apply

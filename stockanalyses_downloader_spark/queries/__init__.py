@@ -573,6 +573,14 @@ _TAIL = [
                                     # identifier groups (privacy
                                     # release gate); DuckDB-oracled;
                                     # new r5c
+    "tick_trailing_hour_volume",    # RANGE-frame interval window
+                                    # (value-based membership, exact
+                                    # micros vs native INTERVAL);
+                                    # DuckDB-oracled; new r5c
+    "pareto_frontier_parts",        # skyline via sort-based sweep,
+                                    # oracled against the all-pairs
+                                    # NOT-EXISTS definition (distinct
+                                    # algorithms, one answer); r5c
 ]
 
 

@@ -842,3 +842,45 @@ SELECT isin, ids[i] AS tick_id, s AS ema FROM ema
 QUERIES.update({
     "tick_ema": Q(tick_ema, _EMA_SQL),
 })
+
+
+def tick_trailing_hour_volume(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """RANGE-frame window (the interval sibling of the ROWS frames
+    the indicator queries use): per tick, the total volume and tick
+    count of the SAME instrument in the trailing hour — a
+    value-based frame, so gaps in the feed shrink the window's
+    membership instead of silently spanning days the way a row count
+    would. Spark expresses it as rangeBetween over epoch seconds
+    (timestamps aren't valid range-frame ordering keys in Spark;
+    exact integer seconds are, and the oracle uses DuckDB's native
+    RANGE ... INTERVAL over the timestamp — same membership by
+    construction). Decimal volume sum, one (isin)-keyed exchange."""
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    # exact epoch MICROSECONDS: a seconds cast would truncate
+    # sub-second precision and disagree with the oracle's native
+    # INTERVAL bound at the window edge
+    w = (Window.partitionBy("isin").orderBy(F.unix_micros(F.col("ts")))
+         .rangeBetween(-3600 * 1_000_000, 0))
+    return t.select(
+        "isin", "tick_id", "ts",
+        F.sum(F.col("volume").cast("decimal(30,10)")).over(w)
+        .cast("double").alias("vol_1h"),
+        F.count("*").over(w).alias("n_ticks_1h"))
+
+
+_TRAILING_SQL = f"""
+WITH t AS (SELECT * FROM {synthetic.TICKS_SQL} x WHERE status = 200)
+SELECT isin, tick_id, ts,
+       CAST(SUM(CAST(volume AS DECIMAL(30,10))) OVER w AS DOUBLE)
+         AS vol_1h,
+       COUNT(*) OVER w AS n_ticks_1h
+FROM t
+WINDOW w AS (PARTITION BY isin ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES.update({
+    "tick_trailing_hour_volume": Q(tick_trailing_hour_volume,
+                                   _TRAILING_SQL),
+})

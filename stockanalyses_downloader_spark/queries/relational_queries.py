@@ -2122,3 +2122,52 @@ QUERIES.update({
     "customer_kanonymity_report": Q(customer_kanonymity_report,
                                     _KANON_SQL),
 })
+
+
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts on the (cheap price, large size) Pareto
+    frontier — dominated parts (someone is at-least-as-cheap AND
+    at-least-as-large, strictly better on one axis) drop. The naive
+    definition is an all-pairs NOT EXISTS (the oracle runs exactly
+    that — a genuinely different ALGORITHM, so the hash match
+    certifies the set equivalence, not a shared formula); the
+    distributed shape here is the sort-based sweep: collapse to
+    per-price max sizes (one aggregate), take running maxima over
+    the price order (two frames on one tiny distinct-price window),
+    join back — a part is dominated iff the strictly-cheaper running
+    max reaches its size or the cheaper-or-equal running max exceeds
+    it. Cost: one aggregate + one |distinct prices| window + one
+    key join; never pairwise."""
+    p = _t(spark, sf_dir, "part")
+    per_price = (p.groupBy("p_retailprice")
+                 .agg(F.max("p_size").alias("msz")))
+    w_lt = (Window.orderBy("p_retailprice")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    w_le = (Window.orderBy("p_retailprice")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = per_price.select(
+        "p_retailprice",
+        F.max("msz").over(w_lt).alias("max_cheaper"),
+        F.max("msz").over(w_le).alias("max_cheaper_eq"))
+    joined = p.join(ranked, "p_retailprice")
+    dominated = ((F.col("max_cheaper").isNotNull()
+                  & (F.col("max_cheaper") >= F.col("p_size")))
+                 | (F.col("max_cheaper_eq") > F.col("p_size")))
+    return (joined.filter(~dominated)
+            .select("p_partkey", "p_name", "p_retailprice", "p_size"))
+
+
+_PARETO_SQL = """
+SELECT p_partkey, p_name, p_retailprice, p_size
+FROM part b
+WHERE NOT EXISTS (
+  SELECT 1 FROM part a
+  WHERE a.p_retailprice <= b.p_retailprice
+    AND a.p_size >= b.p_size
+    AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size)
+)
+"""
+
+QUERIES.update({
+    "pareto_frontier_parts": Q(pareto_frontier_parts, _PARETO_SQL),
+})

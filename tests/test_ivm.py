@@ -130,3 +130,76 @@ def test_ivm_cdc_partial_refresh_equals_full_recompute(spark, tmp_path):
     assert got["E"] == (100.0, 1, 100.0, 100.0)   # untouched, carried
     assert "C" in got        # untouched group survives the anti join
     assert got["B"] == (11.0, 1, 11.0, 11.0)      # move + delete net
+
+
+def test_ivm_streaming_refresh_replay_is_exactly_once(spark, tmp_path):
+    """refresh_aggregate_table_once refuses a replayed batch id (the
+    at-least-once reality of foreachBatch after crash recovery) —
+    applying (b0, b1, b1, b0) leaves exactly the (b0, b1) state; the
+    marker rides the same atomic rename as the data."""
+    spec = [("s", "sum", "v"), ("n", "count", None)]
+    path = str(tmp_path / "stream_state")
+    b0 = spark.createDataFrame([("A", 1.0), ("B", 2.0)], "k string, v double")
+    b1 = spark.createDataFrame([("A", 10.0)], "k string, v double")
+    assert ivm.refresh_aggregate_table_once(spark, path, b0, 0, ["k"], spec)
+    assert ivm.refresh_aggregate_table_once(spark, path, b1, 1, ["k"], spec)
+    assert not ivm.refresh_aggregate_table_once(spark, path, b1, 1,
+                                                ["k"], spec)
+    assert not ivm.refresh_aggregate_table_once(spark, path, b0, 0,
+                                                ["k"], spec)
+    got = {(r["k"], float(r["s"]), r["n"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("A", 11.0, 2), ("B", 2.0, 1)}
+    assert ivm.last_applied_batch(path) == 1
+
+
+def test_ivm_streaming_crash_replay_matches_batch(spark, tmp_path):
+    """End to end across a real crash: a foreachBatch wrapper dies
+    AFTER the refresh applied batch 1 (first attempt only); the
+    restarted query replays batch 1, the exactly-once guard skips
+    it, and the final stored aggregate equals the whole-input batch
+    aggregate bit-exactly."""
+    spec = [("s", "sum", "v"), ("n", "count", None)]
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    rows1 = [("A", float(i)) for i in range(10)] + [("B", 5.0)]
+    rows2 = [("A", 100.0), ("C", 7.0)]
+    spark.createDataFrame(rows1, "k string, v double") \
+        .coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, "k string, v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    inner = ivm.streaming_refresh(state, ["k"], spec)
+    died = {"flag": False}
+
+    def crashing(batch_df, batch_id):
+        inner(batch_df, batch_id)
+        if batch_id == 1 and not died["flag"]:
+            died["flag"] = True
+            raise RuntimeError("injected crash after side effect")
+
+    stream = (spark.readStream.schema("k string, v double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(crashing)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+    assert died["flag"]
+
+    q2 = (spark.readStream.schema("k string, v double")
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream.foreachBatch(inner)
+          .option("checkpointLocation", ck)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+
+    got = {(r["k"], float(r["s"]), r["n"])
+           for r in spark.read.parquet(state).collect()}
+    whole = spark.createDataFrame(rows1 + rows2, "k string, v double")
+    want = {(r["k"], float(r["s"]), r["n"])
+            for r in ivm.agg_state(whole, ["k"], spec).collect()}
+    assert got == want
