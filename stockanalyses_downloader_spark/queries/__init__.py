@@ -581,6 +581,16 @@ _TAIL = [
                                     # oracled against the all-pairs
                                     # NOT-EXISTS definition (distinct
                                     # algorithms, one answer); r5c
+    "revenue_bootstrap_se",         # deterministic Poisson bootstrap
+                                    # (hash-derived weights, exact
+                                    # CDF literals) — reproducible
+                                    # uncertainty in ONE scan;
+                                    # DuckDB-oracled; new r5c
+    "isin_health_report",           # tick-side ops capstone: feed
+                                    # continuity + anomalies +
+                                    # freshness + volume per
+                                    # instrument in one row;
+                                    # DuckDB-oracled; new r5c
 ]
 
 

@@ -884,3 +884,106 @@ QUERIES.update({
     "tick_trailing_hour_volume": Q(tick_trailing_hour_volume,
                                    _TRAILING_SQL),
 })
+
+
+def isin_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tick-side ops capstone (dual of the text side's
+    corpus_datacard): one per-instrument health row composing the
+    certified monitoring pieces — feed continuity (island count +
+    longest silence from the gaps-and-islands rule), data quality
+    (anomaly count from the trailing z-score rule), freshness
+    (latest price/ts via the flagship's top-1 window) and volume.
+    Every leg shares the single (isin)-keyed sort; the final join is
+    per-isin aggregates only. A consumer reads THIS table instead of
+    four queries."""
+    from ..operators import indicators
+    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    w = Window.partitionBy("isin").orderBy("ts", "tick_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(prev.isNull()
+                 | (F.col("ts") > prev + F.expr("INTERVAL 24 HOURS")),
+                 F.lit(1)).otherwise(F.lit(0))
+    gap_s = F.when(prev.isNotNull(),
+                   F.unix_micros(F.col("ts")) - F.unix_micros(prev))
+    base = (t.withColumn("brk", brk)
+            .withColumn("gap_us", gap_s))
+    cont = (base.groupBy("isin")
+            .agg(F.count("*").alias("n_ticks"),
+                 F.sum("brk").cast("long").alias("n_islands"),
+                 (F.max("gap_us") / 3600000000.0).alias("max_gap_hours")))
+    an = indicators.with_anomaly_zscores(t, n=12, z_thresh=2.5)
+    anomalies = (an.groupBy("isin")
+                 .agg(F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0))
+                      .cast("long").alias("n_anomalies")))
+    latest = (t.withColumn(
+        "__rn", F.row_number().over(
+            Window.partitionBy("isin")
+            .orderBy(F.desc("ts"), F.desc("tick_id"))))
+        .filter(F.col("__rn") == 1)
+        .select("isin", F.col("ts").alias("latest_ts"),
+                F.col("last_price").alias("latest_price")))
+    vol = (t.groupBy("isin")
+           .agg(F.sum(F.col("volume").cast("decimal(30,10)"))
+                .cast("double").alias("total_volume")))
+    return (cont.join(anomalies, "isin").join(latest, "isin")
+            .join(vol, "isin"))
+
+
+_HEALTH_SQL = f"""
+WITH t AS (SELECT * FROM {synthetic.TICKS_SQL} x WHERE status = 200),
+d AS (
+  SELECT isin, tick_id, ts, last_price, volume,
+         lag(ts) OVER w AS prev
+  FROM t
+  WINDOW w AS (PARTITION BY isin ORDER BY ts, tick_id)
+), cont AS (
+  SELECT isin, CAST(count(*) AS BIGINT) AS n_ticks,
+         CAST(SUM(CASE WHEN prev IS NULL
+                        OR ts > prev + INTERVAL 24 HOUR
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+         MAX(CASE WHEN prev IS NOT NULL
+                  THEN epoch_us(ts) - epoch_us(prev) END)
+           / 3600000000.0 AS max_gap_hours
+  FROM d GROUP BY isin
+), z AS (
+  SELECT isin,
+         COUNT(last_price) OVER f AS cnt,
+         CAST(SUM(CAST(last_price AS DECIMAL(30,10))) OVER f AS DOUBLE)
+           AS s1,
+         CAST(SUM(CAST(last_price * last_price AS DECIMAL(30,10))) OVER f
+              AS DOUBLE) AS s2,
+         last_price
+  FROM t
+  WINDOW f AS (PARTITION BY isin ORDER BY ts, tick_id
+               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+), anom AS (
+  SELECT isin,
+         CAST(SUM(CASE WHEN cnt = 12
+                   AND sqrt(greatest((s2 - s1*s1/12) / 11, 0.0)) > 0
+                   AND abs((last_price - s1/12)
+                       / sqrt(greatest((s2 - s1*s1/12) / 11, 0.0))) > 2.5
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+  FROM z GROUP BY isin
+), latest AS (
+  SELECT isin, ts AS latest_ts, last_price AS latest_price FROM (
+    SELECT isin, ts, last_price,
+           row_number() OVER (PARTITION BY isin
+                              ORDER BY ts DESC, tick_id DESC) AS rn
+    FROM t
+  ) WHERE rn = 1
+), vol AS (
+  SELECT isin,
+         CAST(SUM(CAST(volume AS DECIMAL(30,10))) AS DOUBLE)
+           AS total_volume
+  FROM t GROUP BY isin
+)
+SELECT c.isin, c.n_ticks, c.n_islands, c.max_gap_hours,
+       a.n_anomalies, l.latest_ts, l.latest_price, v.total_volume
+FROM cont c JOIN anom a ON c.isin = a.isin
+JOIN latest l ON c.isin = l.isin
+JOIN vol v ON c.isin = v.isin
+"""
+
+QUERIES.update({
+    "isin_health_report": Q(isin_health_report, _HEALTH_SQL),
+})

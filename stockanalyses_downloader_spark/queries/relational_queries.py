@@ -2171,3 +2171,48 @@ WHERE NOT EXISTS (
 QUERIES.update({
     "pareto_frontier_parts": Q(pareto_frontier_parts, _PARETO_SQL),
 })
+
+
+def revenue_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty for the total-revenue estimate via the
+    deterministic Poisson bootstrap (operators/bootstrap — one scan
+    computes all 64 replicates as hash-derived Poisson(1) weights;
+    no resample shuffles, reproducible bit-for-bit, fully
+    DuckDB-oracled because the weights come from the same md5
+    uniform + exact CDF literals in both engines). Output one row:
+    (boot_mean, boot_se, n_replicates) over orders.o_totalprice."""
+    from ..operators import bootstrap
+    o = _t(spark, sf_dir, "orders")
+    reps = bootstrap.bootstrap_replicates(o, "o_orderkey",
+                                          "o_totalprice", b=64)
+    return bootstrap.bootstrap_summary(reps)
+
+
+def _bootstrap_sql() -> str:
+    from ..operators.bootstrap import poisson_weight_sql
+    u = ("(CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) "
+         "|| '|' || CAST(rep AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)"
+         " / 4294967296.0)")
+    w = poisson_weight_sql(u)
+    return f"""
+WITH reps AS (
+  SELECT rep,
+         CAST(SUM(CAST(({w}) * o_totalprice AS DECIMAL(30,10)))
+              AS DOUBLE) AS est
+  FROM orders, (SELECT unnest(generate_series(0, 63)) AS rep)
+  GROUP BY rep
+), agg AS (
+  SELECT count(*) AS n,
+         CAST(SUM(CAST(est AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(est * est AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM reps
+)
+SELECT s1 / n AS boot_mean,
+       sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS boot_se,
+       CAST(n AS BIGINT) AS n_replicates
+FROM agg
+"""
+
+QUERIES.update({
+    "revenue_bootstrap_se": Q(revenue_bootstrap_se, _bootstrap_sql()),
+})

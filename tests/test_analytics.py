@@ -127,3 +127,39 @@ def test_ols_trend_degenerate_group_is_null(spark):
         out = isin_price_trend(spark, td).collect()
     assert len(out) == 1
     assert out[0]["slope"] is None and out[0]["r2"] is None
+
+
+def test_bootstrap_weights_and_se_theory_band(spark):
+    """Deterministic Poisson bootstrap: (1) per-replicate weights
+    behave like Poisson(1) — each replicate's weight SUM is n within
+    a 5-sigma band; (2) the bootstrap SE of a total tracks the
+    theoretical sqrt(sum x_i^2) within a wide band; (3) two runs are
+    IDENTICAL (the reproducibility the hash derivation exists for)."""
+    import math
+
+    from pyspark.sql import functions as F
+    from stockanalyses_downloader_spark.operators import bootstrap
+    from stockanalyses_downloader_spark.sources.tables import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    n = o.count()
+    # weight-sum sanity on 3 replicates
+    for rep in (0, 1, 7):
+        w = bootstrap.poisson_weight(bootstrap.uniform_from(
+            F.col("o_orderkey"), F.lit(rep)))
+        s = o.select(w.alias("w")).agg(F.sum("w").alias("s")).first()["s"]
+        assert abs(s - n) < 5 * math.sqrt(n), (rep, s, n)
+
+    reps = bootstrap.bootstrap_replicates(o, "o_orderkey",
+                                          "o_totalprice", b=64)
+    got = bootstrap.bootstrap_summary(reps).first()
+    sum_sq = o.agg(F.sum(
+        (F.col("o_totalprice") * F.col("o_totalprice"))
+        .cast("decimal(38,6)")).cast("double").alias("s")).first()["s"]
+    theory = math.sqrt(sum_sq)
+    assert 0.6 * theory < got["boot_se"] < 1.5 * theory
+    again = bootstrap.bootstrap_summary(
+        bootstrap.bootstrap_replicates(o, "o_orderkey",
+                                       "o_totalprice", b=64)).first()
+    assert (got["boot_mean"], got["boot_se"]) == \
+        (again["boot_mean"], again["boot_se"])
