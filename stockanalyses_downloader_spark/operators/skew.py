@@ -50,3 +50,52 @@ def salt_replicate_join(facts: DataFrame, dim: DataFrame, key: str,
                             .cast("array<bigint>")))
     return (salted_facts.join(replicated, [key, "__salt"], "inner")
             .drop("__salt"))
+
+
+def measure_key_skew(df: DataFrame, key: str) -> dict:
+    """The measurement that DRIVES the salting decision (the query
+    form is join_key_skew_report; this returns the model-sized dict
+    the planner-side chooser needs): per-key counts reduced to
+    max / mean / top-share. One aggregate over distinct keys; the
+    collected result is 3 scalars — a documented driver action of
+    the same class as centroid/sizes tables."""
+    per = df.groupBy(key).agg(F.count("*").alias("n"))
+    row = per.agg(F.max("n").alias("mx"),
+                  F.avg("n").alias("mean"),
+                  F.sum("n").alias("total")).first()
+    return {"max": int(row["mx"]), "mean": float(row["mean"]),
+            "total": int(row["total"]),
+            "top_share": float(row["mx"]) / float(row["total"])}
+
+
+def choose_salt_factor(skew: dict, target_ratio: float = 4.0,
+                       max_salts: int = 64) -> int:
+    """Pick n_salts from measured skew: 1 (no salting) while the
+    hottest key stays within target_ratio x the mean per-key count;
+    otherwise enough salts to bring the hot key's per-reducer slice
+    back under that bound, capped. The cap bounds dim replication in
+    salt_replicate_join; the ratio-4 default tolerates benign
+    imbalance (salting has real cost — an extra combine or a
+    replicated build side — and should not trigger on noise)."""
+    ratio = skew["max"] / max(skew["mean"], 1.0)
+    if ratio <= target_ratio:
+        return 1
+    import math
+    return min(max_salts, math.ceil(ratio / target_ratio))
+
+
+def auto_salted_sum(df: DataFrame, key: str, value: str,
+                    salt_by: list[str] | None = None) -> DataFrame:
+    """Measure -> decide -> aggregate: the closed loop. Uniform keys
+    run the plain two-phase aggregate (salting skipped — no wasted
+    combine); a hot key gets exactly the salt factor its measured
+    ratio demands. Result is bit-identical either way (decimal
+    accumulation); the decision is logged in the returned frame's
+    plan only through the extra combine stage."""
+    n = choose_salt_factor(measure_key_skew(df, key))
+    if n == 1:
+        dec = F.col(value).cast("decimal(30,10)")
+        return (df.groupBy(key)
+                .agg(F.sum(dec).cast("double").alias(f"sum_{value}"),
+                     F.count("*").alias("n_rows")))
+    return salted_sum(df, key, value, n_salts=n, salt_by=salt_by)

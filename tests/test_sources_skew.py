@@ -256,3 +256,37 @@ def test_jsonl_writer_round_trips(spark, tmp_path):
     a = {(r["tick_id"], r["isin"], r["last_price"]) for r in good.collect()}
     b = {(r["tick_id"], r["isin"], r["last_price"]) for r in src.collect()}
     assert a == b
+
+
+def test_auto_salting_measures_then_decides(spark):
+    """The measure->decide->aggregate loop: a uniform key picks salt
+    factor 1 (no wasted combine), a planted hot key picks a factor
+    sized by its measured ratio, and BOTH paths produce exactly the
+    plain aggregate's sums."""
+    from stockanalyses_downloader_spark.operators import skew
+
+    uniform = spark.createDataFrame(
+        [(i % 50, float(i)) for i in range(2000)], "k int, v double")
+    hot = spark.createDataFrame(
+        [(0, float(i)) for i in range(5000)]
+        + [(i % 50 + 1, float(i)) for i in range(1000)],
+        "k int, v double")
+
+    mu = skew.measure_key_skew(uniform, "k")
+    mh = skew.measure_key_skew(hot, "k")
+    assert skew.choose_salt_factor(mu) == 1
+    nh = skew.choose_salt_factor(mh)
+    assert nh > 1
+    # hot key holds ~83% of rows: ratio ~ max/mean = 5000/117 ~ 42
+    assert 4 <= nh <= 64
+
+    for df in (uniform, hot):
+        got = {(r["k"], r[f"sum_v"], r["n_rows"]) for r in
+               skew.auto_salted_sum(df, "k", "v").collect()}
+        from pyspark.sql import functions as F
+        want = {(r["k"], r["s"], r["n"]) for r in
+                df.groupBy("k").agg(
+                    F.sum(F.col("v").cast("decimal(30,10)"))
+                    .cast("double").alias("s"),
+                    F.count("*").alias("n")).collect()}
+        assert got == want
