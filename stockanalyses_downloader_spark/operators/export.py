@@ -79,13 +79,21 @@ def verify_export(spark: SparkSession, path: str) -> DataFrame:
     ``ok`` false on any truncation, corruption, or loss. A missing
     shard directory surfaces as NULL file columns (outer join), an
     EXTRA unmanifested shard as NULL manifest columns."""
-    files = (spark.read.text(f"{path}/shards")
-             .withColumnRenamed("value", "line"))
-    # partition column 'shard' is recovered from the directory name
-    recomputed = (files.groupBy("shard")
-                  .agg(F.count("*").alias("file_rows"),
-                       (F.sum(_row_digest_sum(F.col("line"))) % _MOD)
-                       .cast("long").alias("file_checksum")))
+    import glob as _glob
+    # partition column 'shard' is recovered from the directory names;
+    # an EMPTY export writes no shard=K dirs at all, so discovery has
+    # nothing to infer from — degrade to an empty recomputed frame
+    # with the right schema instead of an unresolved-column error
+    if _glob.glob(f"{path}/shards/shard=*"):
+        files = (spark.read.text(f"{path}/shards")
+                 .withColumnRenamed("value", "line"))
+        recomputed = (files.groupBy("shard")
+                      .agg(F.count("*").alias("file_rows"),
+                           (F.sum(_row_digest_sum(F.col("line"))) % _MOD)
+                           .cast("long").alias("file_checksum")))
+    else:
+        recomputed = spark.createDataFrame(
+            [], "shard int, file_rows long, file_checksum long")
     manifest = spark.read.parquet(f"{path}/manifest")
     joined = manifest.join(recomputed, "shard", "full_outer")
     ok = (F.col("n_rows").eqNullSafe(F.col("file_rows"))

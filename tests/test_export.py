@@ -92,3 +92,20 @@ def test_export_verification_catches_tampering(spark, tmp_path):
     ver2 = export.verify_export(spark, path).collect()
     bad = [r for r in ver2 if not r["ok"]]
     assert len(bad) == 1 and bad[0]["n_rows"] == bad[0]["file_rows"]
+
+
+def test_export_empty_frame_yields_valid_empty_manifest(spark, tmp_path):
+    """An empty input exports an empty (but readable) manifest and
+    verify_export returns no failing shard rows — the degenerate
+    case a nightly job hits on a quiet source."""
+    d = _docs(spark).filter("doc_id < 0")
+    path = str(tmp_path / "empty")
+    export.export_training_shards(d, path, "doc_id", ["doc_id", "text"],
+                                  n_shards=4)
+    man = spark.read.parquet(f"{path}/manifest").collect()
+    assert man == []
+    # no shards written and none manifested -> vacuously valid is
+    # WRONG for export_is_valid (it demands at least one verifying
+    # shard); the explicit contract: empty corpus -> not valid,
+    # caller decides
+    assert not export.export_is_valid(spark, path)

@@ -94,3 +94,22 @@ def test_part_entity_resolution_invariants(spark):
     assert all(len(v) == 1 for v in by_name_type.values())
     assert any(len({m["p_name"] for m in ms}) > 1
                for ms in by_entity.values())
+
+
+def test_linkage_null_name_records_survive(spark):
+    """NULL-name records are a form too: they keep their rows (the
+    null-safe map-back join) and resolve as their own entity (the
+    block key is NULL -> never compared)."""
+    from pyspark.sql import functions as F
+
+    from stockanalyses_downloader_spark.operators import linkage
+
+    df = spark.createDataFrame(
+        [(1, "acme widget", "TOOL"), (2, None, "TOOL"), (3, None, "FOOD")],
+        "id long, name string, cat string")
+    blk = F.element_at(F.split(F.col("name"), " "), -1)
+    out = linkage.resolve_entities(df, "id", blk, "name",
+                                   agree_col="cat")
+    got = {r["id"]: r["entity_id"] for r in out.collect()}
+    assert got[1] == 1 and got[2] == 2 and got[3] == 3
+    assert len(got) == 3
