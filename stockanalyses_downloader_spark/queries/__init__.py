@@ -591,6 +591,10 @@ _TAIL = [
                                     # freshness + volume per
                                     # instrument in one row;
                                     # DuckDB-oracled; new r5c
+    "doc_hash_embeddings",          # hashing-trick doc vectors (the
+                                    # model-free text->ANN bridge;
+                                    # vectors themselves hash-match);
+                                    # DuckDB-oracled; new r5c
 ]
 
 

@@ -2177,3 +2177,72 @@ def langid_nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({
     "langid_nb_predictions": Q(langid_nb_predictions, None),
 })
+
+
+def doc_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document vectors via the hashing trick (Weinberger
+    et al. 2009 — feature hashing): token -> md5-bucket in a d=32
+    grid, signed by one hash bit (the sign trick keeps collisions
+    mean-zero), counts L2-normalized LAST. The text -> vector bridge
+    that makes the whole ANN/dedup tier (cosine, IVF, SemDeDup)
+    applicable to corpora with no embedding model in sight — and
+    unlike a model, fully engine-portable: the VECTORS themselves
+    hash-match the oracle. One explode + one (doc, bucket) aggregate
+    + one per-doc assembly; d is a constant, so state per doc is 32
+    doubles. Output: (doc_id, dim, weight) in long form (doc_id x
+    occupied dims — sparse rows; assemble arrays downstream if the
+    consumer wants them dense)."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                       r"\s+")).alias("token")))
+    h = F.md5(F.col("token").cast("binary"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              % 32).cast("int")
+    sign = F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast("int")
+                  % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    raw = (toks.select("doc_id", bucket.alias("dim"),
+                       sign.alias("s"))
+           .groupBy("doc_id", "dim")
+           .agg(F.sum(F.col("s").cast("decimal(30,10)"))
+                .cast("double").alias("w")))
+    norm = (raw.groupBy("doc_id")
+            .agg(F.sqrt(F.sum((F.col("w") * F.col("w"))
+                              .cast("decimal(38,6)")).cast("double"))
+                 .alias("nrm")))
+    return (raw.join(norm, "doc_id")
+            .filter(F.col("nrm") > 0)
+            .select("doc_id", "dim",
+                    (F.col("w") / F.col("nrm")).alias("weight")))
+
+
+_HASH_EMB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), cells AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 32
+              AS INT) AS dim,
+         CASE WHEN CAST(CAST('0x' || substr(md5(token), 9, 1) AS BIGINT)
+                        AS INT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM toks
+), raw AS (
+  SELECT doc_id, dim,
+         CAST(SUM(CAST(s AS DECIMAL(30,10))) AS DOUBLE) AS w
+  FROM cells GROUP BY doc_id, dim
+), nrm AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE)) AS nrm
+  FROM raw GROUP BY doc_id
+)
+SELECT r.doc_id, r.dim, r.w / n.nrm AS weight
+FROM raw r JOIN nrm n ON r.doc_id = n.doc_id
+WHERE n.nrm > 0
+"""
+
+QUERIES.update({
+    "doc_hash_embeddings": Q(doc_hash_embeddings, _HASH_EMB_SQL),
+})
