@@ -169,3 +169,69 @@ def running_pair_stats(ticks: DataFrame, key: str = "pair",
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=timeout))
+
+
+ANOM_SCHEMA = T.StructType([
+    T.StructField("isin", T.StringType(), False),
+    T.StructField("tick_id", T.LongType(), True),
+    T.StructField("zscore", T.DoubleType(), True),
+    T.StructField("is_anomaly", T.BooleanType(), True),
+])
+
+_ANOM_STATE = "prices array<double>"
+
+
+def _make_anomaly_update(n: int, z_thresh: float):
+    def _update(key: tuple, batches: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        (isin,) = key
+        if state.exists:
+            (prices,) = state.get
+            prices = list(prices)
+        else:
+            prices = []
+        out = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "tick_id"])
+            for tid, x in zip(pdf["tick_id"], pdf["last_price"]):
+                x = float(x)
+                if len(prices) >= n:
+                    window = prices[-n:]
+                    mean = sum(window) / n
+                    var = max(
+                        (sum(v * v for v in window) - sum(window) ** 2 / n)
+                        / (n - 1), 0.0)
+                    std = var ** 0.5
+                    zs = (x - mean) / std if std > 0 else None
+                else:
+                    zs = None
+                out.append((isin, int(tid), zs,
+                            None if zs is None else abs(zs) > z_thresh))
+                prices.append(x)
+                prices = prices[-n:]
+        state.update((prices,))
+        yield pd.DataFrame(out, columns=["isin", "tick_id", "zscore",
+                                         "is_anomaly"])
+
+    return _update
+
+
+def streaming_anomaly_flags(ticks: DataFrame, n: int = 12,
+                            z_thresh: float = 2.5) -> DataFrame:
+    """Streaming-native trailing z-score anomaly flags — the live
+    binding of operators/indicators.with_anomaly_zscores: per-key
+    state is the rolling last-n price buffer (bounded: n doubles per
+    key), each incoming tick scores against the n ticks strictly
+    before it ACROSS micro-batch boundaries (what a per-batch window
+    can't see), same exclusion-of-self contract as the batch op.
+    Stream-matches-batch is pinned in tests/test_streaming.py.
+    Event-time ordering within state follows arrival batches; use an
+    ordered source (or upstream watermark sort) as with every
+    sequence-sensitive stream op here."""
+    return (ticks.groupBy("isin")
+            .applyInPandasWithState(
+                _make_anomaly_update(n, z_thresh),
+                outputStructType=ANOM_SCHEMA,
+                stateStructType=_ANOM_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -939,3 +939,51 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     assert sum(1 for k, t in out if k == 1 and t == base) == 1
     assert any(k == 1 and t > base for k, t in out)
     assert sum(1 for k, _ in out if k == 2) == 1
+
+
+def test_streaming_anomaly_flags_match_batch(spark, tmp_path):
+    """The stateful streaming anomaly detector equals the batch
+    window operator ACROSS a micro-batch boundary: the rolling
+    per-key price buffer carries over, so a tick early in batch 2
+    scores against ticks from batch 1 — what a per-batch window
+    could never see. zscores agree to 1e-9 (batch path accumulates
+    in decimal, stream path in python floats — same values, last-ulp
+    freedom), flags agree exactly."""
+    from stockanalyses_downloader_spark.operators import indicators
+    from stockanalyses_downloader_spark.streaming import stateful
+
+    ticks = (pipeline.validate_http(synthetic.ticks(spark, SF))
+             .select("isin", "tick_id", "ts", "last_price"))
+    # deterministic 2-batch split along event time: batch files are
+    # written in order and consumed one per availableNow cycle
+    cut = ticks.approxQuantile("tick_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "an_src")
+    sink = str(tmp_path / "an_sink")
+    ck = str(tmp_path / "an_ck")
+    for part in (ticks.filter(F.col("tick_id") <= cut),
+                 ticks.filter(F.col("tick_id") > cut)):
+        part.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(ticks.schema).parquet(src))
+        q = (stateful.streaming_anomaly_flags(stream, n=12, z_thresh=2.5)
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    got = {r["tick_id"]: (r["zscore"], r["is_anomaly"])
+           for r in spark.read.parquet(sink).collect()}
+    want = {r["tick_id"]: (r["zscore"], r["is_anomaly"])
+            for r in indicators.with_anomaly_zscores(
+                ticks, n=12, z_thresh=2.5).collect()}
+    assert set(got) == set(want) and len(got) > 900
+    n_flagged = 0
+    for tid, (wz, wf) in want.items():
+        gz, gf = got[tid]
+        if wz is None:
+            assert gz is None and gf is None
+        else:
+            assert gz is not None and abs(gz - wz) < 1e-9
+            assert gf == wf
+            n_flagged += 1 if wf else 0
+    assert n_flagged > 0    # non-vacuous: real anomalies exist
