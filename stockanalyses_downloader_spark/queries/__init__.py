@@ -595,6 +595,14 @@ _TAIL = [
                                     # model-free text->ANN bridge;
                                     # vectors themselves hash-match);
                                     # DuckDB-oracled; new r5c
+    "unigram_vocab",                # SentencePiece-family unigram-LM
+                                    # trainer (hard-EM over the word
+                                    # table; rows-only — ln); pinned
+                                    # vs pure-Python exactly; r5c
+    "doc_unigram_tokenization",     # Viterbi encode under the
+                                    # learned pieces (fit-once memo,
+                                    # mapInPandas apply); rows-only;
+                                    # invariants pinned; r5c
 ]
 
 

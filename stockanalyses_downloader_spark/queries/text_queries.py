@@ -2246,3 +2246,47 @@ WHERE n.nrm > 0
 QUERIES.update({
     "doc_hash_embeddings": Q(doc_hash_embeddings, _HASH_EMB_SQL),
 })
+
+
+_UNIGRAM_MODEL_CACHE: dict[tuple[str, int], list] = {}
+
+
+def _unigram_pieces_for(spark: SparkSession, sf_dir: str,
+                        vocab_k: int = 256) -> list:
+    key = (sf_dir, vocab_k)
+    if key not in _UNIGRAM_MODEL_CACHE:
+        from ..operators import unigram
+        _UNIGRAM_MODEL_CACHE[key] = unigram.train_unigram(
+            _docs(spark, sf_dir), vocab_k=vocab_k, rounds=2)
+    return _UNIGRAM_MODEL_CACHE[key]
+
+
+def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the unigram-LM tokenizer (operators/unigram — the
+    SentencePiece-family sibling of the BPE trainer: hard-EM over the
+    distinct-pretoken table, corpus-size-independent rounds) and
+    return the piece table (piece, logp). Rows-only (ln is
+    libm-bound); the trainer is pinned EXACTLY against a pure-Python
+    reference of the same algorithm in tests/test_unigram.py. Fit
+    once per corpus (module memo, same fit/apply split as BPE)."""
+    pieces = _unigram_pieces_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, float(lp)) for p, lp in pieces], "piece string, logp double")
+
+
+def doc_unigram_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the learned unigram model (Viterbi per
+    distinct pretoken via one Arrow-batched mapInPandas, fan-back
+    join): (doc_id, n_words, n_pieces). Rows-only; segmentation
+    invariants (>= 1 piece per word, zero-token docs survive,
+    compression vs chars) pinned in tests/test_unigram.py."""
+    from ..operators import unigram
+    d = _docs(spark, sf_dir)
+    return unigram.tokenize_with_pieces(
+        d, _unigram_pieces_for(spark, sf_dir))
+
+
+QUERIES.update({
+    "unigram_vocab": Q(unigram_vocab, None),
+    "doc_unigram_tokenization": Q(doc_unigram_tokenization, None),
+})
