@@ -603,6 +603,17 @@ _TAIL = [
                                     # learned pieces (fit-once memo,
                                     # mapInPandas apply); rows-only;
                                     # invariants pinned; r5c
+    "simple_revenue_forecast",      # Q6 pure predicate-pushdown
+                                    # aggregate; DuckDB-oracled; r5c
+    "returned_item_customers",      # Q10 returns attribution top-20
+                                    # (deterministic tiebreak);
+                                    # DuckDB-oracled; r5c
+    "late_shipment_priorities",     # Q12 lateness x priority
+                                    # conditional pivot;
+                                    # DuckDB-oracled; r5c
+    "top_supplier_revenue_share",   # Q15 max-on-view tie set via
+                                    # broadcast-scalar decorrelation;
+                                    # DuckDB-oracled; r5c
 ]
 
 

@@ -2216,3 +2216,139 @@ FROM agg
 QUERIES.update({
     "revenue_bootstrap_se": Q(revenue_bootstrap_se, _bootstrap_sql()),
 })
+
+
+def simple_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: the pure predicate-pushdown aggregate — revenue delta from
+    a discount band within a date/quantity window, no joins at all.
+    The benchmark's scan-efficiency probe: every filter must reach
+    the parquet footer (pushdown pinned for this scan family in
+    plans/); one decimal sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.08)
+        & (F.col("l_quantity") < 30))
+        .agg(dsum(rev).alias("revenue"),
+             F.count("*").alias("n_lines")))
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10)))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.08
+  AND l_quantity < 30
+"""
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: customers ranked by revenue LOST to returns (returnflag
+    'R') — join customers->orders->lineitem, one aggregate, top 20
+    with a deterministic tiebreak. The classic revenue-attribution
+    join tree with the dim broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    agg = (li.filter(F.col("l_returnflag") == "R")
+           .join(o, li["l_orderkey"] == o["o_orderkey"])
+           .join(c, o["o_custkey"] == c["c_custkey"])
+           .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+           .groupBy("c_custkey", "c_name", "n_name")
+           .agg(dsum(rev).alias("lost_revenue"),
+                F.count("*").alias("n_lines")))
+    return (agg.orderBy(F.desc("lost_revenue"), F.col("c_custkey"))
+            .limit(20))
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(30,10))) AS DOUBLE) AS lost_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: shipping-delay buckets x order priority — the conditional
+    two-column pivot (high/low priority counts per lateness bucket).
+    One join, one conditional aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 45 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy(late.alias("late"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_priority_lines"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+                 .alias("low_priority_lines")))
+
+
+_Q12_SQL = """
+SELECT l_shipdate > o_orderdate + INTERVAL 45 DAY AS late,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_priority_lines,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_priority_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def top_supplier_revenue_share(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Q15: the revenue view + its maximum — suppliers whose revenue
+    EQUALS the max (the correlated-max-on-a-view shape; emitted as
+    the exact tie set, no arbitrary pick). Broadcast-scalar
+    decorrelation over the supplier-revenue aggregate (the repo's
+    standard shape for uncorrelated scalar subqueries); broadcast
+    supplier dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per = (li.groupBy("l_suppkey")
+           .agg(dsum(rev).alias("total_revenue")))
+    mx = per.agg(F.max("total_revenue").alias("mx"))
+    return (per.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+_Q15_SQL = """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(30,10))) AS DOUBLE) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+), mx AS (SELECT max(total_revenue) AS m FROM per)
+SELECT s_suppkey, s_name, total_revenue
+FROM per JOIN supplier ON l_suppkey = s_suppkey, mx
+WHERE total_revenue = mx.m
+"""
+
+QUERIES.update({
+    "simple_revenue_forecast": Q(simple_revenue_forecast, _Q6_SQL),
+    "returned_item_customers": Q(returned_item_customers, _Q10_SQL),
+    "late_shipment_priorities": Q(late_shipment_priorities, _Q12_SQL),
+    "top_supplier_revenue_share": Q(top_supplier_revenue_share, _Q15_SQL),
+})

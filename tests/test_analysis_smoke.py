@@ -56,3 +56,41 @@ def test_streaming_sources_analyze(spark, tmp_path):
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
     assert not failures, f"streaming analysis failures: {failures}"
+
+
+def test_hash_embeddings_recover_exact_duplicates(spark, tmp_path):
+    """Cross-tier integration: documents with identical TOKEN
+    SEQUENCES get identical hashing-trick vectors (cosine exactly
+    1), so the model-free text->vector bridge plugs straight into
+    the dedup/ANN tier. The fixture corpus has no exact dups at
+    sf0.001, so the dup structure is PLANTED into a temp sf_dir the
+    query reads like any other (same loader path)."""
+    from pyspark.sql import functions as F
+
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        doc_hash_embeddings)
+
+    rows = [
+        (1, "spark table scan merge", "en", "s0"),
+        (2, "spark  table   scan merge ", "en", "s1"),  # ws-normal dup of 1
+        (3, "query window hash join filter", "en", "s0"),
+        (4, "query window hash join filter", "fr", "s2"),  # dup of 3
+        (5, "completely different tokens here", "en", "s0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")         .withColumn("n_chars", F.length("text"))
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    emb = doc_hash_embeddings(spark, sf_dir)
+    vecs: dict = {}
+    for r in emb.collect():
+        vecs.setdefault(r["doc_id"], {})[r["dim"]] = r["weight"]
+
+    def cos(a, b):
+        return sum(a.get(k, 0.0) * v for k, v in b.items())
+
+    assert abs(cos(vecs[1], vecs[2]) - 1.0) < 1e-12
+    assert abs(cos(vecs[3], vecs[4]) - 1.0) < 1e-12
+    assert cos(vecs[1], vecs[5]) < 0.999
+    assert cos(vecs[3], vecs[5]) < 0.999
