@@ -315,3 +315,97 @@ def countmin_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
             .groupBy("row_id")
             .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("ip")))
     return prod.agg(F.min("ip").cast("long").alias("est_join_size"))
+
+
+# --- portable HyperLogLog: ORACLED distinct-count grids ----------------------
+#
+# lang_distinct_token_sketch (text_queries) already provides the HLL
+# tier via Spark's Datasketches functions — but its binary sketch is
+# engine-private, so the driver can only rows-only it. This section is
+# the PORTABLE dual: the register grid is built from the same
+# md5-prefix hash family as cm_bucket/bloom, so the sketch STATE itself
+# is DuckDB-oracled like the count-min/HDR/Bloom grids — every one of
+# the four mergeable tiers now has a hash-certifiable representation.
+#
+# Register math, engine-portable by construction:
+#     reg = first 32-bit md5 word  % m          (which register)
+#     w   = second 32-bit md5 word              (rho source)
+#     rho = 33 - bit_length(w), or 33 if w = 0  (leading zeros + 1)
+# bit_length via length(bin(w)): BOTH Spark and DuckDB bin() strip
+# leading zeros, so the expression is identical in the oracle. The
+# grid (reg, max_rho) merges by groupBy-MAX — the HLL merge rule —
+# giving per-partition/day distinct-sketches that re-aggregate without
+# rescans, exactly like the other three tiers.
+#
+# The ESTIMATE (alpha*m^2 / sum 2^-rho with linear-counting fallback)
+# involves ln() for the small-range correction — libm-bound, so it
+# stays test-pinned (error band vs exact) rather than hash-oracled,
+# same disposition as hll_sketch_estimate.
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers -> ~6.5% standard error
+
+
+def _hll_cell(item: Column, m: int) -> tuple[Column, Column]:
+    """(register, rho) of one item under the portable hash."""
+    h = F.md5(item.cast("string").cast("binary"))
+    reg = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+           % m).cast("int")
+    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rho = (F.when(w == 0, F.lit(33))
+           .otherwise(F.lit(33) - F.length(F.bin(w)))).cast("int")
+    return reg, rho
+
+
+def hll_build_grouped(items: DataFrame, group_cols: list[str],
+                      item_col: str, m: int = HLL_M) -> DataFrame:
+    """Per-group register grids (group_cols..., reg, max_rho): at most
+    m rows PER GROUP no matter how many distinct items. A register no
+    item hashed into is absent (implicit rho 0). Merging grids built
+    with the same m is UNION ALL + groupBy-MAX (hll_merge)."""
+    reg, rho = _hll_cell(F.col(item_col), m)
+    return (items.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+            .groupBy(*group_cols, "reg")
+            .agg(F.max("rho").alias("max_rho")))
+
+
+def hll_build(items: DataFrame, item_col: str,
+              m: int = HLL_M) -> DataFrame:
+    """Ungrouped register grid (reg, max_rho)."""
+    return hll_build_grouped(items, [], item_col, m)
+
+
+def hll_merge(*grids: DataFrame) -> DataFrame:
+    """Merge ungrouped grids built with the same m: registers MAX —
+    the HLL union rule (distinct sets union; registers take the max
+    observed rho)."""
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.unionByName(g)
+    return out.groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate_grouped(grid: DataFrame, group_cols: list[str],
+                         m: int = HLL_M) -> DataFrame:
+    """Cardinality estimate per group from a register grid: the
+    standard HLL estimator with the linear-counting small-range
+    correction. Output (group_cols..., est_distinct). Runs entirely
+    on the <= m-rows-per-group grid — no corpus rescans; libm ln()
+    confines this to the test-pinned tier (grid stays oracled)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per = (grid.groupBy(*group_cols) if group_cols else grid.groupBy())
+    agg = per.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s_hit"),
+        F.count("*").alias("n_present"))
+    zeros = F.lit(m) - F.col("n_present")
+    # absent registers carry rho 0 -> 2^0 = 1 each
+    raw = (F.lit(alpha * m * m)
+           / (F.col("s_hit") + zeros.cast("double")))
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(*group_cols, est.alias("est_distinct"))
+
+
+def hll_estimate(grid: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Ungrouped estimate: 1 row (est_distinct)."""
+    return hll_estimate_grouped(grid, [], m)

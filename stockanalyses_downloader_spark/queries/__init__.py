@@ -614,6 +614,10 @@ _TAIL = [
     "top_supplier_revenue_share",   # Q15 max-on-view tie set via
                                     # broadcast-scalar decorrelation;
                                     # DuckDB-oracled; r5c
+    "lang_token_hll_grid",          # portable-HLL register grids —
+                                    # the distinct tier's ORACLED
+                                    # state (estimator test-pinned);
+                                    # DuckDB-oracled; r5c
 ]
 
 

@@ -2290,3 +2290,44 @@ QUERIES.update({
     "unigram_vocab": Q(unigram_vocab, None),
     "doc_unigram_tokenization": Q(doc_unigram_tokenization, None),
 })
+
+
+def lang_token_hll_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL register grids per language (operators/sketches
+    hll_build_grouped): (lang, reg, max_rho), at most 256 rows per
+    language no matter the vocabulary size, merging by groupBy-MAX —
+    the DISTINCT-count sibling of the oracled count-min/HDR/Bloom
+    grids. Unlike lang_distinct_token_sketch's Datasketches binary,
+    this sketch's STATE is engine-portable (md5-prefix register +
+    bin()-length rho), so the grid itself is DuckDB-oracled; the
+    estimator (libm ln) stays test-pinned next to it."""
+    from ..operators import sketches
+    d = _docs(spark, sf_dir)
+    toks = d.select("lang",
+                    F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("token"))
+    return sketches.hll_build_grouped(toks, ["lang"], "token")
+
+
+_HLL_GRID_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), cells AS (
+  SELECT lang,
+         CAST(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 256
+              AS INT) AS reg,
+         CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) AS w
+  FROM toks
+)
+SELECT lang, reg,
+       MAX(CASE WHEN w = 0 THEN 33
+                ELSE 33 - length(bin(w)) END) AS max_rho
+FROM cells
+GROUP BY lang, reg
+"""
+
+QUERIES.update({
+    "lang_token_hll_grid": Q(lang_token_hll_grid, _HLL_GRID_SQL),
+})

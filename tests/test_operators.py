@@ -1403,3 +1403,46 @@ def test_countmin_inner_product_one_sided(spark):
     est = sketches.countmin_inner_product(
         ga, gb).collect()[0]["est_join_size"]
     assert est == exact
+
+
+def test_hll_portable_estimate_bands(spark):
+    """Portable-HLL estimator accuracy in BOTH regimes: the raw
+    estimator at a cardinality (60k) far above the register count
+    (m=256, RSE ~6.5% -> 3-sigma band 20%), and the linear-counting
+    small-range correction at 30 distinct (most registers empty).
+    The grid itself is DuckDB-oracled at the query level
+    (lang_token_hll_grid); this pins what the grid's numbers MEAN."""
+    from stockanalyses_downloader_spark.operators import sketches
+
+    big = spark.range(60_000).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("item"))
+    est = sketches.hll_estimate(
+        sketches.hll_build(big, "item")).first()["est_distinct"]
+    assert abs(est - 60_000) / 60_000 < 0.20, est
+
+    small = spark.range(30).select(
+        F.concat(F.lit("s"), F.col("id")).alias("item"))
+    est_s = sketches.hll_estimate(
+        sketches.hll_build(small, "item")).first()["est_distinct"]
+    assert abs(est_s - 30) / 30 < 0.15, est_s
+
+
+def test_hll_merge_half_vs_whole(spark):
+    """Register grids MAX together to exactly the grid of the union —
+    the distinct tier's rescan-free maintenance contract (duplicate
+    items across the halves must not inflate anything: max, not
+    add)."""
+    from stockanalyses_downloader_spark.operators import sketches
+
+    # overlapping halves: items 0..119 and 80..199
+    a = spark.range(120).select(
+        F.concat(F.lit("i"), F.col("id")).alias("item"))
+    b = spark.range(80, 200).select(
+        F.concat(F.lit("i"), F.col("id")).alias("item"))
+    whole = spark.range(200).select(
+        F.concat(F.lit("i"), F.col("id")).alias("item"))
+    merged = sketches.hll_merge(sketches.hll_build(a, "item"),
+                                sketches.hll_build(b, "item"))
+    direct = sketches.hll_build(whole, "item")
+    as_map = lambda df: {r["reg"]: r["max_rho"] for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(direct)
