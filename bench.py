@@ -75,6 +75,9 @@ EXTENDED = [
     "copurchase_lift",              # basket-blocked pair join
     "tick_ema",                     # applyInPandas sequential fold
     "tick_trailing_hour_volume",    # RANGE interval frames
+    "bm25_search_topk",             # sparse-retrieval index + score
+    "lang_token_hll_grid",          # portable-HLL register build
+    "forget_cascade_report",        # FK cascade semi/anti audit
 ]
 
 

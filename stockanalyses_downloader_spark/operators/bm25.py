@@ -1,0 +1,90 @@
+"""Okapi BM25 sparse retrieval (X3/X4 tier, round 5): the lexical
+complement of the dense-ANN tier — "find the documents matching these
+query TERMS" where similarity.py answers "find the documents near this
+VECTOR". A 100 TB training-data pipeline needs both: BM25 drives
+targeted corpus slicing ("pull the docs about X for this eval"),
+hard-negative mining for embedding training, and retrieval-based
+decontamination triage.
+
+Index shape (all one scan + one shuffle off the corpus):
+  tf    (doc_id, term, tf, dl)   term frequency + doc length
+  df    (term, df)               document frequency — derived FROM the
+                                 tf frame (reuse, no second scan)
+  stats (n_docs, avgdl)          broadcast scalar
+
+Scoring is the Lucene/ES BM25 variant (non-negative IDF):
+  idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+  s(q, d) = sum_t idf(t) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+(the (k1+1) numerator factor is omitted, as Lucene does: it scales
+every doc's score by the same constant per term — ranking-identical.)
+
+Scale shape: query terms are BROADCAST (a query set is model-sized),
+so scoring is one semi-join-shaped probe of the tf frame — the fact
+table never re-shuffles per query batch; per-query top-k is a
+WindowGroupLimit, not a global sort. ln() is libm-bound, so the scored
+query is rows-only for the driver with exact pure-Python parity pinned
+in tests; the INDEX side (tf/df/dl/avgdl — exact integers and one IEEE
+division) is DuckDB-oracled separately (bm25_doc_term_stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("term"))
+
+
+def bm25_index(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> tuple[DataFrame, DataFrame,
+                                                DataFrame]:
+    """(tf, df, stats) index frames. One explode + one (doc, term)
+    aggregate; df and doc lengths derive from tf without touching the
+    corpus again. All three are incrementally maintainable: tf/df add
+    across corpus partitions, stats re-derives from df's parent."""
+    toks = _tokens(docs, id_col, text_col)
+    tf = (toks.groupBy(id_col, "term")
+          .agg(F.count("*").alias("tf")))
+    dl = (tf.groupBy(id_col)
+          .agg(F.sum("tf").alias("dl")))
+    tf = tf.join(dl, id_col)
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+    return tf, df, stats
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Top-k docs per query: (query_id, doc_id, score, rank).
+    ``queries`` is (query_id, qtext); repeated query terms count once
+    (set semantics — the standard Okapi treatment for short queries).
+    Ties break on doc_id for deterministic output."""
+    tf, df, stats = bm25_index(docs, id_col, text_col)
+    qterms = (_tokens(queries, "query_id", "qtext").distinct())
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = (F.col("tf")
+            / (F.col("tf")
+               + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(qterms), "term")
+              .join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("query_id", id_col)
+              .agg(F.sum(idf * norm).alias("score")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("score"), F.col(id_col)))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -138,12 +138,20 @@ _WINDOW = [
                                 # rotation in — took the per-doc
                                 # split's slot: same md5 primitive
                                 # plus the no-straddle guarantee)
-    "doc_sequence_packing",     # concat-then-chunk 128-token packing
-                                # (two-pass distributed prefix sum)
-    "token_countmin_sketch",    # mergeable count-min grid (r5
-                                # rotation in — took top_tokens'
-                                # slot: the bounded-memory frequency
-                                # tier vs the exact histogram)
+    "bm25_doc_term_stats",      # BM25 index side, hash-oracled (r5c
+                                # rotation in — took doc_sequence_
+                                # packing's slot: packing stays
+                                # pytest-oracled in the tail; the
+                                # retrieval tier earns its first
+                                # driver row)
+    "lang_token_hll_grid",      # portable-HLL register grids (r5c
+                                # rotation in — took token_countmin_
+                                # sketch's slot: the count-min grid
+                                # machinery stays driver-visible
+                                # inside orders_join_size_estimate,
+                                # which builds two of them; the
+                                # DISTINCT tier's oracled state earns
+                                # its first driver row)
     "doc_winnow_fingerprints",  # MOSS winnowing (r5 rotation in —
                                 # took doc_fingerprints' slot: the
                                 # guarantee-carrying fingerprint rep)
@@ -157,7 +165,13 @@ _WINDOW = [
                                 # machinery's first round)
     "exact_dedup_docs",
     "corpus_curation_decisions",  # keep/drop + reason codes capstone
-    "eval_ngram_decontamination",  # train-vs-eval 5-gram overlap
+    "forget_cascade_report",    # GDPR erasure cascade receipt (r5c
+                                # rotation in — took eval_ngram_
+                                # decontamination's slot: the
+                                # decontamination capability keeps
+                                # its driver row via in-window
+                                # bloom_decontamination_probes,
+                                # whose exact-join leg rides along)
     "lang_temperature_mixture",   # sqrt-temperature domain rebalance
     "substring_dup_fraction",   # content-defined-anchor substring-dup
                                 # signal (r5 rotation in — VERDICT r4
@@ -614,10 +628,23 @@ _TAIL = [
     "top_supplier_revenue_share",   # Q15 max-on-view tie set via
                                     # broadcast-scalar decorrelation;
                                     # DuckDB-oracled; r5c
-    "lang_token_hll_grid",          # portable-HLL register grids —
-                                    # the distinct tier's ORACLED
-                                    # state (estimator test-pinned);
-                                    # DuckDB-oracled; r5c
+    "bm25_search_topk",             # Okapi BM25 top-10 for 3 fixed
+                                    # queries (ln -> rows-only;
+                                    # python parity 1e-9); r5c
+    "doc_sequence_packing",         # packing rep — hash-green
+                                    # r1–r5c; slot yielded to
+                                    # bm25_doc_term_stats; stays
+                                    # pytest-oracled + benched
+    "token_countmin_sketch",        # count-min grid rep — hash-green
+                                    # r5–r5c; slot yielded to
+                                    # lang_token_hll_grid; the grid
+                                    # build stays driver-visible via
+                                    # orders_join_size_estimate
+    "eval_ngram_decontamination",   # exact decontamination rep —
+                                    # hash-green r1–r5c; slot yielded
+                                    # to forget_cascade_report; the
+                                    # capability keeps bloom_decon's
+                                    # driver row (exact leg included)
 ]
 
 

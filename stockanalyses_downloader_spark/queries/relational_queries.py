@@ -2352,3 +2352,72 @@ QUERIES.update({
     "late_shipment_priorities": Q(late_shipment_priorities, _Q12_SQL),
     "top_supplier_revenue_share": Q(top_supplier_revenue_share, _Q15_SQL),
 })
+
+
+def forget_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure audit (operators/forget): the subject set is every
+    customer with c_custkey % 13 == 0; the cascade dooms their orders,
+    those orders' lineitems, and their events via the declared FK
+    edges; the report is each table's (dropped, kept) split — the
+    erasure receipt, hash-oracled so the cascade MATH is driver-
+    certified (the atomic rewrite itself is pytest-verified in
+    tests/test_forget.py)."""
+    from ..operators import forget
+    tables = {n: _t(spark, sf_dir, n)
+              for n in ("customer", "orders", "lineitem", "events")}
+    subjects = (tables["customer"]
+                .filter(F.col("c_custkey") % 13 == 0)
+                .select("c_custkey"))
+    edges = [
+        forget.FkEdge("orders", "o_custkey", "customer", "c_custkey",
+                      child_pk="o_orderkey"),
+        forget.FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        forget.FkEdge("events", "user_id", "customer", "c_custkey"),
+    ]
+    doomed = forget.doomed_keys(tables, "customer", "c_custkey",
+                                subjects, edges)
+    key_cols = {"customer": "c_custkey", "orders": "o_orderkey",
+                "lineitem": "l_orderkey", "events": "user_id"}
+    return (forget.audit(tables, doomed, key_cols)
+            .select("table_name",
+                    F.col("n_dropped").cast("long").alias("n_dropped"),
+                    F.col("n_kept").cast("long").alias("n_kept")))
+
+
+_FORGET_SQL = """
+WITH doomed_c AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 13 = 0
+), doomed_o AS (
+  SELECT DISTINCT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM doomed_c)
+)
+SELECT 'customer' AS table_name,
+  CAST((SELECT count(*) FROM customer
+        WHERE c_custkey IN (SELECT c_custkey FROM doomed_c)) AS BIGINT)
+    AS n_dropped,
+  CAST((SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM doomed_c)) AS BIGINT)
+    AS n_kept
+UNION ALL
+SELECT 'events',
+  CAST((SELECT count(*) FROM events
+        WHERE user_id IN (SELECT c_custkey FROM doomed_c)) AS BIGINT),
+  CAST((SELECT count(*) FROM events
+        WHERE user_id NOT IN (SELECT c_custkey FROM doomed_c)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+  CAST((SELECT count(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_o)) AS BIGINT),
+  CAST((SELECT count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM doomed_o)) AS BIGINT)
+UNION ALL
+SELECT 'orders',
+  CAST((SELECT count(*) FROM orders
+        WHERE o_orderkey IN (SELECT o_orderkey FROM doomed_o)) AS BIGINT),
+  CAST((SELECT count(*) FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM doomed_o)) AS BIGINT)
+"""
+
+QUERIES.update({
+    "forget_cascade_report": Q(forget_cascade_report, _FORGET_SQL),
+})

@@ -2331,3 +2331,79 @@ GROUP BY lang, reg
 QUERIES.update({
     "lang_token_hll_grid": Q(lang_token_hll_grid, _HLL_GRID_SQL),
 })
+
+
+_BM25_PROBE_TERMS = ("scan", "column", "window", "join", "merge",
+                     "stream", "customer", "data", "filter")
+_BM25_QUERIES = [(0, "scan column window"),
+                 (1, "join merge stream"),
+                 (2, "customer data filter")]
+
+
+def bm25_doc_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 INDEX side (operators/bm25.bm25_index), hash-oracled:
+    per (probe term, doc) exact term frequency, doc length, document
+    frequency, corpus size, and average doc length — every number the
+    scorer consumes except the libm ln(). The probe set is the fixed
+    query vocabulary bm25_search_topk uses, so the oracled surface
+    covers exactly the scored path's inputs."""
+    from ..operators import bm25
+    d = _docs(spark, sf_dir)
+    tf, df, stats = bm25.bm25_index(d)
+    return (tf.filter(F.col("term").isin(*_BM25_PROBE_TERMS))
+            .join(F.broadcast(df), "term")
+            .crossJoin(F.broadcast(stats))
+            .select("term", "doc_id",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("dl").cast("long").alias("dl"),
+                    F.col("df").cast("long").alias("df"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("avgdl").cast("double").alias("avgdl")))
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_PROBE_TERMS)
+
+_BM25_STATS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+)
+SELECT term, doc_id,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(dl AS BIGINT) AS dl,
+       CAST(df AS BIGINT) AS df,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(avgdl AS DOUBLE) AS avgdl
+FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats
+WHERE term IN ({_BM25_TERMS_SQL})
+"""
+
+
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for three fixed queries over the corpus
+    (operators/bm25.bm25_topk): (query_id, doc_id, score, rank).
+    Rows-only for the driver (the IDF ln() is libm-bound — same
+    disposition as every log-bearing score here); exact pure-Python
+    parity at 1e-9 and the full index side's hash oracle
+    (bm25_doc_term_stats) are the verification pair."""
+    from ..operators import bm25
+    d = _docs(spark, sf_dir)
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, qtext string")
+    return bm25.bm25_topk(d, q, k=10)
+
+
+QUERIES.update({
+    "bm25_doc_term_stats": Q(bm25_doc_term_stats, _BM25_STATS_SQL),
+    "bm25_search_topk": Q(bm25_search_topk, None),
+})
