@@ -78,6 +78,7 @@ EXTENDED = [
     "bm25_search_topk",             # sparse-retrieval index + score
     "lang_token_hll_grid",          # portable-HLL register build
     "forget_cascade_report",        # FK cascade semi/anti audit
+    "copurchase_triangles",         # degree-oriented wedge join
 ]
 
 

@@ -645,6 +645,16 @@ _TAIL = [
                                     # to forget_cascade_report; the
                                     # capability keeps bloom_decon's
                                     # driver row (exact leg included)
+    "copurchase_triangles",         # degree-oriented triangle counts
+                                    # (per-node, orientation-blind
+                                    # oracle); DuckDB-oracled; r5c
+    "order_window_analytics",       # percent_rank/cume_dist/ntile/
+                                    # nth_value breadth closer;
+                                    # DuckDB-oracled; r5c
+    "bigram_kn_probs",              # Kneser-Ney bigram LM — all-ratio
+                                    # arithmetic, the trained model
+                                    # itself hash-matches;
+                                    # DuckDB-oracled; r5c
 ]
 
 

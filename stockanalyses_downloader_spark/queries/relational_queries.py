@@ -2421,3 +2421,98 @@ SELECT 'orders',
 QUERIES.update({
     "forget_cascade_report": Q(forget_cascade_report, _FORGET_SQL),
 })
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph (parts
+    sharing an order = an edge; operators/graph.triangle_counts with
+    degree orientation). Triangles are the basket-affinity step past
+    copurchase_lift's pairs: three parts mutually co-bought. The
+    oracle counts the SAME triangles with plain id-ordering (a<b<c
+    three-way join) — the triangle SET is orientation-independent, so
+    the per-node counts hash-match even though the engine-side join
+    is the degree-bounded one."""
+    from ..operators import graph
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+             .select("pa", "pb").distinct())
+    return (graph.triangle_counts(edges, "pa", "pb")
+            .select(F.col("node").alias("part"),
+                    F.col("n_triangles").cast("long")
+                    .alias("n_triangles")))
+
+
+_TRIANGLE_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT node AS part, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY node
+"""
+
+QUERIES.update({
+    "copurchase_triangles": Q(copurchase_triangles, _TRIANGLE_SQL),
+})
+
+
+def order_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth closer: percent_rank / cume_dist /
+    ntile(4) / nth_value in one pass per order-priority partition
+    (ordered by totalprice with the orderkey tiebreak so every rank
+    function is deterministic). percent_rank and cume_dist are exact
+    integer-ratio doubles (identical IEEE division both engines);
+    ntile's uneven-bucket rule (first buckets take the remainder) is
+    the SQL standard in both; nth_value reads the full frame, pinned
+    explicitly because the DEFAULT frame with ORDER BY stops at the
+    current row and would NULL the first row."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
+        F.first("o_orderkey").over(wfull).alias("cheapest_key"))
+
+
+_WINDOW_ANALYTICS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       nth_value(o_orderkey, 2) OVER wf AS second_key,
+       first_value(o_orderkey) OVER wf AS cheapest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+"""
+
+QUERIES.update({
+    "order_window_analytics": Q(order_window_analytics,
+                                _WINDOW_ANALYTICS_SQL),
+})

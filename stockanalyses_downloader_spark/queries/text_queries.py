@@ -2407,3 +2407,47 @@ QUERIES.update({
     "bm25_doc_term_stats": Q(bm25_doc_term_stats, _BM25_STATS_SQL),
     "bm25_search_topk": Q(bm25_search_topk, None),
 })
+
+
+def bigram_kn_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM trained on the corpus
+    (operators/ngram_lm) — every observed bigram's discounted +
+    continuation-backoff probability, ALL-RATIO arithmetic so the
+    trained model itself is hash-oracled (the count-based-LM sibling
+    of the rows-only neural-ish tiers). Per-context normalization to
+    exactly 1 over the full vocabulary (the interpolation guarantee)
+    and the continuation-count signature are pinned in
+    tests/test_ngram_lm.py."""
+    from ..operators import ngram_lm
+    return ngram_lm.kn_observed_probs(_docs(spark, sf_dir))
+
+
+_KN_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents
+), ex AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2)
+), bg AS (
+  SELECT w1, w2, count(*) AS c12 FROM ex GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(c12) AS c1, count(*) AS n1fw FROM bg GROUP BY w1
+), cont AS (
+  SELECT w2, count(*) AS n1bw FROM bg GROUP BY w2
+), tot AS (
+  SELECT count(*) AS n_types FROM bg
+)
+SELECT bg.w1, bg.w2, CAST(bg.c12 AS BIGINT) AS c12,
+       GREATEST(CAST(bg.c12 AS DOUBLE) - 0.75, 0.0) / ctx.c1
+         + ((0.75 * ctx.n1fw) / ctx.c1)
+           * (CAST(cont.n1bw AS DOUBLE) / tot.n_types) AS p_kn
+FROM bg JOIN ctx USING (w1) JOIN cont USING (w2), tot
+"""
+
+QUERIES.update({
+    "bigram_kn_probs": Q(bigram_kn_probs, _KN_SQL),
+})

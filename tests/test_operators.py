@@ -1446,3 +1446,64 @@ def test_hll_merge_half_vs_whole(spark):
     direct = sketches.hll_build(whole, "item")
     as_map = lambda df: {r["reg"]: r["max_rho"] for r in df.collect()}  # noqa: E731
     assert as_map(merged) == as_map(direct)
+
+
+def test_triangle_counts_planted_shapes(spark):
+    """K4 clique: every member sits in C(3,2)=3 triangles; a pendant
+    edge and an open path contribute nothing; dirty input (directed
+    duplicates, self-loops) canonicalizes away."""
+    from stockanalyses_downloader_spark.operators import graph
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5),                                          # pendant
+             (6, 7), (7, 8),                                  # open path
+             (2, 1), (3, 1),                                  # dup reversed
+             (9, 9)]                                          # self-loop
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"]
+           for r in graph.triangle_counts(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_match_bruteforce_python(spark):
+    """Deterministic pseudo-random graph vs itertools brute force —
+    per-node counts, not just the total."""
+    import hashlib
+    from itertools import combinations
+
+    from stockanalyses_downloader_spark.operators import graph
+
+    nodes = list(range(24))
+    edges = []
+    for a, b in combinations(nodes, 2):
+        h = hashlib.md5(f"{a}-{b}".encode()).hexdigest()
+        if int(h[:4], 16) % 5 == 0:  # ~20% density
+            edges.append((a, b))
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"]
+           for r in graph.triangle_counts(e).collect()}
+    assert got == want
+    assert sum(want.values()) > 0  # non-vacuous
+
+
+def test_triangle_counts_hub_graph_orientation(spark):
+    """A star hub with one rim edge: exactly one triangle, counted
+    once — the shape where naive id-ordered wedging piles all work on
+    the hub; degree orientation points rim->hub so the hub generates
+    ZERO wedges itself."""
+    from stockanalyses_downloader_spark.operators import graph
+
+    hub_edges = [(0, i) for i in range(1, 12)] + [(1, 2)]
+    e = spark.createDataFrame(hub_edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"]
+           for r in graph.triangle_counts(e).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
