@@ -178,3 +178,34 @@ def pack_sequences(df: DataFrame, count_col: str, budget: int,
                         > budget)
             .select(key, "n_tokens", "start_offset", "bin_id",
                     "offset_in_bin", "spans_boundary"))
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str, key: str,
+                    salt: str = "") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic
+    (Efraimidis-Spirakis A-ES): each row draws priority u^(1/w) from
+    its md5 uniform u ∈ (0,1]; the top-n priorities are the sample.
+    Inclusion probability tracks weight share exactly as the
+    textbook algorithm's — but the randomness is the same portable
+    keyed-md5 every sampler here uses, so the SAMPLE SET is
+    reproducible bit-for-bit across runs/partitionings/engines (a
+    distributed np.random choice can promise none of that; change
+    the salt for an independent draw).
+
+    Scale shape: priorities are scan-side expressions; top-n
+    compiles to TakeOrderedAndProject (per-partition heaps + driver
+    merge of n rows), NOT a global sort — n is model-sized by
+    contract. pow() is libm-bound, so this stays in the
+    python-parity-pinned tier (the selection only depends on
+    priority ORDER, which ulp-level pow drift cannot flip except on
+    exact ties the md5 uniform doesn't produce).
+
+    Rows with weight <= 0 or NULL are excluded (zero mass)."""
+    u = ((F.conv(hash_key(F.col(key), salt), 16, 10).cast("double")
+          + F.lit(1.0)) / F.lit(float(_HEX_SPACE)))
+    pri = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("__pri", pri)
+            .orderBy(F.desc("__pri"), F.col(key))
+            .limit(n)
+            .drop("__pri"))

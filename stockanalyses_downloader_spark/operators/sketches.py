@@ -409,3 +409,26 @@ def hll_estimate_grouped(grid: DataFrame, group_cols: list[str],
 def hll_estimate(grid: DataFrame, m: int = HLL_M) -> DataFrame:
     """Ungrouped estimate: 1 row (est_distinct)."""
     return hll_estimate_grouped(grid, [], m)
+
+
+def hll_intersection_estimate(a: DataFrame, b: DataFrame,
+                              m: int = HLL_M) -> DataFrame:
+    """Distinct-overlap estimate between two register grids via
+    inclusion-exclusion: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B),
+    where the union grid is just hll_merge (register MAX — exact
+    for the union sketch, the property intersections lack a direct
+    sketch for). The error compounds (three estimates), so the band
+    is wider than a single estimate's and can go slightly NEGATIVE
+    for near-disjoint sets — callers clamp at 0; the test pins the
+    band at overlap fractions where the signal is real. 100 TB use:
+    "how many users/tokens do these two days share" from stored
+    per-day grids, no rescan of either day.
+    Output 1 row: (est_a, est_b, est_union, est_intersection)."""
+    ea = hll_estimate(a, m).select(F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(b, m).select(F.col("est_distinct").alias("est_b"))
+    eu = hll_estimate(hll_merge(a, b), m).select(
+        F.col("est_distinct").alias("est_union"))
+    return (ea.crossJoin(eb).crossJoin(eu)
+            .select("est_a", "est_b", "est_union",
+                    (F.col("est_a") + F.col("est_b")
+                     - F.col("est_union")).alias("est_intersection")))

@@ -655,6 +655,12 @@ _TAIL = [
                                     # arithmetic, the trained model
                                     # itself hash-matches;
                                     # DuckDB-oracled; r5c
+    "weighted_doc_sample",          # A-ES weighted sampling (pow ->
+                                    # rows-only; exact python parity
+                                    # pinned); r5c
+    "doc_kn_perplexity",            # per-doc KN-LM perplexity filter
+                                    # (log2 -> rows-only; shuffled-
+                                    # text discrimination pinned); r5c
 ]
 
 

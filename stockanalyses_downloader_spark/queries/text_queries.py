@@ -2451,3 +2451,55 @@ FROM bg JOIN ctx USING (w1) JOIN cont USING (w2), tot
 QUERIES.update({
     "bigram_kn_probs": Q(bigram_kn_probs, _KN_SQL),
 })
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (sampling.weighted_sample,
+    Efraimidis-Spirakis priorities from the portable md5 uniform):
+    64 docs drawn without replacement with probability tracking
+    n_chars — the length-weighted corpus subsample a mixture builder
+    draws. Rows-only (pow is libm-bound); exact selection parity vs
+    a pure-Python replica of the same arithmetic is pinned in
+    tests/test_sampling_weighted.py."""
+    from ..operators import sampling
+    d = _docs(spark, sf_dir)
+    return (sampling.weighted_sample(d, 64, "n_chars", "doc_id")
+            .select("doc_id", "n_chars"))
+
+
+QUERIES.update({
+    "weighted_doc_sample": Q(weighted_doc_sample, None),
+})
+
+
+def doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram perplexity under the corpus-trained Kneser-Ney
+    model — the CCNet/Gopher-style LM-filter signal with a REAL
+    smoothed LM behind it (doc_bigram_surprisal's MLE ratios assign
+    unseen transitions nothing; KN assigns them proper backoff mass).
+    perplexity = 2^(mean -log2 p(w2|w1)) over the doc's transitions.
+    Rows-only (log2 is libm-bound — same disposition as every
+    log-bearing score); the MODEL feeding it is hash-oracled
+    (bigram_kn_probs), and the shuffled-text discrimination test is
+    the semantic pin. Docs with < 2 tokens have no transitions and
+    are absent (the curation capstone floors short docs already)."""
+    from ..operators import ngram_lm
+    d = _docs(spark, sf_dir)
+    pairs = ngram_lm.bigram_pairs(d)
+    model = ngram_lm.kn_bigram_model(pairs)
+    bg, ctx, cont, tot = model
+    scored = (pairs
+              .join(bg, ["w1", "w2"])
+              .join(ctx, "w1").join(cont, "w2")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("p", ngram_lm._p_kn(F.col("c12"),
+                                              ngram_lm.KN_DISCOUNT)))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_transitions"),
+                 F.pow(F.lit(2.0),
+                       -F.avg(F.log2("p"))).alias("kn_perplexity")))
+
+
+QUERIES.update({
+    "doc_kn_perplexity": Q(doc_kn_perplexity, None),
+})

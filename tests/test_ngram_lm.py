@@ -102,3 +102,49 @@ def test_kn_oov_pairs_score_null(spark):
     assert got[("a", "b")] is not None
     assert got[("zzz", "b")] is None
     assert got[("a", "zzz")] is None
+
+
+def test_kn_perplexity_flags_shuffled_text(spark, tmp_path):
+    """The LM-filter semantic pin: token-SHUFFLED variants of natural
+    docs (same unigram stats, broken sequences) must score higher
+    perplexity than the naturals they were shuffled from. Planted
+    into a temp sf_dir read through the ordinary query path."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        doc_kn_perplexity)
+
+    naturals = [
+        "the quick brown fox jumps over the lazy dog and the quick "
+        "brown fox runs home",
+        "a stitch in time saves nine and a penny saved is a penny "
+        "earned every time",
+        "to be or not to be that is the question to be answered in "
+        "time",
+    ] * 4  # repetition gives the LM real transition statistics
+    rows = []
+    for i, t in enumerate(naturals):
+        rows.append((i, t, "en", "nat"))
+    for i, t in enumerate(naturals[:3]):
+        toks = t.split()
+        # deterministic derangement-ish shuffle: reverse + interleave
+        shuf = toks[::2][::-1] + toks[1::2]
+        rows.append((100 + i, " ".join(shuf), "en", "shuf"))
+    import pyspark.sql.functions as SF
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string") \
+        .withColumn("n_chars", SF.length("text"))
+    docs.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r["doc_id"]: r["kn_perplexity"]
+           for r in doc_kn_perplexity(spark, str(tmp_path)).collect()}
+    nat_mean = sum(got[i] for i in range(12)) / 12
+    for i in range(3):
+        assert got[100 + i] > nat_mean, (i, got[100 + i], nat_mean)
+
+
+def test_kn_perplexity_runs_on_fixture(spark):
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        doc_kn_perplexity)
+    out = doc_kn_perplexity(spark, SF).collect()
+    assert len(out) > 400
+    for r in out[:50]:
+        assert r["kn_perplexity"] > 1.0

@@ -180,3 +180,47 @@ def test_hdr_quantiles_probe_is_broadcast(spark):
     rep = plan_report(df)
     assert not rep["cartesian"]
     assert rep["python_evals"] == 0
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """The optimizer-control surface a 100 TB operator needs when
+    stats mislead: explicit join-strategy hints flip the physical
+    join. Pins all three: broadcast() forces BroadcastHashJoin on a
+    side AQE would shuffle, shuffle_hash forces ShuffledHashJoin
+    where sort-merge is the default, and merge forces SortMergeJoin
+    over a broadcast-eligible side."""
+    from stockanalyses_downloader_spark.plans import explain_str
+
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+
+    merged = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+    assert "SortMergeJoin" in explain_str(merged)
+
+    sh = li.join(o.hint("shuffle_hash"),
+                 li["l_orderkey"] == o["o_orderkey"])
+    p = explain_str(sh)
+    assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p
+
+    bc = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+    assert "BroadcastHashJoin" in explain_str(bc)
+
+
+def test_observation_metrics_without_extra_action(spark):
+    """pyspark Observation: pipeline telemetry (row counts, sums)
+    collected as a side product of the ONE materializing action — the
+    scale-correct alternative to a separate .count() job per metric
+    (which rescans the source)."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, SF, "lineitem")
+    obs = Observation("ingest")
+    observed = li.observe(
+        obs, F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("qty"))
+    out = observed.filter(F.col("l_quantity") > 25)
+    n_filtered = out.count()  # the one action
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert n_filtered < got["n_rows"]
+    assert float(got["qty"]) > 0
