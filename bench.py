@@ -79,6 +79,7 @@ EXTENDED = [
     "lang_token_hll_grid",          # portable-HLL register build
     "forget_cascade_report",        # FK cascade semi/anti audit
     "copurchase_triangles",         # degree-oriented wedge join
+    "doc_kn_perplexity",            # KN train + per-doc scoring
 ]
 
 

@@ -2427,11 +2427,17 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts over the co-purchase graph (parts
     sharing an order = an edge; operators/graph.triangle_counts with
     degree orientation). Triangles are the basket-affinity step past
-    copurchase_lift's pairs: three parts mutually co-bought. The
-    oracle counts the SAME triangles with plain id-ordering (a<b<c
-    three-way join) — the triangle SET is orientation-independent, so
-    the per-node counts hash-match even though the engine-side join
-    is the degree-bounded one."""
+    copurchase_lift's pairs: three parts mutually co-bought. Edges
+    require SUPPORT >= 2 (co-bought in at least two orders): the
+    standard co-occurrence-graph threshold — one shared basket is
+    coincidence — and the scale discipline: the unthresholded graph
+    grows quadratically dense with order volume (measured at sf0.1:
+    1.196M edges vs 3.6k at support 2, i.e. a ~35M-row wedge join
+    collapsing to thousands; copurchase_lift applies the same family
+    of filter). The oracle counts the SAME triangles with plain
+    id-ordering (a<b<c three-way join) — the triangle SET is
+    orientation-independent, so the per-node counts hash-match even
+    though the engine-side join is the degree-bounded one."""
     from ..operators import graph
     li = _t(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
@@ -2440,7 +2446,8 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = op.select(F.col("l_orderkey").alias("ok"),
                   F.col("l_partkey").alias("pb"))
     edges = (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
-             .select("pa", "pb").distinct())
+             .groupBy("pa", "pb").agg(F.count("*").alias("c"))
+             .filter(F.col("c") >= 2).select("pa", "pb"))
     return (graph.triangle_counts(edges, "pa", "pb")
             .select(F.col("node").alias("part"),
                     F.col("n_triangles").cast("long")
@@ -2451,9 +2458,10 @@ _TRIANGLE_SQL = """
 WITH op AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), e AS (
-  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM op a JOIN op b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
 ), tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM e e1
