@@ -38,7 +38,7 @@ def _row_digest_sum(line: Column) -> Column:
     """Order-insensitive content checksum contribution of one line:
     first 15 hex chars of md5 as a long (60 bits — sums of billions
     of rows stay exact in decimal; the stored checksum is the decimal
-    sum mod 2^63)."""
+    sum mod 2^62)."""
     return F.conv(F.substring(F.md5(line.cast("binary")), 1, 15),
                   16, 10).cast("decimal(38,0)")
 

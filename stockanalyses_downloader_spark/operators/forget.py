@@ -147,11 +147,24 @@ def execute_forget(spark, table_paths: dict[str, str],
     """Rewrite each purged table with the atomic temp+rename protocol
     (ivm.py): readers never observe a half-erased table; a crash
     leaves the old data and the erasure request simply re-runs
-    (purge is idempotent — anti join of already-absent keys)."""
+    (purge is idempotent — anti join of already-absent keys).
+
+    Two-phase: ALL tmp directories are written first, THEN the
+    renames happen. A depth>=2 cascade's purged frames lazily re-read
+    ancestor tables (lineitem's doomed set derives from orders) —
+    swapping orders before lineitem materializes would make lineitem
+    re-derive its doomed keys from the already-purged orders (empty
+    set → subjects' lineitems silently survive) or fail on deleted
+    files. Materializing every purged frame against the ORIGINAL data
+    before any directory moves closes that window."""
+    staged: list[tuple[str, str]] = []
     for name, path in table_paths.items():
         token = uuid.uuid4().hex[:8]
         tmp = f"{path.rstrip('/')}.__tmp-{token}"
         purged[name].write.mode("overwrite").parquet(tmp)
+        staged.append((path, tmp))
+    for path, tmp in staged:
+        token = tmp.rsplit("-", 1)[1]
         old_dir = f"{path.rstrip('/')}.__old-{token}"
         if os.path.exists(path):
             os.rename(path, old_dir)

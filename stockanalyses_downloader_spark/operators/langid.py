@@ -88,7 +88,14 @@ def score_nb(docs: DataFrame, gram_logps: DataFrame,
     g = (docs.select(id_col,
                      F.explode(char_grams_col(F.col(text_col), n))
                      .alias("gram")))
-    per_doc = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    # left join from docs so gramless documents (normalized text
+    # shorter than n chars) still get a prior-only argmax row instead
+    # of silently vanishing from the output
+    per_doc = (docs.select(id_col)
+               .join(g.groupBy(id_col).agg(F.count("*").alias("n_grams")),
+                     id_col, "left")
+               .select(id_col,
+                       F.coalesce("n_grams", F.lit(0)).alias("n_grams")))
     seen = (g.join(F.broadcast(gram_logps), "gram")
             .groupBy(id_col, "label")
             .agg(F.sum("logp").alias("sum_logp"),

@@ -310,11 +310,17 @@ def countmin_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
     Input frames are (row_id, bucket, c) grids built by
     countmin_build on the JOIN KEY with identical depth/width (the
     grids carry the geometry — no parameters needed here).
-    Output 1 row: (est_join_size)."""
+    Output 1 row: (est_join_size). Hash rows with zero bucket overlap
+    contribute ip=0 (disjoint key sets → est 0), so the min is taken
+    over ALL depth rows, not just the overlapping ones — an inner
+    join alone would return NULL/inflated for disjoint grids."""
+    rows = (a.select("row_id").union(b.select("row_id")).distinct())
     prod = (a.alias("a").join(b.alias("b"), ["row_id", "bucket"])
             .groupBy("row_id")
             .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("ip")))
-    return prod.agg(F.min("ip").cast("long").alias("est_join_size"))
+    full = (rows.join(prod, "row_id", "left")
+            .select(F.coalesce("ip", F.lit(0)).alias("ip")))
+    return full.agg(F.min("ip").cast("long").alias("est_join_size"))
 
 
 # --- portable HyperLogLog: ORACLED distinct-count grids ----------------------

@@ -63,6 +63,8 @@ def measure_key_skew(df: DataFrame, key: str) -> dict:
     row = per.agg(F.max("n").alias("mx"),
                   F.avg("n").alias("mean"),
                   F.sum("n").alias("total")).first()
+    if row["mx"] is None:  # empty input: no keys, nothing to salt
+        return {"max": 0, "mean": 0.0, "total": 0, "top_share": 0.0}
     return {"max": int(row["mx"]), "mean": float(row["mean"]),
             "total": int(row["total"]),
             "top_share": float(row["mx"]) / float(row["total"])}

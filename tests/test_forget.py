@@ -102,6 +102,48 @@ def test_execute_forget_atomic_rewrite_and_idempotent(spark, tmp_path):
     assert spark.read.parquet(paths["orders"]).count() == expect_o
 
 
+def test_execute_forget_depth2_cascade_purges_grandchildren(spark,
+                                                            tmp_path):
+    """Depth-2 rewrite: customer -> orders -> lineitem all swapped in
+    one execute_forget call. The purged lineitem frame derives its
+    doomed keys by LAZILY re-reading orders — a per-table
+    write+swap loop would re-derive them from the already-purged
+    orders (empty doomed set → subjects' lineitems silently survive).
+    The two-phase protocol (stage all tmps, then rename) must leave
+    ZERO lineitems joinable to the subjects' original orders."""
+    tables = _tables(spark)
+    paths = {}
+    for n in ("customer", "orders", "lineitem"):
+        p = str(tmp_path / f"{n}.parquet")
+        tables[n].write.parquet(p)
+        paths[n] = p
+    live = {n: spark.read.parquet(p) for n, p in paths.items()}
+    subjects = spark.createDataFrame([(0,), (13,)], "k long")
+    doomed = forget.doomed_keys(live, "customer", "c_custkey",
+                                subjects, EDGES[:2])
+    purged = forget.purge(live, doomed, KEY_COLS)
+    # ground truth from the ORIGINAL data, materialized before any swap
+    doomed_orders = {r["o_orderkey"] for r in doomed["orders"].collect()}
+    assert doomed_orders, "fixture subjects own no orders"
+    expect_li = purged["lineitem"].count()
+
+    forget.execute_forget(spark, paths, purged)
+
+    got_li = spark.read.parquet(paths["lineitem"])
+    assert got_li.count() == expect_li
+    # zero grandchild traces: no surviving lineitem references a
+    # doomed order
+    leaked = got_li.filter(F.col("l_orderkey").isin(doomed_orders))
+    assert leaked.count() == 0, "depth-2 cascade leaked lineitems"
+    # parents purged too
+    assert spark.read.parquet(paths["customer"]).filter(
+        F.col("c_custkey").isin({0, 13})).count() == 0
+    assert spark.read.parquet(paths["orders"]).filter(
+        F.col("o_orderkey").isin(doomed_orders)).count() == 0
+    assert not [d for d in os.listdir(tmp_path) if "__tmp" in d
+                or "__old" in d]
+
+
 def test_forget_tombstones_block_resurrection_in_cdc_view(spark):
     """The CDC-tier leg: erasure emits 'D' tombstones; the versioned
     merge removes the subject from the visible view AND a replay of

@@ -73,6 +73,26 @@ def test_nb_matches_pure_python(spark):
         assert abs(got[i][1] - s) < 1e-9
 
 
+def test_nb_gramless_docs_get_prior_only_prediction(spark):
+    """Docs whose normalized text is shorter than n chars produce zero
+    grams — they must still appear in the output with the prior-only
+    argmax (the majority-prior label), not silently vanish."""
+    train = [("the cat sat on the mat", "en"),
+             ("the dog and the cat sat", "en"),
+             ("der hund und die katze", "de")]
+    tr = spark.createDataFrame(train, "text string, lang string")
+    logps, stats = langid.train_nb(tr)
+    sc = spark.createDataFrame(
+        [(0, "ab"), (1, ""), (2, "the cat sat")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["predicted_lang"]
+           for r in langid.score_nb(sc, logps, stats).collect()}
+    assert set(got) == {0, 1, 2}, "gramless docs dropped from output"
+    # prior-only argmax: en has 2/3 of training docs
+    assert got[0] == "en" and got[1] == "en"
+    assert got[2] == "en"
+
+
 def test_nb_heldout_accuracy_on_planted_corpus(spark):
     """Held-out accuracy on a deterministic 4-language corpus with
     genuinely distinct character distributions (the FIXTURE's lang

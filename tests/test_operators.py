@@ -1405,6 +1405,21 @@ def test_countmin_inner_product_one_sided(spark):
     assert est == exact
 
 
+def test_countmin_inner_product_disjoint_keys_is_zero(spark):
+    """Grids over DISJOINT key sets: wide enough that no hash row has
+    a bucket collision, so at least one row's inner product is 0 and
+    the estimate must come back 0 — not NULL and not inflated (the
+    zero-overlap rows must not be dropped by the bucket join)."""
+    from stockanalyses_downloader_spark.operators import sketches
+
+    a = spark.createDataFrame([(k,) for k in range(10)], "key int")
+    b = spark.createDataFrame([(k,) for k in range(100, 110)], "key int")
+    ga = sketches.countmin_build(a, "key", depth=3, width=4096)
+    gb = sketches.countmin_build(b, "key", depth=3, width=4096)
+    row = sketches.countmin_inner_product(ga, gb).collect()[0]
+    assert row["est_join_size"] == 0
+
+
 def test_hll_portable_estimate_bands(spark):
     """Portable-HLL estimator accuracy in BOTH regimes: the raw
     estimator at a cardinality (60k) far above the register count

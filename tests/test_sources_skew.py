@@ -290,3 +290,16 @@ def test_auto_salting_measures_then_decides(spark):
                     .cast("double").alias("s"),
                     F.count("*").alias("n")).collect()}
         assert got == want
+
+
+def test_measure_key_skew_empty_frame(spark):
+    """Empty input: the skew probe returns zeros (no TypeError on NULL
+    max, no division by zero) and auto_salted_sum yields an empty
+    result instead of crashing in the measurement step."""
+    from stockanalyses_downloader_spark.operators import skew
+
+    empty = spark.createDataFrame([], "k int, v double")
+    m = skew.measure_key_skew(empty, "k")
+    assert m == {"max": 0, "mean": 0.0, "total": 0, "top_share": 0.0}
+    assert skew.choose_salt_factor(m) == 1
+    assert skew.auto_salted_sum(empty, "k", "v").count() == 0
