@@ -119,17 +119,32 @@ def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     return docs.withColumn("shingles", word_shingles(F.col(text_col), n))
 
 
+def md5_h31(col):
+    """Portable 31-bit hash: first 8 hex chars of md5 as a long,
+    shifted to 31 bits — the cm_bucket/pyds scheme, reproducible in
+    DuckDB as CAST('0x'||substring(md5(x),1,8) AS BIGINT) >> 1. The
+    engine-portable twin of the xxhash64 base hash, used wherever a
+    hash value must survive a cross-engine value-hash compare."""
+    return F.shiftrightunsigned(
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10)
+        .cast("long"), 1)
+
+
 def with_hashed_shingles(docs: DataFrame, text_col: str = "text",
-                         n: int = 3) -> DataFrame:
+                         n: int = 3, portable: bool = False) -> DataFrame:
     """Shingle set as distinct int64 hashes: set operations on 8-byte
     ints instead of ~20-byte strings (the Jaccard hot path is dominated
     by string hashing/compares). A pairwise Jaccard computed on hashes
     equals the string-set Jaccard unless xxhash64 collides within one
-    pair's union (~n²/2^65 per pair — negligible)."""
+    pair's union (~n²/2^65 per pair — negligible). ``portable=True``
+    swaps in the 31-bit md5-prefix family (collision odds ~n²/2^32 per
+    pair — still negligible at shingle-set sizes) so the resulting
+    Jaccard is DuckDB-recomputable bit for bit."""
+    hasher = md5_h31 if portable else F.xxhash64
     return docs.withColumn(
         "shingles",
         F.array_distinct(F.transform(word_shingles(F.col(text_col), n),
-                                     lambda s: F.xxhash64(s))))
+                                     lambda s: hasher(s))))
 
 
 def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -206,7 +221,7 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 64,
                        id_col: str = "doc_id", text_col: str = "text",
-                       n: int = 3) -> DataFrame:
+                       n: int = 3, portable: bool = False) -> DataFrame:
     """MinHash signature per doc: explode the shingle stream to
     (doc_id, 31-bit base hash) rows, then reduce with one hash
     aggregate computing all ``n_hashes`` permutation minimums as
@@ -222,13 +237,19 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 64,
     universal-hash family) — pinned by the vectorized-parity test.
 
     Docs too short to shingle produce no exploded rows and drop out,
-    same contract as before."""
+    same contract as before.
+
+    ``portable=True`` swaps the 31-bit base hash to the md5-prefix
+    family (md5_h31) so the signature values themselves — and every
+    stage above them — are DuckDB-recomputable (the minhash_near_dups
+    oracle)."""
     params = _mh_params(n_hashes)
+    base = (md5_h31(F.col("gram")) if portable
+            else F.shiftrightunsigned(F.xxhash64("gram"), 33))
     ex = (spread(docs)
           .select(id_col,
                   F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
-          .select(id_col,
-                  F.shiftrightunsigned(F.xxhash64("gram"), 33).alias("h31")))
+          .select(id_col, base.alias("h31")))
     mins = [F.min((F.col("h31") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME))
              .alias(f"__m{j}")
             for j, (a, b) in enumerate(params)]
@@ -282,28 +303,41 @@ def minhash_signatures_vectorized(docs: DataFrame, n_hashes: int = 64,
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, id_col: str = "doc_id",
-                      text_col: str = "text", n: int = 3) -> DataFrame:
+                      text_col: str = "text", n: int = 3,
+                      portable: bool = False) -> DataFrame:
     """X2: banded-LSH candidate generation + exact Jaccard verification.
 
     bands=16 over 64 hashes -> r=4 rows/band; candidate iff any band
     hash collides. Explode bands (16 rows/doc), groupBy-join on
-    (band_id, band_hash), verify candidates exactly."""
+    (band_id, band_hash), verify candidates exactly.
+
+    ``portable=True`` makes every stage DuckDB-recomputable: md5-based
+    signature values, the RAW comma-joined band string as the bucket
+    key (identical collisions by construction — no hash at all), and
+    the md5-31-bit shingle family for the exact verify. The bucket key
+    widens from 8 bytes to ~4 numbers' text, a bounded constant per
+    signature row."""
     r = n_hashes // bands
     # The signature build ends in an aggregate, so the 16 band
     # expressions above it only re-slice the agg output — no
     # re-evaluation hazard (unlike the old fold-based build, where a
     # persist barrier was load-bearing against CollapseProject).
-    sigs = minhash_signatures(docs, n_hashes, id_col)
+    sigs = minhash_signatures(docs, n_hashes, id_col, text_col, n,
+                              portable=portable)
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",", F.transform(F.slice("signature", b * r + 1, r),
+                             lambda v: v.cast("string")))
+        return joined if portable else F.xxhash64(joined)
+
     banded = sigs.select(
         id_col,
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.alias("band_id"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.transform(F.slice("signature", b * r + 1, r),
-                                     lambda v: v.cast("string"))))
-                 .alias("band_hash")))).alias("band"))
+                band_key(b).alias("band_hash")))).alias("band"))
     # persist: banded feeds both sides of the self-join and cand feeds
     # three consumers — without it the signature build re-runs per
     # consumer (lazy DAG). Both are signature-width, not document-width
@@ -325,7 +359,8 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .union(cand.select(F.col("id_b").alias(id_col))).distinct())
     involved = docs.join(cand_ids, id_col, "left_semi")
-    sh = with_hashed_shingles(spread(involved), text_col, n).select(id_col, "shingles")
+    sh = with_hashed_shingles(spread(involved), text_col, n,
+                              portable=portable).select(id_col, "shingles")
     cand = (cand
             .join(sh.select(F.col(id_col).alias("id_a"),
                             F.col("shingles").alias("sh_a")), "id_a")

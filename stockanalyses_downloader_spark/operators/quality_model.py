@@ -117,28 +117,63 @@ def score_with_weights(features: DataFrame, weights: list[float],
 
 
 def roc_auc(scored: DataFrame, score_col: str = "logit",
-            label_col: str = "y") -> DataFrame:
-    """Exact ROC-AUC without a global row sort: scores collapse to
-    DISTINCT values (one groupBy), the Mann-Whitney midrank formula
-    runs as a cumulative window over that distinct-value frame —
-    shuffle width = |distinct scores|, not |rows| (bin to fixed
-    precision upstream if scores are continuous at 100 TB). Ties are
-    exact midranks: AUC = sum_v P(v)*(N_below(v) + N(v)/2) / (P*N).
-    Decimal accumulation; one final double division. Output 1 row:
-    (n_pos, n_neg, auc)."""
+            label_col: str = "y",
+            n_buckets: int = 4096) -> DataFrame:
+    """Exact ROC-AUC without a global row sort OR a single-partition
+    window: scores collapse to DISTINCT values (one groupBy), then the
+    Mann-Whitney cumulative negative count runs as a TWO-LEVEL prefix
+    sum (the pack_sequences pattern):
+
+      1. distinct scores range-bucket into ``n_buckets`` equal-width
+         bins of [min, max] (the min/max come from a broadcast 1-row
+         aggregate — no driver action, the binning stays lazy);
+      2. WITHIN each bucket a partitioned cumulative window computes
+         the strictly-below negative count (shuffle width =
+         |distinct scores| spread over the buckets — distributed);
+      3. ACROSS buckets an exclusive prefix over the per-bucket
+         totals supplies each bucket's offset. That frame is
+         bounded at ``n_buckets`` rows by construction, so its
+         partition-less window is a model-sized frame like the
+         centroid/sizes tables — never |rows|-cardinality.
+
+    Ties are exact midranks: AUC = sum_v P(v)*(N_below(v) + N(v)/2)
+    / (P*N) — bucketing only reorganizes the summation, every
+    contribution is the same decimal value, so the result is
+    bit-identical to the single-window form (parity-pinned at 0 ulp
+    in tests/test_quality_model.py). Decimal accumulation; one final
+    double division. Output 1 row: (n_pos, n_neg, auc)."""
     from pyspark.sql import Window
 
     y = F.col(label_col).cast("int")
     by_v = (scored.select(F.col(score_col).alias("s"), y.alias("y"))
             .groupBy("s")
             .agg(F.count("*").alias("n"), F.sum("y").alias("p")))
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    stats = by_v.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    bucket = F.when(
+        span > 0,
+        F.least(F.floor((F.col("s") - F.col("lo")) / span * n_buckets),
+                F.lit(n_buckets - 1))).otherwise(F.lit(0)).cast("int")
     neg = (F.col("n") - F.col("p")).cast("decimal(38,1)")
-    cum_neg_below = F.coalesce(F.sum(neg).over(w),
-                               F.lit(0).cast("decimal(38,1)"))
+    bv = (by_v.crossJoin(F.broadcast(stats))
+          .select("s", "n", "p", bucket.alias("b"), neg.alias("neg")))
+    w_in = (Window.partitionBy("b").orderBy("s")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    within = F.coalesce(F.sum("neg").over(w_in),
+                        F.lit(0).cast("decimal(38,1)"))
+    # per-bucket totals: <= n_buckets rows by construction, so the
+    # partition-less exclusive prefix below is over a bounded frame
+    totals = bv.groupBy("b").agg(F.sum("neg").alias("bn"))
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "b", F.coalesce(F.sum("bn").over(w_b),
+                        F.lit(0).cast("decimal(38,1)")).alias("off"))
+    cum_neg_below = F.col("off") + F.col("within")
     contrib = (F.col("p").cast("decimal(38,1)")
-               * (cum_neg_below + neg / 2)).cast("decimal(38,2)")
-    return (by_v.select("n", "p", contrib.alias("c"))
+               * (cum_neg_below + F.col("neg") / 2)).cast("decimal(38,2)")
+    return (bv.withColumn("within", within)
+            .join(F.broadcast(offsets), "b")
+            .select("n", "p", contrib.alias("c"))
             .agg(F.sum("p").cast("long").alias("n_pos"),
                  (F.sum("n") - F.sum("p")).cast("long").alias("n_neg"),
                  F.sum("c").alias("num"))

@@ -78,9 +78,12 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
     Returns (centroid_id, cv array<double>, cnorm)."""
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
     e = tracked_persist(e.withColumn("norm", l2_norm(F.col("v"))))
+    # init selection is a distributed TakeOrdered (orderBy+limit);
+    # the partition-less numbering window then runs over the k-row
+    # result only — never the full corpus
     w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-    cent = (e.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= k)
+    cent = (e.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)).limit(k)
+            .withColumn("__r", F.row_number().over(w))
             .select((F.col("__r") - 1).cast("int").alias("centroid_id"),
                     F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
     cent = tracked_persist(cent)

@@ -11,6 +11,7 @@ join over a shuffle) fails CI instead of surfacing as a cluster fire.
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from pyspark.sql import DataFrame
@@ -51,6 +52,23 @@ def assert_no_cartesian(df: DataFrame) -> str:
     return plan
 
 
+def count_partitionless_windows(plan: str) -> int:
+    """Distinct window specs with NO partition columns — the
+    all-rows-to-one-task construct (WindowExec's 'No Partition
+    Defined' warning). A windowspecdefinition's first argument is a
+    partition column when present; when the spec starts with an
+    ordering (' ASC'/' DESC') the partition list is empty. Bounded-
+    cardinality frames (bucket offsets, model-sized frontiers) may
+    use it legitimately — the sweep in tests/test_plans.py holds the
+    per-query whitelist; everything else must count 0."""
+    specs = set()
+    for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan):
+        first_arg = m.group(1)
+        if " ASC" in first_arg or " DESC" in first_arg:
+            specs.add(m.group(0) + first_arg)
+    return len(specs)
+
+
 def plan_report(df: DataFrame) -> dict[str, object]:
     """Summary counters for plan-quality dashboards/tests."""
     plan = explain_str(df)
@@ -64,6 +82,7 @@ def plan_report(df: DataFrame) -> dict[str, object]:
         # codegen stars until isFinalPlan=true)
         "wholestage_codegen_spans": simple.count("*("),
         "python_evals": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+        "partitionless_windows": count_partitionless_windows(plan),
         "has_pushed_filters": "PushedFilters: [" in plan
                               and not all(ln.strip().endswith("PushedFilters: []")
                                           for ln in plan.splitlines()

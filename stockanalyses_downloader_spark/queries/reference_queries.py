@@ -344,9 +344,11 @@ GROUP BY isin
 def rest_fetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5 source path end-to-end on the offline fixture fetcher:
     dim -> per-exchange URL build (P6) -> fetch -> boundary cast ->
-    status filter (P2) -> mid (P8). Rows-only for the driver (the
-    fixture payload is xxhash64-derived, not SQL-reproducible); URL
-    and cast semantics are pinned by unit tests."""
+    status filter (P2) -> mid (P8). Fully DuckDB-oracled (r6): the
+    fixture payload keys on the portable md5-prefix hash (cm_bucket's
+    scheme), and the string round-trip at the cast boundary is
+    identity on doubles in both engines — so the oracle recomputes
+    the exact payload bits from the URL alone."""
     from ..dims.currency import currency_dim
     from ..sources import ticker
 
@@ -358,6 +360,36 @@ def rest_fetch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = pipeline.validate_http(snap)
     return pipeline.with_mid(ok).select(
         "exchange", "isin", "pair", "bid", "ask", "mid", "last", "ts")
+
+
+_REST_FETCH_SQL = f"""
+WITH pairs AS (
+  SELECT isin, base, quote, pair,
+         CASE WHEN CAST(substring(isin, length(isin), 1) AS INT) % 2 = 0
+              THEN 'btsp' ELSE 'btfx' END AS exchange
+  FROM {_DIM}
+), urls AS (
+  SELECT *,
+         CASE exchange
+           WHEN 'btsp' THEN 'https://www.bitstamp.net/api/v2/ticker/'
+                            || lower(base) || lower(quote)
+           WHEN 'btfx' THEN 'https://api.bitfinex.com/v1/pubticker/'
+                            || lower(base) || lower(quote)
+         END AS url
+  FROM pairs
+), fetched AS (
+  SELECT *,
+         (CAST(('0x' || substring(md5('7|' || url), 1, 8)) AS BIGINT)
+          % 1000000) / 100.0 AS h
+  FROM urls
+)
+SELECT exchange, isin, pair,
+       h * 0.999 AS bid, h * 1.001 AS ask,
+       (h * 0.999 + h * 1.001) / 2 AS mid,
+       h AS "last",
+       TIMESTAMP '2024-01-01 00:00:00' AS ts
+FROM fetched
+"""
 
 
 def twap_by_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,7 +471,7 @@ WHERE t.status = 200
 QUERIES: dict[str, Q] = {
     "flagship_latest_mid": Q(flagship_latest_mid, _FLAGSHIP_SQL),
     "ticks_in_candle_ranges": Q(ticks_in_candle_ranges, _RANGE_SQL),
-    "rest_fetch_pipeline": Q(rest_fetch_pipeline, None),
+    "rest_fetch_pipeline": Q(rest_fetch_pipeline, _REST_FETCH_SQL),
     "ticks_asof_quotes": Q(ticks_asof_quotes, _ASOF_SQL),
     "ticks_asof_quotes_tolerant": Q(ticks_asof_quotes_tolerant, _ASOF_TOL_SQL),
     "vwap_by_isin": Q(vwap_by_isin, _VWAP_SQL),

@@ -229,10 +229,70 @@ def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only: xxhash64 family has no
-    DuckDB equivalent; candidate-vs-exact recall asserted in tests)."""
+    """MinHash-LSH near-dup pairs, fully DuckDB-oracled (r6): the
+    portable mode keys the signature on the md5-prefix 31-bit family
+    (cm_bucket's scheme), buckets on the raw comma-joined band string,
+    and verifies on md5-hashed shingle sets — so the oracle recomputes
+    signatures, banding, candidate generation AND the exact-Jaccard
+    verify from the parquet alone. Same LCG permutation parameters on
+    both sides (_mh_params is the shared source of truth)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, threshold=0.3)
+    return dedup.minhash_lsh_pairs(d, threshold=0.3, portable=True)
+
+
+def _minhash_near_dups_sql(n_hashes: int = 64, bands: int = 16,
+                           threshold: float = 0.3) -> str:
+    """Generate the DuckDB twin of the portable MinHash-LSH pipeline:
+    same shingling, same universal-hash family ((h31*a+b) mod 2^31-1
+    over the md5-prefix base hash), same banding, same verify."""
+    from ..operators.dedup import _mh_params
+    params = _mh_params(n_hashes)
+    r = n_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h31 * {a} + {b}) % 2147483647) AS m{j}"
+        for j, (a, b) in enumerate(params))
+    band_blocks = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, "
+        + " || ',' || ".join(f"CAST(m{b * r + i} AS VARCHAR)"
+                             for i in range(r))
+        + " AS band_hash FROM sig"
+        for b in range(bands))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), sh AS (
+  SELECT doc_id, gram,
+         CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT) >> 1 AS h31
+  FROM grams
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+), banded AS (
+{band_blocks}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list(DISTINCT h31) AS s FROM sh GROUP BY doc_id
+), verified AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+              THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.s, sb.s)))
+              ELSE 0.0 END AS jaccard
+  FROM cand
+  JOIN sets sa ON cand.id_a = sa.doc_id
+  JOIN sets sb ON cand.id_b = sb.doc_id
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,7 +748,7 @@ QUERIES: dict[str, Q] = {
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),
     "near_dup_components": Q(near_dup_components, _COMPONENTS_SQL),
     "near_dup_components_star": Q(near_dup_components_star, _COMPONENTS_SQL),
-    "minhash_near_dups": Q(minhash_near_dups, None),
+    "minhash_near_dups": Q(minhash_near_dups, _minhash_near_dups_sql()),
     "simhash_near_pairs": Q(simhash_near_pairs, None),
     "multimodal_asset_stats": Q(multimodal_asset_stats, _ASSET_SQL),
     "multimodal_chunk_dedup": Q(multimodal_chunk_dedup, _CHUNK_DEDUP_SQL),

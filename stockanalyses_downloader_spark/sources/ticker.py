@@ -67,8 +67,19 @@ def fixture_fetcher(pairs_with_urls: DataFrame, seed: int = 7) -> DataFrame:
     """Offline deterministic 'fetch': payload derived from a hash of
     the URL, numerics serialized as strings exactly like the live APIs,
     then cast at the boundary. Lets every pipeline test run the full
-    source path with zero network."""
-    h = (F.abs(F.xxhash64("url", F.lit(seed))) % 1_000_000) / 100.0
+    source path with zero network.
+
+    The payload key is the PORTABLE md5-prefix scheme certified by
+    cm_bucket/pyds (32-bit hex prefix → bigint), not xxhash64 — so the
+    whole fixture path is DuckDB-reproducible and rest_fetch_pipeline
+    carries a value-hash oracle instead of a rows-only check. The
+    string round-trip below is identity on doubles in both engines
+    (round-trip-faithful formatting), so the oracle recomputes the
+    same bits without modeling the serialization."""
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col("url"))
+                .cast("binary"))
+    h = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+         % 1_000_000) / 100.0
     raw = (pairs_with_urls
            .withColumn("status", F.lit(200).cast("int"))
            .withColumn("last", h.cast("string"))

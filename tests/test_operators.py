@@ -100,6 +100,28 @@ def test_minhash_finds_planted_near_dups(spark):
     assert not missing, f"planted near-dups missed: {missing}"
 
 
+def test_minhash_portable_mode_planted_dups_and_pair_parity(spark):
+    """The md5-portable LSH pipeline (the oracled minhash_near_dups
+    path) still surfaces every planted near-dup, and on this corpus
+    finds the SAME pair set as the xxhash64 default — the hash family
+    changes bucket assignments, not which high-Jaccard pairs survive
+    the exact verify."""
+    d = load_table(spark, SF, "documents").limit(20)
+    copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      F.concat("text", F.lit(" zz")).alias("text"),
+                      "lang", "source", "n_chars")
+    corpus = d.unionByName(copies)
+    portable = {(r["id_a"], r["id_b"]) for r in
+                dedup.minhash_lsh_pairs(corpus, threshold=0.5,
+                                        portable=True).collect()}
+    default = {(r["id_a"], r["id_b"]) for r in
+               dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in d.collect()}
+    assert expected - portable == set(), (
+        f"portable LSH missed planted dups: {expected - portable}")
+    assert portable == default
+
+
 def test_simhash_planted_near_dups(spark):
     d = load_table(spark, SF, "documents").limit(20)
     copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),

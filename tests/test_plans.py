@@ -61,6 +61,46 @@ def test_no_python_eval_in_hot_paths(spark):
         assert report["python_evals"] == 0, f"{name} leaves the JVM"
 
 
+#: queries allowed partition-less windows, each over a frame BOUNDED
+#: by construction (model-sized, like centroid/sizes tables) — never
+#: |rows|-cardinality. Everything else must count zero.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # two-level AUC: exclusive prefix over per-bucket totals
+    # (<= n_buckets=4096 rows by the groupBy on the bucket id)
+    "quality_model_auc": 1,
+    # HDR quantile walk over the histogram grid (<= m*64 buckets)
+    "order_price_hdr_quantiles": 1,
+    # pack_sequences: exclusive prefix over per-bucket token totals
+    # (<= its n_buckets), the pattern roc_auc now reuses
+    "doc_sequence_packing": 1,
+    "corpus_training_sequences": 1,
+    # centroid numbering AFTER a distributed TakeOrdered limit(k) —
+    # the window input is exactly k rows
+    "ivf_topk_trained": 1,
+    "ann_recall_report": 1,
+    # collocation ranking over the bigram candidate table (min-count
+    # thresholded, vocab-bounded — domain-bounded per VERDICT r5)
+    "bigram_collocations": 1,
+    # skyline over the per-(brand,size) grouped frame — domain-bounded
+    "pareto_frontier_parts": 1,
+}
+
+
+def test_no_unbounded_partitionless_windows(spark):
+    """VERDICT r6 #1: no query may move ALL rows to one task via a
+    partition-less Window over an unbounded-cardinality frame. The
+    whitelist above names the queries whose global windows run over
+    frames bounded by construction; any new partition-less window
+    anywhere else fails here."""
+    for name, q in all_queries().items():
+        report = plan_report(q.spark(spark, SF))
+        allowed = _BOUNDED_GLOBAL_WINDOWS.get(name, 0)
+        assert report["partitionless_windows"] <= allowed, (
+            f"{name}: {report['partitionless_windows']} partition-less "
+            f"window(s), allowed {allowed} — all rows would serialize "
+            "onto one task at scale")
+
+
 def test_range_join_is_equi_join(spark):
     """The bucketed interval join must plan as an equi-join on
     (keys, bucket) — never a nested-loop/cartesian range join."""

@@ -198,6 +198,35 @@ def test_roc_auc_matches_brute_force_pairs(spark):
     assert abs(got["auc"] - num / (len(pos) * len(neg))) < 1e-12
 
 
+def test_roc_auc_bucketed_prefix_sum_parity(spark):
+    """The two-level bucket prefix sum is a pure reorganization of the
+    midrank summation: on a 2000-row continuous score set (every score
+    distinct — the regime that used to serialize onto one task) the
+    result matches the exact pure-Python Mann-Whitney AUC at 1e-12
+    for EVERY bucket geometry, including the degenerate n_buckets=1
+    (single bucket = the old single-window shape) and n_buckets far
+    above the distinct-score count (one score per bucket)."""
+    import random
+    from stockanalyses_downloader_spark.operators import quality_model as qm
+
+    rng = random.Random(77)
+    rows = [(rng.gauss(1.0 if i % 3 == 0 else 0.0, 1.0), 1 if i % 3 == 0 else 0)
+            for i in range(2000)]
+    pos = sorted(s for s, y in rows if y == 1)
+    neg = sorted(s for s, y in rows if y == 0)
+    import bisect
+    num = sum(bisect.bisect_left(neg, p)
+              + 0.5 * (bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p))
+              for p in pos)
+    want = num / (len(pos) * len(neg))
+
+    df = spark.createDataFrame(rows, "logit double, y int")
+    for nb in (1, 3, 64, 4096, 1 << 20):
+        got = qm.roc_auc(df, "logit", "y", n_buckets=nb).collect()[0]
+        assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+        assert abs(got["auc"] - want) < 1e-12, (nb, got["auc"], want)
+
+
 def test_roc_auc_boundary_values(spark):
     """Perfect separation = 1.0; inverted separation = 0.0; a
     constant score (all ties) = 0.5 exactly."""
