@@ -36,7 +36,28 @@ _WINDOW = [
     "flagship_latest_mid",
     "rest_fetch_pipeline",
     "ticks_asof_quotes",
+    "ticks_asof_quotes_tolerant",  # as-of with a staleness bound ->
+                                # NULL (left semantics); r6 rotation
+                                # in per VERDICT r5 #3 — took small_
+                                # quantity_revenue's slot (Q17's
+                                # correlated-scalar-subquery family
+                                # stays pytest-oracled via orders_
+                                # above_customer_avg + top_suppliers)
     "ticks_in_candle_ranges",   # range/interval join (bucketed)
+    "tick_grid_hourly",         # regularized grid + forward fill vs
+                                # DuckDB native ASOF LEFT JOIN; r6
+                                # rotation in per VERDICT r5 #3 —
+                                # took pricing_summary's slot (Q1's
+                                # groupBy-agg family keeps driver
+                                # rows via regional_revenue and the
+                                # weighted aggs inside it)
+    "tick_price_anomalies",     # trailing-window z-score flags; r6
+                                # rotation in per VERDICT r5 #3 —
+                                # took event_sessionization's slot
+                                # (lag+cumsum window machinery stays
+                                # driver-visible via tick_rolling_
+                                # indicators; sessionization stays
+                                # pytest-oracled + benched)
     "copurchase_lift",          # market-basket lift (r5c rotation
                                 # in — took vwap's slot: the
                                 # volume-weighted mean family stays
@@ -87,7 +108,14 @@ _WINDOW = [
                                 # driver-visible INSIDE semantic_
                                 # dedup_keepers, which recomputes
                                 # the same pairs)
-    "label_centroid_components",  # element-wise vector mean (k-means step)
+    "near_dup_edit_distances",  # Levenshtein confirmation of jaccard
+                                # candidates (capped prefixes); r6
+                                # rotation in per VERDICT r5 #3 —
+                                # took label_centroid_components'
+                                # slot (element-wise vector means
+                                # stay driver-visible inside
+                                # embedding_covariance and semantic_
+                                # dedup_keepers' centroid math)
     "orders_join_size_estimate",  # AMS join-size forecast (r5c
                                 # rotation in — took ngram_jaccard's
                                 # slot: the jaccard pair machinery
@@ -108,10 +136,15 @@ _WINDOW = [
                                 # near-dup keeps minhash/jaccard/CC
                                 # driver rows, simhash stays pytest-
                                 # pinned with its radius guarantee)
-    "order_price_hdr_quantiles",  # mergeable quantile sketch (r5
-                                # second block rotation in — took
-                                # signlsh's slot: ANN approx keeps
-                                # ivf_topk_trained driver-visible)
+    "order_price_hdr_sketch",   # the mergeable quantile-sketch GRID
+                                # itself (exact-integer log buckets);
+                                # r6 rotation in per VERDICT r5 #3 —
+                                # took order_price_hdr_quantiles'
+                                # slot (the quantile walk over the
+                                # same grid stays pytest-oracled +
+                                # benched; certifying the sketch
+                                # STATE is the stronger mergeability
+                                # evidence, cf. count-min/HLL grids)
     "ivf_topk_trained",         # the production IVF shape (kmeans
                                 # centroids, recall ≥ 0.7 pinned);
                                 # r4 rotation — took ivf_topk_approx's
@@ -129,15 +162,23 @@ _WINDOW = [
                                 # surprisal/winnowing/substring-dup/
                                 # pii driver rows; the EVAL tier
                                 # earns its first)
-    "doc_bigram_surprisal",     # bigram-LM inverse conditional prob
-                                # (r5 rotation in — catches wrong-
-                                # SEQUENCE text; took collocations'
-                                # slot: same token-pair machinery plus
-                                # the conditional upgrade)
-    "source_level_split_assignment",  # GROUP-leakage-safe splits (r5
-                                # rotation in — took the per-doc
-                                # split's slot: same md5 primitive
-                                # plus the no-straddle guarantee)
+    "bigram_kn_probs",          # Kneser-Ney bigram LM (discounted /
+                                # continuation / interpolated probs —
+                                # the trained model itself hash-
+                                # matches); r6 rotation in per
+                                # VERDICT r5 #3 — took doc_bigram_
+                                # surprisal's slot (same corpus
+                                # bigram aggregate plus the smoothing
+                                # upgrade; surprisal stays pytest-
+                                # oracled + benched)
+    "split_leakage_report",     # cross-split near-dup pair counts
+                                # (eval-leakage audit); r6 rotation
+                                # in per VERDICT r5 #3 — took source_
+                                # level_split_assignment's slot (the
+                                # same group-safe split assignment is
+                                # recomputed INSIDE this audit before
+                                # the pair join; assignment stays
+                                # pytest-oracled + benched)
     "bm25_doc_term_stats",      # BM25 index side, hash-oracled (r5c
                                 # rotation in — took doc_sequence_
                                 # packing's slot: packing stays
@@ -163,7 +204,17 @@ _WINDOW = [
                                 # stats' slot: pair counts subsume the
                                 # pretokenizer AND exercise the merge
                                 # machinery's first round)
-    "exact_dedup_docs",
+    "copurchase_triangles",     # degree-oriented triangle counts
+                                # (Suri-Vassilvitskii wedges, support-
+                                # thresholded edges); r6 rotation in
+                                # per VERDICT r5 #3 — took exact_
+                                # dedup_docs' slot (X1 exact dedup
+                                # stays driver-visible via multimodal_
+                                # chunk_dedup's digest groupBy and
+                                # corpus_datacard's distinct-
+                                # fingerprint counts; the graph tier
+                                # earns its second driver row next to
+                                # near_dup_components)
     "corpus_curation_decisions",  # keep/drop + reason codes capstone
     "forget_cascade_report",    # GDPR erasure cascade receipt (r5c
                                 # rotation in — took eval_ngram_
@@ -183,10 +234,9 @@ _WINDOW = [
     "embedding_covariance",     # PCA fit pass, decimal-stable moments
                                 # (r5 rotation in — VERDICT r4 #1)
     # relational surface — one representative per operator class
-    "pricing_summary",          # groupBy agg (Q1)
-    "regional_revenue",         # 6-way inner join (Q5)
-    "event_sessionization",             # window lag + cumulative sum
-    "small_quantity_revenue",   # correlated scalar subquery (Q17)
+    "regional_revenue",         # 6-way inner join (Q5) — also the
+                                # window's groupBy-agg rep since
+                                # pricing_summary yielded (r6)
     "user_state_history",       # SCD2 build (r5 — lag-compaction +
                                 # lead-close validity intervals)
     "data_quality_report",      # constraint audit (r5 — carries the
@@ -444,20 +494,9 @@ _TAIL = [
                                     # DuckDB-oracled end-to-end;
                                     # error band pinned in pytest;
                                     # new r5
-    "ticks_asof_quotes_tolerant",   # as-of with a staleness bound
-                                    # (tolerance -> NULL match, left
-                                    # semantics); DuckDB-oracled via
-                                    # correlated subqueries; pandas
-                                    # merge_asof parity in pytest;
-                                    # new r5
     "user_state_snapshot",          # point-in-time dim snapshot from
                                     # the SCD2 history; DuckDB-
                                     # oracled; new r5
-    "split_leakage_report",         # cross-split near-dup pair
-                                    # counts (eval-leakage audit —
-                                    # composition of two oracled
-                                    # primitives); DuckDB-oracled;
-                                    # new r5
     "join_key_skew_report",         # per-key count distribution for
                                     # the orders⋈lineitem probe side
                                     # (max/p99/top1-share — the pre-
@@ -470,15 +509,11 @@ _TAIL = [
                                     # distributed moments + driver
                                     # eigh + in-plan folds; pinned vs
                                     # numpy in pytest; new r4
-    "order_price_hdr_sketch",       # mergeable quantile-sketch grid
-                                    # (exact-integer log buckets);
-                                    # DuckDB-oracled; new r5 — the
-                                    # quantile walk over it holds the
-                                    # family's driver slot
-    "near_dup_edit_distances",      # Levenshtein confirmation of
-                                    # jaccard candidates (capped
-                                    # prefixes — bounded per-pair
-                                    # cost); DuckDB-oracled; new r5b
+    "order_price_hdr_quantiles",    # quantile walk over the HDR grid
+                                    # — hash-green r5–r5c; slot
+                                    # yielded (r6) to the grid itself
+                                    # (order_price_hdr_sketch); stays
+                                    # pytest-oracled + benched
     "supplier_purchase_pagerank",   # rows-only; damped PageRank with
                                     # dangling redistribution over
                                     # the customer->supplier graph;
@@ -537,11 +572,6 @@ _TAIL = [
                                     # per-key aggregate flags (one
                                     # shuffle, no correlated
                                     # re-scans); DuckDB-oracled; r5b
-    "tick_grid_hourly",             # regularized hourly grid with
-                                    # forward-fill (grid explode +
-                                    # one as-of exchange) — vs
-                                    # DuckDB's native ASOF LEFT
-                                    # JOIN; DuckDB-oracled; r5b
     "lang_distinct_token_sketch",   # rows-only; mergeable HLL
                                     # distinct-token cardinality
                                     # (two-level sketch union — the
@@ -552,10 +582,6 @@ _TAIL = [
                                     # HLL/count-min/HDR/Bloom);
                                     # DuckDB-oracled incl. the bit
                                     # positions; new r5c
-    "tick_price_anomalies",         # trailing-window z-score flags
-                                    # (baseline excludes the current
-                                    # row — no self-masking);
-                                    # DuckDB-oracled; new r5c
     "quality_calibration_deciles",  # equal-width logit bands with
                                     # per-band positive rate;
                                     # DuckDB-oracled; new r5c
@@ -645,15 +671,8 @@ _TAIL = [
                                     # to forget_cascade_report; the
                                     # capability keeps bloom_decon's
                                     # driver row (exact leg included)
-    "copurchase_triangles",         # degree-oriented triangle counts
-                                    # (per-node, orientation-blind
-                                    # oracle); DuckDB-oracled; r5c
     "order_window_analytics",       # percent_rank/cume_dist/ntile/
                                     # nth_value breadth closer;
-                                    # DuckDB-oracled; r5c
-    "bigram_kn_probs",              # Kneser-Ney bigram LM — all-ratio
-                                    # arithmetic, the trained model
-                                    # itself hash-matches;
                                     # DuckDB-oracled; r5c
     "weighted_doc_sample",          # A-ES weighted sampling (pow ->
                                     # rows-only; exact python parity
@@ -661,6 +680,34 @@ _TAIL = [
     "doc_kn_perplexity",            # per-doc KN-LM perplexity filter
                                     # (log2 -> rows-only; shuffled-
                                     # text discrimination pinned); r5c
+    # r6 window yields — all hash-green r1/r5 through r5c; each
+    # family keeps an in-window representative (see _WINDOW notes)
+    "pricing_summary",              # Q1 groupBy agg — hash-green
+                                    # r1–r5; slot yielded (r6) to
+                                    # tick_grid_hourly; still benched
+    "small_quantity_revenue",       # Q17 correlated scalar subquery —
+                                    # hash-green r1–r5; slot yielded
+                                    # (r6) to the tolerant as-of
+    "event_sessionization",         # lag + cumulative sum — hash-
+                                    # green r1–r5; slot yielded (r6)
+                                    # to tick_price_anomalies; still
+                                    # benched
+    "exact_dedup_docs",             # X1 doc digest dedup — hash-green
+                                    # r1–r5; slot yielded (r6) to
+                                    # copurchase_triangles; still
+                                    # benched; X1 stays driver-visible
+                                    # via multimodal_chunk_dedup
+    "label_centroid_components",    # element-wise vector mean —
+                                    # hash-green r1–r5; slot yielded
+                                    # (r6) to near_dup_edit_distances
+    "source_level_split_assignment",  # group-safe splits — hash-green
+                                    # r5–r5c; slot yielded (r6) to
+                                    # split_leakage_report, which
+                                    # recomputes the same assignment
+    "doc_bigram_surprisal",         # bigram surprisal — hash-green
+                                    # r5–r5c; slot yielded (r6) to
+                                    # bigram_kn_probs (same corpus
+                                    # aggregate + smoothing); benched
 ]
 
 
