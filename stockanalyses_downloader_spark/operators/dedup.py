@@ -502,9 +502,21 @@ def jaccard_pairs_prefix_filter(docs: DataFrame, n: int = 3,
     Scale shape: df-count agg (shingle-keyed, map-side combined) ->
     per-doc sort is an in-plan array_sort over (df, token) structs ->
     prefix explode emits ~(1-t)*|S| rows per doc -> token-bucket
-    self-join on the prefix token -> DISTINCT candidate pairs ->
-    one exact set-op verify per candidate. No quadratic stage except
-    inside token buckets, which rare-first ordering keeps thin."""
+    self-join on the prefix token -> LENGTH filter (t*|A| <= |B|) on
+    the raw matches -> per-pair POSITION filter -> one exact set-op
+    verify per surviving candidate. No quadratic stage except inside
+    token buckets, which rare-first ordering keeps thin.
+
+    Position filter (PPJoin proper, WWW'08 §3): both docs' arrays are
+    sorted by the SAME global order, so a pair's first shared prefix
+    token simultaneously has the minimal position i in A and j in B
+    (later shared tokens sit later in both) — groupBy(pair) + min(i),
+    min(j) recovers it. Every other shared token lies strictly after
+    it in both arrays, so overlap <= 1 + min(|A|-i, |B|-j); prune
+    when that upper bound cannot reach the required overlap
+    ceil(t/(1+t)*(|A|+|B|)) (the Jaccard>=t overlap equivalence).
+    The epsilon on the ceil keeps float rounding from over-pruning —
+    exactness vs brute force stays pinned in tests."""
     s = (with_hashed_shingles(spread(docs), text_col, n)
          .select(id_col, "shingles")
          .filter(F.size("shingles") > 0))
@@ -519,13 +531,32 @@ def jaccard_pairs_prefix_filter(docs: DataFrame, n: int = 3,
     plen = (F.size("toks")
             - F.ceil(F.lit(threshold) * F.size("toks")) + 1).cast("int")
     prefixes = (ordered
-                .select(id_col, F.explode(F.slice("toks", 1, plen))
-                        .alias("ptok")))
-    a = prefixes.select(F.col(id_col).alias("id_a"), "ptok")
-    b = prefixes.select(F.col(id_col).alias("id_b"), "ptok")
-    cand = (a.join(b, "ptok")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+                .select(id_col, F.size("toks").alias("sz"),
+                        F.posexplode(F.slice("toks", 1, plen))
+                        .alias("pos", "ptok")))
+    a = prefixes.select(F.col(id_col).alias("id_a"), "ptok",
+                        F.col("pos").alias("pos_a"),
+                        F.col("sz").alias("sz_a"))
+    b = prefixes.select(F.col(id_col).alias("id_b"), "ptok",
+                        F.col("pos").alias("pos_b"),
+                        F.col("sz").alias("sz_b"))
+    matches = (a.join(b, "ptok")
+               .filter(F.col("id_a") < F.col("id_b"))
+               # length filter: J>=t forces t*max(|A|,|B|) <= min(...)
+               .filter(F.least("sz_a", "sz_b").cast("double")
+                       >= F.lit(threshold) * F.greatest("sz_a", "sz_b")))
+    required = F.ceil(F.lit(threshold / (1.0 + threshold))
+                      * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9))
+    ubound = (F.lit(1)
+              + F.least(F.col("sz_a") - F.col("pos_a") - 1,
+                        F.col("sz_b") - F.col("pos_b") - 1))
+    cand = (matches.groupBy("id_a", "id_b")
+            .agg(F.min("pos_a").alias("pos_a"),
+                 F.min("pos_b").alias("pos_b"),
+                 F.first("sz_a").alias("sz_a"),
+                 F.first("sz_b").alias("sz_b"))
+            .filter(ubound >= required)
+            .select("id_a", "id_b"))
     sa = s.select(F.col(id_col).alias("id_a"),
                   F.col("shingles").alias("sh_a"))
     sb = s.select(F.col(id_col).alias("id_b"),

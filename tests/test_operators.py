@@ -1392,6 +1392,13 @@ def test_ivf_index_incremental_append(spark, tmp_path):
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     served = similarity.ivf_topk_from_index(spark, path, queries,
                                             k=5, n_probe=4)
+    # VERDICT r5 #8: the serve path is fully lazy — no driver-side
+    # probe collect; Dynamic Partition Pruning injects the probed
+    # list_ids into the lists scan at runtime (plan-pinned)
+    from stockanalyses_downloader_spark.plans import explain_str
+    plan = explain_str(served)
+    assert "dynamicpruningexpression" in plan, (
+        "lists scan lost its DPP partition filter:\n" + plan[:2000])
     tops = {r["query_id"]: r["neighbor_id"]
             for r in served.filter(F.col("rank") == 1).collect()}
     assert all(tops[q] == q for q in appended_qids)
