@@ -115,6 +115,50 @@ def pca_model(embeddings: DataFrame, k: int,
     return means, comps
 
 
+def pca_rotation_balanced(embeddings: DataFrame, m: int,
+                          vec_col: str = "embedding") -> list[list[float]]:
+    """OPQ-style rotation for product quantization (the OPQ paper's
+    eigenvalue-allocation baseline): the FULL orthonormal eigenbasis
+    of the covariance, permuted so the d/m consecutive slices that PQ
+    will split into subspaces carry BALANCED total variance — greedy
+    allocation of eigen-dims (descending eigenvalue) to the least-
+    loaded non-full subspace. Because the basis is complete and
+    orthonormal, projecting onto it (uncentered) is a pure rotation:
+    dot products and norms are preserved exactly, so ADC scoring in
+    rotated space approximates the ORIGINAL-space cosine — only the
+    quantization cells change (for the better: no subspace is stuck
+    with all the high-variance dims). Driver-side eigh of the d×d
+    covariance — the same model-sized action as pca_model."""
+    import numpy as np
+
+    rows = embedding_covariance(embeddings, vec_col).collect()
+    if not rows:
+        raise ValueError("pca_rotation_balanced: empty embeddings frame")
+    d = max(r["dim_j"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["dim_i"], r["dim_j"]] = r["cov"]
+        cov[r["dim_j"], r["dim_i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = [int(i) for i in np.argsort(vals)[::-1]]
+    ds = (d + m - 1) // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    sums = [0.0] * m
+    for idx in order:
+        open_b = [i for i in range(m) if len(buckets[i]) < ds]
+        j = min(open_b, key=lambda i: (sums[i], i))
+        buckets[j].append(idx)
+        sums[j] += float(vals[idx])
+    comps = []
+    for b in buckets:
+        for idx in b:
+            c = vecs[:, idx]
+            if c[int(np.argmax(np.abs(c)))] < 0:
+                c = -c
+            comps.append([float(x) for x in c])
+    return comps
+
+
 def project_embeddings(embeddings: DataFrame, means: list[float],
                        components: list[list[float]],
                        id_col: str = "vec_id",

@@ -745,10 +745,12 @@ def test_ann_recall_report_floors(spark):
     0.84 at sf0.001 / 0.86 at sf0.01 (floor 0.7 — the production
     shape, the bar VERDICT r3 #5 set for the driver-window IVF row);
     the quantized variant must not fall behind plain IVF by more
-    than the rerank oversample can explain. r5 adds IVF-PQ (measured
-    0.56/0.62 at sf0.001/sf0.01 — same relative floor as the int8
-    path, VERDICT r4 #6) and PCA-space IVF (measured 0.72/0.64 —
-    floor 0.55, VERDICT r4 #7)."""
+    than the rerank oversample can explain. r5 added IVF-PQ and PCA-
+    space IVF (measured 0.72/0.64 — floor 0.55, VERDICT r4 #7). r6
+    (VERDICT r5 #5) rebuilt IVF-PQ on an OPQ-style variance-balanced
+    rotation + a TRAINED coarse quantizer: measured 0.72/0.80 at
+    sf0.001/sf0.01 — floor raised to 0.65 absolute, and the exact-
+    rerank invariant (exact cosines on the shortlist) is unchanged."""
     from stockanalyses_downloader_spark.queries.similarity_queries import (
         ann_recall_report)
     rows = {r["method"]: r for r in ann_recall_report(spark, SF).collect()}
@@ -759,8 +761,7 @@ def test_ann_recall_report_floors(spark):
     assert rows["ivf"]["recall_at_k"] >= 0.5
     assert rows["ivf_trained"]["recall_at_k"] >= 0.7
     assert rows["ivf_quantized"]["recall_at_k"] >= rows["ivf"]["recall_at_k"] - 0.2
-    assert rows["ivf_pq"]["recall_at_k"] >= rows["ivf"]["recall_at_k"] - 0.2
-    assert rows["ivf_pq"]["recall_at_k"] >= 0.45
+    assert rows["ivf_pq"]["recall_at_k"] >= 0.65
     assert rows["pca_ivf"]["recall_at_k"] >= 0.55
 
 

@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Scale curves for the expensive-tier queries (VERDICT r5 #4/#6):
+blow each query's input up 1x/10x/30x with DISJOINT synthetic copies
+(ids offset per copy, so the workload grows in DATA VOLUME with the
+same per-key density — the "would this survive 100x" axis) and record
+wall + input/output volumes. Sub-linear wall growth per input row
+proves the plan is stage-count-bound, not data-bound, at fixture
+scale; anything super-linear flags a quadratic stage.
+
+Covered (the >2 s tier of BENCH_r05):
+  global_near_dup_pairs   PPJoin prefix+position filtered Jaccard join
+                          (near-dup copies — the adversarial blow-up:
+                          every copy is a real near-dup of its source,
+                          so verified pair volume grows QUADRATICALLY
+                          in the clique factor while wall must not)
+  copurchase_triangles    support-thresholded degree-oriented wedges
+  copurchase_lift         basket-blocked pair counts + lift
+  token_countmin_sketch   bounded-grid frequency sketch
+  part_entity_resolution  blocked Fellegi-Sunter linkage + closure
+
+Usage:
+    python tools/bench_expensive_scale.py                # all, 1 10 30
+    python tools/bench_expensive_scale.py triangles 1 10 # one query
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from stockanalyses_downloader_spark.operators import dedup, graph, linkage, sketches
+from stockanalyses_downloader_spark.session import get_session
+from stockanalyses_downloader_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _copies(df, factor: int, shift_cols: dict[str, int]):
+    """factor-1 disjoint copies: each listed column is offset by
+    copy_index * its shift constant, everything else rides along."""
+    if factor <= 1:
+        return df
+    c = F.col("__c")
+    shifted = [(F.col(k) + c * v).alias(k) if k in shift_cols else k
+               for k, v in [(col, shift_cols.get(col, 0))
+                            for col in df.columns]]
+    copies = (df.crossJoin(F.broadcast(
+                  df.sparkSession.range(1, factor)
+                  .select(F.col("id").alias("__c"))))
+              .select(*shifted))
+    return df.unionByName(copies)
+
+
+def bench_global_near_dups(spark, factor: int) -> dict:
+    from tools.bench_dedup_scale import blow_up
+    base = load_table(spark, SF_DIR, "documents")
+    corpus = blow_up(base, factor)
+    n = corpus.count()
+    t0 = time.perf_counter()
+    pairs = dedup.jaccard_pairs_prefix_filter(corpus, n=3, threshold=0.5)
+    n_out = pairs.count()
+    return {"query": "global_near_dup_pairs", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+def _lineitem_copies(spark, factor: int):
+    li = load_table(spark, SF_DIR, "lineitem") \
+        .select("l_orderkey", "l_partkey")
+    return _copies(li, factor, {"l_orderkey": 100_000_000,
+                                "l_partkey": 100_000_000})
+
+
+def bench_triangles(spark, factor: int) -> dict:
+    op = _lineitem_copies(spark, factor).distinct()
+    n = op.count()
+    t0 = time.perf_counter()
+    a = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb").agg(F.count("*").alias("c"))
+             .filter(F.col("c") >= 2).select("pa", "pb"))
+    out = graph.triangle_counts(edges, "pa", "pb")
+    n_out = out.count()
+    return {"query": "copurchase_triangles", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+def bench_lift(spark, factor: int) -> dict:
+    op = _lineitem_copies(spark, factor).distinct()
+    n = op.count()
+    t0 = time.perf_counter()
+    a = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count("*").alias("n_both"))
+             .filter(F.col("n_both") >= 3))
+    n_out = pairs.count()
+    return {"query": "copurchase_lift", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+def bench_countmin(spark, factor: int) -> dict:
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = _copies(d, factor, {"doc_id": 10_000_000})
+    n = corpus.count()
+    t0 = time.perf_counter()
+    toks = corpus.select(F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"))
+    grid = sketches.countmin_build(toks, "token")
+    n_out = grid.count()
+    return {"query": "token_countmin_sketch", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+def bench_entity_resolution(spark, factor: int) -> dict:
+    p = load_table(spark, SF_DIR, "part") \
+        .select("p_partkey", "p_name", "p_type")
+    cat = _copies(p, factor, {"p_partkey": 100_000_000})
+    n = cat.count()
+    t0 = time.perf_counter()
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    out = linkage.resolve_entities(cat, "p_partkey", blk, "p_name",
+                                   agree_col="p_type",
+                                   threshold=0.8, w_name=0.7)
+    n_out = out.count()
+    return {"query": "part_entity_resolution", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+BENCHES = {
+    "global": bench_global_near_dups,
+    "triangles": bench_triangles,
+    "lift": bench_lift,
+    "countmin": bench_countmin,
+    "er": bench_entity_resolution,
+}
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    names = [a for a in args if not a.isdigit()] or list(BENCHES)
+    factors = [int(a) for a in args if a.isdigit()] or [1, 10, 30]
+    spark = get_session("expensive-scale")
+    results = []
+    for name in names:
+        for f in factors:
+            r = BENCHES[name](spark, f)
+            results.append(r)
+            print(json.dumps(r))
+    print(json.dumps({"metric": "expensive_scale_curves",
+                      "runs": results}))
+
+
+if __name__ == "__main__":
+    main()
