@@ -80,6 +80,12 @@ EXTENDED = [
     "forget_cascade_report",        # FK cascade semi/anti audit
     "copurchase_triangles",         # degree-oriented wedge join
     "doc_kn_perplexity",            # KN train + per-doc scoring
+    # round-6 additions
+    "tick_quote_interval_join",     # stream-stream interval join's
+                                    # batch bind (range + equi key)
+    "tick_grid_hourly",             # grid explode + as-of ffill
+    "bigram_kn_probs",              # KN bigram model build
+    "split_leakage_report",         # split assign + cross-split pairs
 ]
 
 

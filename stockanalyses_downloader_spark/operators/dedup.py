@@ -317,27 +317,13 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
     the md5-31-bit shingle family for the exact verify. The bucket key
     widens from 8 bytes to ~4 numbers' text, a bounded constant per
     signature row."""
-    r = n_hashes // bands
-    # The signature build ends in an aggregate, so the 16 band
-    # expressions above it only re-slice the agg output — no
+    # Banding is shared verbatim with the at-rest index
+    # (_banded_signatures) — probe-vs-one-shot parity holds by
+    # construction. The signature build ends in an aggregate, so the
+    # band expressions above it only re-slice the agg output — no
     # re-evaluation hazard (unlike the old fold-based build, where a
     # persist barrier was load-bearing against CollapseProject).
-    sigs = minhash_signatures(docs, n_hashes, id_col, text_col, n,
-                              portable=portable)
-
-    def band_key(b):
-        joined = F.concat_ws(
-            ",", F.transform(F.slice("signature", b * r + 1, r),
-                             lambda v: v.cast("string")))
-        return joined if portable else F.xxhash64(joined)
-
-    banded = sigs.select(
-        id_col,
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band_id"),
-                band_key(b).alias("band_hash")))).alias("band"))
+    #
     # persist: banded feeds both sides of the self-join and cand feeds
     # three consumers — without it the signature build re-runs per
     # consumer (lazy DAG). Both are signature-width, not document-width
@@ -346,8 +332,8 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
     # pair expansion saves one exchange but runs 1.4x SLOWER at sf0.1 —
     # the in-bucket combination expansion is interpreted higher-order
     # code, while the self-join stays in codegen. Join wins.)
-    banded = tracked_persist(
-        banded.select(id_col, "band.band_id", "band.band_hash"))
+    banded = tracked_persist(_banded_signatures(
+        docs, n_hashes, bands, id_col, text_col, n, portable))
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     cand = tracked_persist(
@@ -373,17 +359,161 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
                 .filter(F.col("jaccard") >= threshold))
 
 
+# --- MinHash-LSH index at rest: build once, probe every ingest (r6) --------
+#
+# The incremental-dedup dual of save_ivf_index: a 100 TB corpus's
+# near-dup state lives AT REST as (bands, shingle sets, geometry), and
+# each day's ingest probes it — new-vs-corpus and new-vs-new pairs come
+# from joining the delta's bands against the stored band table, never
+# rescanning corpus text. Exactness contract: probing finds EXACTLY the
+# pairs involving a new doc that a one-shot minhash_lsh_pairs over
+# (corpus ∪ delta) would find (same hash family, same banding — pinned
+# in tests). novel_docs_vs_corpus covers the EXACT-dup incremental
+# tier; this is its near-dup sibling.
+
+def _banded_signatures(docs: DataFrame, n_hashes: int, bands: int,
+                       id_col: str, text_col: str, n: int,
+                       portable: bool) -> DataFrame:
+    """(id, band_id, band_hash) — the banding stage of
+    minhash_lsh_pairs, factored so the at-rest index and the one-shot
+    join share it verbatim (the parity pin depends on that)."""
+    r = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, id_col, text_col, n,
+                              portable=portable)
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",", F.transform(F.slice("signature", b * r + 1, r),
+                             lambda v: v.cast("string")))
+        return joined if portable else F.xxhash64(joined)
+
+    banded = sigs.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                band_key(b).alias("band_hash")))).alias("band"))
+    return banded.select(id_col, "band.band_id", "band.band_hash")
+
+
+def save_minhash_index(docs: DataFrame, path: str, n_hashes: int = 64,
+                       bands: int = 16, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       portable: bool = False) -> None:
+    """Materialize the near-dup index AT REST: ``{path}/bands``
+    (id, band_id, band_hash), ``{path}/shingles`` (id, hashed shingle
+    set — what the exact-Jaccard verify needs, so probe never touches
+    corpus TEXT), and ``{path}/meta`` (the geometry — probes read it,
+    so a caller cannot silently mismatch hash family or banding)."""
+    spark = docs.sparkSession
+    _banded_signatures(docs, n_hashes, bands, id_col, text_col, n,
+                       portable) \
+        .write.mode("overwrite").parquet(f"{path}/bands")
+    with_hashed_shingles(docs, text_col, n, portable=portable) \
+        .select(id_col, "shingles") \
+        .write.mode("overwrite").parquet(f"{path}/shingles")
+    (spark.createDataFrame(
+        [(n_hashes, bands, n, portable, id_col)],
+        "n_hashes int, bands int, n int, portable boolean, id_col string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def append_to_minhash_index(spark, path: str, new_docs: DataFrame,
+                            text_col: str = "text") -> None:
+    """Incremental maintenance: band + shingle the delta under the
+    STORED geometry and append — today's ingest becomes probe-visible
+    without touching the existing index files. Caller owns id
+    uniqueness across appends (same contract as append_to_ivf_index)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    _banded_signatures(new_docs, meta["n_hashes"], meta["bands"],
+                       meta["id_col"], text_col, meta["n"],
+                       meta["portable"]) \
+        .write.mode("append").parquet(f"{path}/bands")
+    with_hashed_shingles(new_docs, text_col, meta["n"],
+                         portable=meta["portable"]) \
+        .select(meta["id_col"], "shingles") \
+        .write.mode("append").parquet(f"{path}/shingles")
+
+
+def probe_minhash_index(spark, path: str, new_docs: DataFrame,
+                        threshold: float = 0.5,
+                        text_col: str = "text") -> DataFrame:
+    """Near-dup pairs INVOLVING the delta — new-vs-corpus (the delta's
+    bands join the stored band table; the only corpus-sized work is
+    that band join plus a shingle semi-join fetch for verified
+    candidates) and new-vs-new (delta self-join). Returns (id_a, id_b,
+    jaccard), id-ordered; exactly the pairs a one-shot
+    minhash_lsh_pairs over (corpus ∪ delta) emits that involve a new
+    doc (parity-pinned)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    id_col = meta["id_col"]
+    new_banded = tracked_persist(_banded_signatures(
+        new_docs, meta["n_hashes"], meta["bands"], id_col, text_col,
+        meta["n"], meta["portable"]))
+    stored = spark.read.parquet(f"{path}/bands")
+    nb = new_banded.select(F.col(id_col).alias("new_id"),
+                           "band_id", "band_hash")
+    # new vs corpus: ids may interleave, normalize order after the join
+    vs_old = (nb.join(stored.withColumnRenamed(id_col, "old_id"),
+                      ["band_id", "band_hash"])
+              .filter(F.col("new_id") != F.col("old_id"))
+              .select(F.least("new_id", "old_id").alias("id_a"),
+                      F.greatest("new_id", "old_id").alias("id_b")))
+    nb2 = new_banded.select(F.col(id_col).alias("id_b"),
+                            "band_id", "band_hash")
+    vs_new = (nb.join(nb2, ["band_id", "band_hash"])
+              .filter(F.col("new_id") < F.col("id_b"))
+              .select(F.col("new_id").alias("id_a"), "id_b"))
+    cand = tracked_persist(vs_old.unionByName(vs_new).distinct())
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .union(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    new_sh = with_hashed_shingles(new_docs, text_col, meta["n"],
+                                  portable=meta["portable"]) \
+        .select(id_col, "shingles")
+    old_sh = spark.read.parquet(f"{path}/shingles")
+    sh = (old_sh.unionByName(new_sh)
+          .join(cand_ids, id_col, "left_semi")
+          .dropDuplicates([id_col]))
+    pairs = (cand
+             .join(sh.select(F.col(id_col).alias("id_a"),
+                             F.col("shingles").alias("sh_a")), "id_a")
+             .join(sh.select(F.col(id_col).alias("id_b"),
+                             F.col("shingles").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", portable: bool = False) -> DataFrame:
     """64-bit SimHash per doc: sign-sum of token-hash bits. Explode +
-    two-level aggregate keeps it a plain shuffle on doc_id."""
+    two-level aggregate keeps it a plain shuffle on doc_id.
+
+    ``portable=True`` draws the 64 bits from the two 32-bit md5-prefix
+    halves (hi = hex chars 1-8, lo = 9-16) instead of xxhash64 — the
+    same engine-portable family as cm_bucket, so the fingerprints
+    (and everything derived from them) are DuckDB-recomputable."""
     toks = spread(docs).select(
         id_col, F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                   r"\s+")).alias("tok"))
-    h = F.xxhash64("tok")
-    bit_votes = [
-        F.sum(((F.shiftrightunsigned(h, i) % 2) * 2 - 1)).alias(f"b{i}")
-        for i in range(64)]
+    if portable:
+        md = F.md5(F.col("tok").cast("binary"))
+        hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+
+        def bit(i):
+            return (F.shiftrightunsigned(lo, i) % 2 if i < 32
+                    else F.shiftrightunsigned(hi, i - 32) % 2)
+    else:
+        h = F.xxhash64("tok")
+
+        def bit(i):
+            return F.shiftrightunsigned(h, i) % 2
+    bit_votes = [F.sum(bit(i) * 2 - 1).alias(f"b{i}") for i in range(64)]
     votes = toks.groupBy(id_col).agg(*bit_votes)
     sim = F.lit(0).cast("long")
     for i in range(64):
@@ -395,7 +525,8 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
                        id_col: str = "doc_id",
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = None,
+                       portable: bool = False) -> DataFrame:
     """SimHash near-dup pairs: band the 64 bits into ``max_hamming+1``
     near-equal chunks, bucket-join on any shared chunk, verify exact
     hamming via bit_count.
@@ -437,7 +568,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
     # membership feeds the candidate stage (distinct) and the two
     # expansion joins; signature-width persist, same rationale as the
     # minhash banding persist above.
-    sh = tracked_persist(simhash64(docs, id_col))
+    sh = tracked_persist(simhash64(docs, id_col, portable=portable))
     fps = sh.select("simhash").distinct()
     chunks = fps.select(
         "simhash",

@@ -78,7 +78,17 @@ _WINDOW = [
                                 # visible inside flagship/wss, and a
                                 # certified CONNECTOR is the stronger
                                 # source-tier evidence)
-    "rest_pipeline_messages",
+    "tick_quote_interval_join",  # stream-stream interval join's batch
+                                # bind (r6 rotation in per VERDICT r5
+                                # #7 — the ST+ tier's first driver
+                                # hash row; the same definition runs
+                                # live with watermarks in the stream-
+                                # matches-batch suite). Took rest_
+                                # pipeline_messages' slot: its
+                                # machinery is a strict subset of
+                                # in-window flagship_latest_mid
+                                # (same scan->filter->dim-join->mid
+                                # chain minus the top-1)
     "part_entity_resolution",   # record linkage capstone (r5c
                                 # rotation in — took dead_letter_by_
                                 # exchange's slot: K5 dead-letter
@@ -708,6 +718,12 @@ _TAIL = [
                                     # r5–r5c; slot yielded (r6) to
                                     # bigram_kn_probs (same corpus
                                     # aggregate + smoothing); benched
+    "rest_pipeline_messages",       # E2 enriched messages — hash-
+                                    # green r1–r5; slot yielded (r6)
+                                    # to the interval-join batch bind;
+                                    # the same scan->filter->dim-join
+                                    # ->mid chain stays driver-visible
+                                    # inside flagship_latest_mid
 ]
 
 

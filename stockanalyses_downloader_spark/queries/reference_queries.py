@@ -300,6 +300,49 @@ FROM t
 """
 
 
+def tick_quote_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join's BATCH BIND (r6, VERDICT r5
+    #7): streaming/joins.interval_join_streams bound to static frames
+    — every tick joined to EVERY official quote of its ISIN in the
+    trailing 24 h (not just the latest, which is the as-of variant
+    above). The exact definition that runs live with watermarks in
+    tests/test_streaming's stream-matches-batch suite earns a DuckDB
+    range-join oracle row here — the ST+ tier's first driver-visible
+    hash certificate."""
+    from ..streaming.joins import interval_join_streams
+
+    t = (pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+         .select("tick_id", "isin", "ts", "last_price"))
+    q = (pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+         .filter(F.col("tick_id") % 10 == 0)
+         .select(F.col("tick_id").alias("quote_id"),
+                 F.col("isin").alias("q_isin"),
+                 F.col("ts").alias("quote_ts"),
+                 F.col("last_price").alias("quote_price")))
+    j = interval_join_streams(t, q, "isin", "q_isin", "ts", "quote_ts",
+                              lookback_s=86_400)
+    return j.select("tick_id", "isin", "ts", "last_price",
+                    "quote_id", "quote_ts", "quote_price")
+
+
+_INTERVAL_JOIN_SQL = f"""
+WITH t AS (
+  SELECT tick_id, isin, ts, last_price FROM {synthetic.TICKS_SQL}
+  WHERE status = 200
+), q AS (
+  SELECT tick_id AS quote_id, isin AS q_isin, ts AS quote_ts,
+         last_price AS quote_price
+  FROM {synthetic.TICKS_SQL} WHERE status = 200 AND tick_id % 10 = 0
+)
+SELECT t.tick_id, t.isin, t.ts, t.last_price,
+       q.quote_id, q.quote_ts, q.quote_price
+FROM t JOIN q
+  ON t.isin = q.q_isin
+ AND q.quote_ts <= t.ts
+ AND q.quote_ts >= t.ts - INTERVAL 86400 SECONDS
+"""
+
+
 _ASOF_SQL = f"""
 WITH t AS (
   SELECT tick_id, isin, ts, last_price FROM {synthetic.TICKS_SQL}
@@ -474,6 +517,8 @@ QUERIES: dict[str, Q] = {
     "rest_fetch_pipeline": Q(rest_fetch_pipeline, _REST_FETCH_SQL),
     "ticks_asof_quotes": Q(ticks_asof_quotes, _ASOF_SQL),
     "ticks_asof_quotes_tolerant": Q(ticks_asof_quotes_tolerant, _ASOF_TOL_SQL),
+    "tick_quote_interval_join": Q(tick_quote_interval_join,
+                                  _INTERVAL_JOIN_SQL),
     "vwap_by_isin": Q(vwap_by_isin, _VWAP_SQL),
     "twap_by_isin": Q(twap_by_isin, _TWAP_SQL),
     "jobs_parse_dispatch": Q(jobs_parse_dispatch, _JOBS_PARSE_SQL),

@@ -296,9 +296,82 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-ball pairs (rows-only, same reason)."""
+    """SimHash hamming-ball pairs, fully DuckDB-oracled (r6): the
+    portable mode draws the 64 fingerprint bits from the two 32-bit
+    md5-prefix halves, so the oracle recomputes fingerprints,
+    pigeonhole chunk banding, candidate pairs AND the bit_count
+    hamming verify from the parquet alone — the third hash-family
+    tier (after count-min and MinHash) whose internals themselves
+    hash-match."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, max_hamming=12)
+    return dedup.simhash_near_pairs(d, max_hamming=12, portable=True)
+
+
+def _simhash_near_pairs_sql(max_hamming: int = 12) -> str:
+    """DuckDB twin of the portable SimHash pipeline. Note the chunk
+    extraction: DuckDB's >> on BIGINT is an ARITHMETIC shift, but
+    masking the bottom `width` bits afterward yields exactly Spark's
+    shiftrightunsigned-then-mod value for any sign."""
+    n_chunks = max_hamming + 1
+    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0)
+              for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    votes = ",\n         ".join(
+        (f"sum(((lo >> {i}) % 2) * 2 - 1) AS b{i}" if i < 32
+         else f"sum(((hi >> {i - 32}) % 2) * 2 - 1) AS b{i}")
+        for i in range(64))
+    pack = " + ".join(
+        [f"(CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END)"]
+        + [f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+           for i in range(63)])
+    chunk_blocks = "\n  UNION ALL\n".join(
+        f"  SELECT simhash, {i} AS chunk_id, "
+        f"(simhash >> {offsets[i]}) & {(1 << widths[i]) - 1} AS chunk_val"
+        " FROM fps"
+        for i in range(n_chunks))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), bits AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM toks
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM bits GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {pack} AS simhash FROM votes
+), fps AS (
+  SELECT DISTINCT simhash FROM fp
+), chunks AS (
+{chunk_blocks}
+), fp_pairs AS (
+  SELECT DISTINCT a.simhash AS sim_a, b.simhash AS sim_b
+  FROM chunks a JOIN chunks b USING (chunk_id, chunk_val)
+  WHERE a.simhash < b.simhash
+), fp_ham AS (
+  SELECT sim_a, sim_b,
+         CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+  FROM fp_pairs
+  WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+), expanded AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+         greatest(ma.doc_id, mb.doc_id) AS id_b, h.hamming
+  FROM fp_ham h
+  JOIN fp ma ON ma.simhash = h.sim_a
+  JOIN fp mb ON mb.simhash = h.sim_b
+), same AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+  FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM expanded
+UNION ALL
+SELECT id_a, id_b, hamming FROM same
+"""
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,7 +822,7 @@ QUERIES: dict[str, Q] = {
     "near_dup_components": Q(near_dup_components, _COMPONENTS_SQL),
     "near_dup_components_star": Q(near_dup_components_star, _COMPONENTS_SQL),
     "minhash_near_dups": Q(minhash_near_dups, _minhash_near_dups_sql()),
-    "simhash_near_pairs": Q(simhash_near_pairs, None),
+    "simhash_near_pairs": Q(simhash_near_pairs, _simhash_near_pairs_sql()),
     "multimodal_asset_stats": Q(multimodal_asset_stats, _ASSET_SQL),
     "multimodal_chunk_dedup": Q(multimodal_chunk_dedup, _CHUNK_DEDUP_SQL),
     "multimodal_cdc_dedup": Q(multimodal_cdc_dedup, _CDC_DEDUP_SQL),

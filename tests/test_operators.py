@@ -122,6 +122,54 @@ def test_minhash_portable_mode_planted_dups_and_pair_parity(spark):
     assert portable == default
 
 
+def test_minhash_index_probe_matches_one_shot(spark, tmp_path):
+    """At-rest near-dup index (r6): build on the corpus, probe a delta
+    containing near-dup copies of corpus docs AND of each other. Pins:
+    (1) probe output == the pairs involving a delta doc that a
+    ONE-SHOT minhash_lsh_pairs over (corpus ∪ delta) emits — same
+    hash family, same banding, same verify, bit-equal jaccards;
+    (2) every planted cross-batch dup is found; (3) appending the
+    delta then probing a second delta sees the first one's docs."""
+    corpus = load_table(spark, SF, "documents").limit(40)
+    delta = (load_table(spark, SF, "documents").limit(20)
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     F.concat("text", F.lit(" zz")).alias("text"),
+                     "lang", "source", "n_chars"))
+    path = str(tmp_path / "mh_idx")
+    dedup.save_minhash_index(corpus, path)
+
+    probed = dedup.probe_minhash_index(spark, path, delta, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in probed.collect()}
+
+    union = corpus.unionByName(delta)
+    one_shot = dedup.minhash_lsh_pairs(union, threshold=0.5)
+    new_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in one_shot.collect()
+            if r["id_a"] in new_ids or r["id_b"] in new_ids}
+    assert got == want
+
+    planted = {(r["doc_id"], r["doc_id"] + 1_000_000)
+               for r in corpus.limit(20).collect()}
+    assert planted - set(got) == set(), "cross-batch planted dups missed"
+
+    # append delta, probe a twin of delta doc 1_000_000 — must match
+    # the APPENDED doc too, proving the index grew
+    dedup.append_to_minhash_index(spark, path, delta)
+    probe2 = (delta.limit(1)
+              .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                      "text", "lang", "source", "n_chars"))
+    got2 = {(r["id_a"], r["id_b"]) for r in
+            dedup.probe_minhash_index(spark, path, probe2,
+                                      threshold=0.5).collect()}
+    first_delta_id = min(new_ids)
+    # twin id = first_delta_id + 2_000_000; it must match BOTH the
+    # original corpus doc and the appended delta doc
+    assert (first_delta_id, first_delta_id + 2_000_000) in got2
+    assert (first_delta_id - 1_000_000,
+            first_delta_id + 2_000_000) in got2
+
+
 def test_simhash_planted_near_dups(spark):
     d = load_table(spark, SF, "documents").limit(20)
     copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -133,6 +181,24 @@ def test_simhash_planted_near_dups(spark):
     expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in d.collect()}
     assert len(expected & found) >= int(0.9 * len(expected)), (
         f"simhash missed too many planted dups: {len(expected & found)}/20")
+
+
+def test_simhash_portable_mode_planted_dups(spark):
+    """The md5-portable fingerprint family (the oracled
+    simhash_near_pairs path) keeps the planted-dup detection power of
+    the xxhash64 default — the pigeonhole candidate guarantee is
+    hash-family-independent, only the specific fingerprints change."""
+    d = load_table(spark, SF, "documents").limit(20)
+    copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      F.concat("text", F.lit(" zz")).alias("text"),
+                      "lang", "source", "n_chars")
+    corpus = d.unionByName(copies)
+    pairs = dedup.simhash_near_pairs(corpus, max_hamming=6,
+                                     portable=True)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in d.collect()}
+    assert len(expected & found) >= int(0.9 * len(expected)), (
+        f"portable simhash missed planted dups: {len(expected & found)}/20")
 
 
 def test_dedup_idempotence(spark):

@@ -77,6 +77,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # centroid numbering AFTER a distributed TakeOrdered limit(k) —
     # the window input is exactly k rows
     "ivf_topk_trained": 1,
+    "ivf_topk_pq": 1,       # r6: trained coarse quantizer brings the
+                            # same k-row kmeans init window
     "ann_recall_report": 1,
     # collocation ranking over the bigram candidate table (min-count
     # thresholded, vocab-bounded — domain-bounded per VERDICT r5)
