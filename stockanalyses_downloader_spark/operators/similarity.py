@@ -247,18 +247,32 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
-def _plane_dot(v: Column, plane_id: int, seed: int = 42) -> Column:
+def _plane_dot(v: Column, plane_id: int, seed: int = 42,
+               portable: bool = False) -> Column:
     """Dot(v, r_plane) where the plane's i-th component is a
     deterministic pseudo-random double in [-1, 1) derived from
-    xxhash64(seed, plane_id, i).
+    xxhash64(seed, plane_id, i) — or, with ``portable=True``, from the
+    24-bit md5 prefix of '{seed}|{plane_id}|{i}' (DuckDB-recomputable;
+    the sequential fold matches list_reduce's order, so even the sign
+    of a near-zero dot agrees bit-for-bit across engines).
 
     The plane is generated IN-EXPRESSION via the index-aware transform
     lambda, so it adapts to the vector's dimensionality per row — no
     driver-side ``.first()`` dim probe, nothing runs at plan-build
     time, and the signature stage stays a linear scan."""
-    prods = F.transform(v, lambda x, i: x * (
-        F.shiftrightunsigned(F.xxhash64(F.lit(seed), F.lit(plane_id), i), 40)
-         .cast("double") / F.lit(float(1 << 24)) * 2.0 - 1.0))
+    if portable:
+        def comp(i):
+            h = F.md5(F.concat_ws(
+                "|", F.lit(str(seed)), F.lit(str(plane_id)),
+                i.cast("string")).cast("binary"))
+            return (F.conv(F.substring(h, 1, 6), 16, 10).cast("double")
+                    / F.lit(float(1 << 24)) * 2.0 - 1.0)
+    else:
+        def comp(i):
+            return (F.shiftrightunsigned(
+                        F.xxhash64(F.lit(seed), F.lit(plane_id), i), 40)
+                    .cast("double") / F.lit(float(1 << 24)) * 2.0 - 1.0)
+    prods = F.transform(v, lambda x, i: x * comp(i))
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
 
@@ -276,16 +290,20 @@ def _band_structs(bits: Column, n_planes: int, n_bands: int) -> Column:
 
 def signlsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                  n_planes: int = 16, n_bands: int = 4,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 portable: bool = False) -> DataFrame:
     """Approximate top-k: random-hyperplane signature, banded buckets,
     exact cosine rerank within buckets.
 
     n_planes=16 split into n_bands bands of 4 bits; a candidate shares
-    >=1 band with the query. Recall tested against cosine_topk."""
+    >=1 band with the query. Recall tested against cosine_topk.
+    ``portable=True`` draws the hyperplanes from the md5-prefix family
+    so the whole pipeline (planes, sign bits, banding, candidates,
+    exact cosine rerank) is DuckDB-recomputable."""
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
     e = e.withColumn("norm", l2_norm(F.col("v")))
-    bits = F.array(*[(_plane_dot(F.col("v"), j) >= 0).cast("int")
-                     for j in range(n_planes)])
+    bits = F.array(*[(_plane_dot(F.col("v"), j, portable=portable) >= 0)
+                     .cast("int") for j in range(n_planes)])
     bands = _band_structs(bits, n_planes, n_bands)
     sig = e.select(id_col, "v", "norm", F.explode(bands).alias("band")) \
            .select(id_col, "v", "norm", "band.band_id", "band.band_key")

@@ -92,10 +92,79 @@ FROM embeddings GROUP BY embedding
 
 
 def signlsh_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via sign-LSH buckets (no SQL oracle — hash
-    family; recall vs brute force asserted in tests)."""
+    """Approximate ANN via sign-LSH buckets, fully DuckDB-oracled
+    (r6): the portable mode draws the hyperplanes from the md5-prefix
+    family and the sequential dot-product fold matches list_reduce's
+    order, so the oracle recomputes planes, sign bits, banding,
+    candidate buckets AND the exact cosine rerank — even near-zero
+    plane dots keep the same sign bit-for-bit. The fourth hash-family
+    tier whose internals hash-match (count-min, MinHash, SimHash,
+    sign-LSH); recall vs brute force stays asserted in tests."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.signlsh_topk(e, _QUERY_IDS, k=_TOPK)
+    return similarity.signlsh_topk(e, _QUERY_IDS, k=_TOPK, portable=True)
+
+
+def _signlsh_topk_sql(n_planes: int = 16, n_bands: int = 4,
+                      seed: int = 42) -> str:
+    """DuckDB twin of the portable sign-LSH pipeline. DuckDB lambda
+    indexes are 1-based — the plane component uses i-1 to match
+    Spark's 0-based transform index."""
+    r = n_planes // n_bands
+
+    def plane_dot(j):
+        return ("list_reduce(list_transform(v, (x, i) -> x * "
+                f"(CAST(('0x' || substr(md5('{seed}|{j}|' || "
+                "CAST(i - 1 AS VARCHAR)), 1, 6)) AS BIGINT)"
+                " / 16777216.0 * 2.0 - 1.0)), (a, b) -> a + b)")
+
+    bits = ", ".join(
+        f"CASE WHEN {plane_dot(j)} >= 0 THEN 1 ELSE 0 END"
+        for j in range(n_planes))
+    band_blocks = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, norm, {b} AS band_id, "
+        + " || ".join(f"CAST(bits[{b * r + i + 1}] AS VARCHAR)"
+                      for i in range(r))
+        + " AS band_key FROM sig"
+        for b in range(n_bands))
+    qids = ", ".join(map(str, _QUERY_IDS))
+    return f"""
+WITH ev AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS norm
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, v, norm, [{bits}] AS bits FROM ev
+), banded AS (
+{band_blocks}
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, band_id, band_key
+  FROM banded WHERE vec_id IN ({qids})
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv, norm AS cnorm, band_id,
+         band_key
+  FROM banded WHERE vec_id NOT IN ({qids})
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM c JOIN q
+  USING (band_id, band_key)
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_reduce(list_transform(list_zip(qe.v, ce.v),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+           (a, b) -> a + b) / (qe.norm * ce.norm) AS cosine
+  FROM cand
+  JOIN ev qe ON qe.vec_id = cand.query_id
+  JOIN ev ce ON ce.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
 
 
 def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,7 +874,7 @@ QUERIES: dict[str, Q] = {
     "embedding_norms": Q(embedding_norms, _NORMS_SQL),
     "embedding_exact_dups": Q(embedding_exact_dups, _EMB_DUP_SQL),
     "cosine_topk_bruteforce": Q(cosine_topk_bruteforce, _COSINE_SQL),
-    "signlsh_topk_approx": Q(signlsh_topk_approx, None),
+    "signlsh_topk_approx": Q(signlsh_topk_approx, _signlsh_topk_sql()),
     "ivf_topk_approx": Q(ivf_topk_approx, None),
     "ivf_topk_trained": Q(ivf_topk_trained, None),
     "ivf_topk_pq": Q(ivf_topk_pq, None),
