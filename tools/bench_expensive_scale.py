@@ -143,12 +143,39 @@ def bench_entity_resolution(spark, factor: int) -> dict:
             "wall_s": round(time.perf_counter() - t0, 2)}
 
 
+def bench_index_probe(spark, factor: int) -> dict:
+    """Probe cost vs CORPUS size at a FIXED delta: build the at-rest
+    LSH index on the blown-up corpus (outside the timer — that's the
+    nightly build), then time probing a constant 100-doc delta. A
+    delta-proportional probe shows near-flat wall as the corpus grows;
+    corpus-proportional work would scale with the factor."""
+    import tempfile
+
+    from tools.bench_dedup_scale import blow_up
+    base = load_table(spark, SF_DIR, "documents")
+    corpus = blow_up(base, factor)
+    n = corpus.count()
+    path = tempfile.mkdtemp() + "/mh_idx"
+    dedup.save_minhash_index(corpus, path)
+    delta = (base.limit(100)
+             .select((F.col("doc_id") + 500_000_000).alias("doc_id"),
+                     F.concat("text", F.lit(" zz")).alias("text"),
+                     "lang", "source", "n_chars"))
+    t0 = time.perf_counter()
+    pairs = dedup.probe_minhash_index(spark, path, delta, threshold=0.3)
+    n_out = pairs.count()
+    return {"query": "probe_minhash_index", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
 BENCHES = {
     "global": bench_global_near_dups,
     "triangles": bench_triangles,
     "lift": bench_lift,
     "countmin": bench_countmin,
     "er": bench_entity_resolution,
+    "probe": bench_index_probe,
 }
 
 
