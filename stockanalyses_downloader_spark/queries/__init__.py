@@ -724,6 +724,15 @@ _TAIL = [
                                     # the same scan->filter->dim-join
                                     # ->mid chain stays driver-visible
                                     # inside flagship_latest_mid
+    "important_part_stock",         # Q11 HAVING-vs-global-scalar
+                                    # shape (broadcast 1-row total,
+                                    # exact DECIMAL threshold);
+                                    # DuckDB-oracled; new r6 — the
+                                    # TPC-H shape family closes at
+                                    # 22/22
+    "part_supplier_relationship",   # Q16 NOT-IN -> broadcast anti
+                                    # join + count_distinct per
+                                    # bucket; DuckDB-oracled; new r6
 ]
 
 

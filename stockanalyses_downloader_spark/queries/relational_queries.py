@@ -2524,3 +2524,81 @@ QUERIES.update({
     "order_window_analytics": Q(order_window_analytics,
                                 _WINDOW_ANALYTICS_SQL),
 })
+
+
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's important-stock shape, adapted to this schema (the
+    fixture has no partsupp table — lineitem serves as the supply
+    relation): per-part shipped value, kept when it exceeds 1/2000 of
+    the GLOBAL shipped value (the fixture's ~2000-part catalog makes
+    that genuinely selective — 966/2000 at sf0.01; TPC-H's literal
+    0.0001 fraction assumes the full-SF part count). The literal form is a HAVING against an
+    uncorrelated scalar subquery; Spark-first it's one shuffled
+    per-part aggregate re-aggregated to the 1-row total, broadcast
+    back, compared in exact DECIMAL (value*1000 > total — no float
+    threshold ambiguity at the cut line). Completes the TPC-H shape
+    family at 22/22. Output: (p_partkey, stock_value)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = (li.groupBy(F.col("l_partkey").alias("p_partkey"))
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+                .alias("v")))
+    total = per.agg(F.sum("v").alias("tv"))
+    return (per.crossJoin(F.broadcast(total))
+            .filter(F.col("v") * 2000 > F.col("tv"))
+            .select("p_partkey",
+                    F.col("v").cast("double").alias("stock_value")))
+
+
+_Q11_SQL = """
+WITH per AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS v
+  FROM lineitem GROUP BY l_partkey
+), total AS (SELECT SUM(v) AS tv FROM per)
+SELECT p_partkey, CAST(v AS DOUBLE) AS stock_value
+FROM per, total WHERE v * 2000 > tv
+"""
+
+
+def part_supplier_relationship(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Q16's supplier-relationship shape: how many DISTINCT suppliers
+    can provide each (brand, type, size) bucket of mid-size parts,
+    EXCLUDING suppliers in arrears (the fixture's analog of Q16's
+    complaint suppliers; the literal NOT IN subquery decorrelates to
+    a broadcast anti join — the exclusion set is request-sized).
+    One distinct (part, supplier) projection from lineitem, the part
+    dim broadcast, count_distinct per bucket. Output: (p_brand,
+    p_type, p_size, supplier_cnt)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = (li.select("l_partkey", "l_suppkey").distinct()
+          .join(F.broadcast(bad),
+                F.col("l_suppkey") == F.col("s_suppkey"), "anti"))
+    mid = p.filter((F.col("p_size") >= 10) & (F.col("p_size") <= 40))
+    return (ps.join(F.broadcast(mid),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
+
+
+_Q16_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_size BETWEEN 10 AND 40
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+QUERIES.update({
+    "important_part_stock": Q(important_part_stock, _Q11_SQL),
+    "part_supplier_relationship": Q(part_supplier_relationship,
+                                    _Q16_SQL),
+})
