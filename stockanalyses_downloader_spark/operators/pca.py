@@ -128,7 +128,13 @@ def pca_rotation_balanced(embeddings: DataFrame, m: int,
     rotated space approximates the ORIGINAL-space cosine — only the
     quantization cells change (for the better: no subspace is stuck
     with all the high-variance dims). Driver-side eigh of the d×d
-    covariance — the same model-sized action as pca_model."""
+    covariance — the same model-sized action as pca_model.
+
+    When m does not divide d the greedy bucket sizes may not align
+    with the consumer's ceil(d/m) subspace slicing — the result is
+    STILL a valid orthonormal rotation (PQ correctness never depends
+    on the allocation), only the variance-balance guarantee weakens
+    to approximate; exact balance holds for the m | d case."""
     import numpy as np
 
     rows = embedding_covariance(embeddings, vec_col).collect()

@@ -107,6 +107,10 @@ def train_unigram(docs: DataFrame, text_col: str = "text",
     words = word_counts(docs, text_col).persist()
     cands = candidate_pieces(words)
     total0 = cands.agg(F.sum("c").alias("t")).first()["t"]
+    if total0 is None:
+        raise ValueError(
+            "train_unigram: empty corpus — no candidate pieces "
+            "(every document tokenized to nothing)")
     model = {r["piece"]: math.log(r["c"] / total0)
              for r in cands.collect()}
 

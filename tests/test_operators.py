@@ -242,6 +242,33 @@ def test_mid_price_property(spark, quotes):
         assert math.isclose(row["mid"], (b + a) / 2, rel_tol=0, abs_tol=0)
 
 
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=-100, max_value=100, allow_nan=False,
+              allow_infinity=False),
+    st.integers(0, 1)),
+    min_size=4, max_size=60).filter(
+        lambda rows: 0 < sum(y for _, y in rows) < len(rows)))
+def test_roc_auc_property_vs_pair_enumeration(spark, rows):
+    """Hypothesis drives arbitrary score/label multisets (duplicated
+    scores, both-class ties, tiny and adversarial spreads): the
+    two-level bucketed AUC must equal the probabilistic pair
+    definition exactly — including with a hostile bucket count that
+    forces multi-score buckets."""
+    from stockanalyses_downloader_spark.operators import quality_model as qm
+
+    df = spark.createDataFrame(rows, "logit double, y int")
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0
+              for p in pos for n in neg)
+    want = num / (len(pos) * len(neg))
+    for nb in (2, 4096):
+        got = qm.roc_auc(df, "logit", "y", n_buckets=nb).collect()[0]
+        assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+        assert abs(got["auc"] - want) < 1e-12, (nb, got["auc"], want)
+
+
 def test_join_cardinality_one_to_one(spark):
     """Every known ISIN resolves exactly once against the 84-row dim
     (1:1 cardinality — currency.py keys are unique)."""
