@@ -157,6 +157,16 @@ def execute_forget(spark, table_paths: dict[str, str],
     set → subjects' lineitems silently survive) or fail on deleted
     files. Materializing every purged frame against the ORIGINAL data
     before any directory moves closes that window."""
+    # sweep stale artifacts from a previous crashed run (a crash
+    # between renames leaves orphan tmp/old dirs; the re-run is
+    # idempotent but must not accumulate garbage)
+    for path in table_paths.values():
+        base = path.rstrip("/")
+        parent, name = os.path.dirname(base), os.path.basename(base)
+        for entry in os.listdir(parent or "."):
+            if entry.startswith((f"{name}.__tmp-", f"{name}.__old-")):
+                shutil.rmtree(os.path.join(parent, entry),
+                              ignore_errors=True)
     staged: list[tuple[str, str]] = []
     for name, path in table_paths.items():
         token = uuid.uuid4().hex[:8]

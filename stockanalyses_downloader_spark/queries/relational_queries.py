@@ -2577,9 +2577,11 @@ def part_supplier_relationship(spark: SparkSession, sf_dir: str
     ps = (li.select("l_partkey", "l_suppkey").distinct()
           .join(F.broadcast(bad),
                 F.col("l_suppkey") == F.col("s_suppkey"), "anti"))
+    # the part dim is SF-proportional (unlike the fixed exclusion
+    # set) — no forced broadcast; AQE picks broadcast at fixture
+    # scale and a shuffled join past the threshold
     mid = p.filter((F.col("p_size") >= 10) & (F.col("p_size") <= 40))
-    return (ps.join(F.broadcast(mid),
-                    F.col("l_partkey") == F.col("p_partkey"))
+    return (ps.join(mid, F.col("l_partkey") == F.col("p_partkey"))
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.count_distinct("l_suppkey").alias("supplier_cnt")))
 
