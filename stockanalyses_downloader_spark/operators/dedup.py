@@ -445,7 +445,13 @@ def probe_minhash_index(spark, path: str, new_docs: DataFrame,
     candidates) and new-vs-new (delta self-join). Returns (id_a, id_b,
     jaccard), id-ordered; exactly the pairs a one-shot
     minhash_lsh_pairs over (corpus ∪ delta) emits that involve a new
-    doc (parity-pinned)."""
+    doc (parity-pinned).
+
+    Delta ids SHOULD be disjoint from the stored index (the
+    append_to_minhash_index contract). If a delta id does collide
+    with a stored id, the DELTA's shingles win deterministically
+    (the re-ingested text is treated as the current version); the
+    self-pair is excluded as always."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     id_col = meta["id_col"]
     new_banded = tracked_persist(_banded_signatures(
@@ -473,7 +479,11 @@ def probe_minhash_index(spark, path: str, new_docs: DataFrame,
                                   portable=meta["portable"]) \
         .select(id_col, "shingles")
     old_sh = spark.read.parquet(f"{path}/shingles")
-    sh = (old_sh.unionByName(new_sh)
+    # delta shingles take precedence on id collision (deterministic;
+    # see docstring) — anti-join the stored side instead of relying
+    # on dropDuplicates' arbitrary pick over the union
+    old_only = old_sh.join(new_sh.select(id_col), id_col, "left_anti")
+    sh = (new_sh.unionByName(old_only)
           .join(cand_ids, id_col, "left_semi")
           .dropDuplicates([id_col]))
     pairs = (cand

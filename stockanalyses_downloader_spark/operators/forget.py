@@ -157,18 +157,35 @@ def execute_forget(spark, table_paths: dict[str, str],
     set → subjects' lineitems silently survive) or fail on deleted
     files. Materializing every purged frame against the ORIGINAL data
     before any directory moves closes that window."""
-    # sweep stale artifacts from a previous crashed run (a crash
-    # between renames leaves orphan tmp/old dirs; the re-run is
-    # idempotent but must not accumulate garbage)
+    # Sweep stale artifacts from a previous crashed run. A crash
+    # between os.rename(path, old_dir) and os.rename(tmp, path)
+    # leaves the table's ONLY copy in __old-*: if path is missing,
+    # FIRST restore the matching __old-* back to path (never delete
+    # it — that would convert a recoverable crash into data loss).
+    # Only when path exists are leftover __tmp-*/__old-* dirs
+    # garbage, safe to remove before the idempotent re-run.
     for path in table_paths.values():
         base = path.rstrip("/")
         parent, name = os.path.dirname(base), os.path.basename(base)
-        for entry in os.listdir(parent or "."):
-            if entry.startswith((f"{name}.__tmp-", f"{name}.__old-")):
-                shutil.rmtree(os.path.join(parent, entry),
-                              ignore_errors=True)
+        entries = [e for e in os.listdir(parent or ".")
+                   if e.startswith((f"{name}.__tmp-", f"{name}.__old-"))]
+        if not os.path.exists(base):
+            olds = sorted(e for e in entries
+                          if e.startswith(f"{name}.__old-"))
+            if olds:
+                os.rename(os.path.join(parent, olds[0]), base)
+                entries.remove(olds[0])
+            else:
+                # no backup to restore: leave any __tmp-* alone too
+                # (it may be a complete copy a human can salvage)
+                continue
+        for entry in entries:
+            shutil.rmtree(os.path.join(parent, entry),
+                          ignore_errors=True)
     staged: list[tuple[str, str]] = []
     for name, path in table_paths.items():
+        if name not in purged:      # sweep/recovery-only entry
+            continue
         token = uuid.uuid4().hex[:8]
         tmp = f"{path.rstrip('/')}.__tmp-{token}"
         purged[name].write.mode("overwrite").parquet(tmp)

@@ -11,7 +11,6 @@ join over a shuffle) fails CI instead of surfacing as a cluster fire.
 from __future__ import annotations
 
 import io
-import re
 from contextlib import redirect_stdout
 
 from pyspark.sql import DataFrame
@@ -52,20 +51,69 @@ def assert_no_cartesian(df: DataFrame) -> str:
     return plan
 
 
+def _windowspec_bodies(plan: str) -> list[str]:
+    """Full balanced-paren argument text of every
+    windowspecdefinition(...) in the plan."""
+    bodies = []
+    needle = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(needle, i)
+        if j < 0:
+            break
+        k = j + len(needle)
+        depth = 1
+        while k < len(plan) and depth:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        bodies.append(plan[j + len(needle):k - 1])
+        i = k
+    return bodies
+
+
 def count_partitionless_windows(plan: str) -> int:
     """Distinct window specs with NO partition columns — the
     all-rows-to-one-task construct (WindowExec's 'No Partition
-    Defined' warning). A windowspecdefinition's first argument is a
-    partition column when present; when the spec starts with an
-    ordering (' ASC'/' DESC') the partition list is empty. Bounded-
-    cardinality frames (bucket offsets, model-sized frontiers) may
-    use it legitimately — the sweep in tests/test_plans.py holds the
-    per-query whitelist; everything else must count 0."""
+    Defined' warning). The spec's args are ``partition..., ordering
+    ASC/DESC..., specifiedwindowframe(...)``: the partition list is
+    empty exactly when no TOP-LEVEL comma precedes the first
+    top-level ' ASC'/' DESC'. Parsed with balanced parens so a
+    multi-argument ordering expression (``xxhash64(id#1L, 42) ASC``)
+    can't hide its spec from the detector (its inner comma is not
+    top-level). Specs are deduped by (partition, ordering) — frame
+    text stripped — because Spark collapses same-ordered frames into
+    ONE WindowExec pass, which is the actual all-to-one-task hazard
+    unit. Bounded-cardinality frames (bucket offsets,
+    model-sized frontiers) may use the construct legitimately — the
+    sweep in tests/test_plans.py holds the per-query whitelist;
+    everything else must count 0."""
     specs = set()
-    for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan):
-        first_arg = m.group(1)
-        if " ASC" in first_arg or " DESC" in first_arg:
-            specs.add(m.group(0) + first_arg)
+    for body in _windowspec_bodies(plan):
+        depth = 0
+        comma_at = None
+        order_at = None
+        for idx, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                if ch == "," and comma_at is None:
+                    comma_at = idx
+                elif (body.startswith(" ASC", idx)
+                      or body.startswith(" DESC", idx)):
+                    order_at = idx
+                    break
+        frame_at = body.find("specifiedwindowframe(")
+        key = body[:frame_at] if frame_at >= 0 else body
+        if order_at is not None:
+            if comma_at is None:           # ordered, zero partitions
+                specs.add(key)
+        elif body.lstrip().startswith("specifiedwindowframe("):
+            specs.add(key)                 # no partitions, no ordering
     return len(specs)
 
 

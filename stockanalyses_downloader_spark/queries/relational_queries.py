@@ -2535,8 +2535,8 @@ def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.0001 fraction assumes the full-SF part count). The literal form is a HAVING against an
     uncorrelated scalar subquery; Spark-first it's one shuffled
     per-part aggregate re-aggregated to the 1-row total, broadcast
-    back, compared in exact DECIMAL (value*1000 > total — no float
-    threshold ambiguity at the cut line). Completes the TPC-H shape
+    back, compared in exact DECIMAL (value*2000 > total — the 1/2000
+    fraction, no float threshold ambiguity at the cut line). Completes the TPC-H shape
     family at 22/22. Output: (p_partkey, stock_value)."""
     li = _t(spark, sf_dir, "lineitem")
     per = (li.groupBy(F.col("l_partkey").alias("p_partkey"))

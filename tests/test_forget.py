@@ -211,3 +211,54 @@ def test_forget_refreshes_derived_aggregate_partially(spark, tmp_path):
                                    specs).collect()}
     assert got == want
     assert changes.count() > 0
+
+
+def test_execute_forget_recovers_old_backup_after_crash(spark,
+                                                        tmp_path):
+    """Crash-state recovery: a prior run that died between
+    os.rename(path, __old) and os.rename(__tmp, path) leaves the
+    table's ONLY copy in __old-*. The sweep must RESTORE that backup
+    (not delete it) before the idempotent re-run — deleting both
+    __old and __tmp would be permanent data loss."""
+    tables = _tables(spark)
+    paths = {}
+    for n in ("customer", "orders"):
+        p = str(tmp_path / f"{n}.parquet")
+        tables[n].write.parquet(p)
+        paths[n] = p
+    n_customers = spark.read.parquet(paths["customer"]).count()
+
+    # simulate the mid-swap crash on customer: path gone, data in
+    # __old, a complete tmp copy left behind
+    os.rename(paths["customer"], paths["customer"] + ".__old-deadbeef")
+    spark.read.parquet(paths["customer"] + ".__old-deadbeef") \
+        .write.parquet(paths["customer"] + ".__tmp-deadbeef")
+    assert not os.path.exists(paths["customer"])
+
+    live = None  # the erasure run builds its frames AFTER the sweep;
+    # execute_forget's sweep must restore customer first, so build
+    # the purged frames lazily against the restored path
+    subjects = spark.createDataFrame([(13,)], "k long")
+
+    def lazy_purged():
+        live = {n: spark.read.parquet(p) for n, p in paths.items()}
+        doomed = forget.doomed_keys(live, "customer", "c_custkey",
+                                    subjects, EDGES[:1])
+        return forget.purge(live, doomed, KEY_COLS)
+
+    # the sweep runs first inside execute_forget; restore by calling
+    # it on frames built from the restored files. Restore must happen
+    # before spark.read touches the path, so do the sweep via a
+    # zero-table call first.
+    forget.execute_forget(spark, {"customer": paths["customer"]}, {})
+    assert os.path.exists(paths["customer"])
+    assert spark.read.parquet(paths["customer"]).count() == n_customers
+    # stale artifacts cleaned once the path exists again
+    assert not [d for d in os.listdir(tmp_path) if "__tmp" in d
+                or "__old" in d]
+
+    # and the erasure itself still works end to end afterwards
+    purged = forget.execute_forget(spark, paths, lazy_purged())
+    got = spark.read.parquet(paths["customer"])
+    assert got.filter(F.col("c_custkey") == 13).count() == 0
+    assert got.count() == n_customers - 1

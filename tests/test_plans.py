@@ -266,3 +266,42 @@ def test_observation_metrics_without_extra_action(spark):
     assert got["n_rows"] == li.count()
     assert n_filtered < got["n_rows"]
     assert float(got["qty"]) > 0
+
+
+def test_partitionless_window_detector_units():
+    """ADVICE r6: the detector must see a partition-less window whose
+    ORDERING is a multi-argument expression (the old first-comma split
+    made `xxhash64(id, 42) ASC` invisible), must not count partitioned
+    windows, and must dedup same-ordering/different-frame specs (one
+    WindowExec pass = one hazard)."""
+    from stockanalyses_downloader_spark.plans.audit import (
+        count_partitionless_windows)
+    # partitioned: first top-level comma precedes the ordering
+    p1 = ("windowspecdefinition(lang#3, doc_id#1L ASC NULLS FIRST, "
+          "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+          "currentrow$()))")
+    assert count_partitionless_windows(p1) == 0
+    # partition-less, simple ordering
+    p2 = ("windowspecdefinition(doc_id#1L ASC NULLS FIRST, "
+          "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+          "currentrow$()))")
+    assert count_partitionless_windows(p2) == 1
+    # partition-less, MULTI-ARG ordering expression (the escape the
+    # old regex missed)
+    p3 = ("windowspecdefinition(xxhash64(vec_id#1L, 42) ASC NULLS "
+          "FIRST, specifiedwindowframe(RowFrame, "
+          "unboundedpreceding$(), currentrow$()))")
+    assert count_partitionless_windows(p3) == 1
+    # multi-arg PARTITION expression then ordering: top-level comma
+    # before ASC -> partitioned
+    p4 = ("windowspecdefinition(coalesce(a#1, b#2), c#3 DESC NULLS "
+          "LAST, specifiedwindowframe(RangeFrame, "
+          "unboundedpreceding$(), currentrow$()))")
+    assert count_partitionless_windows(p4) == 0
+    # same ordering, two frames -> ONE WindowExec pass -> count 1
+    p5 = (p2 + "\n" +
+          "windowspecdefinition(doc_id#1L ASC NULLS FIRST, "
+          "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1))")
+    assert count_partitionless_windows(p5) == 1
+    # different orderings -> 2
+    assert count_partitionless_windows(p2 + "\n" + p3) == 2
