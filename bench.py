@@ -5,12 +5,24 @@ ONE JSON line with per-query wall seconds.
 
 Each query is forced through the noop sink (full materialization of
 every output column — count() alone lets Catalyst prune the work).
+
+Since round 7 every query is timed as 1 cold + N warm iterations
+(N = $SPARK_GRAFT_BENCH_ITERS, default 3) and the reported number is
+the MEDIAN of the warm runs — single-run walls at this scale carry
+±10-20 % machine noise (the r6 "+20 % regression" was exactly that),
+and a median with recorded dispersion separates real slowdowns from
+variance. ``queries`` stays name->seconds (median) for cross-round
+comparability; ``detail`` carries {cold, warm[], median, n_iter} per
+query. Tracked persists are released BETWEEN iterations so each warm
+run measures the full plan (JIT/codegen + page cache warm, Spark
+cache cold — the steady-state a fresh job on a warm cluster sees).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -126,22 +138,34 @@ def main() -> None:
     # string and the suite keeps going — the bench signal degrades
     # gracefully, never to zero (BENCH_r02 died whole on one
     # AnalysisException; never again).
+    n_iter = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE + EXTENDED:
         q = registry[name]
-        start = time.perf_counter()
+        runs: list[float] = []
         try:
-            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
+            for _ in range(1 + n_iter):     # first run = cold
+                start = time.perf_counter()
+                q.spark(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                runs.append(round(time.perf_counter() - start, 3))
+                # release AFTER the timing stops: within-query persists
+                # are part of the measured plan; carrying them into the
+                # next iteration/query is the leak
+                release_tracked()
         except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
-        finally:
-            # release AFTER the timing stops: within-query persists are
-            # part of the measured plan; carrying them into the NEXT
-            # query is the leak (headline queries share no subplans at
-            # the same SF, so this doesn't change what's measured)
+            errors[name] = (f"{type(exc).__name__}: "
+                            f"{str(exc).splitlines()[0][:300]}")
             release_tracked()
+            continue
+        cold, warm = runs[0], runs[1:] or runs[:1]
+        med = round(statistics.median(warm), 3)
+        timings[name] = med
+        detail[name] = {"median": med, "n_iter": len(warm),
+                        "warm": warm, "cold": cold,
+                        "spread": round(max(warm) - min(warm), 3)}
 
     # value is the cross-round comparison number — headline-only (the
     # r1-r4 basis) and null when any headline query errored (a partial
@@ -159,8 +183,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_ok": len(timings),
+        "n_iter": n_iter,
+        "timing": "median_of_warm",
         "extended_total": ext_total,
         "queries": timings,
+        "detail": detail,
         "sf": sf,
     }
     if errors:

@@ -65,11 +65,20 @@ def bm25_index(docs: DataFrame, id_col: str = "doc_id",
 
 def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               id_col: str = "doc_id", text_col: str = "text",
-              k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+              k1: float = BM25_K1, b: float = BM25_B,
+              round_scores: int | None = None) -> DataFrame:
     """Top-k docs per query: (query_id, doc_id, score, rank).
     ``queries`` is (query_id, qtext); repeated query terms count once
     (set semantics — the standard Okapi treatment for short queries).
-    Ties break on doc_id for deterministic output."""
+    Ties break on doc_id for deterministic output.
+
+    ``round_scores=d`` rounds the score to d decimals BEFORE ranking
+    (ties still break on doc_id). That makes the full (score, rank)
+    output portable across engines: ln() and float summation order
+    differ at the ulp level between JVM and any other libm consumer,
+    and rounding as the LAST operation absorbs that — the r7 recipe
+    that turned this query from rows-only into fully DuckDB-oracled.
+    Raw-score callers leave it None."""
     tf, df, stats = bm25_index(docs, id_col, text_col)
     qterms = (_tokens(queries, "query_id", "qtext").distinct())
     idf = F.log(F.lit(1.0)
@@ -84,6 +93,9 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               .crossJoin(F.broadcast(stats))
               .groupBy("query_id", id_col)
               .agg(F.sum(idf * norm).alias("score")))
+    if round_scores is not None:
+        scored = scored.withColumn("score",
+                                   F.round("score", round_scores))
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("score"), F.col(id_col)))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -36,28 +36,29 @@ _WINDOW = [
     "flagship_latest_mid",
     "rest_fetch_pipeline",
     "ticks_asof_quotes",
-    "ticks_asof_quotes_tolerant",  # as-of with a staleness bound ->
-                                # NULL (left semantics); r6 rotation
-                                # in per VERDICT r5 #3 — took small_
-                                # quantity_revenue's slot (Q17's
-                                # correlated-scalar-subquery family
-                                # stays pytest-oracled via orders_
-                                # above_customer_avg + top_suppliers)
     "ticks_in_candle_ranges",   # range/interval join (bucketed)
-    "tick_grid_hourly",         # regularized grid + forward fill vs
-                                # DuckDB native ASOF LEFT JOIN; r6
-                                # rotation in per VERDICT r5 #3 —
-                                # took pricing_summary's slot (Q1's
-                                # groupBy-agg family keeps driver
-                                # rows via regional_revenue and the
-                                # weighted aggs inside it)
-    "tick_price_anomalies",     # trailing-window z-score flags; r6
-                                # rotation in per VERDICT r5 #3 —
-                                # took event_sessionization's slot
-                                # (lag+cumsum window machinery stays
-                                # driver-visible via tick_rolling_
-                                # indicators; sessionization stays
-                                # pytest-oracled + benched)
+    "weekly_retention_cohorts",  # cohort-week x offset retention
+                                # triangle — never driver-certified
+                                # (r7 rotation in per VERDICT r6 #2;
+                                # took ticks_asof_quotes_tolerant's
+                                # slot: the as-of family keeps
+                                # ticks_asof_quotes in-window, the
+                                # tolerant variant stays sweep-
+                                # oracled + pytest-pinned)
+    "hopping_volume_windows",   # 14d/7d sliding windows — never
+                                # driver-certified (r7 rotation in
+                                # per VERDICT r6 #2; took tick_grid_
+                                # hourly's slot: grid-ffill machinery
+                                # is the same as-of bind certified
+                                # r6, stays sweep-oracled + benched)
+    "event_type_drift_chi2",    # chi-squared drift report — never
+                                # driver-certified (r7 rotation in
+                                # per VERDICT r6 #2; took tick_price_
+                                # anomalies' slot: trailing z-score
+                                # windows share tick_rolling_
+                                # indicators' in-window machinery;
+                                # anomalies stays sweep-oracled +
+                                # benched after its r6 driver row)
     "copurchase_lift",          # market-basket lift (r5c rotation
                                 # in — took vwap's slot: the
                                 # volume-weighted mean family stays
@@ -71,13 +72,15 @@ _WINDOW = [
                                 # job_state_claim_counts, which runs
                                 # the same parse machinery into the
                                 # state machine)
-    "pyds_ticker_snapshot",     # custom Python DataSource connector,
-                                # oracled end to end (r5b rotation in
-                                # — took jobs_resolve_pair's slot:
-                                # the J1 dim join stays driver-
-                                # visible inside flagship/wss, and a
-                                # certified CONNECTOR is the stronger
-                                # source-tier evidence)
+    "order_window_analytics",   # percent_rank/cume_dist/ntile/
+                                # nth_value breadth — never driver-
+                                # certified (r7 rotation in per
+                                # VERDICT r6 #2; took pyds_ticker_
+                                # snapshot's slot: the connector was
+                                # certified r5b-r6 twice, its scan
+                                # machinery stays sweep-oracled;
+                                # source tier keeps flagship/rest/
+                                # wss driver rows)
     "tick_quote_interval_join",  # stream-stream interval join's batch
                                 # bind (r6 rotation in per VERDICT r5
                                 # #7 — the ST+ tier's first driver
@@ -112,20 +115,21 @@ _WINDOW = [
                                 # membership-sketch tier earns its
                                 # first driver row)
     "cosine_topk_bruteforce",
-    "event_zorder_keys",        # Morton layout keys (r5c rotation
-                                # in — took embedding_near_dup's
-                                # slot: blocked cosine pairing stays
-                                # driver-visible INSIDE semantic_
-                                # dedup_keepers, which recomputes
-                                # the same pairs)
-    "near_dup_edit_distances",  # Levenshtein confirmation of jaccard
-                                # candidates (capped prefixes); r6
-                                # rotation in per VERDICT r5 #3 —
-                                # took label_centroid_components'
-                                # slot (element-wise vector means
-                                # stay driver-visible inside
-                                # embedding_covariance and semantic_
-                                # dedup_keepers' centroid math)
+    "customer_kanonymity_report",  # k-anonymity privacy audit —
+                                # never driver-certified (r7 rotation
+                                # in per VERDICT r6 #2; took event_
+                                # zorder_keys' slot: Morton bit math
+                                # was certified r5c-r6 twice, stays
+                                # sweep-oracled + pytest-pinned)
+    "stratified_docs_by_lang",  # hash-ordered per-stratum sample —
+                                # never driver-certified (r7 rotation
+                                # in per VERDICT r6 #2; took near_
+                                # dup_edit_distances' slot: the
+                                # jaccard-candidate + levenshtein
+                                # machinery stays sweep-oracled +
+                                # benched after its r6 driver row;
+                                # near-dup keeps minhash/components/
+                                # substring driver rows)
     "orders_join_size_estimate",  # AMS join-size forecast (r5c
                                 # rotation in — took ngram_jaccard's
                                 # slot: the jaccard pair machinery
@@ -135,10 +139,15 @@ _WINDOW = [
                                 # its closure)
     "near_dup_components",      # transitive dedup keeper selection
     "multimodal_asset_stats",
-    "dedup_passages_rebuild",   # C4-style transforming dedup (r5
-                                # second block rotation in — took
-                                # multimodal_stub_features' slot; X5
-                                # keeps two driver rows)
+    "doc_sequence_packing",     # greedy sequence packing via bucket
+                                # prefix sums — never driver-
+                                # certified (r7 rotation in per
+                                # VERDICT r6 #2; took dedup_passages_
+                                # rebuild's slot: C4-style passage
+                                # dedup was certified r5-r6, its
+                                # explode+window machinery stays
+                                # sweep-oracled + benched; X1 keeps
+                                # multimodal_chunk_dedup in-window)
     "multimodal_chunk_dedup",   # binary content dedup via chunk digests
     "minhash_near_dups",
     "tick_rolling_indicators",  # rolling SMA/vol/RSI (r5 second block
@@ -146,15 +155,16 @@ _WINDOW = [
                                 # near-dup keeps minhash/jaccard/CC
                                 # driver rows, simhash stays pytest-
                                 # pinned with its radius guarantee)
-    "order_price_hdr_sketch",   # the mergeable quantile-sketch GRID
-                                # itself (exact-integer log buckets);
-                                # r6 rotation in per VERDICT r5 #3 —
-                                # took order_price_hdr_quantiles'
-                                # slot (the quantile walk over the
-                                # same grid stays pytest-oracled +
-                                # benched; certifying the sketch
-                                # STATE is the stronger mergeability
-                                # evidence, cf. count-min/HLL grids)
+    "lineitem_grouping_sets",   # GROUPING SETS aggregate — never
+                                # driver-certified (r7 rotation in
+                                # per VERDICT r6 #2; took order_
+                                # price_hdr_sketch's slot: the HDR
+                                # grid state was certified r6, stays
+                                # sweep-oracled + pytest-pinned; the
+                                # sketch family keeps lang_token_
+                                # hll_grid + orders_join_size_
+                                # estimate's count-min grids
+                                # in-window)
     "ivf_topk_trained",         # the production IVF shape (kmeans
                                 # centroids, recall ≥ 0.7 pinned);
                                 # r4 rotation — took ivf_topk_approx's
@@ -233,7 +243,15 @@ _WINDOW = [
                                 # its driver row via in-window
                                 # bloom_decontamination_probes,
                                 # whose exact-join leg rides along)
-    "lang_temperature_mixture",   # sqrt-temperature domain rebalance
+    "doc_tfidf_top_terms",      # TF-IDF top terms per doc — never
+                                # driver-certified (r7 rotation in
+                                # per VERDICT r6 #2; took lang_
+                                # temperature_mixture's slot: the
+                                # sqrt-temperature rebalance was
+                                # certified r4-r6 and stays sweep-
+                                # oracled + pytest-pinned; the
+                                # sampling family gains stratified_
+                                # docs_by_lang this round)
     "substring_dup_fraction",   # content-defined-anchor substring-dup
                                 # signal (r5 rotation in — VERDICT r4
                                 # #1/#2; shift-resilient as of r5)
@@ -286,9 +304,6 @@ _TAIL = [
     "embedding_exact_dups",         # X1 vector rep — hash-green
                                     # r1–r5b; slot yielded (r5c) to
                                     # bloom_decontamination_probes
-    "doc_tfidf_top_terms",          # X4 rep — hash-green r1–r5b;
-                                    # slot yielded (r5c) to
-                                    # quality_model_auc; still benched
     "jobs_resolve_pair",            # S2+J1 — hash-green r1–r5a; slot
                                     # yielded (r5b) to the certified
                                     # custom connector; resolve_pair
@@ -391,11 +406,6 @@ _TAIL = [
                                     # composition; oracled in pytest
                                     # (curation + packing each hold a
                                     # driver slot already)
-    "stratified_docs_by_lang",      # hash-ordered per-stratum sample —
-                                    # same md5-order primitive as
-                                    # doc_split_assignment (which keeps
-                                    # the sampling family's driver
-                                    # slot); slot yielded to packing
     "doc_repetition_stats",         # dup-bigram / top-token-share
                                     # quality signals (Gopher-style);
                                     # per-row array math, oracled in
@@ -412,9 +422,6 @@ _TAIL = [
                                     # slot yielded to the range join
     "churned_buyers",               # except — same; slot yielded to
                                     # near_dup_components
-    "lineitem_grouping_sets",       # grouping-set family stays repped
-                                    # by rollup; slot yielded to
-                                    # doc_split_assignment
     "top_suppliers_by_revenue",     # scalar-subquery family stays
                                     # repped by Q17; slot yielded to
                                     # stratified_docs_by_lang
@@ -546,8 +553,6 @@ _TAIL = [
     "signup_conversion_funnel",     # order-sensitive funnel via
                                     # chained conditional aggs;
                                     # DuckDB-oracled; new r5b
-    "weekly_retention_cohorts",     # cohort-week x offset retention
-                                    # triangle; DuckDB-oracled; r5b
     "isin_price_trend",             # grouped OLS (slope/intercept/
                                     # r^2) from decimal moment sums,
                                     # closed-form, no UDF;
@@ -558,12 +563,6 @@ _TAIL = [
                                     # cross-block dups); equality vs
                                     # brute force pinned in pytest;
                                     # new r5b
-    "hopping_volume_windows",       # 14d/7d sliding windows (each
-                                    # tick in exactly two) — the
-                                    # overlap tumbling candles can't
-                                    # express; epoch-aligned origin
-                                    # documented in the oracle;
-                                    # DuckDB-oracled; new r5b
     "order_price_quantiles_by_status",  # per-group mergeable HDR
                                     # quantiles (one pass, bounded
                                     # state per group);
@@ -612,17 +611,10 @@ _TAIL = [
                                     # (rows-only: ln is libm-bound);
                                     # python-parity + planted-corpus
                                     # accuracy pinned; new r5c
-    "event_type_drift_chi2",        # chi-squared distribution-drift
-                                    # report (ln-free, fully
-                                    # hash-oracled); new r5c
     "tick_ema",                     # per-key EMA via applyInPandas —
                                     # the Arrow escape hatch itself
                                     # HASH-oracled vs a recursive-CTE
                                     # fold; new r5c
-    "customer_kanonymity_report",   # k-anonymity audit over quasi-
-                                    # identifier groups (privacy
-                                    # release gate); DuckDB-oracled;
-                                    # new r5c
     "tick_trailing_hour_volume",    # RANGE-frame interval window
                                     # (value-based membership, exact
                                     # micros vs native INTERVAL);
@@ -667,10 +659,6 @@ _TAIL = [
     "bm25_search_topk",             # Okapi BM25 top-10 for 3 fixed
                                     # queries (ln -> rows-only;
                                     # python parity 1e-9); r5c
-    "doc_sequence_packing",         # packing rep — hash-green
-                                    # r1–r5c; slot yielded to
-                                    # bm25_doc_term_stats; stays
-                                    # pytest-oracled + benched
     "token_countmin_sketch",        # count-min grid rep — hash-green
                                     # r5–r5c; slot yielded to
                                     # lang_token_hll_grid; the grid
@@ -681,9 +669,6 @@ _TAIL = [
                                     # to forget_cascade_report; the
                                     # capability keeps bloom_decon's
                                     # driver row (exact leg included)
-    "order_window_analytics",       # percent_rank/cume_dist/ntile/
-                                    # nth_value breadth closer;
-                                    # DuckDB-oracled; r5c
     "weighted_doc_sample",          # A-ES weighted sampling (pow ->
                                     # rows-only; exact python parity
                                     # pinned); r5c
@@ -724,6 +709,29 @@ _TAIL = [
                                     # the same scan->filter->dim-join
                                     # ->mid chain stays driver-visible
                                     # inside flagship_latest_mid
+    # r7 window yields — all driver-certified at least twice (r5/r6);
+    # each family keeps an in-window representative (see _WINDOW
+    # notes); slots went to the 9 never-certified promotions per
+    # VERDICT r6 #2
+    "ticks_asof_quotes_tolerant",   # as-of + staleness bound — hash-
+                                    # green r6; ticks_asof_quotes
+                                    # keeps the family's driver slot
+    "tick_grid_hourly",             # grid explode + as-of ffill —
+                                    # hash-green r6; still benched
+    "tick_price_anomalies",         # trailing z-score flags — hash-
+                                    # green r6; still benched
+    "pyds_ticker_snapshot",         # certified custom connector —
+                                    # hash-green r5b-r6
+    "event_zorder_keys",            # Morton layout keys — hash-green
+                                    # r5c-r6
+    "near_dup_edit_distances",      # jaccard propose + levenshtein
+                                    # confirm — hash-green r6; benched
+    "dedup_passages_rebuild",       # C4-style passage dedup — hash-
+                                    # green r5-r6; still benched
+    "order_price_hdr_sketch",       # HDR grid state — hash-green r6;
+                                    # quantile walk stays benched
+    "lang_temperature_mixture",     # sqrt-temperature rebalance —
+                                    # hash-green r4-r6
     "important_part_stock",         # Q11 HAVING-vs-global-scalar
                                     # shape (broadcast 1-row total,
                                     # exact DECIMAL threshold);

@@ -1209,10 +1209,17 @@ def supplier_purchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer->supplier purchase graph (r5b —
     operators/graph.pagerank): who actually matters in the supply
     network, weighted by the structure of who buys from whom — the
-    centrality companion to the component/keeper machinery. Rows-only
-    (iterative power iteration isn't ANSI-SQL-expressible without
-    unbounded recursion); the algorithm itself is pinned against a
-    pure-Python power iteration in tests/test_operators.py."""
+    centrality companion to the component/keeper machinery. Fully
+    DuckDB-oracled since r7: the FIXED iteration count (a model
+    hyperparameter, never data-sized) lets the oracle UNROLL the 8
+    power-iteration rounds as chained CTEs — same damped formulation,
+    same dangling-mass redistribution, same literals — and the one
+    float-order-sensitive step (per-vertex contribution sums) is
+    absorbed by rounding the final rank to 9 decimals as the LAST
+    operation on both sides (cumulative cross-engine drift is ~1e-16
+    abs; 9 decimals still certify ~6 significant digits of a ~1e-3
+    rank). The pure-Python power-iteration parity stays pinned in
+    tests/test_operators.py."""
     from ..operators import graph
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -1224,11 +1231,63 @@ def supplier_purchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (graph.pagerank(edges, n_iter=8)
             .filter(F.col("vertex") >= 1_000_000)
             .select((F.col("vertex") - 1_000_000).alias("s_suppkey"),
-                    "rank"))
+                    F.round("rank", 9).alias("rank")))
+
+
+def _pagerank_sql(n_iter: int = 8, damping: float = 0.85) -> str:
+    """DuckDB twin of graph.pagerank over the purchase graph,
+    unrolled: r0 = 1/n; each round computes the dangling mass (rank
+    on vertices with no out-edges), the per-destination received sum,
+    and the damped update (1-d)/n + d*(received + dmass/n)."""
+    its = []
+    prev = "r0"
+    for k in range(n_iter):
+        cur = f"r{k + 1}"
+        its.append(f"""d{k} AS (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dmass
+  FROM {prev} r LEFT JOIN outdeg o ON r.vertex = o.src
+  WHERE o.src IS NULL
+), c{k} AS (
+  SELECT e.dst AS vertex, SUM(r.rank / o.outdeg) AS received
+  FROM edges e
+  JOIN {prev} r ON e.src = r.vertex
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+), {cur} AS (
+  SELECT v.vertex,
+         (1.0 - {damping}) / nn.n
+           + {damping} * (COALESCE(c.received, 0.0) + d.dmass / nn.n)
+           AS rank
+  FROM verts v
+  LEFT JOIN c{k} c ON v.vertex = c.vertex, d{k} d, nn
+)""")
+        prev = cur
+    chain = ",\n".join(its)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, li.l_suppkey + 1000000 AS dst
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+), verts AS (
+  SELECT src AS vertex FROM edges
+  UNION
+  SELECT dst AS vertex FROM edges
+), nn AS (
+  SELECT count(*) AS n FROM verts
+), outdeg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), r0 AS (
+  SELECT vertex, 1.0 / nn.n AS rank FROM verts, nn
+),
+{chain}
+SELECT vertex - 1000000 AS s_suppkey, round(rank, 9) AS rank
+FROM {prev}
+WHERE vertex >= 1000000
+"""
 
 
 QUERIES.update({
-    "supplier_purchase_pagerank": Q(supplier_purchase_pagerank, None),
+    "supplier_purchase_pagerank": Q(supplier_purchase_pagerank,
+                                    _pagerank_sql()),
 })
 
 

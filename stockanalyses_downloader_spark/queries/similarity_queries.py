@@ -1006,16 +1006,44 @@ def global_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.jaccard_pairs_prefix_filter) — no blocking key,
     so cross-(lang, source) duplicates are catchable (pinned in
     tests: the blocked join provably misses a planted cross-block
-    twin this query finds). Rows-only by necessity: the DuckDB
-    equivalent is an all-pairs quadratic the oracle harness cannot
-    afford — exactness is instead pinned in-engine against a
-    brute-force crossJoin at test scale (equality, both directions:
-    nothing lost by pruning, nothing added by verification)."""
+    twin this query finds). Fully DuckDB-oracled since r7: exact
+    Jaccard is a pure function of the shingle SETS, independent of
+    the hash family representing them (collision odds ~n²/2⁶⁵ per
+    pair), so the oracle recomputes it from the raw 3-gram strings
+    with a gram-bucket join — a genuinely different ALGORITHM (no
+    prefix filter, no position filter), which makes the hash match
+    certify the pruning loses nothing and the verify adds nothing.
+    The in-engine brute-force-crossJoin equality pin stays in tests."""
     from ..operators import dedup as dd
     d = load_table(spark, sf_dir, "documents")
     return dd.jaccard_pairs_prefix_filter(d, n=3, threshold=0.5)
 
 
+_GLOBAL_NEAR_DUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ixn
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(ixn AS DOUBLE) / (sa.sz + sb.sz - ixn) AS jaccard
+FROM inter
+JOIN sz sa ON inter.id_a = sa.doc_id
+JOIN sz sb ON inter.id_b = sb.doc_id
+WHERE CAST(ixn AS DOUBLE) / (sa.sz + sb.sz - ixn) >= 0.5
+"""
+
 QUERIES.update({
-    "global_near_dup_pairs": Q(global_near_dup_pairs, None),
+    "global_near_dup_pairs": Q(global_near_dup_pairs,
+                               _GLOBAL_NEAR_DUP_SQL),
 })

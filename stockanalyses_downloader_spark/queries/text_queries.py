@@ -2147,10 +2147,15 @@ QUERIES.update({
 def langid_nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained char-trigram Naive Bayes language ID (operators/
     langid): fit on the deterministic train split's (text, lang),
-    score the test split. Rows-only: ln's last ulp is libm-specific
-    (same tier as the HLL sketch); the classifier is pinned against
-    a pure-Python NB at 1e-9 and a 0.95 accuracy floor on a planted
-    separable corpus in tests/test_langid.py. NOTE the fixture's
+    score the test split. Fully DuckDB-oracled since r7 on the
+    ARGMAX output (doc_id, predicted_lang): the oracle retrains the
+    whole model in SQL (same split, same trigram extraction, same
+    add-1 smoothing) and takes the same prior+likelihood argmax —
+    ln() enters only the score ORDER, which ulp-level libm drift
+    cannot flip except on exact ties (broken by label in both
+    engines). The raw best_logp stays reachable via langid.score_nb;
+    the pure-Python 1e-9 parity and the 0.95 planted-corpus accuracy
+    floor stay pinned in tests/test_langid.py. NOTE the fixture's
     lang labels are independent of its text BY CONSTRUCTION (every
     doc draws the same token pool), so predictions here certify the
     machinery, not fixture accuracy — the honest caveat is part of
@@ -2162,11 +2167,79 @@ def langid_nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = s.filter(F.col("split") == "train")
     test = s.filter(F.col("split") == "test")
     logps, stats = langid.train_nb(train)
-    return langid.score_nb(test, logps, stats)
+    return (langid.score_nb(test, logps, stats)
+            .select("doc_id", "predicted_lang"))
+
+
+def _langid_nb_sql() -> str:
+    """DuckDB twin of train_nb + score_nb over the deterministic
+    80/10/10 split: same normalization (lower, collapse whitespace,
+    trim), same trigram offsets, same add-alpha=1 smoothing, same
+    score = log_prior + sum(seen logp) + (n_grams - n_seen) *
+    log_unseen, same (score DESC, label) argmax."""
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c,
+         {_split_case_sql()} AS split
+  FROM documents
+), traing AS (
+  SELECT lang AS label, substring(c, i, 3) AS gram
+  FROM base, UNNEST(range(1, length(c) - 1)) AS u(i)
+  WHERE split = 'train' AND length(c) >= 3
+), counts AS (
+  SELECT label, gram, count(*) AS cnt FROM traing GROUP BY label, gram
+), totals AS (
+  SELECT label, SUM(cnt) AS total FROM counts GROUP BY label
+), vocab AS (
+  SELECT count(DISTINCT gram) AS v FROM counts
+), labc AS (
+  SELECT lang AS label, count(*) AS nd FROM base
+  WHERE split = 'train' GROUP BY lang
+), ndocs AS (
+  SELECT SUM(nd) AS ndocs FROM labc
+), stats AS (
+  SELECT t.label,
+         ln(labc.nd / CAST(n.ndocs AS DOUBLE)) AS log_prior,
+         ln(1.0 / (t.total + 1.0 * vocab.v)) AS log_unseen
+  FROM totals t JOIN labc USING (label), vocab, ndocs n
+), logps AS (
+  SELECT c.label, c.gram,
+         ln((c.cnt + 1.0) / (t.total + 1.0 * vocab.v)) AS logp
+  FROM counts c JOIN totals t USING (label), vocab
+), testg AS (
+  SELECT doc_id, substring(c, i, 3) AS gram
+  FROM base, UNNEST(range(1, length(c) - 1)) AS u(i)
+  WHERE split = 'test' AND length(c) >= 3
+), per_doc AS (
+  SELECT b.doc_id, COALESCE(g.n_grams, 0) AS n_grams
+  FROM (SELECT doc_id FROM base WHERE split = 'test') b
+  LEFT JOIN (SELECT doc_id, count(*) AS n_grams FROM testg
+             GROUP BY doc_id) g USING (doc_id)
+), seen AS (
+  SELECT t.doc_id, l.label,
+         SUM(l.logp) AS sum_logp, count(*) AS n_seen
+  FROM testg t JOIN logps l USING (gram)
+  GROUP BY t.doc_id, l.label
+), scored AS (
+  SELECT p.doc_id, s.label,
+         s.log_prior + COALESCE(se.sum_logp, 0.0)
+           + (p.n_grams - COALESCE(se.n_seen, 0)) * s.log_unseen
+           AS score
+  FROM per_doc p CROSS JOIN stats s
+  LEFT JOIN seen se ON p.doc_id = se.doc_id AND s.label = se.label
+), ranked AS (
+  SELECT doc_id, label,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label) AS rn
+  FROM scored
+)
+SELECT doc_id, label AS predicted_lang FROM ranked WHERE rn = 1
+"""
 
 
 QUERIES.update({
-    "langid_nb_predictions": Q(langid_nb_predictions, None),
+    "langid_nb_predictions": Q(langid_nb_predictions, _langid_nb_sql()),
 })
 
 
@@ -2384,19 +2457,68 @@ WHERE term IN ({_BM25_TERMS_SQL})
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 retrieval for three fixed queries over the corpus
     (operators/bm25.bm25_topk): (query_id, doc_id, score, rank).
-    Rows-only for the driver (the IDF ln() is libm-bound — same
-    disposition as every log-bearing score here); exact pure-Python
-    parity at 1e-9 and the full index side's hash oracle
-    (bm25_doc_term_stats) are the verification pair."""
+    Fully DuckDB-oracled since r7: scores are rounded to 6 decimals
+    as the LAST operation and the ranking runs on the ROUNDED score
+    (doc_id tiebreak) in both engines, so the ulp-level ln()/summation
+    differences between JVM and DuckDB libm are absorbed before any
+    value is hashed or any rank assigned. Raw-score parity (1e-9 vs
+    pure Python) stays pinned in tests/test_bm25.py; the index side
+    has its own hash oracle (bm25_doc_term_stats)."""
     from ..operators import bm25
     d = _docs(spark, sf_dir)
     q = spark.createDataFrame(_BM25_QUERIES, "query_id int, qtext string")
-    return bm25.bm25_topk(d, q, k=10)
+    return bm25.bm25_topk(d, q, k=10, round_scores=6)
+
+
+def _bm25_topk_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of bm25_topk(round_scores=6): same tokenization,
+    same Lucene-variant formula with the identical literal constants,
+    same round-then-rank order."""
+    values = ", ".join(f"({qid}, '{qtext}')"
+                       for qid, qtext in _BM25_QUERIES)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), qt AS (
+  SELECT DISTINCT query_id,
+         unnest(string_split_regex(lower(trim(qtext)), '\s+')) AS term
+  FROM (VALUES {values}) AS q(query_id, qtext)
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf / (tf.tf + {k1} * ({1.0 - b!r}
+                                         + {b} * dl.dl / s.avgdl))))
+           AS raw
+  FROM tf
+  JOIN qt USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats s
+  GROUP BY qt.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, round(raw, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 QUERIES.update({
     "bm25_doc_term_stats": Q(bm25_doc_term_stats, _BM25_STATS_SQL),
-    "bm25_search_topk": Q(bm25_search_topk, None),
+    "bm25_search_topk": Q(bm25_search_topk, _bm25_topk_sql()),
 })
 
 
@@ -2449,17 +2571,33 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Efraimidis-Spirakis priorities from the portable md5 uniform):
     64 docs drawn without replacement with probability tracking
     n_chars — the length-weighted corpus subsample a mixture builder
-    draws. Rows-only (pow is libm-bound); exact selection parity vs
-    a pure-Python replica of the same arithmetic is pinned in
-    tests/test_sampling_weighted.py."""
+    draws. Fully DuckDB-oracled since r7: the md5 uniform is
+    engine-portable by construction and the OUTPUT carries only the
+    exact integer columns (doc_id, n_chars) — pow() enters only the
+    priority ORDER, which ulp-level libm drift cannot flip except on
+    ties the keyed-md5 uniform doesn't produce. Exact pure-Python
+    selection parity stays pinned in tests/test_sampling_weighted.py."""
     from ..operators import sampling
     d = _docs(spark, sf_dir)
     return (sampling.weighted_sample(d, 64, "n_chars", "doc_id")
             .select("doc_id", "n_chars"))
 
 
+_WEIGHTED_SAMPLE_SQL = """
+WITH pri AS (
+  SELECT doc_id, n_chars,
+         pow((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) + 1.0)
+             / 4294967296.0,
+             1.0 / n_chars) AS p
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM pri ORDER BY p DESC, doc_id LIMIT 64
+"""
+
 QUERIES.update({
-    "weighted_doc_sample": Q(weighted_doc_sample, None),
+    "weighted_doc_sample": Q(weighted_doc_sample, _WEIGHTED_SAMPLE_SQL),
 })
 
 
@@ -2468,12 +2606,19 @@ def doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     model — the CCNet/Gopher-style LM-filter signal with a REAL
     smoothed LM behind it (doc_bigram_surprisal's MLE ratios assign
     unseen transitions nothing; KN assigns them proper backoff mass).
-    perplexity = 2^(mean -log2 p(w2|w1)) over the doc's transitions.
-    Rows-only (log2 is libm-bound — same disposition as every
-    log-bearing score); the MODEL feeding it is hash-oracled
-    (bigram_kn_probs), and the shuffled-text discrimination test is
-    the semantic pin. Docs with < 2 tokens have no transitions and
-    are absent (the curation capstone floors short docs already)."""
+    Output: (doc_id, n_transitions, log2_perplexity) where
+    log2_perplexity = mean -log2 p(w2|w1) over the doc's transitions
+    (perplexity itself is 2^log2_perplexity — monotone-equivalent for
+    filtering, and log-space is where LM filters threshold anyway).
+    Fully DuckDB-oracled since r7: the per-transition p values are
+    the bit-identical ratios certified by bigram_kn_probs' hash
+    oracle, and the one libm-bound step (log2+avg) is rounded to 5
+    decimals as the LAST operation — wide enough to absorb ulp-level
+    log2/summation-order drift (~1e-12 abs), precise enough that the
+    match still certifies the scoring join and the per-doc mean.
+    Docs with < 2 tokens have no transitions and are absent (the
+    curation capstone floors short docs already); the shuffled-text
+    discrimination test stays as the semantic pin."""
     from ..operators import ngram_lm
     d = _docs(spark, sf_dir)
     pairs = ngram_lm.bigram_pairs(d)
@@ -2487,10 +2632,42 @@ def doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               ngram_lm.KN_DISCOUNT)))
     return (scored.groupBy("doc_id")
             .agg(F.count("*").alias("n_transitions"),
-                 F.pow(F.lit(2.0),
-                       -F.avg(F.log2("p"))).alias("kn_perplexity")))
+                 F.round(-F.avg(F.log2("p")), 5)
+                 .alias("log2_perplexity")))
 
+
+_KN_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents
+), ex AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2)
+), bg AS (
+  SELECT w1, w2, count(*) AS c12 FROM ex GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(c12) AS c1, count(*) AS n1fw FROM bg GROUP BY w1
+), cont AS (
+  SELECT w2, count(*) AS n1bw FROM bg GROUP BY w2
+), tot AS (
+  SELECT count(*) AS n_types FROM bg
+), probs AS (
+  SELECT bg.w1, bg.w2,
+         GREATEST(CAST(bg.c12 AS DOUBLE) - 0.75, 0.0) / ctx.c1
+           + ((0.75 * ctx.n1fw) / ctx.c1)
+             * (CAST(cont.n1bw AS DOUBLE) / tot.n_types) AS p
+  FROM bg JOIN ctx USING (w1) JOIN cont USING (w2), tot
+)
+SELECT ex.doc_id,
+       count(*) AS n_transitions,
+       round(-avg(log2(p.p)), 5) AS log2_perplexity
+FROM ex JOIN probs p USING (w1, w2)
+GROUP BY ex.doc_id
+"""
 
 QUERIES.update({
-    "doc_kn_perplexity": Q(doc_kn_perplexity, None),
+    "doc_kn_perplexity": Q(doc_kn_perplexity, _KN_PERPLEXITY_SQL),
 })

@@ -134,7 +134,8 @@ def test_kn_perplexity_flags_shuffled_text(spark, tmp_path):
         .withColumn("n_chars", SF.length("text"))
     docs.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
 
-    got = {r["doc_id"]: r["kn_perplexity"]
+    # log2_perplexity is monotone in perplexity: same discrimination
+    got = {r["doc_id"]: r["log2_perplexity"]
            for r in doc_kn_perplexity(spark, str(tmp_path)).collect()}
     nat_mean = sum(got[i] for i in range(12)) / 12
     for i in range(3):
@@ -147,4 +148,5 @@ def test_kn_perplexity_runs_on_fixture(spark):
     out = doc_kn_perplexity(spark, SF).collect()
     assert len(out) > 400
     for r in out[:50]:
-        assert r["kn_perplexity"] > 1.0
+        # perplexity > 1  <=>  log2_perplexity > 0
+        assert r["log2_perplexity"] > 0.0
