@@ -4,11 +4,12 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct (schemas.MULTIMODAL_ASSET). Feature extraction runs as
 Arrow-batched ``mapInPandas`` — the pattern for any per-asset Python
 work at scale: explicit output schema, batch-shaped UDF, no driver
-collect. Real codecs (PIL/librosa/ffmpeg) are not in this container,
-so decode is STUBBED: ``decode_stub_features`` derives deterministic
-fake dimensions from the payload bytes (keeps the plumbing testable and
-the oracle expressible); ``decode_real`` raises NotImplementedError
-unless a codec library is importable.
+collect. Real codecs (PIL/librosa/ffmpeg) are not in this container;
+``decode_stub_features`` derives deterministic fake dimensions from the
+payload bytes (keeps the plumbing testable and the oracle expressible),
+while ``decode_real`` (r7) parses ACTUAL frame geometry from the public
+PNG/JPEG container formats in pure Python — header parsing needs no
+codec; pixel-level decode is the part that genuinely would.
 
 Scale notes: binary columns ride parquet page compression; partition by
 modality + size bucket so mapInPandas batches are memory-bounded
@@ -80,17 +81,99 @@ def decode_stub_features(assets: DataFrame) -> DataFrame:
     return spread(assets).mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+# SOF markers that carry frame geometry (every JPEG start-of-frame
+# variant except DHT C4 / JPG C8 / DAC CC, per ITU T.81 table B.1)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+# PNG color type -> sample channels (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_geometry(b: bytes):
+    """(width, height, channels) from a PNG IHDR, else None. The
+    8-byte signature + the mandatory first chunk being IHDR make the
+    parse unambiguous without decompressing any pixel data."""
+    if (len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n"
+            and b[12:16] == b"IHDR"):
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        ch = _PNG_CHANNELS.get(b[25])
+        if w > 0 and h > 0 and ch is not None:
+            return w, h, ch
+    return None
+
+
+def _jpeg_geometry(b: bytes):
+    """(width, height, channels) from the first JPEG SOF segment,
+    else None. Walks the marker stream by segment lengths — entropy-
+    coded data is never reached because SOF precedes SOS in any
+    well-formed stream."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xFF:          # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2                  # standalone marker, no length
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            return None
+        seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if i + 10 > len(b):
+                return None
+            h = int.from_bytes(b[i + 5:i + 7], "big")
+            w = int.from_bytes(b[i + 7:i + 9], "big")
+            ch = b[i + 9]
+            if w > 0 and h > 0 and ch > 0:
+                return w, h, ch
+            return None
+        i += 2 + seg_len
+    return None
+
+
 def decode_real(assets: DataFrame) -> DataFrame:
-    """Real decode path — gated on codec availability (not shipped in
-    this container)."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real decode requires an image codec (PIL); this environment "
-            "ships none — use decode_stub_features for plumbing tests"
-        ) from exc
-    raise NotImplementedError("real decode not implemented yet")
+    """REAL container decode for image payloads — pure-Python byte
+    parsing of the public PNG (IHDR) and JPEG (SOF marker walk)
+    container formats, no codec library, run as the same Arrow-
+    batched mapInPandas shape as the stub (schema parity pinned in
+    tests). Payloads that are neither a valid PNG nor a parseable
+    JPEG header stream get NULL geometry — the honest answer, and
+    the dead-letter signal a curation pass filters on. Pixel-level
+    decode (which genuinely needs a codec) stays out of scope; frame
+    geometry is what the downstream resize/filter stages consume."""
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def geom(b):
+            if b is None:
+                return (None, None, None)
+            raw = bytes(b)
+            g = _png_geometry(raw) or _jpeg_geometry(raw)
+            return g if g else (None, None, None)
+
+        for pdf in batches:
+            got = [geom(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "byte_len": pdf["payload"].map(
+                    lambda b: 0 if b is None else len(b)).astype("int64"),
+                "width": pd.array([g[0] for g in got], dtype="Int32"),
+                "height": pd.array([g[1] for g in got], dtype="Int32"),
+                "n_channels": pd.array([g[2] for g in got],
+                                       dtype="Int32"),
+            })
+
+    from .dedup import spread
+    return spread(assets).mapInPandas(_extract, FEATURE_SCHEMA)
 
 
 def resize_stub(features: DataFrame, target_w: int = 224,

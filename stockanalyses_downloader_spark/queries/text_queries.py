@@ -1660,8 +1660,14 @@ def bloom_decontamination_probes(spark: SparkSession,
     against the standing merged filter without rescanning the eval
     corpus. Output: (doc_id, n_probe_grams, n_bloom_hits,
     n_exact_hits)."""
+    return bloom_decon_report(_docs(spark, sf_dir))
+
+
+def bloom_decon_report(d: "DataFrame") -> "DataFrame":
+    """bloom_decontamination_probes' body on an injected corpus —
+    shared with tools/bench_expensive_scale.py so the scale curve
+    exercises the identical machinery."""
     from ..operators import sampling, sketches
-    d = _docs(spark, sf_dir)
     n = _DECON_N
     s = sampling.assign_splits(d.select("doc_id", "text"), key="doc_id")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")

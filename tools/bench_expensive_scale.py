@@ -169,6 +169,103 @@ def bench_index_probe(spark, factor: int) -> dict:
             "wall_s": round(time.perf_counter() - t0, 2)}
 
 
+def _doc_copies_disjoint_blocks(spark, factor: int):
+    """factor-1 copies of documents in DISJOINT (lang, source) blocks
+    (source suffixed per copy): per-block density stays constant while
+    volume grows — the clean "more data, same shape" axis for the
+    block-keyed near-dup machinery (blow_up's same-block near-dup
+    clique is the adversarial axis, covered by bench_global)."""
+    d = load_table(spark, SF_DIR, "documents")
+    if factor <= 1:
+        return d
+    copies = (d.crossJoin(F.broadcast(
+                  spark.range(1, factor).select(F.col("id").alias("__c"))))
+              .select((F.col("doc_id") + F.col("__c") * 10_000_000)
+                      .alias("doc_id"),
+                      "text", "lang",
+                      F.concat("source", F.lit("_"),
+                               F.col("__c").cast("string")).alias("source"),
+                      "n_chars"))
+    return d.unionByName(copies)
+
+
+def bench_split_leakage(spark, factor: int) -> dict:
+    from stockanalyses_downloader_spark.operators import sampling
+    corpus = _doc_copies_disjoint_blocks(spark, factor)
+    n = corpus.count()
+    t0 = time.perf_counter()
+    pairs = dedup.ngram_jaccard_pairs(corpus, block_cols=["lang", "source"],
+                                      n=3, threshold=0.3, hashed=True)
+    splits = sampling.assign_splits(corpus.select("doc_id"),
+                                    key="doc_id").select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("id_a"),
+                       F.col("split").alias("ra"))
+    sb = splits.select(F.col("doc_id").alias("id_b"),
+                       F.col("split").alias("rb"))
+    out = (pairs.join(sa, "id_a").join(sb, "id_b")
+           .select(F.least("ra", "rb").alias("a"),
+                   F.greatest("ra", "rb").alias("b"))
+           .groupBy("a", "b").agg(F.count("*").alias("n")))
+    n_out = out.agg(F.sum("n")).collect()[0][0] or 0
+    return {"query": "split_leakage_report", "factor": factor,
+            "rows_in": n, "rows_out": int(n_out),
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+def bench_bloom_decon(spark, factor: int) -> dict:
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        bloom_decon_report)
+    from tools.bench_dedup_scale import blow_up
+    base = load_table(spark, SF_DIR, "documents")
+    corpus = blow_up(base, factor)
+    n = corpus.count()
+    t0 = time.perf_counter()
+    out = bloom_decon_report(corpus)
+    n_out = out.count()
+    return {"query": "bloom_decontamination_probes", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+def bench_anomalies(spark, factor: int) -> dict:
+    """Blown-up tick feed: factor-1 copies under DISJOINT isin keys —
+    more instruments at the same per-instrument tick density, the
+    shape a partitioned trailing window must scale linearly in."""
+    from stockanalyses_downloader_spark.operators import indicators
+    from stockanalyses_downloader_spark.queries import reference_queries
+    from stockanalyses_downloader_spark.sources import synthetic
+
+    t = reference_queries.pipeline.validate_http(
+        synthetic.ticks(spark, SF_DIR))
+    if factor > 1:
+        copies = (t.crossJoin(F.broadcast(
+                      spark.range(1, factor)
+                      .select(F.col("id").alias("__c"))))
+                  .select((F.col("tick_id") + F.col("__c") * 100_000_000)
+                          .alias("tick_id"),
+                          "exchange",
+                          F.concat("isin", F.lit("_"),
+                                   F.col("__c").cast("string"))
+                          .alias("isin"),
+                          "status", "bid", "ask", "last_price",
+                          "volume", "ts"))
+        t = t.unionByName(copies)
+    n = t.count()
+    t0 = time.perf_counter()
+    out = indicators.with_anomaly_zscores(
+        t, price_col="last_price", key="isin", ts="ts",
+        tiebreak="tick_id", n=12, z_thresh=2.5)
+    # count() alone lets Catalyst PRUNE the window (row count is
+    # window-invariant); counting the zscore column forces the
+    # trailing-frame computation the curve is supposed to measure
+    row = out.agg(F.count("zscore").alias("nz"),
+                  F.count("*").alias("n")).collect()[0]
+    n_out = row["n"]
+    return {"query": "tick_price_anomalies", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
 BENCHES = {
     "global": bench_global_near_dups,
     "triangles": bench_triangles,
@@ -176,6 +273,10 @@ BENCHES = {
     "countmin": bench_countmin,
     "er": bench_entity_resolution,
     "probe": bench_index_probe,
+    # r7 additions (VERDICT r6 #6): the remaining >2 s bench tier
+    "leakage": bench_split_leakage,
+    "bloom": bench_bloom_decon,
+    "anomalies": bench_anomalies,
 }
 
 
