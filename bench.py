@@ -107,6 +107,16 @@ def main() -> None:
     spark = get_session("bench")
     registry = all_queries()
 
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run (smoke tests,
+    # targeted profiling). `value`/`extended_total` stay None on a
+    # partial run — a subset sum is not comparable across rounds.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    global HEADLINE, EXTENDED
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        HEADLINE = [n for n in HEADLINE if n in keep]
+        EXTENDED = [n for n in EXTENDED if n in keep]
+
     # JVM/codegen warm-up outside the timings: run every headline
     # query once at the tiny SF so each timed run measures the
     # steady-state plan, not its first-run whole-stage-codegen compile
@@ -175,9 +185,9 @@ def main() -> None:
     head_ok = [n for n in HEADLINE if n in timings]
     ext_ok = [n for n in EXTENDED if n in timings]
     total = (round(sum(timings[n] for n in head_ok), 3)
-             if len(head_ok) == len(HEADLINE) else None)
+             if len(head_ok) == len(HEADLINE) and not only else None)
     ext_total = (round(sum(timings[n] for n in ext_ok), 3)
-                 if len(ext_ok) == len(EXTENDED) else None)
+                 if len(ext_ok) == len(EXTENDED) and not only else None)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -846,7 +846,7 @@ def _recover_list_sizes(spark, path: str) -> None:
     sweep the stale artifacts."""
     dest = f"{path}/list_sizes"
     parent, name = os.path.dirname(dest), os.path.basename(dest)
-    stale = [e for e in os.listdir(parent)
+    stale = [e for e in os.listdir(parent or ".")
              if e.startswith((f"{name}.__tmp-", f"{name}.__old-"))]
     if not stale and os.path.exists(dest):
         return
