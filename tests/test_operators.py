@@ -1768,3 +1768,59 @@ def test_ivf_index_append_survives_sizes_swap_crash(spark, tmp_path):
                 or "__old" in d]
     # every vector ever appended is accounted for
     assert sum(sizes_on_disk().values()) == e.count()
+
+
+def test_container_geometry_parsers_units_and_fuzz():
+    """Pure-function coverage for the r7 container parsers: generated
+    PNG/JPEG geometry round-trips for arbitrary sizes and every PNG
+    color type; arbitrary byte garbage never crashes and never
+    false-positives a geometry (hypothesis fuzz)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stockanalyses_downloader_spark.operators.multimodal import (
+        _jpeg_geometry, _png_geometry)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(1, 48), st.integers(1, 48),
+           st.sampled_from([0, 2, 6]))
+    def png_roundtrip(w, h, ct):
+        got = _png_geometry(_make_png(w, h, color_type=ct))
+        assert got == (w, h, {0: 1, 2: 3, 6: 4}[ct])
+
+    # 4-byte big-endian width/height decode at large values, without
+    # materializing megapixel fixtures: splice the IHDR directly
+    import struct
+    big = bytearray(_make_png(2, 2))
+    big[16:24] = struct.pack(">II", 70000, 123456)
+    assert _png_geometry(bytes(big)) == (70000, 123456, 3)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(1, 65535), st.integers(1, 65535),
+           st.integers(1, 4))
+    def jpeg_roundtrip(w, h, nc):
+        assert _jpeg_geometry(_make_jpeg(w, h, nc)) == (w, h, nc)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def fuzz_no_crash(b):
+        # must never raise; may only claim a geometry if the payload
+        # really starts with the right magic
+        g = _png_geometry(b)
+        if g is not None:
+            assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        j = _jpeg_geometry(b)
+        if j is not None:
+            assert b[:2] == b"\xff\xd8"
+
+    png_roundtrip()
+    jpeg_roundtrip()
+    fuzz_no_crash()
+
+    # truncated real containers degrade to None, never crash
+    png = _make_png(9, 4)
+    jpg = _make_jpeg(100, 50)
+    for cut in (0, 1, 7, 8, 15, 20, 25):
+        assert _png_geometry(png[:cut]) is None
+    for cut in (0, 1, 2, 3, 5, 10):
+        assert _jpeg_geometry(jpg[:cut]) is None
