@@ -732,6 +732,11 @@ _TAIL = [
                                     # quantile walk stays benched
     "lang_temperature_mixture",     # sqrt-temperature rebalance —
                                     # hash-green r4-r6
+    # r7 additions
+    "split_semantic_leakage",       # embedding-space eval-leakage
+                                    # audit (paraphrase twins the
+                                    # n-gram leakage report can't
+                                    # see); DuckDB-oracled; new r7
     "important_part_stock",         # Q11 HAVING-vs-global-scalar
                                     # shape (broadcast 1-row total,
                                     # exact DECIMAL threshold);

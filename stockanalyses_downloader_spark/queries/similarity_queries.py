@@ -475,6 +475,64 @@ WHERE list_reduce(list_transform(list_zip(a.v, b.v),
 """
 
 
+def split_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-leakage audit (r7) — the embedding-space sibling
+    of split_leakage_report: n-gram Jaccard catches copy-paste
+    near-dups crossing a train/test boundary, but a paraphrased twin
+    shares no shingles and sails through; its embedding does not.
+    Blocked exact-cosine pairs (>= 0.35 on the fixture's
+    near-orthogonal vectors; 0.9+ on real corpora) joined to the
+    deterministic per-doc split (vec_id = doc_id in the fixture),
+    counted per ordered split pair. Off-diagonal mass = semantic
+    leakage. Composition of two already-oracled primitives
+    (embedding_near_dup_pairs' fold-exact cosine + the md5 split
+    case), so the whole chain hash-verifies. Output: (split_a,
+    split_b, n_pairs)."""
+    from ..operators import sampling
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(e, block_cols=["label"],
+                                             threshold=0.35)
+    splits = (sampling.assign_splits(e.select("vec_id"), key="vec_id")
+              .select("vec_id", "split"))
+    sa = splits.select(F.col("vec_id").alias("id_a"),
+                       F.col("split").alias("ra"))
+    sb = splits.select(F.col("vec_id").alias("id_b"),
+                       F.col("split").alias("rb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select(F.least("ra", "rb").alias("split_a"),
+                    F.greatest("ra", "rb").alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count("*").alias("n_pairs")))
+
+
+def _split_semantic_sql() -> str:
+    from ..operators.sampling import _threshold_hex
+    h = "substr(md5(CAST(vec_id AS VARCHAR) || ''), 1, 8)"
+    case = (f"CASE WHEN {h} < '{_threshold_hex(0.8)}' THEN 'train' "
+            f"WHEN {h} < '{_threshold_hex(0.9)}' THEN 'val' "
+            f"ELSE 'test' END")
+    return f"""
+WITH ev AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS norm,
+         {case} AS split
+  FROM embeddings
+), pairs AS (
+  SELECT a.split AS sa, b.split AS sb
+  FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(list_zip(a.v, b.v),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+          (x, y) -> x + y) / (a.norm * b.norm) >= 0.35
+)
+SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+       count(*) AS n_pairs
+FROM pairs GROUP BY 1, 2
+"""
+
+
 def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embedding-space near-duplicates
@@ -881,6 +939,8 @@ QUERIES: dict[str, Q] = {
     "pca_ivf_topk": Q(pca_ivf_topk, None),
     "ivf_topk_quantized": Q(ivf_topk_quantized, None),
     "embedding_near_dup_pairs": Q(embedding_near_dup_pairs, _EMB_NEAR_SQL),
+    "split_semantic_leakage": Q(split_semantic_leakage,
+                                _split_semantic_sql()),
     "semantic_dedup_keepers": Q(semantic_dedup_keepers, _SEMANTIC_SQL),
     "label_centroid_components": Q(label_centroid_components, _CENTROID_SQL),
     "embedding_quantization_error": Q(embedding_quantization_error,

@@ -1824,3 +1824,42 @@ def test_container_geometry_parsers_units_and_fuzz():
         assert _png_geometry(png[:cut]) is None
     for cut in (0, 1, 2, 3, 5, 10):
         assert _jpeg_geometry(jpg[:cut]) is None
+
+
+def test_minhash_probe_id_collision_prefers_delta(spark, tmp_path):
+    """ADVICE r6: a delta doc_id colliding with a stored id must use
+    the DELTA's shingles deterministically (re-ingested text is the
+    current version) — not an arbitrary dropDuplicates pick. Setup:
+    store doc 1 with text A; probe a delta that re-ingests doc 1 with
+    completely different text B alongside doc 900001 = near-dup of B.
+    The (1, 900001) pair must verify with B-vs-B' jaccard (high);
+    under the old arbitrary pick it could compute A-vs-B' (near 0)
+    depending on partitioning. Run the probe twice: identical
+    output."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta",
+          "en", "s1", 40),
+         (2, "one two three four five six seven eight nine",
+          "en", "s1", 40)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+    path = str(tmp_path / "mh_collide")
+    dedup.save_minhash_index(corpus, path)
+
+    text_b = "red orange yellow green blue indigo violet ultraviolet"
+    delta = spark.createDataFrame(
+        [(1, text_b, "en", "s1", 40),
+         (900001, text_b + " xx", "en", "s1", 44)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+
+    runs = [
+        {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in dedup.probe_minhash_index(spark, path, delta,
+                                            threshold=0.5).collect()}
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1], "probe output is partitioning-dependent"
+    got = runs[0]
+    assert (1, 900001) in got, got
+    # B vs B+' share all but the boundary shingles -> jaccard well
+    # above the threshold; A vs B' would share zero shingles
+    assert got[(1, 900001)] >= 0.5
