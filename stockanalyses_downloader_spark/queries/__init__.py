@@ -737,6 +737,14 @@ _TAIL = [
                                     # audit (paraphrase twins the
                                     # n-gram leakage report can't
                                     # see); DuckDB-oracled; new r7
+    "lang_distinct_token_estimates",  # the HLL ESTIMATE itself
+                                    # hash-oracled (exact dyadic raw
+                                    # path; ln branch rounded last);
+                                    # DuckDB-oracled; new r7
+    "source_shared_token_estimates",  # HLL inclusion-exclusion set
+                                    # algebra, three-estimate
+                                    # composition hash-oracled;
+                                    # DuckDB-oracled; new r7
     "important_part_stock",         # Q11 HAVING-vs-global-scalar
                                     # shape (broadcast 1-row total,
                                     # exact DECIMAL threshold);

@@ -2379,6 +2379,180 @@ def lang_token_hll_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_build_grouped(toks, ["lang"], "token")
 
 
+def lang_distinct_token_estimates(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The ESTIMATE over the portable-HLL grid, fully DuckDB-oracled
+    (r7) — completing the claim the grid oracle started: not just the
+    sketch STATE but the cardinality it decodes to hash-matches
+    cross-engine. Why this is sound where most estimators aren't:
+    the raw harmonic-mean path is EXACT dyadic arithmetic (2^-rho
+    terms with rho <= 33 sum inside double's 53-bit window in any
+    order; the alpha*m^2 literal is the same Python double on both
+    sides; IEEE division is deterministic), so even the
+    raw-vs-linear-counting BRANCH decision is bit-identical in both
+    engines; the linear-counting branch's single ln() is absorbed by
+    rounding to 6 decimals as the LAST op. Output: (lang,
+    est_distinct, n_tokens) — the estimate next to the exact token
+    volume it summarizes."""
+    from ..operators import sketches
+    d = _docs(spark, sf_dir)
+    toks = d.select("lang",
+                    F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("token"))
+    grid = sketches.hll_build_grouped(toks, ["lang"], "token")
+    est = sketches.hll_estimate_grouped(grid, ["lang"])
+    vol = toks.groupBy("lang").agg(F.count("*").alias("n_tokens"))
+    return (est.join(vol, "lang")
+            .select("lang", F.round("est_distinct", 6)
+                    .alias("est_distinct"), "n_tokens"))
+
+
+_SHARED_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def source_shared_token_estimates(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA, fully DuckDB-oracled (r7): distinct-token
+    overlap between source pairs via inclusion-exclusion over the
+    portable register grids — |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    union grid = register MAX (exact as a sketch op). This is the
+    stored-sketch workflow at 100 TB ("how many tokens do these two
+    feeds share") executed entirely on model-sized grids, and the
+    r7 estimator argument (exact dyadic raw path, deterministic
+    branch, round LAST) makes even the three-estimate composition
+    hash-match cross-engine. Fixture scope: the 6 unordered pairs of
+    four sources. Output: (src_a, src_b, shared_est) — can go
+    slightly negative for near-disjoint sets (compounded error,
+    documented on the operator); not clamped, so the oracle certifies
+    the raw algebra."""
+    from ..operators import sketches
+    d = _docs(spark, sf_dir)
+    toks = (d.filter(F.col("source").isin(list(_SHARED_SOURCES)))
+            .select("source",
+                    F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+")).alias("token")))
+    g = sketches.hll_build_grouped(toks, ["source"], "token")
+    pairs = [(a, b) for i, a in enumerate(_SHARED_SOURCES)
+             for b in _SHARED_SOURCES[i + 1:]]
+    pdf = spark.createDataFrame(pairs, "src_a string, src_b string")
+    ga = g.select(F.col("source").alias("src_a"), "reg", "max_rho")
+    gb = g.select(F.col("source").alias("src_b"), "reg", "max_rho")
+    ug = (pdf.join(ga, "src_a").unionByName(pdf.join(gb, "src_b"))
+          .groupBy("src_a", "src_b", "reg")
+          .agg(F.max("max_rho").alias("max_rho")))
+    est_u = sketches.hll_estimate_grouped(ug, ["src_a", "src_b"]) \
+        .withColumnRenamed("est_distinct", "eu")
+    est_s = sketches.hll_estimate_grouped(g, ["source"])
+    ea = est_s.select(F.col("source").alias("src_a"),
+                      F.col("est_distinct").alias("ea"))
+    eb = est_s.select(F.col("source").alias("src_b"),
+                      F.col("est_distinct").alias("eb"))
+    return (est_u.join(ea, "src_a").join(eb, "src_b")
+            .select("src_a", "src_b",
+                    F.round(F.col("ea") + F.col("eb") - F.col("eu"), 6)
+                    .alias("shared_est")))
+
+
+def _shared_tokens_sql() -> str:
+    from ..operators.sketches import HLL_M
+    m = HLL_M
+    alpha_m2 = repr((0.7213 / (1.0 + 1.079 / m)) * m * m)
+    srcs = ", ".join(f"'{s}'" for s in _SHARED_SOURCES)
+    pair_rows = ", ".join(
+        f"('{a}', '{b}')"
+        for i, a in enumerate(_SHARED_SOURCES)
+        for b in _SHARED_SOURCES[i + 1:])
+    est = (f"{alpha_m2} / (s_hit + CAST({m} - n_present AS DOUBLE))")
+    lin = (f"CASE WHEN {est} <= 2.5 * {m} AND {m} - n_present > 0 "
+           f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_present)) "
+           f"ELSE {est} END")
+    return rf"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents WHERE source IN ({srcs})
+), cells AS (
+  SELECT source,
+         CAST(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {m}
+              AS INT) AS reg,
+         CAST(CASE WHEN CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) = 0
+                   THEN 33
+                   ELSE 33 - length(bin(CAST('0x' || substr(md5(token), 9, 8)
+                                             AS BIGINT)))
+              END AS INT) AS rho
+  FROM toks
+), grid AS (
+  SELECT source, reg, MAX(rho) AS max_rho FROM cells GROUP BY source, reg
+), pairs(src_a, src_b) AS (
+  VALUES {pair_rows}
+), ug AS (
+  SELECT p.src_a, p.src_b, g.reg, MAX(g.max_rho) AS max_rho
+  FROM pairs p JOIN grid g ON g.source IN (p.src_a, p.src_b)
+  GROUP BY p.src_a, p.src_b, g.reg
+), agg_u AS (
+  SELECT src_a, src_b, SUM(pow(2.0, -max_rho)) AS s_hit,
+         count(*) AS n_present
+  FROM ug GROUP BY src_a, src_b
+), est_u AS (
+  SELECT src_a, src_b, {lin} AS eu FROM agg_u
+), agg_s AS (
+  SELECT source, SUM(pow(2.0, -max_rho)) AS s_hit,
+         count(*) AS n_present
+  FROM grid GROUP BY source
+), est_s AS (
+  SELECT source, {lin} AS es FROM agg_s
+)
+SELECT u.src_a, u.src_b,
+       round(a.es + b.es - u.eu, 6) AS shared_est
+FROM est_u u
+JOIN est_s a ON u.src_a = a.source
+JOIN est_s b ON u.src_b = b.source
+"""
+
+
+def _hll_estimate_sql() -> str:
+    from ..operators.sketches import HLL_M
+    m = HLL_M
+    alpha_m2 = repr((0.7213 / (1.0 + 1.079 / m)) * m * m)
+    return rf"""
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), cells AS (
+  SELECT lang,
+         CAST(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % {m}
+              AS INT) AS reg,
+         CAST(CASE WHEN CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) = 0
+                   THEN 33
+                   ELSE 33 - length(bin(CAST('0x' || substr(md5(token), 9, 8)
+                                             AS BIGINT)))
+              END AS INT) AS rho
+  FROM toks
+), grid AS (
+  SELECT lang, reg, MAX(rho) AS max_rho FROM cells GROUP BY lang, reg
+), agg AS (
+  SELECT lang,
+         SUM(pow(2.0, -max_rho)) AS s_hit,
+         count(*) AS n_present
+  FROM grid GROUP BY lang
+), est AS (
+  SELECT lang,
+         {alpha_m2} / (s_hit + CAST({m} - n_present AS DOUBLE)) AS raw,
+         {m} - n_present AS zeros
+  FROM agg
+), vol AS (
+  SELECT lang, count(*) AS n_tokens FROM toks GROUP BY lang
+)
+SELECT est.lang,
+       round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                  ELSE raw END, 6) AS est_distinct,
+       vol.n_tokens
+FROM est JOIN vol ON est.lang = vol.lang
+"""
+
+
 _HLL_GRID_SQL = r"""
 WITH toks AS (
   SELECT lang,
@@ -2400,6 +2574,10 @@ GROUP BY lang, reg
 
 QUERIES.update({
     "lang_token_hll_grid": Q(lang_token_hll_grid, _HLL_GRID_SQL),
+    "lang_distinct_token_estimates": Q(lang_distinct_token_estimates,
+                                       _hll_estimate_sql()),
+    "source_shared_token_estimates": Q(source_shared_token_estimates,
+                                       _shared_tokens_sql()),
 })
 
 
