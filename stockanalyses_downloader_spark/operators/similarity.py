@@ -67,6 +67,52 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
+def hard_negative_topk(embeddings: DataFrame, anchor_ids: list[int],
+                       k: int = 10, dup_threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each anchor, the k most cosine-similar vectors carrying a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss — with the near-duplicate band (cosine >= dup_threshold)
+    excluded, since a "negative" that close is almost always a
+    mislabeled paraphrase that poisons the batch (the standard
+    false-negative filter in hard-mining pipelines).
+
+    Scale shape is identical to cosine_topk: the anchor set is
+    model-sized and broadcast, the corpus is scanned once, and the
+    per-anchor top-k is a partitioned window — no shuffle of the
+    corpus beyond the window's hash partition on anchor id. At 100 TB
+    you swap the brute scan for the IVF probe path
+    (_ivf_lists_probes) and keep the label/dup filters verbatim; the
+    brute variant stays the recall oracle.
+
+    Output: anchor_id, anchor_label, neighbor_id, neighbor_label,
+    cosine, rank."""
+    e = embeddings.select(id_col, label_col,
+                          as_double(F.col(vec_col)).alias("v"))
+    e = e.withColumn("norm", l2_norm(F.col("v")))
+    a = (e.filter(F.col(id_col).isin(anchor_ids))
+          .select(F.col(id_col).alias("anchor_id"),
+                  F.col(label_col).alias("anchor_label"),
+                  F.col("v").alias("av"), F.col("norm").alias("anorm")))
+    c = (e.filter(~F.col(id_col).isin(anchor_ids))
+          .select(F.col(id_col).alias("neighbor_id"),
+                  F.col(label_col).alias("neighbor_label"),
+                  F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
+    scored = (c.crossJoin(F.broadcast(a))
+               .filter(F.col("neighbor_label") != F.col("anchor_label"))
+               .select("anchor_id", "anchor_label",
+                       "neighbor_id", "neighbor_label",
+                       (dot(F.col("av"), F.col("cv"))
+                        / (F.col("anorm") * F.col("cnorm"))).alias("cosine"))
+               .filter(F.col("cosine") < dup_threshold))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:

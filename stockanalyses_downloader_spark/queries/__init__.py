@@ -745,6 +745,15 @@ _TAIL = [
                                     # algebra, three-estimate
                                     # composition hash-oracled;
                                     # DuckDB-oracled; new r7
+    "hard_negative_mining",         # contrastive hard negatives:
+                                    # different-label top-k with the
+                                    # near-dup band excluded;
+                                    # DuckDB-oracled; new r7
+    "retrieval_quality_report",     # precision/recall/MRR/NDCG@k of
+                                    # the embedding space vs label
+                                    # ground truth (rank-ordered
+                                    # sequential DCG fold both
+                                    # engines); DuckDB-oracled; new r7
     "important_part_stock",         # Q11 HAVING-vs-global-scalar
                                     # shape (broadcast 1-row total,
                                     # exact DECIMAL threshold);

@@ -1107,3 +1107,169 @@ QUERIES.update({
     "global_near_dup_pairs": Q(global_near_dup_pairs,
                                _GLOBAL_NEAR_DUP_SQL),
 })
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (r7):
+    for each anchor, the top-k most-similar DIFFERENT-label vectors
+    with the near-duplicate band (cosine >= 0.95) excluded — the
+    standard false-negative filter. The cosine is the same sequential
+    double fold the oracled brute-force query uses, so the whole
+    chain (label filter, dup-band filter, rank, raw cosine values)
+    hash-verifies against DuckDB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_topk(e, _QUERY_IDS, k=_TOPK,
+                                         dup_threshold=0.95)
+
+
+_HARD_NEG_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS norm
+  FROM embeddings
+), a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         v AS av, norm AS anorm FROM ev
+  WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+), c AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+         v AS cv, norm AS cnorm FROM ev
+  WHERE vec_id NOT IN ({', '.join(map(str, _QUERY_IDS))})
+), scored AS (
+  SELECT anchor_id, anchor_label, neighbor_id, neighbor_label,
+         list_reduce(list_transform(list_zip(av, cv),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+           (a, b) -> a + b) / (anorm * cnorm) AS cosine
+  FROM c, a
+  WHERE neighbor_label <> anchor_label
+), banded AS (
+  SELECT * FROM scored WHERE cosine < 0.95
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM banded
+)
+SELECT anchor_id, anchor_label, neighbor_id, neighbor_label, cosine,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-relevance retrieval metrics over the exact brute-force
+    top-k (r7): treating same-label as relevant, per-query
+    precision@k, recall@k (vs the query's total relevant pool), MRR,
+    and binary-gain NDCG@k. The ANN recall report compares engines to
+    each other; this grades the EMBEDDING SPACE against ground-truth
+    labels — the eval a retrieval pipeline actually publishes.
+
+    Determinism: DCG folds the rank-sorted hit list sequentially
+    (collect -> array_sort -> F.aggregate), mirroring DuckDB's
+    ORDER-BY list -> list_reduce, so the double sum has one defined
+    association order in both engines; NDCG is rounded (6dp) as the
+    LAST op to absorb log2 libm ulps. precision/recall/MRR are exact
+    IEEE divisions of integers."""
+    e = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(e, _QUERY_IDS, k=_TOPK)
+    labels = e.select("vec_id", "label")
+    ql = labels.withColumnRenamed("vec_id", "query_id") \
+               .withColumnRenamed("label", "query_label")
+    nl = labels.withColumnRenamed("vec_id", "neighbor_id") \
+               .withColumnRenamed("label", "neighbor_label")
+    hits = (topk.join(F.broadcast(ql), "query_id")
+                .join(nl, "neighbor_id")
+                .withColumn("rel",
+                            (F.col("neighbor_label")
+                             == F.col("query_label")).cast("int")))
+    # total relevant pool per query = same-label candidates (anchors
+    # excluded from the pool, same as the top-k candidate set)
+    pool = (e.filter(~F.col("vec_id").isin(_QUERY_IDS))
+             .groupBy("label").agg(F.count("*").alias("n_rel_total")))
+    per_q = (hits.groupBy("query_id", "query_label")
+             .agg(F.sum("rel").alias("n_rel_at_k"),
+                  F.min(F.when(F.col("rel") == 1, F.col("rank")))
+                   .alias("first_rel_rank"),
+                  F.array_sort(F.collect_list(
+                      F.struct("rank", "rel"))).alias("ranked")))
+    dcg = F.aggregate(
+        "ranked", F.lit(0.0),
+        lambda acc, s: acc + s["rel"].cast("double")
+        / F.log2(s["rank"].cast("double") + 1.0))
+    out = (per_q.join(F.broadcast(pool),
+                      per_q.query_label == pool.label, "left")
+           .withColumn("n_rel_total", F.coalesce("n_rel_total", F.lit(0)))
+           .withColumn("ideal_n", F.least(F.lit(_TOPK), F.col("n_rel_total")))
+           .withColumn("idcg", F.aggregate(
+               F.sequence(F.lit(1), F.greatest("ideal_n", F.lit(1))),
+               F.lit(0.0),
+               lambda acc, i: acc + F.lit(1.0)
+               / F.log2(i.cast("double") + 1.0)))
+           .withColumn("dcg", dcg))
+    return out.select(
+        "query_id", "query_label", "n_rel_at_k", "n_rel_total",
+        (F.col("n_rel_at_k") / F.lit(float(_TOPK))).alias("precision_at_k"),
+        F.when(F.col("n_rel_total") == 0, F.lit(0.0))
+         .otherwise(F.col("n_rel_at_k") / F.col("n_rel_total"))
+         .alias("recall_at_k"),
+        F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0))
+         .alias("mrr"),
+        F.when(F.col("n_rel_total") == 0, F.lit(0.0))
+         .otherwise(F.round(F.col("dcg") / F.col("idcg"), 6))
+         .alias("ndcg_at_k"))
+
+
+_RETRIEVAL_QUALITY_SQL = f"""
+WITH ranked AS ({_COSINE_SQL.strip()}
+), ql AS (
+  SELECT vec_id AS query_id, label AS query_label FROM embeddings
+), nl AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label FROM embeddings
+), hits AS (
+  SELECT r.query_id, ql.query_label, r.rank,
+         CASE WHEN nl.neighbor_label = ql.query_label
+              THEN 1 ELSE 0 END AS rel
+  FROM ranked r JOIN ql USING (query_id) JOIN nl USING (neighbor_id)
+), pool AS (
+  SELECT label, count(*) AS n_rel_total FROM embeddings
+  WHERE vec_id NOT IN ({', '.join(map(str, _QUERY_IDS))})
+  GROUP BY label
+), per_q AS (
+  SELECT query_id, query_label,
+         CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+         list(rel ORDER BY rank) AS rels
+  FROM hits GROUP BY query_id, query_label
+), scored AS (
+  SELECT per_q.*,
+         coalesce(pool.n_rel_total, 0) AS n_rel_total,
+         least({_TOPK}, coalesce(pool.n_rel_total, 0)) AS ideal_n,
+         list_reduce(list_transform(rels, (x, i) ->
+             CAST(x AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0)),
+           (a, b) -> a + b) AS dcg
+  FROM per_q LEFT JOIN pool ON per_q.query_label = pool.label
+)
+SELECT query_id, query_label, n_rel_at_k, n_rel_total,
+       CAST(n_rel_at_k AS DOUBLE) / {float(_TOPK)} AS precision_at_k,
+       CASE WHEN n_rel_total = 0 THEN 0.0
+            ELSE CAST(n_rel_at_k AS DOUBLE) / n_rel_total
+       END AS recall_at_k,
+       coalesce(CAST(1 AS DOUBLE) / first_rel_rank, CAST(0 AS DOUBLE))
+         AS mrr,
+       CASE WHEN n_rel_total = 0 THEN 0.0
+            ELSE round(dcg / list_reduce(
+                   list_transform(generate_series(1, greatest(ideal_n, 1)),
+                     i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0)),
+                   (a, b) -> a + b), 6)
+       END AS ndcg_at_k
+FROM scored
+"""
+
+
+QUERIES.update({
+    "hard_negative_mining": Q(hard_negative_mining, _HARD_NEG_SQL),
+    "retrieval_quality_report": Q(retrieval_quality_report,
+                                  _RETRIEVAL_QUALITY_SQL),
+})

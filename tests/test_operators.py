@@ -1863,3 +1863,51 @@ def test_minhash_probe_id_collision_prefers_delta(spark, tmp_path):
     # B vs B+' share all but the boundary shingles -> jaccard well
     # above the threshold; A vs B' would share zero shingles
     assert got[(1, 900001)] >= 0.5
+
+
+def test_hard_negative_contract(spark):
+    """Hard negatives must (a) never share the anchor's label, (b)
+    never enter the near-dup band, (c) be the TOP different-label
+    survivors — i.e. match a reference filter of the brute-force
+    ranking recomputed at k=corpus."""
+    e = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    negs = similarity.hard_negative_topk(e, qids, k=5,
+                                         dup_threshold=0.95).collect()
+    assert len(negs) == 5 * len(qids)
+    for r in negs:
+        assert r["neighbor_label"] != r["anchor_label"]
+        assert r["cosine"] < 0.95
+    # reference: full ranking filtered the same way, top-5 per anchor
+    labels = {r["vec_id"]: r["label"]
+              for r in e.select("vec_id", "label").collect()}
+    n = e.count()
+    full = similarity.cosine_topk(e, qids, k=n).collect()
+    expected = {}
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        ql, nl = labels[r["query_id"]], labels[r["neighbor_id"]]
+        if nl == ql or r["cosine"] >= 0.95:
+            continue
+        expected.setdefault(r["query_id"], [])
+        if len(expected[r["query_id"]]) < 5:
+            expected[r["query_id"]].append(r["neighbor_id"])
+    got = {}
+    for r in sorted(negs, key=lambda r: (r["anchor_id"], r["rank"])):
+        got.setdefault(r["anchor_id"], []).append(r["neighbor_id"])
+    assert got == expected
+
+
+def test_retrieval_quality_metric_bounds(spark):
+    """precision/recall/MRR/NDCG all in [0,1]; precision consistent
+    with n_rel_at_k; MRR=0 iff no relevant hit in the top-k."""
+    from stockanalyses_downloader_spark.queries.similarity_queries import (
+        retrieval_quality_report)
+    rows = retrieval_quality_report(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        for m in ("precision_at_k", "recall_at_k", "mrr", "ndcg_at_k"):
+            assert 0.0 <= r[m] <= 1.0, (m, r)
+        assert r["precision_at_k"] == r["n_rel_at_k"] / 10.0
+        assert (r["mrr"] == 0.0) == (r["n_rel_at_k"] == 0)
+        if r["n_rel_at_k"] == 10 and r["n_rel_total"] >= 10:
+            assert r["ndcg_at_k"] == 1.0  # perfect prefix
