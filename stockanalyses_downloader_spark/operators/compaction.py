@@ -1,0 +1,189 @@
+"""Small-file compaction for parquet table directories.
+
+At 100 TB the dominant table-health problem isn't query shape, it's
+LAYOUT: streaming sinks (streaming/sinks.py), incremental appends
+(similarity.append_to_ivf_index, ivm refreshes), and per-micro-batch
+writes leave thousands of KB-sized files per table, and scan cost
+becomes file-open-bound (a footer read + seek per file, a task per
+file) instead of byte-bound. The fix every lakehouse runs (Delta
+OPTIMIZE, Iceberg rewrite_data_files) is bin-packing compaction:
+list the data files, first-fit them in path order into target-size
+bins, rewrite each multi-file bin as one file, and swap the directory
+atomically so readers never observe a half-compacted table.
+
+Scale notes:
+- The LISTING and the PLAN are metadata-plane: 100 TB at a 128 MB
+  target is ~800k (path, bytes) rows — driver-sized by construction,
+  which is exactly where Delta/Iceberg plan their bins too. The data
+  itself never moves through the driver.
+- Each bin's REWRITE is a distributed job (scan the bin's files,
+  write one output); bins are independent, so a cluster runs them
+  from a thread pool (``parallelism``). Path-ordered packing
+  preserves the rough temporal/clustering order streaming appends
+  already have, so min/max pruning keeps working after compaction.
+- Crash safety is the repo's temp+rename protocol (forget.py,
+  ivm.py): all output lands in ``<path>.__tmp-<token>``, the swap is
+  two renames, and ``sweep_crash_artifacts`` restores a table whose
+  only copy is stranded in ``__old-*`` by a crash mid-swap.
+
+The reference has no table-maintenance surface (it appends rows to a
+DB, main.py:436-470); this operator exists for the 100 TB mandate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class CompactionBin:
+    bin_id: int
+    files: tuple[str, ...]
+    total_bytes: int
+
+
+def list_data_files(path: str) -> list[tuple[str, int]]:
+    """Path-sorted (file, bytes) inventory of a table directory.
+
+    Hidden/metadata entries (``_SUCCESS``, ``.crc``, ``__tmp-*``
+    staging) are skipped, matching what a parquet scan would read. On
+    a real cluster this listing goes through the Hadoop FileSystem
+    API against S3/HDFS; the local walk keeps the same contract
+    (recursive, data files only, deterministic order)."""
+    out: list[tuple[str, int]] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = sorted(d for d in dirs
+                         if not d.startswith((".", "_")))
+        for f in sorted(files):
+            if f.startswith((".", "_")) or not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            out.append((full, os.path.getsize(full)))
+    return sorted(out)
+
+
+def compaction_plan(files: list[tuple[str, int]],
+                    target_bytes: int) -> list[CompactionBin]:
+    """First-fit bin packing in path order: a file starts a new bin
+    when adding it would push the current bin past ``target_bytes``
+    (a bin always accepts at least one file, so an oversized file
+    gets a bin of its own and is never split). Deterministic for a
+    given listing."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    bins: list[CompactionBin] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f, sz in files:
+        if cur and cur_bytes + sz > target_bytes:
+            bins.append(CompactionBin(len(bins), tuple(cur), cur_bytes))
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += sz
+    if cur:
+        bins.append(CompactionBin(len(bins), tuple(cur), cur_bytes))
+    return bins
+
+
+def sweep_crash_artifacts(path: str) -> None:
+    """Recover from a compaction (or any swap-protocol) crash: if the
+    table path is missing and an ``__old-*`` backup exists, restore
+    the backup — never delete the only surviving copy. Stale
+    ``__tmp-*``/``__old-*`` dirs are garbage-collected only when the
+    table path exists (same contract as forget.execute_forget's
+    sweep)."""
+    base = path.rstrip("/")
+    parent, name = os.path.dirname(base), os.path.basename(base)
+    if not os.path.isdir(parent or "."):
+        return
+    entries = [e for e in os.listdir(parent or ".")
+               if e.startswith((f"{name}.__tmp-", f"{name}.__old-"))]
+    if not os.path.exists(base):
+        olds = sorted(e for e in entries
+                      if e.startswith(f"{name}.__old-"))
+        if olds:
+            os.rename(os.path.join(parent, olds[0]), base)
+            entries.remove(olds[0])
+        else:
+            # no backup: leave __tmp-* alone (may be a complete copy)
+            return
+    for entry in entries:
+        shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_bytes: int = 128 * 1024 * 1024,
+                    parallelism: int = 4) -> dict[str, int]:
+    """Compact a parquet directory to ~``target_bytes`` files.
+
+    Single-file bins are NOT rewritten (their bytes are already
+    right-sized; rewriting them would be wasted IO — Delta OPTIMIZE
+    skips them the same way); they are carried into the new directory
+    by copy so the swap stays atomic. Multi-file bins are each read
+    and written as one output file by a distributed job; bins run
+    concurrently from a thread pool (each submits its own Spark job —
+    the cluster interleaves their tasks).
+
+    Returns {"files_before", "files_after", "bins_rewritten",
+    "bytes_total"}. Idempotent: re-running on a compacted table finds
+    only single-file bins and rewrites nothing."""
+    sweep_crash_artifacts(path)
+    base = path.rstrip("/")
+    files = list_data_files(base)
+    if not files:
+        raise ValueError(f"no parquet data files under {path}")
+    # Bin WITHIN each leaf directory: hive partition dirs (lang=en/)
+    # encode column values in their names, so a rewrite must never
+    # move a row across leaf dirs — same rule as Delta OPTIMIZE's
+    # per-partition bins. The relative leaf path is recreated in tmp.
+    by_dir: dict[str, list[tuple[str, int]]] = {}
+    for f, sz in files:
+        rel = os.path.relpath(os.path.dirname(f), base)
+        by_dir.setdefault(rel, []).append((f, sz))
+    bins: list[tuple[str, CompactionBin]] = []
+    for rel in sorted(by_dir):
+        for b in compaction_plan(by_dir[rel], target_bytes):
+            bins.append((rel, CompactionBin(len(bins), b.files,
+                                            b.total_bytes)))
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{base}.__tmp-{token}"
+    os.makedirs(tmp)
+
+    def run_bin(rel: str, b: CompactionBin) -> None:
+        dest_dir = tmp if rel == "." else os.path.join(tmp, rel)
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, f"compacted-{b.bin_id:05d}.parquet")
+        if len(b.files) == 1:
+            shutil.copy2(b.files[0], dest)
+            return
+        stage = os.path.join(tmp, f"__stage-{b.bin_id:05d}")
+        (spark.read.parquet(*b.files)
+         .coalesce(1)
+         .write.mode("overwrite").parquet(stage))
+        parts = sorted(f for f in os.listdir(stage)
+                       if f.endswith(".parquet"))
+        assert len(parts) == 1, parts
+        os.rename(os.path.join(stage, parts[0]), dest)
+        shutil.rmtree(stage)
+
+    rewritten = sum(1 for _, b in bins if len(b.files) > 1)
+    with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+        # .result() re-raises the first failure: the swap below only
+        # runs if every bin landed, so a failed rewrite leaves the
+        # original table untouched (tmp is swept on the next run)
+        for fut in [pool.submit(run_bin, rel, b) for rel, b in bins]:
+            fut.result()
+
+    old_dir = f"{base}.__old-{token}"
+    os.rename(base, old_dir)
+    os.rename(tmp, base)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return {"files_before": len(files), "files_after": len(bins),
+            "bins_rewritten": rewritten,
+            "bytes_total": sum(sz for _, sz in files)}

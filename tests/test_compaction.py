@@ -1,0 +1,120 @@
+"""Small-file compaction: bin planning, data fidelity, hive-partition
+preservation, idempotence, and swap-protocol crash recovery."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from stockanalyses_downloader_spark.operators import compaction
+
+
+def _write_small_files(spark, path, n_rows=2000, n_files=20):
+    (spark.range(n_rows)
+     .select(F.col("id"),
+             (F.col("id") % 7).alias("k"),
+             F.md5(F.col("id").cast("string")).alias("payload"))
+     .repartition(n_files)
+     .write.mode("overwrite").parquet(path))
+
+
+def _rows(spark, path):
+    return sorted(tuple(r) for r in
+                  spark.read.parquet(path).collect())
+
+
+def test_compaction_plan_first_fit_properties():
+    files = [("a", 60), ("b", 50), ("c", 10), ("d", 300), ("e", 5)]
+    bins = compaction.compaction_plan(files, target_bytes=100)
+    # order preserved, no file split, totals preserved
+    flat = [f for b in bins for f in b.files]
+    assert flat == ["a", "b", "c", "d", "e"]
+    assert sum(b.total_bytes for b in bins) == 425
+    # oversized file gets its own bin rather than splitting
+    assert any(b.files == ("d",) for b in bins)
+    # a bin never exceeds target unless it is a single oversized file
+    for b in bins:
+        assert b.total_bytes <= 100 or len(b.files) == 1
+    assert [b.bin_id for b in bins] == list(range(len(bins)))
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_small_files(spark, path)
+    before = _rows(spark, path)
+    n_before = len(compaction.list_data_files(path))
+    assert n_before >= 10
+    stats = compaction.compact_parquet(spark, path,
+                                       target_bytes=64 * 1024 * 1024)
+    assert _rows(spark, path) == before
+    n_after = len(compaction.list_data_files(path))
+    assert n_after == stats["files_after"] < n_before
+    assert stats["files_before"] == n_before
+    assert stats["bins_rewritten"] >= 1
+    # idempotent: a compacted table has only single-file bins
+    stats2 = compaction.compact_parquet(spark, path,
+                                        target_bytes=64 * 1024 * 1024)
+    assert stats2["bins_rewritten"] == 0
+    assert _rows(spark, path) == before
+
+
+def test_compact_preserves_hive_partitions(spark, tmp_path):
+    path = str(tmp_path / "p")
+    (spark.range(600)
+     .select(F.col("id"),
+             F.when(F.col("id") % 3 == 0, "en")
+              .when(F.col("id") % 3 == 1, "de")
+              .otherwise("fr").alias("lang"))
+     .repartition(8)
+     .write.mode("overwrite").partitionBy("lang").parquet(path))
+    before = _rows(spark, path)
+    compaction.compact_parquet(spark, path, target_bytes=64 * 1024 * 1024)
+    after_df = spark.read.parquet(path)
+    assert "lang" in after_df.columns  # partition column survived
+    assert _rows(spark, path) == before
+    # each partition dir compacted within itself
+    for lang in ("en", "de", "fr"):
+        leaf = os.path.join(path, f"lang={lang}")
+        assert os.path.isdir(leaf)
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) == 1
+
+
+def test_sweep_restores_backup_after_mid_swap_crash(spark, tmp_path):
+    path = str(tmp_path / "c")
+    _write_small_files(spark, path, n_rows=500, n_files=4)
+    before = _rows(spark, path)
+    # simulate a crash between rename(path, old) and rename(tmp, path):
+    # the only copy lives in __old-*, an incomplete tmp sits beside it
+    os.rename(path, path + ".__old-deadbeef")
+    os.makedirs(path + ".__tmp-deadbeef")
+    compaction.sweep_crash_artifacts(path)
+    assert os.path.isdir(path)
+    assert not os.path.exists(path + ".__old-deadbeef")
+    assert _rows(spark, path) == before
+
+
+def test_stale_tmp_swept_when_table_exists(spark, tmp_path):
+    path = str(tmp_path / "s")
+    _write_small_files(spark, path, n_rows=500, n_files=6)
+    before = _rows(spark, path)
+    stale = path + ".__tmp-cafe0000"
+    os.makedirs(stale)
+    stats = compaction.compact_parquet(spark, path,
+                                       target_bytes=64 * 1024 * 1024)
+    assert not os.path.exists(stale)
+    assert stats["files_after"] < 6
+    assert _rows(spark, path) == before
+
+
+def test_tmp_left_alone_when_table_missing_and_no_backup(tmp_path):
+    path = str(tmp_path / "m")
+    orphan = path + ".__tmp-12345678"
+    os.makedirs(orphan)
+    compaction.sweep_crash_artifacts(path)
+    # a tmp dir may be a complete salvageable copy: never deleted
+    # when the table itself is gone and no __old backup exists
+    assert os.path.isdir(orphan)
+    shutil.rmtree(orphan)
