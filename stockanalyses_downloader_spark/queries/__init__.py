@@ -745,6 +745,12 @@ _TAIL = [
                                     # algebra, three-estimate
                                     # composition hash-oracled;
                                     # DuckDB-oracled; new r7
+    "source_mixture_schedule",      # token-budget epoch schedule per
+                                    # source (sqrt-temperature target,
+                                    # 4-epoch upsampling cap); the one
+                                    # order-sensitive sum folds a
+                                    # source-ordered list in both
+                                    # engines; DuckDB-oracled; new r7
     "hard_negative_mining",         # contrastive hard negatives:
                                     # different-label top-k with the
                                     # near-dup band excluded;

@@ -2855,3 +2855,82 @@ GROUP BY ex.doc_id
 QUERIES.update({
     "doc_kn_perplexity": Q(doc_kn_perplexity, _KN_PERPLEXITY_SQL),
 })
+
+
+def source_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch schedule per source (r7): the data-scheduling
+    step a pretraining run publishes in its datacard — given the
+    per-source token counts, a sqrt-temperature target mixture, and a
+    token budget of 2x the corpus, how many EPOCHS of each source the
+    run consumes, with upsampling capped at 4 epochs (the standard
+    repetition guard). Complements lang_temperature_mixture (which
+    SUBSAMPLES docs to the target); this computes the repeat factors a
+    sampler feeds from, without touching the data.
+
+    Cross-engine determinism: sqrt is correctly rounded (IEEE), token
+    totals are exact BIGINTs, and the one order-sensitive reduction —
+    the weight normalizer summed over sources — folds a
+    source-ORDERED list sequentially in both engines (model-sized: a
+    corpus has dozens of sources, not millions), so every double in
+    the output is bit-identical and the driver hash certifies the
+    schedule itself."""
+    d = _docs(spark, sf_dir)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_src = (d.groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(toks).alias("n_tokens"))
+               .withColumn("sq", F.sqrt(F.col("n_tokens"))))
+    norm = (per_src
+            .agg(F.array_sort(F.collect_list(F.struct("source", "sq")))
+                 .alias("rows"))
+            .select(F.aggregate("rows", F.lit(0.0),
+                                lambda acc, r: acc + r["sq"]).alias("z"),
+                    F.lit(1).alias("__one")))
+    total = (per_src.agg(F.sum("n_tokens").alias("corpus_tokens"))
+             .withColumn("__one", F.lit(1)))
+    out = (per_src.withColumn("__one", F.lit(1))
+           .join(F.broadcast(norm), "__one")
+           .join(F.broadcast(total), "__one")
+           .withColumn("weight", F.col("sq") / F.col("z"))
+           .withColumn("budget_tokens", 2 * F.col("corpus_tokens"))
+           .withColumn("target_tokens",
+                       F.col("weight") * F.col("budget_tokens"))
+           .withColumn("epochs_uncapped",
+                       F.col("target_tokens") / F.col("n_tokens"))
+           .withColumn("epochs", F.least("epochs_uncapped", F.lit(4.0)))
+           .withColumn("effective_tokens",
+                       F.col("epochs") * F.col("n_tokens")))
+    return out.select("source", "n_docs", "n_tokens", "weight",
+                      "target_tokens", "epochs", "effective_tokens")
+
+
+_SOURCE_SCHEDULE_SQL = r"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), sq AS (
+  SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS sqv FROM per_src
+), norm AS (
+  SELECT list_reduce(list(sqv ORDER BY source),
+                     (a, b) -> a + b) AS z
+  FROM sq
+), total AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       sqv / z AS weight,
+       (sqv / z) * (2 * corpus_tokens) AS target_tokens,
+       least((sqv / z) * (2 * corpus_tokens) / n_tokens,
+             CAST(4 AS DOUBLE)) AS epochs,
+       least((sqv / z) * (2 * corpus_tokens) / n_tokens,
+             CAST(4 AS DOUBLE)) * n_tokens AS effective_tokens
+FROM sq, norm, total
+"""
+
+
+QUERIES.update({
+    "source_mixture_schedule": Q(source_mixture_schedule,
+                                 _SOURCE_SCHEDULE_SQL),
+})

@@ -362,3 +362,25 @@ def test_passage_dedup_rebuild_semantics(spark):
     assert out[0] == (uniq_a + " " + boiler, 2, 0)
     assert out[1] == (uniq_c, 1, 1)          # boiler gone, order kept
     assert out[2] == ("", 0, 2)              # dup doc: empty, present
+
+
+def test_source_mixture_schedule_invariants(spark, sf_dir):
+    """Weights sum to 1, epochs never exceed the 4-epoch cap, an
+    uncapped source's effective tokens hit its target exactly, and
+    sqrt-temperature flattens the mixture (max/min epoch ratio is
+    sqrt of the token ratio, so smaller sources get MORE epochs)."""
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        source_mixture_schedule)
+    rows = source_mixture_schedule(spark, sf_dir).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert 0.0 < r["epochs"] <= 4.0
+        if r["epochs"] < 4.0:
+            assert abs(r["effective_tokens"] - r["target_tokens"]) < 1e-6
+        assert abs(r["target_tokens"]
+                   - r["weight"] * 2 * total) < 1e-6
+    small = min(rows, key=lambda r: r["n_tokens"])
+    big = max(rows, key=lambda r: r["n_tokens"])
+    if small["n_tokens"] < big["n_tokens"]:
+        assert small["epochs"] >= big["epochs"]
