@@ -267,3 +267,55 @@ def cdc_materialized_view(table_path: str, key: str,
         os.rename(tmp, table_path)
         shutil.rmtree(old, ignore_errors=True)
     return _apply
+
+
+def maintenance_foreach_batch(path: str,
+                              target_bytes: int = 128 * 1024 * 1024,
+                              every_n_batches: int = 10,
+                              min_files: int = 8) -> Callable:
+    """foreachBatch body that appends each micro-batch to a parquet
+    table and periodically compacts it in-line (r7) — the production
+    answer to streaming's small-file problem: a sink appending every
+    30 s creates ~2,880 files/day/partition, and scans go
+    file-open-bound long before they go byte-bound.
+
+    Running compaction INSIDE the callback is deliberate: Structured
+    Streaming serializes foreachBatch invocations, so the rewrite can
+    never race a concurrent append — the isolation the compactor's
+    directory swap requires, for free. Compaction triggers every
+    ``every_n_batches`` batches and only once the table actually has
+    more than ``min_files`` data files (a freshly-compacted or tiny
+    table is skipped, keeping maintenance cost proportional to churn).
+
+    Append is at-least-once on restart (a replayed batch re-appends);
+    compose with dedup_for_effective_exactly_once upstream or a
+    batch-id high-water-mark like jobs_state_writeback when exact
+    replay semantics matter. Compaction itself is replay-safe: it is
+    idempotent and crash-recovers via sweep_crash_artifacts."""
+    from ..operators import compaction
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+        if batch_id > 0 and batch_id % every_n_batches == 0:
+            if len(compaction.list_data_files(path)) > min_files:
+                compaction.compact_parquet(batch_df.sparkSession, path,
+                                           target_bytes)
+    return _apply
+
+
+def parquet_sink_with_maintenance(df: DataFrame, path: str,
+                                  checkpoint: str,
+                                  target_bytes: int = 128 * 1024 * 1024,
+                                  every_n_batches: int = 10,
+                                  min_files: int = 8,
+                                  trigger_available_now: bool = True):
+    """parquet_sink plus in-line periodic compaction (see
+    maintenance_foreach_batch)."""
+    writer = (df.writeStream
+              .foreachBatch(maintenance_foreach_batch(
+                  path, target_bytes, every_n_batches, min_files))
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

@@ -987,3 +987,53 @@ def test_streaming_anomaly_flags_match_batch(spark, tmp_path):
             assert gf == wf
             n_flagged += 1 if wf else 0
     assert n_flagged > 0    # non-vacuous: real anomalies exist
+
+
+def test_parquet_sink_with_maintenance_compacts_inline(spark, tmp_path):
+    """The maintenance sink appends every micro-batch and periodically
+    compacts the table in-line: all rows survive, and the final file
+    count is far below one-file-per-batch because the compactor ran
+    between appends (foreachBatch serialization makes the swap safe)."""
+    from stockanalyses_downloader_spark.operators import compaction
+    from stockanalyses_downloader_spark.streaming import sinks
+
+    src_dir = tmp_path / "src"
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for f in range(9):
+        spark.range(f * 10, f * 10 + 10) \
+            .withColumn("payload", F.md5(F.col("id").cast("string"))) \
+            .coalesce(1).write.mode("append").parquet(str(src_dir))
+
+    stream = (spark.readStream
+              .schema("id long, payload string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src_dir)))
+    q = sinks.parquet_sink_with_maintenance(
+        stream, out, ckpt,
+        target_bytes=64 * 1024 * 1024,
+        every_n_batches=4, min_files=2).start()
+    assert q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert sorted(r["id"] for r in got.collect()) == list(range(90))
+    n_files = len(compaction.list_data_files(out))
+    # 9 appended batches; compaction fired at batch 4 and 8, so the
+    # tail holds: (compacted file) + appends since the last compaction
+    assert n_files <= 3, n_files
+
+
+def test_maintenance_foreach_batch_skips_small_tables(spark, tmp_path):
+    """Below min_files the maintenance callback must not rewrite
+    anything — maintenance cost stays proportional to churn."""
+    from stockanalyses_downloader_spark.operators import compaction
+    from stockanalyses_downloader_spark.streaming import sinks
+
+    out = str(tmp_path / "t")
+    hook = sinks.maintenance_foreach_batch(out, every_n_batches=1,
+                                           min_files=50)
+    for b in range(4):
+        hook(spark.range(b * 5, b * 5 + 5).coalesce(1), b)
+    files = compaction.list_data_files(out)
+    assert len(files) == 4            # nothing was compacted
+    assert all("compacted-" not in f for f, _ in files)
