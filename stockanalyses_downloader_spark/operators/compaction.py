@@ -28,6 +28,16 @@ Scale notes:
 
 The reference has no table-maintenance surface (it appends rows to a
 DB, main.py:436-470); this operator exists for the 100 TB mandate.
+
+Relation to ``sources.bucketing.compact_parquet`` (the older, simpler
+sibling): that one is a one-shot REWRITE — src -> dst copy through a
+full ``repartition(n)`` shuffle that round-robins rows for perfectly
+even output files (and destroys any clustering). This module is the
+MAINTENANCE path: in place, atomic, crash-recoverable, per-partition,
+shuffle-free (only multi-file bins are even read), order-preserving —
+what you run repeatedly against a live table. Use the bucketing one
+when you want a fresh evenly-sized copy (e.g. before publishing a
+snapshot); use this one to keep a growing table healthy.
 """
 
 from __future__ import annotations

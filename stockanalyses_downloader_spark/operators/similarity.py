@@ -113,6 +113,55 @@ def hard_negative_topk(embeddings: DataFrame, anchor_ids: list[int],
                   .filter(F.col("rank") <= k))
 
 
+def hard_negative_topk_ivf(embeddings: DataFrame, anchor_ids: list[int],
+                           k: int = 10, dup_threshold: float = 0.95,
+                           n_centroids: int = 16, n_probe: int = 8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           label_col: str = "label",
+                           centroids: DataFrame | None = None,
+                           probe_oversample: int = 4) -> DataFrame:
+    """The 100 TB path for hard-negative mining: the same IVF
+    partition/probe machinery as ivf_topk (inverted lists on a
+    broadcast centroid set, adaptive probe depth), with the label
+    riding the lists via the ``carry`` seam so the different-label
+    and near-dup-band filters run INSIDE the probed candidate join —
+    per-anchor work is corpus/n_centroids * n_probe, never the full
+    scan the brute variant pays. Same output shape as
+    hard_negative_topk, which remains the recall oracle (floor pinned
+    in tests)."""
+    e = embeddings.select(id_col, F.col(label_col).alias("__lbl"),
+                          as_double(F.col(vec_col)).alias("v"))
+    e = tracked_persist(e.withColumn("norm", l2_norm(F.col("v"))))
+    if centroids is None:
+        cent = _sampled_centroids(e, n_centroids, id_col)
+    else:
+        cent = centroids.select("centroid_id", "cv", "cnorm")
+    lists, probes = _ivf_lists_probes(
+        e, cent, anchor_ids, k, n_probe, probe_oversample, id_col,
+        ["__lbl"])
+    q = probes.select(F.col(id_col).alias("anchor_id"),
+                      F.col("__lbl").alias("anchor_label"),
+                      F.col("v").alias("av"),
+                      F.col("norm").alias("anorm"), "list_id")
+    c = lists.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("__lbl").alias("neighbor_label"),
+                     F.col("v").alias("cv2"),
+                     F.col("norm").alias("cnorm2"), "list_id")
+    scored = (c.join(q, "list_id")
+              .filter(F.col("neighbor_label") != F.col("anchor_label"))
+              .select("anchor_id", "anchor_label",
+                      "neighbor_id", "neighbor_label",
+                      (dot(F.col("av"), F.col("cv2"))
+                       / (F.col("anorm") * F.col("cnorm2"))).alias("cosine"))
+              .filter(F.col("cosine") < dup_threshold)
+              .dropDuplicates(["anchor_id", "neighbor_id"]))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:

@@ -252,15 +252,28 @@ _WINDOW = [
                                 # oracled + pytest-pinned; the
                                 # sampling family gains stratified_
                                 # docs_by_lang this round)
-    "substring_dup_fraction",   # content-defined-anchor substring-dup
-                                # signal (r5 rotation in — VERDICT r4
-                                # #1/#2; shift-resilient as of r5)
-    "pii_redaction_report",     # PII detect+redact, md5-pinned scrubbed
-                                # text (r5 rotation in — VERDICT r4 #1)
+    "hard_negative_mining",     # contrastive hard negatives — new r7,
+                                # never driver-certified (r7c rotation
+                                # in; took substring_dup_fraction's
+                                # slot: certified r5+r6, dedup family
+                                # keeps minhash_near_dups and
+                                # near_dup_components in-window)
+    "retrieval_quality_report", # precision/recall/MRR/NDCG@k vs label
+                                # ground truth — new r7, never driver-
+                                # certified (r7c rotation in; took
+                                # embedding_covariance's slot:
+                                # certified r5+r6, embedding family
+                                # keeps cosine_topk_bruteforce and
+                                # semantic_dedup_keepers in-window)
     "ingest_dead_letter_rates", # malformed-rate by source over the real
                                 # line-ingest machinery (r5 rotation in)
-    "embedding_covariance",     # PCA fit pass, decimal-stable moments
-                                # (r5 rotation in — VERDICT r4 #1)
+    "source_mixture_schedule",  # token-budget epoch schedule per
+                                # source — new r7, never driver-
+                                # certified (r7c rotation in; took
+                                # pii_redaction_report's slot:
+                                # certified r5+r6, text family keeps
+                                # corpus_curation_decisions and
+                                # doc_quality_logits in-window)
     # relational surface — one representative per operator class
     "regional_revenue",         # 6-way inner join (Q5) — also the
                                 # window's groupBy-agg rep since
@@ -745,21 +758,14 @@ _TAIL = [
                                     # algebra, three-estimate
                                     # composition hash-oracled;
                                     # DuckDB-oracled; new r7
-    "source_mixture_schedule",      # token-budget epoch schedule per
-                                    # source (sqrt-temperature target,
-                                    # 4-epoch upsampling cap); the one
-                                    # order-sensitive sum folds a
-                                    # source-ordered list in both
-                                    # engines; DuckDB-oracled; new r7
-    "hard_negative_mining",         # contrastive hard negatives:
-                                    # different-label top-k with the
-                                    # near-dup band excluded;
-                                    # DuckDB-oracled; new r7
-    "retrieval_quality_report",     # precision/recall/MRR/NDCG@k of
-                                    # the embedding space vs label
-                                    # ground truth (rank-ordered
-                                    # sequential DCG fold both
-                                    # engines); DuckDB-oracled; new r7
+    # r7c window yields — each driver-certified r5 AND r6; slots went
+    # to the three new never-certified r7 queries (see _WINDOW notes)
+    "substring_dup_fraction",       # content-defined-anchor substring
+                                    # dup signal — hash-green r5+r6
+    "pii_redaction_report",         # PII detect+redact — hash-green
+                                    # r5+r6
+    "embedding_covariance",         # PCA fit pass, decimal-stable
+                                    # moments — hash-green r5+r6
     "important_part_stock",         # Q11 HAVING-vs-global-scalar
                                     # shape (broadcast 1-row total,
                                     # exact DECIMAL threshold);

@@ -111,6 +111,11 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     bucketed/partitioned layout instead is `write_bucketed` /
     `write_partitioned` composed with this read.
 
+    For IN-PLACE maintenance of a live table (atomic swap, crash
+    recovery, per-hive-partition bins, no shuffle, clustering
+    preserved) use ``operators.compaction.compact_parquet`` — this
+    one is the publish-a-fresh-evenly-sized-copy tool.
+
     Returns the number of output files requested."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()

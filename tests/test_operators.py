@@ -1911,3 +1911,25 @@ def test_retrieval_quality_metric_bounds(spark):
         assert (r["mrr"] == 0.0) == (r["n_rel_at_k"] == 0)
         if r["n_rel_at_k"] == 10 and r["n_rel_total"] >= 10:
             assert r["ndcg_at_k"] == 1.0  # perfect prefix
+
+
+def test_hard_negative_ivf_recall_and_contract(spark):
+    """The IVF-probed hard-negative path must keep the brute
+    variant's filter contract (different label, below the dup band)
+    and recover a healthy fraction of the true hard negatives with
+    untrained sampled centroids at n_probe=8/16 — the same regime as
+    test_ivf_recall_vs_bruteforce."""
+    e = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["anchor_id"], r["neighbor_id"])
+             for r in similarity.hard_negative_topk(
+                 e, qids, k=10, dup_threshold=0.95).collect()}
+    approx_rows = similarity.hard_negative_topk_ivf(
+        e, qids, k=10, dup_threshold=0.95,
+        n_centroids=16, n_probe=8).collect()
+    for r in approx_rows:
+        assert r["neighbor_label"] != r["anchor_label"]
+        assert r["cosine"] < 0.95
+    approx = {(r["anchor_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF hard-negative recall collapsed: {recall}"
