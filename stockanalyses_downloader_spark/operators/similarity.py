@@ -164,7 +164,8 @@ def hard_negative_topk_ivf(embeddings: DataFrame, anchor_ids: list[int],
 
 def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     portable: bool = False) -> DataFrame:
     """Lloyd's k-means, DataFrame-native: cosine assignment against
     broadcast centroids (one scan per iteration), centroid update as
     an element-wise mean via posexplode + DECIMAL accumulation
@@ -179,9 +180,18 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
     e = tracked_persist(e.withColumn("norm", l2_norm(F.col("v"))))
     # init selection is a distributed TakeOrdered (orderBy+limit);
     # the partition-less numbering window then runs over the k-row
-    # result only — never the full corpus
-    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-    cent = (e.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)).limit(k)
+    # result only — never the full corpus. portable=True draws the
+    # init ordering from the md5-prefix family so a DuckDB oracle can
+    # replay the whole training loop (every later step — assignment
+    # rank, DECIMAL-exact means — is already engine-portable);
+    # xxhash64 stays the production default.
+    if portable:
+        from .sampling import hash_key
+        order_expr = hash_key(F.col(id_col))
+    else:
+        order_expr = F.xxhash64(F.col(id_col))
+    w = Window.orderBy(order_expr, F.col(id_col))
+    cent = (e.orderBy(order_expr, F.col(id_col)).limit(k)
             .withColumn("__r", F.row_number().over(w))
             .select((F.col("__r") - 1).cast("int").alias("centroid_id"),
                     F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
@@ -269,12 +279,21 @@ def _ivf_lists_probes(e: DataFrame, cent: DataFrame, query_ids: list[int],
     return lists, probes
 
 
-def _sampled_centroids(e: DataFrame, n_centroids: int,
-                       id_col: str) -> DataFrame:
+def _sampled_centroids(e: DataFrame, n_centroids: int, id_col: str,
+                       portable: bool = False) -> DataFrame:
     """Deterministic pseudo-random corpus sample as centroids — a
     distributed TakeOrdered on a hash of the id; LAZY (no action at
-    construction, pinned by the no-job test)."""
-    return (e.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    construction, pinned by the no-job test). ``portable=True`` draws
+    the ordering from the md5-prefix family (sampling.hash_key) so a
+    DuckDB oracle can recompute the exact same sample — the same
+    oracle-mode/production-mode split as the MinHash/sign-LSH/SimHash
+    tiers (xxhash64 stays the default)."""
+    if portable:
+        from .sampling import hash_key
+        order = hash_key(F.col(id_col))
+    else:
+        order = F.xxhash64(F.col(id_col))
+    return (e.orderBy(order, F.col(id_col))
             .limit(n_centroids)
             .select(F.col(id_col).alias("centroid_id"),
                     F.col("v").alias("cv"), F.col("norm").alias("cnorm")))
@@ -284,7 +303,8 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
              n_centroids: int = 16, n_probe: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              centroids: DataFrame | None = None,
-             probe_oversample: int = 4) -> DataFrame:
+             probe_oversample: int = 4,
+             portable: bool = False) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
     lists by nearest centroid, probe only the lists nearest each
     query, exact-rerank inside them.
@@ -323,7 +343,7 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     # kmeans_centroids) for the trained variant; assignment/probe/
     # rerank are identical either way.
     if centroids is None:
-        cent = _sampled_centroids(e, n_centroids, id_col)
+        cent = _sampled_centroids(e, n_centroids, id_col, portable)
     else:
         cent = centroids.select("centroid_id", "cv", "cnorm")
 
@@ -554,7 +574,8 @@ def ivf_topk_quantized(embeddings: DataFrame, query_ids: list[int],
                        n_probe: int = 8, oversample: int = 3,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       probe_oversample: int = 4) -> DataFrame:
+                       probe_oversample: int = 4,
+                       portable: bool = False) -> DataFrame:
     """IVF with int8-quantized list storage: candidates inside the
     probed lists are first scored against the query on their
     RECONSTRUCTED (dequantized) vectors — the representation the
@@ -573,7 +594,7 @@ def ivf_topk_quantized(embeddings: DataFrame, query_ids: list[int],
          .withColumn("norm", l2_norm(F.col("v")))
          .withColumn("rnorm", l2_norm(F.col("recon"))))
 
-    cent = _sampled_centroids(e, n_centroids, id_col)
+    cent = _sampled_centroids(e, n_centroids, id_col, portable)
 
     # same adaptive probe-depth rule as ivf_topk (see
     # _ivf_lists_probes): n_probe is a floor, widened in-plan until

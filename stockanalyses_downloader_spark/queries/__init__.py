@@ -168,9 +168,10 @@ _WINDOW = [
     "ivf_topk_trained",         # the production IVF shape (kmeans
                                 # centroids, recall ≥ 0.7 pinned);
                                 # r4 rotation — took ivf_topk_approx's
-                                # slot (untrained sample centroids are
-                                # the fallback, not the shape to
-                                # certify)
+                                # slot; fully DuckDB-oracled since r7c
+                                # (portable md5 init + unrolled Lloyd
+                                # CTEs) — the window's last rows-only
+                                # row is gone
     "semantic_dedup_keepers",   # SemDeDup capstone (r4 rotation in —
                                 # VERDICT r3 #3)
     "corpus_datacard",          # release-report rollup (r4 rotation
@@ -395,12 +396,13 @@ _TAIL = [
                                     # corpus_datacard (which itself
                                     # counts distinct fingerprints
                                     # per group)
-    "ivf_topk_approx",              # rows-only; untrained-sample-
-                                    # centroid IVF — slot yielded (r4)
-                                    # to ivf_topk_trained, the
-                                    # production shape; adaptive probe
-                                    # depth still recall-pinned in
-                                    # pytest
+    "ivf_topk_approx",              # untrained-sample-centroid IVF —
+                                    # slot yielded (r4) to
+                                    # ivf_topk_trained; fully DuckDB-
+                                    # oracled since r7c (portable md5
+                                    # sample; sample/assign/probe/
+                                    # rerank all hash-match); adaptive
+                                    # probe depth still recall-pinned
     "doc_quality_scores",           # per-row quality signals — fully
                                     # recomputed inside corpus_
                                     # curation_decisions (in-window);
@@ -466,9 +468,11 @@ _TAIL = [
                                     # of near_dup_components (which
                                     # holds the driver slot); same
                                     # recursive-CTE oracle in pytest
-    "ivf_topk_quantized",           # rows-only; int8-list IVF with
-                                    # exact-rerank shortlist — recall
-                                    # pinned in pytest
+    "ivf_topk_quantized",           # int8-list IVF with exact-rerank
+                                    # shortlist — fully DuckDB-oracled
+                                    # since r7c (calibrate/quantize/
+                                    # probe/shortlist/rerank all
+                                    # hash-match); recall pinned
     "ivf_topk_pq",                  # rows-only; IVF-PQ: product-
                                     # quantized lists + ADC LUT
                                     # scoring + exact rerank (new r5);

@@ -168,18 +168,203 @@ FROM ranked WHERE rank <= {_TOPK}
 
 
 def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (rows-only; recall vs brute force in tests)."""
+    """IVF-bucketed ANN, fully DuckDB-oracled since r7c: the portable
+    mode draws the sampled centroids from the md5-prefix ordering
+    (sampling.hash_key) instead of xxhash64 — the ONLY engine-bound
+    step in the untrained tier — after which every stage is exact
+    dyadic arithmetic both engines reproduce bit-for-bit: sequential-
+    fold cosines, tie-broken assignment ranks, the inverted lists,
+    the list-size cumulative-coverage probe rule (r <= n_probe OR
+    probed candidates < k*oversample), and the exact rerank. The
+    oracle recomputes the WHOLE pipeline — sample, assign, probe,
+    rerank — so the driver hash certifies the IVF machinery itself,
+    not just its output shape. Library default stays xxhash64
+    (production mode); recall vs brute force stays pinned in tests."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(e, _QUERY_IDS, k=_TOPK)
+    return similarity.ivf_topk(e, _QUERY_IDS, k=_TOPK, portable=True)
+
+
+def _ivf_topk_sql(n_centroids: int = 16, n_probe: int = 8,
+                  k: int = 10, probe_oversample: int = 4) -> str:
+    """DuckDB twin of the portable untrained-IVF pipeline. Mirrors
+    _sampled_centroids (md5-prefix TakeOrdered), _ivf_lists_probes
+    (argmin assignment, adaptive probe depth over the lists' own
+    sizes), and ivf_topk's exact rerank."""
+    qids = ", ".join(map(str, _QUERY_IDS))
+    dotp = ("list_reduce(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            "(x, y) -> x + y)")
+    return f"""
+WITH ev AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS norm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
+  FROM ev
+  ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || ''), 1, 8), vec_id
+  LIMIT {n_centroids}
+), assigned AS (
+  SELECT ev.vec_id, ev.v, ev.norm, cent.centroid_id,
+         {dotp.format(a='ev.v', b='cent.cv')}
+           / (ev.norm * cent.cnorm) AS csim
+  FROM ev, cent
+), lists AS (
+  SELECT vec_id, v, norm, centroid_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, centroid_id) AS r
+    FROM assigned WHERE vec_id NOT IN ({qids})
+  ) WHERE r = 1
+), list_sizes AS (
+  SELECT list_id, count(*) AS lsz FROM lists GROUP BY list_id
+), probe_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY csim DESC, centroid_id) AS r
+  FROM assigned WHERE vec_id IN ({qids})
+), probes AS (
+  SELECT vec_id, v, norm, centroid_id AS list_id FROM (
+    SELECT pr.*,
+           coalesce(sum(coalesce(ls.lsz, 0)) OVER (
+               PARTITION BY pr.vec_id ORDER BY pr.r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cum
+    FROM probe_ranked pr
+    LEFT JOIN list_sizes ls ON pr.centroid_id = ls.list_id
+  ) WHERE r <= {n_probe} OR cum < {k * probe_oversample}
+), rerank AS (
+  SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+         {dotp.format(a='p.v', b='l.v')}
+           / (p.norm * l.norm) AS cosine
+  FROM lists l JOIN probes p USING (list_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rerank
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over int8-quantized inverted lists (approx scoring on
     dequantized codes, exact float rerank of the oversampled
-    shortlist) — the 4x-memory ANN storage shape at 100 TB.
-    Rows-only; recall vs brute force pinned in tests."""
+    shortlist) — the 4x-memory ANN storage shape at 100 TB. Fully
+    DuckDB-oracled since r7c: the portable md5 centroid sample (the
+    only engine-bound step) plus the already-oracled quantization
+    arithmetic (embedding_quantization_error pins codes/recon
+    bit-for-bit, incl. round() parity) make the WHOLE tier —
+    calibrate, quantize, sample, assign, probe, ADC-approximate
+    shortlist, exact rerank — hash-verifiable. Recall vs brute force
+    stays pinned in tests; library default stays xxhash64."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk_quantized(e, _QUERY_IDS, k=_TOPK)
+    return similarity.ivf_topk_quantized(e, _QUERY_IDS, k=_TOPK,
+                                         portable=True)
+
+
+def _ivf_topk_quantized_sql(n_centroids: int = 16, n_probe: int = 8,
+                            k: int = 10, oversample: int = 3,
+                            probe_oversample: int = 4) -> str:
+    """DuckDB twin of the portable quantized-IVF tier: _QUANT_SQL's
+    calibration/code/recon CTEs + _ivf_topk_sql's sample/assign/probe
+    machinery + the dequantized-shortlist-then-exact-rerank tail."""
+    qids = ", ".join(map(str, _QUERY_IDS))
+    dotp = ("list_reduce(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            "(x, y) -> x + y)")
+    return f"""
+WITH ev AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS norm
+  FROM embeddings
+), d AS (
+  SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM ev, generate_series(1, 4096) s(i) WHERE i <= len(v)
+  GROUP BY i
+), r AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS mxs
+  FROM d
+), qz AS (
+  SELECT vec_id, v, norm,
+         list_transform(range(1, len(v) + 1),
+           i -> CASE WHEN mxs[i] = mins[i] THEN 0
+                ELSE CAST(least(greatest(
+                       round((v[i] - mins[i]) / (mxs[i] - mins[i]) * 255),
+                       0.0), 255.0) AS INT) END) AS codes
+  FROM ev, r
+), qr AS (
+  SELECT vec_id, v, norm,
+         list_transform(range(1, len(v) + 1),
+           i -> mins[i] + CAST(codes[i] AS DOUBLE) / 255.0
+                  * (mxs[i] - mins[i])) AS recon
+  FROM qz, r
+), qrn AS (
+  SELECT vec_id, v, norm, recon,
+         sqrt(list_reduce(list_transform(recon, x -> x * x),
+              (a, b) -> a + b)) AS rnorm
+  FROM qr
+), cent AS (
+  SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
+  FROM qrn
+  ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || ''), 1, 8), vec_id
+  LIMIT {n_centroids}
+), assigned AS (
+  SELECT q.vec_id, q.v, q.norm, q.recon, q.rnorm, cent.centroid_id,
+         {dotp.format(a='q.v', b='cent.cv')}
+           / (q.norm * cent.cnorm) AS csim
+  FROM qrn q, cent
+), lists AS (
+  SELECT vec_id, v, norm, recon, rnorm, centroid_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, centroid_id) AS rr
+    FROM assigned WHERE vec_id NOT IN ({qids})
+  ) WHERE rr = 1
+), list_sizes AS (
+  SELECT list_id, count(*) AS lsz FROM lists GROUP BY list_id
+), probe_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY csim DESC, centroid_id) AS rr
+  FROM assigned WHERE vec_id IN ({qids})
+), probes AS (
+  SELECT vec_id, v, norm, centroid_id AS list_id FROM (
+    SELECT pr.*,
+           coalesce(sum(coalesce(ls.lsz, 0)) OVER (
+               PARTITION BY pr.vec_id ORDER BY pr.rr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cum
+    FROM probe_ranked pr
+    LEFT JOIN list_sizes ls ON pr.centroid_id = ls.list_id
+  ) WHERE rr <= {n_probe} OR cum < {k * probe_oversample}
+), approx AS (
+  SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+         p.v AS qv, p.norm AS qnorm, l.v AS xv, l.norm AS xnorm,
+         {dotp.format(a='p.v', b='l.recon')}
+           / (p.norm * l.rnorm) AS approx_cos
+  FROM lists l JOIN probes p USING (list_id)
+), shortlist AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_cos DESC, neighbor_id) AS s
+    FROM approx
+  ) WHERE s <= {k * oversample}
+), exact AS (
+  SELECT query_id, neighbor_id,
+         {dotp.format(a='qv', b='xv')} / (qnorm * xnorm) AS cosine
+  FROM shortlist
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def ivf_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,12 +389,122 @@ def pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with k-means-trained centroids (3 Lloyd iterations) instead
-    of the hash sample — the production IVF shape. Rows-only (the
-    iterative training isn't SQL-expressible); recall vs brute force
-    pinned in tests."""
+    of the hash sample — the production IVF shape. Fully DuckDB-oracled
+    since r7c: the FIXED-ITERATION training loop unrolls as chained
+    CTEs (the supplier_purchase_pagerank recipe), because every step
+    is engine-portable — md5-prefix init ordering (portable mode),
+    tie-broken assignment ranks on sequential-fold cosines, and
+    centroid means accumulated in DECIMAL(30,15) (exact, hence
+    order-independent — the embedding_covariance-proven trick) cast
+    to double only at the end of each mean. The oracle replays init,
+    3 Lloyd rounds (incl. the empty-cluster keep-previous rule), and
+    the probe/rerank serving path, so the driver hash certifies the
+    TRAINED MODEL and its serving together. Library default stays
+    xxhash64; recall vs brute force pinned in tests."""
     e = load_table(spark, sf_dir, "embeddings")
-    cent = similarity.kmeans_centroids(e, k=16, n_iter=3)
+    cent = similarity.kmeans_centroids(e, k=16, n_iter=3, portable=True)
     return similarity.ivf_topk(e, _QUERY_IDS, k=_TOPK, centroids=cent)
+
+
+def _ivf_topk_trained_sql(n_centroids: int = 16, n_iter: int = 3,
+                          n_probe: int = 8, k: int = 10,
+                          probe_oversample: int = 4) -> str:
+    """DuckDB twin of portable kmeans_centroids + ivf_topk serving:
+    init by md5-prefix TakeOrdered, each Lloyd round = assignment
+    (rank-1 per vector) -> DECIMAL-exact elementwise means ->
+    left-join keep-previous for empty clusters; then the standard
+    lists/probes/rerank machinery against the trained centroids."""
+    qids = ", ".join(map(str, _QUERY_IDS))
+    dotp = ("list_reduce(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+            "(x, y) -> x + y)")
+    l2 = ("sqrt(list_reduce(list_transform({v}, x -> x * x), "
+          "(a, b) -> a + b))")
+    parts = [f"""
+WITH ev AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, b) -> a + b)) AS norm
+  FROM embeddings
+), cent0 AS (
+  SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS cv, norm AS cnorm
+  FROM (
+    SELECT v, norm, row_number() OVER (
+        ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || ''), 1, 8),
+                 vec_id) AS rn
+    FROM ev
+  ) WHERE rn <= {n_centroids}
+)"""]
+    for i in range(n_iter):
+        parts.append(f""", s{i} AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         {dotp.format(a='e.v', b='c.cv')} / (e.norm * c.cnorm) AS csim
+  FROM ev e, cent{i} c
+), a{i} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, centroid_id) AS rr
+    FROM s{i}
+  ) WHERE rr = 1
+), m{i} AS (
+  SELECT centroid_id, pos,
+         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE)
+           / count(*) AS c
+  FROM (SELECT centroid_id, unnest(range(len(v))) AS pos,
+               unnest(v) AS x FROM a{i})
+  GROUP BY centroid_id, pos
+), n{i} AS (
+  SELECT centroid_id, list(c ORDER BY pos) AS cv FROM m{i}
+  GROUP BY centroid_id
+), cent{i + 1} AS (
+  SELECT p.centroid_id,
+         coalesce(n.cv, p.cv) AS cv,
+         CASE WHEN n.cv IS NULL THEN p.cnorm
+              ELSE {l2.format(v='n.cv')} END AS cnorm
+  FROM cent{i} p LEFT JOIN n{i} n USING (centroid_id)
+)""")
+    cent = f"cent{n_iter}"
+    parts.append(f""", assigned AS (
+  SELECT ev.vec_id, ev.v, ev.norm, c.centroid_id,
+         {dotp.format(a='ev.v', b='c.cv')} / (ev.norm * c.cnorm) AS csim
+  FROM ev, {cent} c
+), lists AS (
+  SELECT vec_id, v, norm, centroid_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY csim DESC, centroid_id) AS rr
+    FROM assigned WHERE vec_id NOT IN ({qids})
+  ) WHERE rr = 1
+), list_sizes AS (
+  SELECT list_id, count(*) AS lsz FROM lists GROUP BY list_id
+), probe_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY csim DESC, centroid_id) AS rr
+  FROM assigned WHERE vec_id IN ({qids})
+), probes AS (
+  SELECT vec_id, v, norm, centroid_id AS list_id FROM (
+    SELECT pr.*,
+           coalesce(sum(coalesce(ls.lsz, 0)) OVER (
+               PARTITION BY pr.vec_id ORDER BY pr.rr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cum
+    FROM probe_ranked pr
+    LEFT JOIN list_sizes ls ON pr.centroid_id = ls.list_id
+  ) WHERE rr <= {n_probe} OR cum < {k * probe_oversample}
+), rerank AS (
+  SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+         {dotp.format(a='p.v', b='l.v')} / (p.norm * l.norm) AS cosine
+  FROM lists l JOIN probes p USING (list_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rerank
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+""")
+    return "".join(parts)
 
 
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,11 +1228,12 @@ QUERIES: dict[str, Q] = {
     "embedding_exact_dups": Q(embedding_exact_dups, _EMB_DUP_SQL),
     "cosine_topk_bruteforce": Q(cosine_topk_bruteforce, _COSINE_SQL),
     "signlsh_topk_approx": Q(signlsh_topk_approx, _signlsh_topk_sql()),
-    "ivf_topk_approx": Q(ivf_topk_approx, None),
-    "ivf_topk_trained": Q(ivf_topk_trained, None),
+    "ivf_topk_approx": Q(ivf_topk_approx, _ivf_topk_sql()),
+    "ivf_topk_trained": Q(ivf_topk_trained, _ivf_topk_trained_sql()),
     "ivf_topk_pq": Q(ivf_topk_pq, None),
     "pca_ivf_topk": Q(pca_ivf_topk, None),
-    "ivf_topk_quantized": Q(ivf_topk_quantized, None),
+    "ivf_topk_quantized": Q(ivf_topk_quantized,
+                            _ivf_topk_quantized_sql()),
     "embedding_near_dup_pairs": Q(embedding_near_dup_pairs, _EMB_NEAR_SQL),
     "split_semantic_leakage": Q(split_semantic_leakage,
                                 _split_semantic_sql()),
