@@ -619,13 +619,85 @@ FROM idx GROUP BY sym_left, sym_right
 
 def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned tokenizer model: 16 greedy BPE merge rounds over
-    the documents corpus (operators/bpe.learn_bpe_merges). Rows-only
-    for the driver — the greedy iteration isn't SQL-expressible — but
-    round 1 is exactly bpe_pair_counts' argmax (oracled above) and the
-    full sequence is pinned against a pure-Python BPE reference in
-    pytest."""
+    the documents corpus (operators/bpe.learn_bpe_merges). Fully
+    DuckDB-oracled since r7c: BPE training is ALL-INTEGER and
+    tie-pinned (argmax by count desc then lexicographic pair), so the
+    16 fixed rounds unroll as chained CTEs — each round one
+    adjacent-pair count + a LIMIT-1 argmax + a greedy left-to-right
+    list fold (list_reduce with a list accumulator) that replays
+    _merge_once's exact single-pass semantics. The driver hash
+    certifies the TRAINED TOKENIZER itself; the pure-Python parity
+    pin in pytest stays as the third engine."""
     from ..operators import bpe
     return bpe.learn_bpe_merges(_docs(spark, sf_dir), n_merges=16)
+
+
+def _bpe_rounds_cte(n_merges: int = 16) -> str:
+    """Shared CTE chain replaying learn_bpe_merges: vocab0 is the
+    pretoken word-count table with char symbols; round r computes
+    corpus-weighted adjacent-pair counts (p{r}), the tie-pinned argmax
+    (b{r}), and the greedily merged vocab (vocab{r+1}). The fold seeds
+    an empty VARCHAR[] accumulator by prepending it to the
+    singleton-wrapped symbol list (DuckDB list_reduce has no init
+    arg); acc[-1]=left AND x=right replaces the tail with the merged
+    symbol — bit-for-bit _merge_once."""
+    parts = [f"""toks AS (
+  SELECT unnest(regexp_extract_all(text, '{_BPE_RX}')) AS pretoken
+  FROM documents
+), vocab0 AS MATERIALIZED (
+  SELECT pretoken, regexp_extract_all(pretoken, '.') AS syms,
+         CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY pretoken
+)"""]
+    for r in range(n_merges):
+        parts.append(f""", p{r} AS MATERIALIZED (
+  SELECT syms[i] AS sym_left, syms[i + 1] AS sym_right,
+         CAST(SUM(n) AS BIGINT) AS pair_count
+  FROM (SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM vocab{r} WHERE len(syms) >= 2)
+  GROUP BY sym_left, sym_right
+), b{r} AS MATERIALIZED (
+  SELECT sym_left, sym_right, sym_left || sym_right AS merged,
+         pair_count
+  FROM p{r} ORDER BY pair_count DESC, sym_left, sym_right LIMIT 1
+), vocab{r + 1} AS MATERIALIZED (
+  SELECT pretoken,
+         list_reduce(
+           list_concat([CAST([] AS VARCHAR[])],
+                       list_transform(syms, s -> [s])),
+           (acc, x) -> CASE WHEN len(acc) > 0
+                             AND acc[-1] = b.sym_left
+                             AND x[1] = b.sym_right
+                       THEN list_concat(acc[:len(acc) - 1], [b.merged])
+                       ELSE list_concat(acc, x) END) AS syms,
+         n
+  FROM vocab{r}, b{r} b
+)""")
+    return "".join(parts)
+
+
+def _bpe_merge_sequence_sql(n_merges: int = 16) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, sym_left, sym_right,"
+        f" merged, pair_count FROM b{r}"
+        for r in range(n_merges))
+    return f"WITH {_bpe_rounds_cte(n_merges)}\n{rows}"
+
+
+def _bpe_tokenization_sql(n_merges: int = 16) -> str:
+    return f"""WITH {_bpe_rounds_cte(n_merges)}
+, dtoks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_BPE_RX}')) AS pretoken
+  FROM documents
+), per_doc AS (
+  SELECT d.doc_id, CAST(sum(len(v.syms)) AS INT) AS n_bpe_tokens
+  FROM dtoks d JOIN vocab{n_merges} v USING (pretoken)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, coalesce(per_doc.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents LEFT JOIN per_doc USING (doc_id)
+"""
 
 
 # Learned-merge-table memo, keyed by (sf_dir, n_merges). The merge
@@ -1408,8 +1480,9 @@ QUERIES: dict[str, Q] = {
     "token_postings": Q(token_postings, _POSTINGS_SQL),
     "lang_distinct_token_sketch": Q(lang_distinct_token_sketch, None),
     "substring_dup_fraction": Q(substring_dup_fraction, _SUBSTR_DUP_SQL),
-    "bpe_merge_sequence": Q(bpe_merge_sequence, None),
-    "doc_bpe_tokenization": Q(doc_bpe_tokenization, None),
+    "bpe_merge_sequence": Q(bpe_merge_sequence, _bpe_merge_sequence_sql()),
+    "doc_bpe_tokenization": Q(doc_bpe_tokenization,
+                              _bpe_tokenization_sql()),
     "exact_dedup_docs": Q(exact_dedup_docs, _DEDUP_SQL),
     "doc_token_stats": Q(doc_token_stats, _TOKEN_SQL),
     "doc_quality_scores": Q(doc_quality_scores, _QUALITY_SQL),
