@@ -141,8 +141,14 @@ def compact_parquet(spark: SparkSession, path: str,
     the cluster interleaves their tasks).
 
     Returns {"files_before", "files_after", "bins_rewritten",
-    "bytes_total"}. Idempotent: re-running on a compacted table finds
-    only single-file bins and rewrites nothing."""
+    "bytes_total"}. Idempotent AND cheap when idempotent: if no bin
+    holds more than one file there is nothing to do and the function
+    returns without writing a byte — so periodic maintenance on an
+    already-compacted table costs one metadata listing, keeping the
+    maintenance_foreach_batch contract (cost proportional to churn).
+    Single-file bins that ride along a real rewrite are carried by
+    hardlink when the filesystem allows it (the local analogue of a
+    metadata-only move; falls back to copy)."""
     sweep_crash_artifacts(path)
     base = path.rstrip("/")
     files = list_data_files(base)
@@ -161,6 +167,11 @@ def compact_parquet(spark: SparkSession, path: str,
         for b in compaction_plan(by_dir[rel], target_bytes):
             bins.append((rel, CompactionBin(len(bins), b.files,
                                             b.total_bytes)))
+    rewritten = sum(1 for _, b in bins if len(b.files) > 1)
+    if rewritten == 0:
+        return {"files_before": len(files), "files_after": len(files),
+                "bins_rewritten": 0,
+                "bytes_total": sum(sz for _, sz in files)}
     token = uuid.uuid4().hex[:8]
     tmp = f"{base}.__tmp-{token}"
     os.makedirs(tmp)
@@ -170,7 +181,10 @@ def compact_parquet(spark: SparkSession, path: str,
         os.makedirs(dest_dir, exist_ok=True)
         dest = os.path.join(dest_dir, f"compacted-{b.bin_id:05d}.parquet")
         if len(b.files) == 1:
-            shutil.copy2(b.files[0], dest)
+            try:
+                os.link(b.files[0], dest)
+            except OSError:
+                shutil.copy2(b.files[0], dest)
             return
         stage = os.path.join(tmp, f"__stage-{b.bin_id:05d}")
         (spark.read.parquet(*b.files)
@@ -182,7 +196,6 @@ def compact_parquet(spark: SparkSession, path: str,
         os.rename(os.path.join(stage, parts[0]), dest)
         shutil.rmtree(stage)
 
-    rewritten = sum(1 for _, b in bins if len(b.files) > 1)
     with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
         # .result() re-raises the first failure: the swap below only
         # runs if every bin landed, so a failed rewrite leaves the

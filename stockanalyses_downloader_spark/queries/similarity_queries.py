@@ -184,60 +184,79 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, _QUERY_IDS, k=_TOPK, portable=True)
 
 
-def _ivf_topk_sql(n_centroids: int = 16, n_probe: int = 8,
-                  k: int = 10, probe_oversample: int = 4) -> str:
-    """DuckDB twin of the portable untrained-IVF pipeline. Mirrors
-    _sampled_centroids (md5-prefix TakeOrdered), _ivf_lists_probes
-    (argmin assignment, adaptive probe depth over the lists' own
-    sizes), and ivf_topk's exact rerank."""
-    qids = ", ".join(map(str, _QUERY_IDS))
-    dotp = ("list_reduce(list_transform(list_zip({a}, {b}), "
-            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
-            "(x, y) -> x + y)")
-    return f"""
-WITH ev AS (
+#: sequential double dot product — the SQL twin of similarity.dot
+_DOTP = ("list_reduce(list_transform(list_zip({a}, {b}), "
+         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+         "(x, y) -> x + y)")
+
+#: (vec_id, v, norm) over the embeddings table — shared scan CTE
+_EV_CTE = """ev AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_reduce(list_transform(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
               (a, b) -> a + b)) AS norm
   FROM embeddings
-), cent AS (
+)"""
+
+
+def _md5_sample_cte(src: str, n_centroids: int) -> str:
+    """SQL twin of _sampled_centroids(portable=True): md5-prefix
+    TakeOrdered over ``src`` (which must carry vec_id, v, norm)."""
+    return f"""cent AS (
   SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
-  FROM ev
+  FROM {src}
   ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || ''), 1, 8), vec_id
   LIMIT {n_centroids}
-), assigned AS (
-  SELECT ev.vec_id, ev.v, ev.norm, cent.centroid_id,
-         {dotp.format(a='ev.v', b='cent.cv')}
-           / (ev.norm * cent.cnorm) AS csim
-  FROM ev, cent
+)"""
+
+
+def _ivf_probe_ctes(src: str, cent: str, carry: tuple[str, ...] = (),
+                    n_probe: int = 8, k: int = 10,
+                    probe_oversample: int = 4) -> str:
+    """assigned/lists/list_sizes/probe_ranked/probes — the SQL twin of
+    _ivf_lists_probes, shared by every oracled IVF tier (factored r7c
+    so a probe-rule fix can never desynchronize one oracle from the
+    Spark machinery). ``src`` rows carry (vec_id, v, norm, *carry);
+    ``carry`` columns ride into the lists, exactly like the operator's
+    carry seam."""
+    qids = ", ".join(map(str, _QUERY_IDS))
+    cs = "".join(f", s.{c}" for c in carry)
+    cl = "".join(f", {c}" for c in carry)
+    return f"""assigned AS (
+  SELECT s.vec_id, s.v, s.norm{cs}, c.centroid_id,
+         {_DOTP.format(a='s.v', b='c.cv')} / (s.norm * c.cnorm) AS csim
+  FROM {src} s, {cent} c
 ), lists AS (
-  SELECT vec_id, v, norm, centroid_id AS list_id FROM (
+  SELECT vec_id, v, norm{cl}, centroid_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY csim DESC, centroid_id) AS r
+                ORDER BY csim DESC, centroid_id) AS rr
     FROM assigned WHERE vec_id NOT IN ({qids})
-  ) WHERE r = 1
+  ) WHERE rr = 1
 ), list_sizes AS (
   SELECT list_id, count(*) AS lsz FROM lists GROUP BY list_id
 ), probe_ranked AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id
-              ORDER BY csim DESC, centroid_id) AS r
+              ORDER BY csim DESC, centroid_id) AS rr
   FROM assigned WHERE vec_id IN ({qids})
 ), probes AS (
   SELECT vec_id, v, norm, centroid_id AS list_id FROM (
     SELECT pr.*,
            coalesce(sum(coalesce(ls.lsz, 0)) OVER (
-               PARTITION BY pr.vec_id ORDER BY pr.r
+               PARTITION BY pr.vec_id ORDER BY pr.rr
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
              0) AS cum
     FROM probe_ranked pr
     LEFT JOIN list_sizes ls ON pr.centroid_id = ls.list_id
-  ) WHERE r <= {n_probe} OR cum < {k * probe_oversample}
-), rerank AS (
+  ) WHERE rr <= {n_probe} OR cum < {k * probe_oversample}
+)"""
+
+
+def _ivf_rerank_tail(k: int = 10) -> str:
+    """Exact rerank + top-k over (lists ⋈ probes) — ivf_topk's tail."""
+    return f""", rerank AS (
   SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
-         {dotp.format(a='p.v', b='l.v')}
-           / (p.norm * l.norm) AS cosine
+         {_DOTP.format(a='p.v', b='l.v')} / (p.norm * l.norm) AS cosine
   FROM lists l JOIN probes p USING (list_id)
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -247,6 +266,18 @@ WITH ev AS (
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def _ivf_topk_sql(n_centroids: int = 16, n_probe: int = 8,
+                  k: int = 10, probe_oversample: int = 4) -> str:
+    """DuckDB twin of the portable untrained-IVF pipeline. Mirrors
+    _sampled_centroids (md5-prefix TakeOrdered), _ivf_lists_probes
+    (argmin assignment, adaptive probe depth over the lists' own
+    sizes), and ivf_topk's exact rerank."""
+    return (f"WITH {_EV_CTE}, {_md5_sample_cte('ev', n_centroids)}, "
+            + _ivf_probe_ctes("ev", "cent", (), n_probe, k,
+                              probe_oversample)
+            + _ivf_rerank_tail(k))
 
 
 def ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,24 +300,15 @@ def _ivf_topk_quantized_sql(n_centroids: int = 16, n_probe: int = 8,
                             k: int = 10, oversample: int = 3,
                             probe_oversample: int = 4) -> str:
     """DuckDB twin of the portable quantized-IVF tier: _QUANT_SQL's
-    calibration/code/recon CTEs + _ivf_topk_sql's sample/assign/probe
-    machinery + the dequantized-shortlist-then-exact-rerank tail."""
-    qids = ", ".join(map(str, _QUERY_IDS))
-    dotp = ("list_reduce(list_transform(list_zip({a}, {b}), "
-            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
-            "(x, y) -> x + y)")
-    return f"""
-WITH ev AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         sqrt(list_reduce(list_transform(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-              (a, b) -> a + b)) AS norm
-  FROM embeddings
-), d AS (
-  SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx
-  FROM ev, generate_series(1, 4096) s(i) WHERE i <= len(v)
-  GROUP BY i
+    calibration/code/recon arithmetic + the shared _ivf_probe_ctes
+    machinery (recon/rnorm riding the carry seam) + the
+    dequantized-shortlist-then-exact-rerank tail. Per-dimension
+    calibration uses the range-zip unnest (any width — no
+    generate_series dimension cap)."""
+    return f"""WITH {_EV_CTE}, d AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx
+  FROM (SELECT unnest(range(len(v))) AS pos, unnest(v) AS x FROM ev)
+  GROUP BY pos
 ), r AS (
   SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS mxs
   FROM d
@@ -309,42 +331,12 @@ WITH ev AS (
          sqrt(list_reduce(list_transform(recon, x -> x * x),
               (a, b) -> a + b)) AS rnorm
   FROM qr
-), cent AS (
-  SELECT vec_id AS centroid_id, v AS cv, norm AS cnorm
-  FROM qrn
-  ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || ''), 1, 8), vec_id
-  LIMIT {n_centroids}
-), assigned AS (
-  SELECT q.vec_id, q.v, q.norm, q.recon, q.rnorm, cent.centroid_id,
-         {dotp.format(a='q.v', b='cent.cv')}
-           / (q.norm * cent.cnorm) AS csim
-  FROM qrn q, cent
-), lists AS (
-  SELECT vec_id, v, norm, recon, rnorm, centroid_id AS list_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY csim DESC, centroid_id) AS rr
-    FROM assigned WHERE vec_id NOT IN ({qids})
-  ) WHERE rr = 1
-), list_sizes AS (
-  SELECT list_id, count(*) AS lsz FROM lists GROUP BY list_id
-), probe_ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY vec_id
-              ORDER BY csim DESC, centroid_id) AS rr
-  FROM assigned WHERE vec_id IN ({qids})
-), probes AS (
-  SELECT vec_id, v, norm, centroid_id AS list_id FROM (
-    SELECT pr.*,
-           coalesce(sum(coalesce(ls.lsz, 0)) OVER (
-               PARTITION BY pr.vec_id ORDER BY pr.rr
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             0) AS cum
-    FROM probe_ranked pr
-    LEFT JOIN list_sizes ls ON pr.centroid_id = ls.list_id
-  ) WHERE rr <= {n_probe} OR cum < {k * probe_oversample}
-), approx AS (
+), {_md5_sample_cte('qrn', n_centroids)}, {_ivf_probe_ctes(
+        'qrn', 'cent', ('recon', 'rnorm'), n_probe, k, probe_oversample)}
+, approx AS (
   SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
          p.v AS qv, p.norm AS qnorm, l.v AS xv, l.norm AS xnorm,
-         {dotp.format(a='p.v', b='l.recon')}
+         {_DOTP.format(a='p.v', b='l.recon')}
            / (p.norm * l.rnorm) AS approx_cos
   FROM lists l JOIN probes p USING (list_id)
 ), shortlist AS (
@@ -355,7 +347,7 @@ WITH ev AS (
   ) WHERE s <= {k * oversample}
 ), exact AS (
   SELECT query_id, neighbor_id,
-         {dotp.format(a='qv', b='xv')} / (qnorm * xnorm) AS cosine
+         {_DOTP.format(a='qv', b='xv')} / (qnorm * xnorm) AS cosine
   FROM shortlist
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -414,21 +406,9 @@ def _ivf_topk_trained_sql(n_centroids: int = 16, n_iter: int = 3,
     (rank-1 per vector) -> DECIMAL-exact elementwise means ->
     left-join keep-previous for empty clusters; then the standard
     lists/probes/rerank machinery against the trained centroids."""
-    qids = ", ".join(map(str, _QUERY_IDS))
-    dotp = ("list_reduce(list_transform(list_zip({a}, {b}), "
-            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
-            "(x, y) -> x + y)")
     l2 = ("sqrt(list_reduce(list_transform({v}, x -> x * x), "
           "(a, b) -> a + b))")
-    parts = [f"""
-WITH ev AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         sqrt(list_reduce(list_transform(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-              (a, b) -> a + b)) AS norm
-  FROM embeddings
-), cent0 AS (
+    parts = [f"""WITH {_EV_CTE}, cent0 AS (
   SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS cv, norm AS cnorm
   FROM (
     SELECT v, norm, row_number() OVER (
@@ -440,7 +420,7 @@ WITH ev AS (
     for i in range(n_iter):
         parts.append(f""", s{i} AS (
   SELECT e.vec_id, e.v, c.centroid_id,
-         {dotp.format(a='e.v', b='c.cv')} / (e.norm * c.cnorm) AS csim
+         {_DOTP.format(a='e.v', b='c.cv')} / (e.norm * c.cnorm) AS csim
   FROM ev e, cent{i} c
 ), a{i} AS (
   SELECT vec_id, v, centroid_id FROM (
@@ -465,45 +445,10 @@ WITH ev AS (
               ELSE {l2.format(v='n.cv')} END AS cnorm
   FROM cent{i} p LEFT JOIN n{i} n USING (centroid_id)
 )""")
-    cent = f"cent{n_iter}"
-    parts.append(f""", assigned AS (
-  SELECT ev.vec_id, ev.v, ev.norm, c.centroid_id,
-         {dotp.format(a='ev.v', b='c.cv')} / (ev.norm * c.cnorm) AS csim
-  FROM ev, {cent} c
-), lists AS (
-  SELECT vec_id, v, norm, centroid_id AS list_id FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY csim DESC, centroid_id) AS rr
-    FROM assigned WHERE vec_id NOT IN ({qids})
-  ) WHERE rr = 1
-), list_sizes AS (
-  SELECT list_id, count(*) AS lsz FROM lists GROUP BY list_id
-), probe_ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY vec_id
-              ORDER BY csim DESC, centroid_id) AS rr
-  FROM assigned WHERE vec_id IN ({qids})
-), probes AS (
-  SELECT vec_id, v, norm, centroid_id AS list_id FROM (
-    SELECT pr.*,
-           coalesce(sum(coalesce(ls.lsz, 0)) OVER (
-               PARTITION BY pr.vec_id ORDER BY pr.rr
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             0) AS cum
-    FROM probe_ranked pr
-    LEFT JOIN list_sizes ls ON pr.centroid_id = ls.list_id
-  ) WHERE rr <= {n_probe} OR cum < {k * probe_oversample}
-), rerank AS (
-  SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
-         {dotp.format(a='p.v', b='l.v')} / (p.norm * l.norm) AS cosine
-  FROM lists l JOIN probes p USING (list_id)
-), ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM rerank
-)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {k}
-""")
+    parts.append(
+        ", " + _ivf_probe_ctes("ev", f"cent{n_iter}", (), n_probe, k,
+                               probe_oversample)
+        + _ivf_rerank_tail(k))
     return "".join(parts)
 
 
@@ -1471,15 +1416,22 @@ def retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     topk = similarity.cosine_topk(e, _QUERY_IDS, k=_TOPK)
     labels = e.select("vec_id", "label")
-    ql = labels.withColumnRenamed("vec_id", "query_id") \
-               .withColumnRenamed("label", "query_label")
+    # only the anchors' labels are broadcast (model-sized by
+    # construction); the corpus-sized neighbor side joins un-broadcast
+    ql = (labels.filter(F.col("vec_id").isin(_QUERY_IDS))
+          .withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("label", "query_label"))
     nl = labels.withColumnRenamed("vec_id", "neighbor_id") \
                .withColumnRenamed("label", "neighbor_label")
     hits = (topk.join(F.broadcast(ql), "query_id")
                 .join(nl, "neighbor_id")
+                # null-safe: a NULL label is irrelevant (0), matching
+                # the oracle's CASE ... ELSE 0 — a bare == would
+                # propagate NULL through the DCG fold
                 .withColumn("rel",
-                            (F.col("neighbor_label")
-                             == F.col("query_label")).cast("int")))
+                            F.when(F.col("neighbor_label")
+                                   == F.col("query_label"),
+                                   F.lit(1)).otherwise(F.lit(0))))
     # total relevant pool per query = same-label candidates (anchors
     # excluded from the pool, same as the top-k candidate set)
     pool = (e.filter(~F.col("vec_id").isin(_QUERY_IDS))

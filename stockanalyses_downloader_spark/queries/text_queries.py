@@ -640,7 +640,15 @@ def _bpe_rounds_cte(n_merges: int = 16) -> str:
     an empty VARCHAR[] accumulator by prepending it to the
     singleton-wrapped symbol list (DuckDB list_reduce has no init
     arg); acc[-1]=left AND x=right replaces the tail with the merged
-    symbol — bit-for-bit _merge_once."""
+    symbol — bit-for-bit _merge_once.
+
+    Early exhaustion matches learn_bpe_merges' early stop: if a round
+    has no adjacent pair left, b{r} emits a single all-NULL sentinel
+    (instead of going empty, which would annihilate every later vocab
+    CTE through the cross join), the fold's NULL comparison keeps the
+    vocab unchanged, and the merge-sequence SELECT filters sentinel
+    rows out — so both engines return exactly the merges that
+    happened."""
     parts = [f"""toks AS (
   SELECT unnest(regexp_extract_all(text, '{_BPE_RX}')) AS pretoken
   FROM documents
@@ -657,9 +665,13 @@ def _bpe_rounds_cte(n_merges: int = 16) -> str:
         FROM vocab{r} WHERE len(syms) >= 2)
   GROUP BY sym_left, sym_right
 ), b{r} AS MATERIALIZED (
-  SELECT sym_left, sym_right, sym_left || sym_right AS merged,
-         pair_count
-  FROM p{r} ORDER BY pair_count DESC, sym_left, sym_right LIMIT 1
+  (SELECT sym_left, sym_right, sym_left || sym_right AS merged,
+          pair_count
+   FROM p{r} ORDER BY pair_count DESC, sym_left, sym_right LIMIT 1)
+  UNION ALL
+  (SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+          CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+   WHERE (SELECT count(*) FROM p{r}) = 0)
 ), vocab{r + 1} AS MATERIALIZED (
   SELECT pretoken,
          list_reduce(
@@ -679,7 +691,7 @@ def _bpe_rounds_cte(n_merges: int = 16) -> str:
 def _bpe_merge_sequence_sql(n_merges: int = 16) -> str:
     rows = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INT) AS merge_rank, sym_left, sym_right,"
-        f" merged, pair_count FROM b{r}"
+        f" merged, pair_count FROM b{r} WHERE sym_left IS NOT NULL"
         for r in range(n_merges))
     return f"WITH {_bpe_rounds_cte(n_merges)}\n{rows}"
 

@@ -199,3 +199,29 @@ def test_bpe_apply_is_bounded_jobs(spark):
         spark.sparkContext.setJobGroup("post-bpe", "reset")
     assert n > 0
     assert n_jobs <= 3, f"apply path ran {n_jobs} jobs (re-training?)"
+
+
+def test_bpe_oracles_survive_early_pair_exhaustion(spark, tmp_path):
+    """A corpus that fully merges before n_merges rounds must stop the
+    SQL oracle the same way learn_bpe_merges stops: the sentinel b{r}
+    row keeps later vocab CTEs alive and is filtered from the merge
+    sequence (review finding r7c — an empty argmax CTE used to
+    annihilate every later vocab through the cross join)."""
+    import duckdb
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        _bpe_merge_sequence_sql, _bpe_tokenization_sql)
+    docs = spark.createDataFrame([(1, "ab ab"), (2, "a b")],
+                                 "doc_id long, text string")
+    learned = bpe.learn_bpe_merges(docs, n_merges=16).collect()
+    encoded = {r["doc_id"]: r["n_bpe_tokens"]
+               for r in bpe.tokenize_with_merges(
+                   docs, [(r["sym_left"], r["sym_right"])
+                          for r in learned]).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, 'ab ab'), (2, 'a b')) t(doc_id, text)")
+    oracle_seq = con.execute(_bpe_merge_sequence_sql(16)).fetchall()
+    oracle_tok = dict(con.execute(_bpe_tokenization_sql(16)).fetchall())
+    assert [(r["merge_rank"], r["sym_left"], r["sym_right"],
+             r["merged"], r["pair_count"]) for r in learned] == oracle_seq
+    assert encoded == oracle_tok
