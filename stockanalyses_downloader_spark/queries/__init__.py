@@ -762,6 +762,12 @@ _TAIL = [
                                     # algebra, three-estimate
                                     # composition hash-oracled;
                                     # DuckDB-oracled; new r7
+    "split_leakage_repair",         # the decontamination ACTION: the
+                                    # non-train side of every cross-
+                                    # split near-dup pair moves to
+                                    # train; composition of oracled
+                                    # primitives; DuckDB-oracled;
+                                    # new r7c
     # r7c window yields — each driver-certified r5 AND r6; slots went
     # to the three new never-certified r7 queries (see _WINDOW notes)
     "substring_dup_fraction",       # content-defined-anchor substring

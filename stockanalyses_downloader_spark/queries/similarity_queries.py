@@ -1251,8 +1251,80 @@ FROM near JOIN sp a ON near.id_a = a.doc_id
 GROUP BY split_a, split_b""")
 
 
+def split_leakage_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIR action split_leakage_report motivates (r7c): any doc
+    on the non-train side of a cross-split near-dup pair moves to
+    train — the standard decontamination direction (training data
+    stays intact; the eval sets shed their contaminated members
+    instead of leaking them). Direct-pair rule; a transitive repair
+    composes near_dup_components the same way. Output: (doc_id,
+    split_orig, split_final, repaired) for every document —
+    composition of two already-oracled primitives, so the repaired
+    assignment itself hash-verifies."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, block_cols=["lang", "source"],
+                                      n=3, threshold=0.3, hashed=True)
+    splits = sampling.assign_splits(d.select("doc_id"), key="doc_id") \
+                     .select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("id_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"),
+                       F.col("split").alias("split_b"))
+    cross = (pairs.join(sa, "id_a").join(sb, "id_b")
+             .filter(F.col("split_a") != F.col("split_b")))
+    contaminated = (cross.select(F.col("id_a").alias("doc_id"),
+                                 F.col("split_a").alias("split"))
+                    .unionByName(cross.select(
+                        F.col("id_b").alias("doc_id"),
+                        F.col("split_b").alias("split")))
+                    .filter(F.col("split") != "train")
+                    .select("doc_id").distinct()
+                    .withColumn("__c", F.lit(1)))
+    return (splits.join(contaminated, "doc_id", "left")
+            .select("doc_id",
+                    F.col("split").alias("split_orig"),
+                    F.when(F.col("__c").isNotNull(), "train")
+                     .otherwise(F.col("split")).alias("split_final"),
+                    F.col("__c").isNotNull().alias("repaired")))
+
+
+_REPAIR_SQL = _JACCARD_SQL.replace(
+    'SELECT lang, source, id_a, id_b, jaccard FROM scored '
+    'WHERE jaccard >= 0.3',
+    """, near AS (
+  SELECT id_a, id_b FROM scored WHERE jaccard >= 0.3
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8)
+                   < 'cccccccc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8)
+                   < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), cross_pairs AS (
+  SELECT near.id_a, near.id_b, a.split AS split_a, b.split AS split_b
+  FROM near JOIN sp a ON near.id_a = a.doc_id
+            JOIN sp b ON near.id_b = b.doc_id
+  WHERE a.split <> b.split
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id, split_a AS split FROM cross_pairs
+    UNION ALL
+    SELECT id_b AS doc_id, split_b AS split FROM cross_pairs
+  ) WHERE split <> 'train'
+)
+SELECT sp.doc_id AS doc_id, sp.split AS split_orig,
+       CASE WHEN c.doc_id IS NOT NULL THEN 'train'
+            ELSE sp.split END AS split_final,
+       c.doc_id IS NOT NULL AS repaired
+FROM sp LEFT JOIN contaminated c ON sp.doc_id = c.doc_id""")
+
+
 QUERIES.update({
     "split_leakage_report": Q(split_leakage_report, _LEAKAGE_SQL),
+    "split_leakage_repair": Q(split_leakage_repair, _REPAIR_SQL),
 })
 
 

@@ -1933,3 +1933,22 @@ def test_hard_negative_ivf_recall_and_contract(spark):
     approx = {(r["anchor_id"], r["neighbor_id"]) for r in approx_rows}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF hard-negative recall collapsed: {recall}"
+
+
+def test_split_leakage_repair_invariants(spark):
+    """Repair must (a) only move non-train docs, (b) always move them
+    TO train, (c) leave everyone else untouched, and (d) fire exactly
+    when the leakage report shows off-diagonal (cross-split) pairs."""
+    from stockanalyses_downloader_spark.queries.similarity_queries import (
+        split_leakage_repair, split_leakage_report)
+    rows = split_leakage_repair(spark, SF).collect()
+    repaired = [r for r in rows if r["repaired"]]
+    for r in rows:
+        if r["repaired"]:
+            assert r["split_orig"] != "train"
+            assert r["split_final"] == "train"
+        else:
+            assert r["split_final"] == r["split_orig"]
+    off_diag = (split_leakage_report(spark, SF)
+                .filter("split_a != split_b").collect())
+    assert (len(repaired) > 0) == (len(off_diag) > 0)
