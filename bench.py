@@ -98,6 +98,14 @@ EXTENDED = [
     "tick_grid_hourly",             # grid explode + as-of ffill
     "bigram_kn_probs",              # KN bigram model build
     "split_leakage_report",         # split assign + cross-split pairs
+    # round-7c additions
+    "hard_negative_mining",         # different-label top-k + dup band
+    "retrieval_quality_report",     # label-relevance P/R/MRR/NDCG@k
+    "source_mixture_schedule",      # per-source epoch schedule
+    "split_leakage_repair",         # cross-split pair repair action
+    "ivf_topk_trained",             # kmeans train + IVF serve (the
+                                    # full trained-ANN path, now
+                                    # hash-oracled end to end)
 ]
 
 
