@@ -266,6 +266,28 @@ def bench_anomalies(spark, factor: int) -> dict:
             "wall_s": round(time.perf_counter() - t0, 2)}
 
 
+def bench_trained_ivf(spark, factor: int) -> dict:
+    """Full fit+serve trained-ANN path at a blown-up corpus: kmeans
+    (3 Lloyd rounds — one scan each) + IVF probe/rerank for 5 queries.
+    Disjoint id copies keep the same geometry, so list sizes grow with
+    the corpus while the model stays 16 rows; wall should track the
+    per-iteration scans (linear-ish), never the corpus^2."""
+    from stockanalyses_downloader_spark.operators import similarity
+    e = load_table(spark, SF_DIR, "embeddings")
+    corpus = _copies(e.select("vec_id", "embedding"), factor,
+                     {"vec_id": 10_000_000})
+    n = corpus.count()
+    t0 = time.perf_counter()
+    cent = similarity.kmeans_centroids(corpus, k=16, n_iter=3)
+    out = similarity.ivf_topk(corpus, [0, 1, 2, 3, 4], k=10,
+                              centroids=cent)
+    n_out = out.count()
+    return {"query": "ivf_topk_trained", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+
 BENCHES = {
     "global": bench_global_near_dups,
     "triangles": bench_triangles,
@@ -277,6 +299,8 @@ BENCHES = {
     "leakage": bench_split_leakage,
     "bloom": bench_bloom_decon,
     "anomalies": bench_anomalies,
+    # r7c: the trained-ANN path promoted into the bench tier
+    "trained_ivf": bench_trained_ivf,
 }
 
 
