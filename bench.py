@@ -175,7 +175,7 @@ def main() -> None:
                 release_tracked()
         except Exception as exc:  # noqa: BLE001
             errors[name] = (f"{type(exc).__name__}: "
-                            f"{str(exc).splitlines()[0][:300]}")
+                            f"{(str(exc).splitlines() or [''])[0][:300]}")
             release_tracked()
             continue
         cold, warm = runs[0], runs[1:] or runs[:1]

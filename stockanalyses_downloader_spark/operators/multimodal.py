@@ -98,7 +98,12 @@ def _png_geometry(b: bytes):
         w = int.from_bytes(b[16:20], "big")
         h = int.from_bytes(b[20:24], "big")
         ch = _PNG_CHANNELS.get(b[25])
-        if w > 0 and h > 0 and ch is not None:
+        # PNG spec caps dimensions at 2^31-1; a larger 4-byte value is
+        # a corrupt/adversarial header. Rejecting it here keeps the
+        # NULL-geometry (dead-letter) contract — letting it through
+        # would overflow the Int32 output column and fail the whole
+        # mapInPandas task on one bad asset (r7c review fix).
+        if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF and ch is not None:
             return w, h, ch
     return None
 

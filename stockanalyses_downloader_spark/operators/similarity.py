@@ -919,6 +919,15 @@ def append_to_ivf_index(spark, path: str, new_embeddings: DataFrame,
     cent = spark.read.parquet(f"{path}/centroids")
     _recover_list_sizes(spark, path)
     lists = _assign_to_lists(new_embeddings, cent, id_col, vec_col)
+    # Intent marker BEFORE the lists append (r7c review fix): a crash
+    # between the append committing and the sizes swap completing
+    # leaves NO __tmp-/__old- artifact — the sizes table is intact but
+    # silently stale against the lists. The marker makes that window
+    # detectable: recovery rebuilds sizes from the lists (ground
+    # truth) whenever a marker survives; it is removed only after the
+    # swap lands.
+    marker = os.path.join(path, f".sizes-pending-{uuid.uuid4().hex[:8]}")
+    open(marker, "w").close()
     lists.write.mode("append").partitionBy("list_id") \
         .parquet(f"{path}/lists")
     old = {r["list_id"]: r["lsz"] for r in
@@ -931,6 +940,7 @@ def append_to_ivf_index(spark, path: str, new_embeddings: DataFrame,
     _swap_in_list_sizes(
         spark.createDataFrame([(int(k), int(v)) for k, v in old.items()],
                               "list_id int, lsz long"), path)
+    os.remove(marker)
 
 
 def _swap_in_list_sizes(sizes: DataFrame, path: str) -> None:
@@ -964,13 +974,21 @@ def _recover_list_sizes(spark, path: str) -> None:
     parent, name = os.path.dirname(dest), os.path.basename(dest)
     stale = [e for e in os.listdir(parent or ".")
              if e.startswith((f"{name}.__tmp-", f"{name}.__old-"))]
-    if not stale and os.path.exists(dest):
+    # a surviving intent marker = a prior append died AFTER its lists
+    # append committed but BEFORE its sizes swap landed (no swap
+    # artifact exists in that window; the sizes table is intact but
+    # stale against the lists — r7c review fix)
+    pending = [e for e in os.listdir(path)
+               if e.startswith(".sizes-pending-")]
+    if not stale and not pending and os.path.exists(dest):
         return
     rebuilt = (spark.read.parquet(f"{path}/lists")
                .groupBy("list_id").agg(F.count("*").alias("lsz")))
     _swap_in_list_sizes(rebuilt, path)
     for e in stale:
         shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+    for e in pending:
+        os.remove(os.path.join(path, e))
 
 
 def save_ivf_index(embeddings: DataFrame, path: str,

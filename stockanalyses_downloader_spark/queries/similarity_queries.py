@@ -1210,9 +1210,17 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitives, so the whole chain hash-verifies; the group-level
     split kills these rows by construction (blocked pairs share a
     source, and source-keyed splits can't straddle)."""
+    return leakage_report(load_table(spark, sf_dir, "documents"))
+
+
+def leakage_report(d: DataFrame) -> DataFrame:
+    """split_leakage_report's body over an injected corpus frame — the
+    same seam as text_queries.bloom_decon_report, so the scale bench
+    (tools/bench_expensive_scale.py) exercises the identical
+    machinery/parameters as the registered query instead of a
+    hand-inlined copy that could silently drift."""
     from ..operators import sampling
 
-    d = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, block_cols=["lang", "source"],
                                       n=3, threshold=0.3, hashed=True)
     splits = sampling.assign_splits(d.select("doc_id"), key="doc_id") \

@@ -1952,3 +1952,61 @@ def test_split_leakage_repair_invariants(spark):
     off_diag = (split_leakage_report(spark, SF)
                 .filter("split_a != split_b").collect())
     assert (len(repaired) > 0) == (len(off_diag) > 0)
+
+
+def test_ivf_index_append_survives_no_artifact_crash(spark, tmp_path):
+    """r7c review fix: a crash AFTER the lists append commits but
+    BEFORE the sizes swap starts leaves no __tmp-/__old- artifact —
+    only the intent marker betrays that the intact sizes table is
+    stale against the lists. The next append must rebuild from the
+    lists (ground truth), and a clean append must leave no marker."""
+    import os
+
+    from stockanalyses_downloader_spark.operators import similarity
+    from stockanalyses_downloader_spark.operators.similarity import (
+        _assign_to_lists)
+
+    e = load_table(spark, SF, "embeddings")
+    half_a = e.filter(F.col("vec_id") < 200)
+    half_b = e.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350))
+    half_c = e.filter(F.col("vec_id") >= 350)
+    path = str(tmp_path / "ivf_marker_crash")
+    similarity.save_ivf_index(half_a, path, n_centroids=8,
+                              kmeans_iters=2)
+
+    # simulate the crashed append: marker written, lists appended,
+    # process dies before the sizes swap — sizes table intact+stale
+    open(os.path.join(path, ".sizes-pending-dead0001"), "w").close()
+    cent = spark.read.parquet(f"{path}/centroids")
+    _assign_to_lists(half_b, cent).write.mode("append") \
+        .partitionBy("list_id").parquet(f"{path}/lists")
+    stale = {r["list_id"]: r["lsz"] for r in
+             spark.read.parquet(f"{path}/list_sizes").collect()}
+    assert sum(stale.values()) == half_a.count()  # stale, as injected
+
+    similarity.append_to_ivf_index(spark, path, half_c)
+    sizes = {r["list_id"]: r["lsz"] for r in
+             spark.read.parquet(f"{path}/list_sizes").collect()}
+    actual = {r["list_id"]: r["n"] for r in
+              spark.read.parquet(f"{path}/lists")
+              .groupBy("list_id").agg(F.count("*").alias("n")).collect()}
+    assert sizes == actual          # rebuilt from ground truth
+    assert sum(sizes.values()) == e.count()
+    assert not [f for f in os.listdir(path)
+                if f.startswith(".sizes-pending-")]
+
+
+def test_png_geometry_rejects_overflow_dimensions():
+    """r7c review fix: a PNG IHDR with a 4-byte dimension above the
+    spec's 2^31-1 cap must yield NULL geometry (the dead-letter
+    signal), never an Int32-overflowing value that kills the task."""
+    from stockanalyses_downloader_spark.operators.multimodal import (
+        _png_geometry)
+    def ihdr(w, h, color=2):
+        return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+                + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, color, 0, 0, 0]))
+    assert _png_geometry(ihdr(640, 480)) == (640, 480, 3)
+    assert _png_geometry(ihdr(2**31 + 7, 3)) is None
+    assert _png_geometry(ihdr(3, 2**32 - 1)) is None
+    assert _png_geometry(ihdr(2**31 - 1, 1)) == (2**31 - 1, 1, 3)

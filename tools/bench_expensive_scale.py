@@ -41,15 +41,26 @@ from stockanalyses_downloader_spark.sources.tables import load_table
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _copies(df, factor: int, shift_cols: dict[str, int]):
-    """factor-1 disjoint copies: each listed column is offset by
-    copy_index * its shift constant, everything else rides along."""
+def _copies(df, factor: int, shift_cols: dict[str, int],
+            suffix_cols: tuple[str, ...] = ()):
+    """factor-1 disjoint copies: each ``shift_cols`` column is offset
+    by copy_index * its shift constant, each ``suffix_cols`` string
+    column gets a per-copy ``_<i>`` suffix (disjoint key/block
+    values), everything else rides along. The ONE blow-up helper —
+    every scale bench routes through it (r7c review fix: three
+    hand-rolled variants of this pattern had accumulated)."""
     if factor <= 1:
         return df
     c = F.col("__c")
-    shifted = [(F.col(k) + c * v).alias(k) if k in shift_cols else k
-               for k, v in [(col, shift_cols.get(col, 0))
-                            for col in df.columns]]
+    shifted = []
+    for col in df.columns:
+        if col in shift_cols:
+            shifted.append((F.col(col) + c * shift_cols[col]).alias(col))
+        elif col in suffix_cols:
+            shifted.append(F.concat(F.col(col), F.lit("_"),
+                                    c.cast("string")).alias(col))
+        else:
+            shifted.append(col)
     copies = (df.crossJoin(F.broadcast(
                   df.sparkSession.range(1, factor)
                   .select(F.col("id").alias("__c"))))
@@ -176,37 +187,21 @@ def _doc_copies_disjoint_blocks(spark, factor: int):
     block-keyed near-dup machinery (blow_up's same-block near-dup
     clique is the adversarial axis, covered by bench_global)."""
     d = load_table(spark, SF_DIR, "documents")
-    if factor <= 1:
-        return d
-    copies = (d.crossJoin(F.broadcast(
-                  spark.range(1, factor).select(F.col("id").alias("__c"))))
-              .select((F.col("doc_id") + F.col("__c") * 10_000_000)
-                      .alias("doc_id"),
-                      "text", "lang",
-                      F.concat("source", F.lit("_"),
-                               F.col("__c").cast("string")).alias("source"),
-                      "n_chars"))
-    return d.unionByName(copies)
+    return _copies(d, factor, {"doc_id": 10_000_000},
+                   suffix_cols=("source",))
 
 
 def bench_split_leakage(spark, factor: int) -> dict:
-    from stockanalyses_downloader_spark.operators import sampling
+    # injected-corpus body of the registered query (r7c review fix:
+    # a hand-inlined copy here could silently drift from the query's
+    # parameters — same seam as bloom_decon_report below)
+    from stockanalyses_downloader_spark.queries.similarity_queries import (
+        leakage_report)
     corpus = _doc_copies_disjoint_blocks(spark, factor)
     n = corpus.count()
     t0 = time.perf_counter()
-    pairs = dedup.ngram_jaccard_pairs(corpus, block_cols=["lang", "source"],
-                                      n=3, threshold=0.3, hashed=True)
-    splits = sampling.assign_splits(corpus.select("doc_id"),
-                                    key="doc_id").select("doc_id", "split")
-    sa = splits.select(F.col("doc_id").alias("id_a"),
-                       F.col("split").alias("ra"))
-    sb = splits.select(F.col("doc_id").alias("id_b"),
-                       F.col("split").alias("rb"))
-    out = (pairs.join(sa, "id_a").join(sb, "id_b")
-           .select(F.least("ra", "rb").alias("a"),
-                   F.greatest("ra", "rb").alias("b"))
-           .groupBy("a", "b").agg(F.count("*").alias("n")))
-    n_out = out.agg(F.sum("n")).collect()[0][0] or 0
+    out = leakage_report(corpus)
+    n_out = out.agg(F.sum("n_near_dup_pairs")).collect()[0][0] or 0
     return {"query": "split_leakage_report", "factor": factor,
             "rows_in": n, "rows_out": int(n_out),
             "wall_s": round(time.perf_counter() - t0, 2)}
@@ -237,19 +232,8 @@ def bench_anomalies(spark, factor: int) -> dict:
 
     t = reference_queries.pipeline.validate_http(
         synthetic.ticks(spark, SF_DIR))
-    if factor > 1:
-        copies = (t.crossJoin(F.broadcast(
-                      spark.range(1, factor)
-                      .select(F.col("id").alias("__c"))))
-                  .select((F.col("tick_id") + F.col("__c") * 100_000_000)
-                          .alias("tick_id"),
-                          "exchange",
-                          F.concat("isin", F.lit("_"),
-                                   F.col("__c").cast("string"))
-                          .alias("isin"),
-                          "status", "bid", "ask", "last_price",
-                          "volume", "ts"))
-        t = t.unionByName(copies)
+    t = _copies(t, factor, {"tick_id": 100_000_000},
+                suffix_cols=("isin",))
     n = t.count()
     t0 = time.perf_counter()
     out = indicators.with_anomaly_zscores(
