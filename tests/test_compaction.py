@@ -118,3 +118,29 @@ def test_tmp_left_alone_when_table_missing_and_no_backup(tmp_path):
     # when the table itself is gone and no __old backup exists
     assert os.path.isdir(orphan)
     shutil.rmtree(orphan)
+
+
+def test_compaction_plan_properties_fuzzed():
+    """First-fit invariants over arbitrary file inventories: order
+    preserved, no file split or dropped, bytes conserved, bin ids
+    dense, and no bin exceeds the target unless it is a single
+    oversized file."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(sizes=st.lists(st.integers(min_value=0, max_value=10_000),
+                          max_size=50),
+           target=st.integers(min_value=1, max_value=5_000))
+    def check(sizes, target):
+        files = [(f"f{i:03d}", sz) for i, sz in enumerate(sizes)]
+        bins = compaction.compaction_plan(files, target)
+        flat = [f for b in bins for f in b.files]
+        assert flat == [f for f, _ in files]
+        assert sum(b.total_bytes for b in bins) == sum(sizes)
+        assert [b.bin_id for b in bins] == list(range(len(bins)))
+        for b in bins:
+            assert b.files
+            assert b.total_bytes <= target or len(b.files) == 1
+
+    check()
