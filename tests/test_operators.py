@@ -2010,3 +2010,46 @@ def test_png_geometry_rejects_overflow_dimensions():
     assert _png_geometry(ihdr(2**31 + 7, 3)) is None
     assert _png_geometry(ihdr(3, 2**32 - 1)) is None
     assert _png_geometry(ihdr(2**31 - 1, 1)) == (2**31 - 1, 1, 3)
+
+
+def test_ivf_index_lists_compaction_preserves_serving(spark, tmp_path):
+    """Table maintenance meets index maintenance (r7c): daily appends
+    leave one-file-per-append in every list directory; compacting
+    {path}/lists with operators/compaction (per-hive-partition bins,
+    atomic swap) must cut the file count without changing a single
+    serving result — list_id partition values survive because bins
+    never cross leaf dirs."""
+    from stockanalyses_downloader_spark.operators import (compaction,
+                                                          similarity)
+
+    e = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_compact")
+    similarity.save_ivf_index(e.filter(F.col("vec_id") < 200), path,
+                              n_centroids=8, kmeans_iters=2)
+    for lo, hi in ((200, 300), (300, 400), (400, 10**9)):
+        similarity.append_to_ivf_index(
+            spark, path,
+            e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)))
+
+    queries = e.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    before = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in
+        similarity.ivf_topk_from_index(spark, path, queries,
+                                       k=10).collect())
+    n_before = len(compaction.list_data_files(f"{path}/lists"))
+    stats = compaction.compact_parquet(spark, f"{path}/lists",
+                                       target_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] < n_before
+    after = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in
+        similarity.ivf_topk_from_index(spark, path, queries,
+                                       k=10).collect())
+    assert after == before
+    # sizes still match the (compacted) lists — compaction moved no row
+    sizes = {r["list_id"]: r["lsz"] for r in
+             spark.read.parquet(f"{path}/list_sizes").collect()}
+    actual = {r["list_id"]: r["n"] for r in
+              spark.read.parquet(f"{path}/lists")
+              .groupBy("list_id").agg(F.count("*").alias("n")).collect()}
+    assert sizes == actual
