@@ -303,3 +303,39 @@ def test_measure_key_skew_empty_frame(spark):
     assert m == {"max": 0, "mean": 0.0, "total": 0, "top_share": 0.0}
     assert skew.choose_salt_factor(m) == 1
     assert skew.auto_salted_sum(empty, "k", "v").count() == 0
+
+
+def test_xml_source_round_trip_and_dead_letters(spark, tmp_path):
+    """XML ingest (Spark 4 native source) with the same (good, dead)
+    contract as JSONL/CSV: schema-explicit, type violations routed to
+    the dead-letter frame through the corrupt-record column. XML
+    records span lines, so dead rows carry the element as the parser
+    saw it rather than a byte-verbatim input line (documented delta)."""
+    from pyspark.sql import types as T
+
+    from stockanalyses_downloader_spark.sources import formats
+
+    p = tmp_path / "ticks.xml"
+    p.write_text("""<ticks>
+  <tick><pair>btcusd</pair><last>10.5</last><n>3</n></tick>
+  <tick><pair>etheur</pair><last>NOT_A_NUMBER</last><n>1</n></tick>
+  <tick>
+    <pair>xrpusd</pair>
+    <last>0.5</last>
+    <n>7</n>
+  </tick>
+</ticks>
+""")
+    schema = T.StructType([
+        T.StructField("pair", T.StringType()),
+        T.StructField("last", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+    good, dead = formats.read_xml(spark, str(p), schema, row_tag="tick")
+    assert good.columns == ["pair", "last", "n"]
+    rows = {r["pair"]: r for r in good.collect()}
+    assert set(rows) == {"btcusd", "xrpusd"}
+    assert rows["xrpusd"]["last"] == 0.5 and rows["xrpusd"]["n"] == 7
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 1
+    assert "NOT_A_NUMBER" in dead_rows[0][formats.CORRUPT_COL]
