@@ -144,15 +144,29 @@ def _jpeg_geometry(b: bytes):
     return None
 
 
+def _gif_geometry(b: bytes):
+    """(width, height, channels) from a GIF logical screen descriptor
+    (GIF87a/GIF89a), else None. Dimensions are little-endian uint16 —
+    no Int32 overflow is possible; channels reported as 3 because GIF
+    palettes decode to RGB (the convention downstream resize/filter
+    stages consume, same as PNG color type 3)."""
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        if w > 0 and h > 0:
+            return w, h, 3
+    return None
+
+
 def decode_real(assets: DataFrame) -> DataFrame:
     """REAL container decode for image payloads — pure-Python byte
-    parsing of the public PNG (IHDR) and JPEG (SOF marker walk)
-    container formats, no codec library, run as the same Arrow-
-    batched mapInPandas shape as the stub (schema parity pinned in
-    tests). Payloads that are neither a valid PNG nor a parseable
-    JPEG header stream get NULL geometry — the honest answer, and
-    the dead-letter signal a curation pass filters on. Pixel-level
-    decode (which genuinely needs a codec) stays out of scope; frame
+    parsing of the public PNG (IHDR), JPEG (SOF marker walk) and GIF
+    (logical screen descriptor) container formats, no codec library,
+    run as the same Arrow-batched mapInPandas shape as the stub
+    (schema parity pinned in tests). Payloads that parse as none of
+    the three get NULL geometry — the honest answer, and the
+    dead-letter signal a curation pass filters on. Pixel-level decode
+    (which genuinely needs a codec) stays out of scope; frame
     geometry is what the downstream resize/filter stages consume."""
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -161,7 +175,8 @@ def decode_real(assets: DataFrame) -> DataFrame:
             if b is None:
                 return (None, None, None)
             raw = bytes(b)
-            g = _png_geometry(raw) or _jpeg_geometry(raw)
+            g = (_png_geometry(raw) or _jpeg_geometry(raw)
+                 or _gif_geometry(raw))
             return g if g else (None, None, None)
 
         for pdf in batches:
@@ -179,6 +194,76 @@ def decode_real(assets: DataFrame) -> DataFrame:
 
     from .dedup import spread
     return spread(assets).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def _wav_meta(b: bytes):
+    """(n_channels, sample_rate, bits_per_sample, n_frames) from a
+    RIFF/WAVE header — a chunk walk over the public container format,
+    no sample decode. n_frames comes from the data chunk's size /
+    frame width (None if no data chunk or sub-byte sample width);
+    returns None for anything that isn't a parseable WAVE stream."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data_size = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        csz = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and csz >= 16 and i + 24 <= len(b):
+            ch = int.from_bytes(b[i + 10:i + 12], "little")
+            sr = int.from_bytes(b[i + 12:i + 16], "little")
+            bits = int.from_bytes(b[i + 22:i + 24], "little")
+            fmt = (ch, sr, bits)
+        elif cid == b"data":
+            data_size = csz
+        i += 8 + csz + (csz & 1)    # RIFF chunks are word-aligned
+    if fmt and fmt[0] > 0 and fmt[1] > 0 and fmt[2] >= 8:
+        ch, sr, bits = fmt
+        frames = (data_size // (ch * (bits // 8))
+                  if data_size is not None else None)
+        return ch, sr, bits, frames
+    return None
+
+
+#: audio metadata schema — the audio twin of FEATURE_SCHEMA
+AUDIO_META_SCHEMA = ("asset_id long, modality string, byte_len long, "
+                     "n_channels int, sample_rate int, "
+                     "bits_per_sample int, n_frames long")
+
+
+def audio_meta_real(assets: DataFrame) -> DataFrame:
+    """REAL container parse for audio payloads — the audio sibling of
+    decode_real: pure-Python RIFF/WAVE chunk walk (the public
+    container format), Arrow-batched mapInPandas, NULL metadata for
+    unparseable payloads (the dead-letter signal). Sample-level decode
+    (codecs: mp3/flac/opus) stays honestly out of scope — channel
+    count, sample rate, bit depth and frame count are what the
+    downstream resample/duration-filter stages consume."""
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def meta(b):
+            if b is None:
+                return (None, None, None, None)
+            m = _wav_meta(bytes(b))
+            return m if m else (None, None, None, None)
+
+        for pdf in batches:
+            got = [meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "byte_len": pdf["payload"].map(
+                    lambda b: 0 if b is None else len(b)).astype("int64"),
+                "n_channels": pd.array([m[0] for m in got], dtype="Int32"),
+                "sample_rate": pd.array([m[1] for m in got],
+                                        dtype="Int32"),
+                "bits_per_sample": pd.array([m[2] for m in got],
+                                            dtype="Int32"),
+                "n_frames": pd.array([m[3] for m in got], dtype="Int64"),
+            })
+
+    from .dedup import spread
+    return spread(assets).mapInPandas(_extract, AUDIO_META_SCHEMA)
 
 
 def resize_stub(features: DataFrame, target_w: int = 224,

@@ -2053,3 +2053,42 @@ def test_ivf_index_lists_compaction_preserves_serving(spark, tmp_path):
               spark.read.parquet(f"{path}/lists")
               .groupBy("list_id").agg(F.count("*").alias("n")).collect()}
     assert sizes == actual
+
+
+def test_multimodal_gif_and_wav_real_parsing(spark):
+    """r7c: decode_real also parses GIF logical screen descriptors,
+    and audio_meta_real parses genuine RIFF/WAVE headers (generated by
+    the stdlib wave module — a real container, not a hand-rolled
+    fixture). Unparseable/NULL payloads keep the NULL-metadata
+    dead-letter contract in both."""
+    import io
+    import wave
+
+    from stockanalyses_downloader_spark.operators import multimodal
+
+    gif = (b"GIF89a" + (13).to_bytes(2, "little")
+           + (9).to_bytes(2, "little") + b"\x00\x00\x00")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)           # 16-bit
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x00" * 2 * 300)   # 300 stereo frames
+    wav = buf.getvalue()
+
+    assets = spark.createDataFrame(
+        [(1, "image", gif), (2, "audio", wav),
+         (3, "audio", b"RIFFjunk"), (4, "audio", None)],
+        "asset_id long, modality string, payload binary")
+
+    geo = {r["asset_id"]: (r["width"], r["height"], r["n_channels"])
+           for r in multimodal.decode_real(assets).collect()}
+    assert geo[1] == (13, 9, 3)
+
+    am = {r["asset_id"]: (r["n_channels"], r["sample_rate"],
+                          r["bits_per_sample"], r["n_frames"])
+          for r in multimodal.audio_meta_real(assets).collect()}
+    assert am[2] == (2, 44100, 16, 300)
+    assert am[3] == (None, None, None, None)
+    assert am[4] == (None, None, None, None)
+    assert am[1] == (None, None, None, None)   # a GIF is not a WAVE
