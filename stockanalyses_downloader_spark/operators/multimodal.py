@@ -266,6 +266,91 @@ def audio_meta_real(assets: DataFrame) -> DataFrame:
     return spread(assets).mapInPandas(_extract, AUDIO_META_SCHEMA)
 
 
+def _mp4_meta(b: bytes):
+    """(timescale, duration, duration_ms) from an ISO-BMFF (MP4/MOV)
+    moov/mvhd box, else None — a top-level box walk plus one nested
+    walk inside moov; no sample tables, no codec. Handles mvhd
+    version 0 (32-bit times) and version 1 (64-bit)."""
+    def walk(buf, start, end):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i:i + 4], "big")
+            btype = buf[i + 4:i + 8]
+            if size == 1:           # 64-bit largesize
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(buf[i + 8:i + 16], "big")
+            elif size == 0:         # box extends to EOF
+                size = end - i
+            if size < 8 or i + size > end:
+                return
+            yield btype, i + 8, i + size
+            i += size
+
+    if len(b) < 8:
+        return None
+    for btype, s, e in walk(b, 0, len(b)) or ():
+        if btype != b"moov":
+            continue
+        for inner, js, je in walk(b, s, e) or ():
+            if inner != b"mvhd" or js + 4 > je:
+                continue
+            ver = b[js]
+            if ver == 0 and js + 24 <= je:
+                ts = int.from_bytes(b[js + 12:js + 16], "big")
+                dur = int.from_bytes(b[js + 16:js + 20], "big")
+            elif ver == 1 and js + 32 <= je:
+                ts = int.from_bytes(b[js + 20:js + 24], "big")
+                dur = int.from_bytes(b[js + 24:js + 32], "big")
+            else:
+                return None
+            # same overflow discipline as _png_geometry: a parseable
+            # field that cannot fit its output column is corrupt, not
+            # a crash (timescale -> Int32, duration -> Int64)
+            if 0 < ts <= 0x7FFFFFFF and dur <= 0x7FFFFFFFFFFFFFFF:
+                return ts, dur, dur * 1000.0 / ts
+            return None
+    return None
+
+
+#: video metadata schema — the video twin of FEATURE_SCHEMA
+VIDEO_META_SCHEMA = ("asset_id long, modality string, byte_len long, "
+                     "timescale int, duration long, duration_ms double")
+
+
+def video_meta_real(assets: DataFrame) -> DataFrame:
+    """REAL container parse for video payloads — the video sibling of
+    decode_real/audio_meta_real: pure-Python ISO-BMFF box walk to the
+    moov/mvhd presentation clock (timescale + duration), Arrow-batched
+    mapInPandas, NULL metadata for unparseable payloads. Duration is
+    what frame_sample_plan's every_ms budget divides; track-level
+    geometry and sample decode stay honestly out of scope."""
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def meta(b):
+            if b is None:
+                return (None, None, None)
+            m = _mp4_meta(bytes(b))
+            return m if m else (None, None, None)
+
+        for pdf in batches:
+            got = [meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "byte_len": pdf["payload"].map(
+                    lambda b: 0 if b is None else len(b)).astype("int64"),
+                "timescale": pd.array([m[0] for m in got], dtype="Int32"),
+                "duration": pd.array([m[1] for m in got], dtype="Int64"),
+                "duration_ms": pd.array([m[2] for m in got],
+                                        dtype="Float64"),
+            })
+
+    from .dedup import spread
+    return spread(assets).mapInPandas(_extract, VIDEO_META_SCHEMA)
+
+
 def resize_stub(features: DataFrame, target_w: int = 224,
                 target_h: int = 224) -> DataFrame:
     """Resize stage over extracted features: emits the letterboxed

@@ -2092,3 +2092,43 @@ def test_multimodal_gif_and_wav_real_parsing(spark):
     assert am[3] == (None, None, None, None)
     assert am[4] == (None, None, None, None)
     assert am[1] == (None, None, None, None)   # a GIF is not a WAVE
+
+
+def test_multimodal_mp4_video_meta(spark):
+    """r7c: video_meta_real parses the moov/mvhd presentation clock
+    from hand-built ISO-BMFF boxes (public format): v0 and v1 mvhd,
+    junk and NULL payloads keep the NULL-metadata contract, and an
+    Int32-overflowing timescale dead-letters instead of crashing."""
+    import struct
+
+    from stockanalyses_downloader_spark.operators import multimodal
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def mp4_v0(ts, dur):
+        mvhd = (b"\x00" + b"\x00\x00\x00" + b"\x00" * 8
+                + struct.pack(">II", ts, dur) + b"\x00" * 80)
+        return (box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+                + box(b"moov", box(b"mvhd", mvhd)))
+
+    def mp4_v1(ts, dur):
+        mvhd = (b"\x01" + b"\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">IQ", ts, dur) + b"\x00" * 80)
+        return (box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+                + box(b"moov", box(b"mvhd", mvhd)))
+
+    assets = spark.createDataFrame(
+        [(1, "video", mp4_v0(1000, 5500)),
+         (2, "video", mp4_v1(90000, 90000 * 12)),
+         (3, "video", mp4_v0(2**31 + 5, 10)),   # overflowing timescale
+         (4, "video", b"not a video"),
+         (5, "video", None)],
+        "asset_id long, modality string, payload binary")
+    got = {r["asset_id"]: (r["timescale"], r["duration"],
+                           r["duration_ms"])
+           for r in multimodal.video_meta_real(assets).collect()}
+    assert got[1] == (1000, 5500, 5500.0)
+    assert got[2] == (90000, 90000 * 12, 12000.0)
+    for aid in (3, 4, 5):
+        assert got[aid] == (None, None, None)
