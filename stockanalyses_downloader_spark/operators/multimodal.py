@@ -476,3 +476,20 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                     F.explode(F.sequence(
                         F.lit(0).cast("long"), F.col("duration_ms"),
                         F.lit(every_ms).cast("long"))).alias("frame_ts_ms")))
+
+
+def frame_sample_plan_real(assets: DataFrame,
+                           every_ms: int = 1000) -> DataFrame:
+    """frame_sample_plan over the PARSED presentation clock (r7c):
+    the fake byte_len duration is replaced by the mvhd duration_ms
+    from video_meta_real, so the plan budgets frames against the
+    video's real timeline. Unparseable videos carry NULL duration and
+    drop out here — they are the dead-letter branch a curation pass
+    routes, not frames to sample."""
+    meta = video_meta_real(assets).filter(F.col("modality") == "video")
+    return (meta.filter(F.col("duration_ms").isNotNull())
+            .select("asset_id",
+                    F.explode(F.sequence(
+                        F.lit(0).cast("long"),
+                        F.col("duration_ms").cast("long"),
+                        F.lit(every_ms).cast("long"))).alias("frame_ts_ms")))

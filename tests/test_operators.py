@@ -2132,3 +2132,32 @@ def test_multimodal_mp4_video_meta(spark):
     assert got[2] == (90000, 90000 * 12, 12000.0)
     for aid in (3, 4, 5):
         assert got[aid] == (None, None, None)
+
+
+def test_frame_sample_plan_real_uses_parsed_clock(spark):
+    """r7c: the real-duration sampling plan budgets frames against the
+    mvhd presentation clock, not the byte length, and drops
+    unparseable videos (the dead-letter branch)."""
+    import struct
+
+    from stockanalyses_downloader_spark.operators import multimodal
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    mvhd = (b"\x00" + b"\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", 1000, 5500) + b"\x00" * 80)
+    mp4 = (box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+           + box(b"moov", box(b"mvhd", mvhd)))
+    assets = spark.createDataFrame(
+        [(1, "video", mp4), (2, "video", b"junk"), (3, "image", mp4)],
+        "asset_id long, modality string, payload binary")
+    rows = multimodal.frame_sample_plan_real(assets, every_ms=1000) \
+        .collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_ts_ms"])
+    # 5500 ms at 1000 ms cadence -> 0..5000 inclusive = 6 frames
+    assert sorted(by_asset[1]) == [0, 1000, 2000, 3000, 4000, 5000]
+    assert 2 not in by_asset        # unparseable -> no frames
+    assert 3 not in by_asset        # not a video row
