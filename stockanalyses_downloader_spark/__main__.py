@@ -34,6 +34,14 @@ def main(argv: list[str] | None = None) -> int:
                              "instead of a named query")
     parser.add_argument("--list", action="store_true",
                         help="list available queries and exit")
+    parser.add_argument("--compact", default=None, metavar="TABLE_DIR",
+                        help="run small-file compaction maintenance on a "
+                             "parquet table directory instead of a query "
+                             "(operators/compaction: per-partition bins, "
+                             "atomic swap, crash recovery)")
+    parser.add_argument("--target-bytes", type=int,
+                        default=128 * 1024 * 1024,
+                        help="compaction bin target (default 128 MiB)")
     parser.add_argument("--explain", action="store_true",
                         help="print the physical plan instead of running")
     parser.add_argument("-n", "--show-rows", type=int, default=20)
@@ -44,6 +52,17 @@ def main(argv: list[str] | None = None) -> int:
         for name, q in sorted(registry.items()):
             kind = "oracled" if q.oracle else "rows-only"
             print(f"{name}  [{kind}]")
+        return 0
+
+    if args.compact is not None:
+        from .operators.compaction import compact_parquet
+        spark = get_session("cli:compact")
+        stats = compact_parquet(spark, args.compact,
+                                target_bytes=args.target_bytes)
+        print(f"compacted {args.compact}: "
+              f"{stats['files_before']} -> {stats['files_after']} files "
+              f"({stats['bins_rewritten']} bins rewritten, "
+              f"{stats['bytes_total']} bytes)")
         return 0
 
     if args.sql is None and args.query not in registry:

@@ -106,3 +106,24 @@ def test_metrics_parquet_listener_durable(spark, tmp_path):
     assert {"started", "heartbeat"} <= stored_events()
     stored = spark.read.parquet(metrics_path)
     assert "instance_id" in stored.columns and stored.count() > 0
+
+
+def test_cli_compact_maintenance(spark, tmp_path, capsys):
+    """--compact runs small-file maintenance on a table directory:
+    fewer files, identical rows, stats line on stdout."""
+    from pyspark.sql import functions as F
+
+    from stockanalyses_downloader_spark.operators import compaction
+
+    path = str(tmp_path / "t")
+    (spark.range(1000)
+     .withColumn("payload", F.md5(F.col("id").cast("string")))
+     .repartition(12).write.mode("overwrite").parquet(path))
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    rc = main(["--compact", path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out and "12 -> " in out
+    assert len(compaction.list_data_files(path)) < 12
+    assert sorted(r["id"] for r in
+                  spark.read.parquet(path).collect()) == before
