@@ -57,8 +57,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.compact is not None:
         from .operators.compaction import compact_parquet
         spark = get_session("cli:compact")
-        stats = compact_parquet(spark, args.compact,
-                                target_bytes=args.target_bytes)
+        try:
+            stats = compact_parquet(spark, args.compact,
+                                    target_bytes=args.target_bytes)
+        except ValueError as exc:   # missing/empty table dir: same
+            print(exc, file=sys.stderr)  # error surface as unknown -q
+            return 2
         print(f"compacted {args.compact}: "
               f"{stats['files_before']} -> {stats['files_after']} files "
               f"({stats['bins_rewritten']} bins rewritten, "

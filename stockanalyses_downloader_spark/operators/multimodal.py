@@ -147,14 +147,15 @@ def _jpeg_geometry(b: bytes):
 def _gif_geometry(b: bytes):
     """(width, height, channels) from a GIF logical screen descriptor
     (GIF87a/GIF89a), else None. Dimensions are little-endian uint16 —
-    no Int32 overflow is possible; channels reported as 3 because GIF
-    palettes decode to RGB (the convention downstream resize/filter
-    stages consume, same as PNG color type 3)."""
+    no Int32 overflow is possible; channels reported as 1 because GIF
+    is palette-indexed, matching the repo's PNG color-type-3 (palette)
+    convention in _PNG_CHANNELS — the same logical content gets the
+    same channel metadata regardless of container."""
     if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
         w = int.from_bytes(b[6:8], "little")
         h = int.from_bytes(b[8:10], "little")
         if w > 0 and h > 0:
-            return w, h, 3
+            return w, h, 1
     return None
 
 
@@ -211,14 +212,22 @@ def _wav_meta(b: bytes):
         if cid == b"fmt " and csz >= 16 and i + 24 <= len(b):
             ch = int.from_bytes(b[i + 10:i + 12], "little")
             sr = int.from_bytes(b[i + 12:i + 16], "little")
+            # nBlockAlign is the authoritative frame width — bits//8
+            # per channel is wrong for non-packed layouts (24-in-32,
+            # WAVE_FORMAT_EXTENSIBLE); the header already carries it
+            block_align = int.from_bytes(b[i + 20:i + 22], "little")
             bits = int.from_bytes(b[i + 22:i + 24], "little")
-            fmt = (ch, sr, bits)
+            fmt = (ch, sr, bits, block_align)
         elif cid == b"data":
-            data_size = csz
+            # clamp the declared size to the bytes actually present:
+            # streaming encoders write a 0xFFFFFFFF placeholder before
+            # finalizing, and truncated files declare more than they
+            # carry — trusting either reports absurd frame counts
+            data_size = min(csz, max(0, len(b) - (i + 8)))
         i += 8 + csz + (csz & 1)    # RIFF chunks are word-aligned
-    if fmt and fmt[0] > 0 and fmt[1] > 0 and fmt[2] >= 8:
-        ch, sr, bits = fmt
-        frames = (data_size // (ch * (bits // 8))
+    if fmt and fmt[0] > 0 and fmt[1] > 0 and fmt[2] >= 8 and fmt[3] > 0:
+        ch, sr, bits, block_align = fmt
+        frames = (data_size // block_align
                   if data_size is not None else None)
         return ch, sr, bits, frames
     return None
@@ -276,40 +285,48 @@ def _mp4_meta(b: bytes):
         while i + 8 <= end:
             size = int.from_bytes(buf[i:i + 4], "big")
             btype = buf[i + 4:i + 8]
-            if size == 1:           # 64-bit largesize
+            header = 8
+            if size == 1:           # 64-bit largesize: 16-byte header
                 if i + 16 > end:
                     return
                 size = int.from_bytes(buf[i + 8:i + 16], "big")
+                header = 16
             elif size == 0:         # box extends to EOF
                 size = end - i
-            if size < 8 or i + size > end:
+            if size < header or i + size > end:
                 return
-            yield btype, i + 8, i + size
+            yield btype, i + header, i + size
             i += size
 
     if len(b) < 8:
         return None
-    for btype, s, e in walk(b, 0, len(b)) or ():
+    for btype, s, e in walk(b, 0, len(b)):
         if btype != b"moov":
             continue
-        for inner, js, je in walk(b, s, e) or ():
+        for inner, js, je in walk(b, s, e):
             if inner != b"mvhd" or js + 4 > je:
                 continue
             ver = b[js]
             if ver == 0 and js + 24 <= je:
                 ts = int.from_bytes(b[js + 12:js + 16], "big")
                 dur = int.from_bytes(b[js + 16:js + 20], "big")
+                unknown = dur == 0xFFFFFFFF
             elif ver == 1 and js + 32 <= je:
                 ts = int.from_bytes(b[js + 20:js + 24], "big")
                 dur = int.from_bytes(b[js + 24:js + 32], "big")
+                unknown = dur == 0xFFFFFFFFFFFFFFFF
             else:
                 return None
             # same overflow discipline as _png_geometry: a parseable
             # field that cannot fit its output column is corrupt, not
-            # a crash (timescale -> Int32, duration -> Int64)
-            if 0 < ts <= 0x7FFFFFFF and dur <= 0x7FFFFFFFFFFFFFFF:
-                return ts, dur, dur * 1000.0 / ts
-            return None
+            # a crash (timescale -> Int32, duration -> Int64). The
+            # all-ones duration is the spec's "unknown" sentinel —
+            # the clock is real but the length isn't: NULL duration.
+            if not 0 < ts <= 0x7FFFFFFF:
+                return None
+            if unknown or dur > 0x7FFFFFFFFFFFFFFF:
+                return ts, None, None
+            return ts, dur, dur * 1000.0 / ts
     return None
 
 
@@ -478,16 +495,27 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.lit(every_ms).cast("long"))).alias("frame_ts_ms")))
 
 
-def frame_sample_plan_real(assets: DataFrame,
-                           every_ms: int = 1000) -> DataFrame:
+def frame_sample_plan_real(assets: DataFrame, every_ms: int = 1000,
+                           max_frames: int = 100_000) -> DataFrame:
     """frame_sample_plan over the PARSED presentation clock (r7c):
     the fake byte_len duration is replaced by the mvhd duration_ms
     from video_meta_real, so the plan budgets frames against the
-    video's real timeline. Unparseable videos carry NULL duration and
-    drop out here — they are the dead-letter branch a curation pass
-    routes, not frames to sample."""
-    meta = video_meta_real(assets).filter(F.col("modality") == "video")
-    return (meta.filter(F.col("duration_ms").isNotNull())
+    video's real timeline. The modality filter runs BEFORE the
+    mapInPandas parse (predicate pushdown stops at a Python stage, so
+    images/audio must never reach it), and unparseable videos carry
+    NULL duration and drop out — the dead-letter branch a curation
+    pass routes, not frames to sample.
+
+    ``max_frames`` is the one-bad-asset guard: a parseable-but-insane
+    clock (a corrupt 64-bit duration) would otherwise overflow the
+    cast or explode a billions-long sequence and kill the whole job —
+    the bound is checked on the DOUBLE before any cast, so no value
+    can reach the overflow. Assets over the budget are excluded like
+    any other corrupt metadata."""
+    meta = video_meta_real(assets.filter(F.col("modality") == "video"))
+    bound = float(every_ms) * (max_frames - 1)
+    return (meta.filter(F.col("duration_ms").isNotNull()
+                        & (F.col("duration_ms") <= F.lit(bound)))
             .select("asset_id",
                     F.explode(F.sequence(
                         F.lit(0).cast("long"),

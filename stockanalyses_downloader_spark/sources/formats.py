@@ -149,20 +149,36 @@ def read_xml(spark: SparkSession, path: str, schema: T.StructType,
     contract over Spark 4's NATIVE xml source (rowTag element =
     record).
 
-    Two documented deltas from the JSONL/CSV text-read path, both
+    Three documented deltas from the JSONL/CSV text-read path, all
     forced by the format: (1) XML records span lines, so there is no
     line-oriented byte-verbatim raw to preserve — dead rows carry the
     source's corrupt-record column (the offending element as the
     parser saw it) instead of an untouched input line; (2) the parse
     runs in the file source itself rather than a ``from_*`` expression
     (Spark ships no ``from_xml``-over-text equivalent that splits
-    multi-line elements). The SPARK-21610 restriction (a plan may not
-    reference ONLY the corrupt column) never binds here because both
-    returned frames carry the schema's columns alongside it.
+    multi-line elements); (3) because of (2), SPARK-21610 DOES apply:
+    ANY plan whose only scan-referenced column is the corrupt one —
+    ``dead.count()``, ``dead.select(CORRUPT_COL)``, even a bare
+    ``good.count()`` (its filter references the corrupt column) — is
+    refused by the source. The two sides sidestep it differently:
+    ``good`` (the full-size side, which must stay LAZY) carries a
+    no-op anchor conjunct in its filter that references a schema
+    column — ``coalesce(length(cast(c as string)), 0) >= 0`` is
+    always true, costs one expression, and is opaque enough that the
+    optimizer cannot prune the column away; ``dead`` (the
+    malformed-fraction side) is returned PERSISTED, so its one
+    materializing scan references every column and later corrupt-only
+    plans read the cache. (A DROPMALFORMED second read is NOT
+    equivalent: the XML source only drops structurally-broken
+    elements under it and keeps type violations as nulled fields —
+    measured, and why the anchor approach is used instead.)
 
     Schemas stay ALWAYS explicit, same rationale as the module
     docstring; a record is dead if any field violates the schema's
     types (PERMISSIVE parse surfaces it through the corrupt field)."""
+    from ..caching import tracked_persist
+
+    names = [f.name for f in schema.fields]
     full = _with_corrupt_field(schema)
     df = (spark.read.format("xml")
           .option("rowTag", row_tag)
@@ -170,8 +186,11 @@ def read_xml(spark: SparkSession, path: str, schema: T.StructType,
           .option("columnNameOfCorruptRecord", CORRUPT_COL)
           .schema(full)
           .load(path))
-    bad = F.col(CORRUPT_COL).isNotNull()
-    names = [f.name for f in schema.fields]
-    good = df.filter(~bad).select(*names)
-    dead = df.filter(bad).select(*names, F.col(CORRUPT_COL))
+    anchor = F.coalesce(F.length(F.col(names[0]).cast("string")),
+                        F.lit(0)) >= 0
+    good = df.filter(F.col(CORRUPT_COL).isNull() & anchor) \
+             .select(*names)
+    dead = tracked_persist(
+        df.filter(F.col(CORRUPT_COL).isNotNull())
+        .select(*names, F.col(CORRUPT_COL)))
     return good, dead

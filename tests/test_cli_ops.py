@@ -127,3 +127,11 @@ def test_cli_compact_maintenance(spark, tmp_path, capsys):
     assert len(compaction.list_data_files(path)) < 12
     assert sorted(r["id"] for r in
                   spark.read.parquet(path).collect()) == before
+
+
+def test_cli_compact_bad_path_returns_2(capsys, tmp_path):
+    """--compact on a missing/empty dir uses the CLI's stderr +
+    exit-code-2 convention, not a traceback."""
+    rc = main(["--compact", str(tmp_path / "nope")])
+    assert rc == 2
+    assert "no parquet data files" in capsys.readouterr().err

@@ -2083,7 +2083,7 @@ def test_multimodal_gif_and_wav_real_parsing(spark):
 
     geo = {r["asset_id"]: (r["width"], r["height"], r["n_channels"])
            for r in multimodal.decode_real(assets).collect()}
-    assert geo[1] == (13, 9, 3)
+    assert geo[1] == (13, 9, 1)  # palette-indexed: PNG color-type-3 convention
 
     am = {r["asset_id"]: (r["n_channels"], r["sample_rate"],
                           r["bits_per_sample"], r["n_frames"])
@@ -2161,3 +2161,60 @@ def test_frame_sample_plan_real_uses_parsed_clock(spark):
     assert sorted(by_asset[1]) == [0, 1000, 2000, 3000, 4000, 5000]
     assert 2 not in by_asset        # unparseable -> no frames
     assert 3 not in by_asset        # not a video row
+
+
+def test_multimodal_container_edge_cases(spark):
+    """r7c review fixes, pinned: (a) a largesize (64-bit header) moov
+    still parses; (b) the mvhd unknown-duration sentinel yields a real
+    clock with NULL duration; (c) a corrupt-but-parseable insane clock
+    is EXCLUDED from the real frame plan instead of overflowing the
+    cast and killing the job; (d) WAV frame counts honor nBlockAlign
+    (24-in-32 layouts) and a streaming-placeholder data size clamps to
+    the bytes actually present."""
+    import struct
+
+    from stockanalyses_downloader_spark.operators import multimodal
+
+    def box(btype, payload):
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def largebox(btype, payload):
+        return (struct.pack(">I", 1) + btype
+                + struct.pack(">Q", len(payload) + 16) + payload)
+
+    def mvhd_v0(ts, dur):
+        return box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+                   + struct.pack(">II", ts, dur) + b"\x00" * 80)
+
+    def mvhd_v1(ts, dur):
+        return box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                   + struct.pack(">IQ", ts, dur) + b"\x00" * 80)
+
+    large = box(b"ftyp", b"isomisom") + largebox(b"moov", mvhd_v0(50, 100))
+    sentinel = box(b"moov", mvhd_v0(1000, 0xFFFFFFFF))
+    insane = box(b"moov", mvhd_v1(1, 2 ** 62))
+    assert multimodal._mp4_meta(large) == (50, 100, 2000.0)
+    assert multimodal._mp4_meta(sentinel) == (1000, None, None)
+    ts, dur, ms = multimodal._mp4_meta(insane)
+    assert ts == 1 and dur == 2 ** 62      # parses...
+    assets = spark.createDataFrame(
+        [(1, "video", insane), (2, "video", box(b"moov", mvhd_v0(10, 25)))],
+        "asset_id long, modality string, payload binary")
+    planned = {r["asset_id"] for r in
+               multimodal.frame_sample_plan_real(assets).collect()}
+    assert planned == {2}                  # ...but never reaches a cast
+
+    def wav(ch, sr, bits, block_align, data):
+        fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * block_align,
+                          block_align, bits)
+        return (b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    w24in32 = wav(2, 48000, 24, 8, b"\x00" * 800)     # 100 frames
+    assert multimodal._wav_meta(w24in32) == (2, 48000, 24, 100)
+    placeholder = (b"RIFF" + struct.pack("<I", 0xFFFFFFF0) + b"WAVE"
+                   + b"fmt " + struct.pack("<I", 16)
+                   + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                   + b"data" + struct.pack("<I", 0xFFFFFFFF))
+    assert multimodal._wav_meta(placeholder) == (1, 8000, 16, 0)

@@ -339,3 +339,21 @@ def test_xml_source_round_trip_and_dead_letters(spark, tmp_path):
     dead_rows = dead.collect()
     assert len(dead_rows) == 1
     assert "NOT_A_NUMBER" in dead_rows[0][formats.CORRUPT_COL]
+
+
+def test_xml_dead_frame_survives_corrupt_only_plans(spark, tmp_path):
+    """r7c review fix: the canonical dead-letter consumer plans —
+    dead.count() and dead.select(CORRUPT_COL) — prune the scan down to
+    the corrupt column alone, which the native XML source refuses
+    (SPARK-21610); read_xml's persisted dead frame must survive both."""
+    from pyspark.sql import types as T
+
+    from stockanalyses_downloader_spark.sources import formats
+
+    p = tmp_path / "t.xml"
+    p.write_text("<rs><r><a>1</a></r><r><a>bad</a></r></rs>")
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    good, dead = formats.read_xml(spark, str(p), schema, row_tag="r")
+    assert dead.count() == 1
+    assert dead.select(formats.CORRUPT_COL).count() == 1
+    assert good.count() == 1
