@@ -1,7 +1,15 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line with per-query wall seconds.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (VERDICT r7 #1): stdout carries TWO JSON lines — first
+the full record (all tiers' per-query timings + per-query
+cold/warm/median/spread detail, also written to bench_detail.json as a
+sidecar), and LAST a compact summary line (metric/value/extended_total/
+n_ok/headline-only queries/sf, always < 1800 chars). The driver records
+only the last ~2000 chars of stdout, so the FINAL line is the one built
+to survive that capture; r7's single fat line got head-truncated and
+recorded `parsed: null`.
 
 Each query is forced through the noop sink (full materialization of
 every output column — count() alone lets Catalyst prune the work).
@@ -210,7 +218,39 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # Output contract (VERDICT r7 #1): the driver records only the LAST
+    # ~2000 chars of stdout, and BENCH_r07.json came back `parsed: null`
+    # because the one fat JSON line (headline value first, per-query
+    # detail last) got its HEAD truncated away. So: the full record goes
+    # to an earlier stdout line AND a sidecar file, and the FINAL line is
+    # a compact summary — headline value, tier subtotals, and the
+    # headline-only per-query medians — guaranteed to fit the capture.
     print(json.dumps(out))
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError as exc:
+        print(f"sidecar write failed: {exc!r}", file=sys.stderr)
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_ok": len(timings),
+        "n_err": len(errors),
+        "n_iter": n_iter,
+        "timing": "median_of_warm",
+        "extended_total": ext_total,
+        "queries": {n: timings[n] for n in head_ok},
+        "sf": sf,
+    }
+    line = json.dumps(summary)
+    if len(line) > 1800:    # belt-and-braces: never exceed the capture
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":
