@@ -114,7 +114,14 @@ _WINDOW = [
                                 # multimodal digest rows; the
                                 # membership-sketch tier earns its
                                 # first driver row)
-    "cosine_topk_bruteforce",
+    "ivf_topk_approx",          # untrained sample-centroid IVF —
+                                # fully DuckDB-oracled since r7c,
+                                # never driver-certified (r8 rotation
+                                # in per VERDICT r7 #2; took cosine_
+                                # topk_bruteforce's slot: certified
+                                # r1-r7; exact-cosine scoring stays
+                                # driver-visible as the rerank leg
+                                # inside every in-window IVF tier)
     "customer_kanonymity_report",  # k-anonymity privacy audit —
                                 # never driver-certified (r7 rotation
                                 # in per VERDICT r6 #2; took event_
@@ -149,7 +156,17 @@ _WINDOW = [
                                 # sweep-oracled + benched; X1 keeps
                                 # multimodal_chunk_dedup in-window)
     "multimodal_chunk_dedup",   # binary content dedup via chunk digests
-    "minhash_near_dups",
+    "global_near_dup_pairs",    # PPJoin global prefix-filtered
+                                # exact-Jaccard join — fully DuckDB-
+                                # oracled since r7 (gram-bucket twin),
+                                # never driver-certified (r8 rotation
+                                # in per VERDICT r7 #2; took minhash_
+                                # near_dups' slot: banded-LSH was
+                                # driver-certified r1-r7 across many
+                                # windows, stays sweep-oracled +
+                                # benched; near-dup keeps near_dup_
+                                # components + multimodal_chunk_dedup
+                                # in-window)
     "tick_rolling_indicators",  # rolling SMA/vol/RSI (r5 second block
                                 # rotation in — took simhash's slot:
                                 # near-dup keeps minhash/jaccard/CC
@@ -172,8 +189,14 @@ _WINDOW = [
                                 # (portable md5 init + unrolled Lloyd
                                 # CTEs) — the window's last rows-only
                                 # row is gone
-    "semantic_dedup_keepers",   # SemDeDup capstone (r4 rotation in —
-                                # VERDICT r3 #3)
+    "split_semantic_leakage",   # embedding-space eval-leakage audit
+                                # — new r7, never driver-certified
+                                # (r8 rotation in per VERDICT r7 #2;
+                                # took semantic_dedup_keepers' slot:
+                                # certified r4-r7; the same blocked-
+                                # cosine near-dup machinery is
+                                # recomputed inside this audit before
+                                # the cross-split filter)
     "corpus_datacard",          # release-report rollup (r4 rotation
                                 # in — VERDICT r3 #3)
     # text analysis (X1/X4) + deterministic sampling
@@ -183,48 +206,70 @@ _WINDOW = [
                                 # surprisal/winnowing/substring-dup/
                                 # pii driver rows; the EVAL tier
                                 # earns its first)
-    "bigram_kn_probs",          # Kneser-Ney bigram LM (discounted /
-                                # continuation / interpolated probs —
-                                # the trained model itself hash-
-                                # matches); r6 rotation in per
-                                # VERDICT r5 #3 — took doc_bigram_
-                                # surprisal's slot (same corpus
-                                # bigram aggregate plus the smoothing
-                                # upgrade; surprisal stays pytest-
-                                # oracled + benched)
-    "split_leakage_report",     # cross-split near-dup pair counts
-                                # (eval-leakage audit); r6 rotation
-                                # in per VERDICT r5 #3 — took source_
-                                # level_split_assignment's slot (the
-                                # same group-safe split assignment is
-                                # recomputed INSIDE this audit before
-                                # the pair join; assignment stays
-                                # pytest-oracled + benched)
-    "bm25_doc_term_stats",      # BM25 index side, hash-oracled (r5c
-                                # rotation in — took doc_sequence_
-                                # packing's slot: packing stays
-                                # pytest-oracled in the tail; the
-                                # retrieval tier earns its first
-                                # driver row)
-    "lang_token_hll_grid",      # portable-HLL register grids (r5c
-                                # rotation in — took token_countmin_
-                                # sketch's slot: the count-min grid
-                                # machinery stays driver-visible
-                                # inside orders_join_size_estimate,
-                                # which builds two of them; the
-                                # DISTINCT tier's oracled state earns
-                                # its first driver row)
-    "doc_winnow_fingerprints",  # MOSS winnowing (r5 rotation in —
-                                # took doc_fingerprints' slot: the
-                                # guarantee-carrying fingerprint rep)
-    "doc_quality_logits",       # frozen linear quality model (r5 —
-                                # the fastText-filter tier, oracled
-                                # incl. its in-plan features)
-    "bpe_pair_counts",          # BPE training round 1 (r5 rotation in —
-                                # VERDICT r4 #1; took doc_bpe_token_
-                                # stats' slot: pair counts subsume the
-                                # pretokenizer AND exercise the merge
-                                # machinery's first round)
+    "doc_kn_perplexity",        # per-doc KN-LM perplexity — full
+                                # DuckDB oracle since r7 (log-space
+                                # output composed on hash-oracled
+                                # ratios), never driver-certified
+                                # (r8 rotation in per VERDICT r7 #2;
+                                # took bigram_kn_probs' slot: the
+                                # trained KN model was certified r6+
+                                # r7 and is recomputed INSIDE this
+                                # scorer before the per-doc walk)
+    "split_leakage_repair",     # the decontamination ACTION — new
+                                # r7c, never driver-certified (r8
+                                # rotation in per VERDICT r7 #2; took
+                                # split_leakage_report's slot: the
+                                # audit was certified r6+r7 and its
+                                # assignment + cross-split pair join
+                                # are recomputed INSIDE the repair
+                                # before the move-to-train action)
+    "bm25_search_topk",         # Okapi BM25 scored top-k — full
+                                # DuckDB oracle since r7 (round-then-
+                                # rank at 6dp both engines), never
+                                # driver-certified (r8 rotation in
+                                # per VERDICT r7 #2; took bm25_doc_
+                                # term_stats' slot: the index side
+                                # was certified r5c-r7 and its tf/df
+                                # stats are recomputed INSIDE the
+                                # scorer before ranking)
+    "lang_distinct_token_estimates",  # the HLL ESTIMATE itself —
+                                # full DuckDB oracle since r7 (exact
+                                # dyadic raw path, ln branch rounded
+                                # last), never driver-certified (r8
+                                # rotation in per VERDICT r7 #2; took
+                                # lang_token_hll_grid's slot: the
+                                # same register grid is built INSIDE
+                                # this estimator before the harmonic
+                                # composition — a strict superset)
+    "ivf_topk_quantized",       # int8-list IVF with exact rerank —
+                                # fully DuckDB-oracled since r7c
+                                # (calibrate/quantize/probe/shortlist/
+                                # rerank all hash-match), never
+                                # driver-certified (r8 rotation in per
+                                # VERDICT r7 #2; took doc_winnow_
+                                # fingerprints' slot: winnowing was
+                                # certified r5-r7, stays sweep-
+                                # oracled + benched; X4 keeps
+                                # curation/tfidf/datacard in-window)
+    "doc_bpe_tokenization",     # encode corpus with the learned
+                                # merges — full DuckDB oracle since
+                                # r7 (the trained tokenizer hash-
+                                # verifies), never driver-certified
+                                # (r8 rotation in per VERDICT r7 #2;
+                                # took doc_quality_logits' slot: the
+                                # quality tier keeps quality_model_
+                                # auc in-window, which recomputes the
+                                # same in-plan features and logits
+                                # before the midrank AUC)
+    "bpe_merge_sequence",       # the BPE TRAINER itself: 16 greedy
+                                # merge rounds as materialized CTEs —
+                                # full DuckDB oracle since r7, never
+                                # driver-certified (r8 rotation in
+                                # per VERDICT r7 #2; took bpe_pair_
+                                # counts' slot: round-1 pair counting
+                                # is recomputed INSIDE the trainer as
+                                # its first merge round — a strict
+                                # superset)
     "copurchase_triangles",     # degree-oriented triangle counts
                                 # (Suri-Vassilvitskii wedges, support-
                                 # thresholded edges); r6 rotation in
@@ -396,13 +441,6 @@ _TAIL = [
                                     # corpus_datacard (which itself
                                     # counts distinct fingerprints
                                     # per group)
-    "ivf_topk_approx",              # untrained-sample-centroid IVF —
-                                    # slot yielded (r4) to
-                                    # ivf_topk_trained; fully DuckDB-
-                                    # oracled since r7c (portable md5
-                                    # sample; sample/assign/probe/
-                                    # rerank all hash-match); adaptive
-                                    # probe depth still recall-pinned
     "doc_quality_scores",           # per-row quality signals — fully
                                     # recomputed inside corpus_
                                     # curation_decisions (in-window);
@@ -468,11 +506,6 @@ _TAIL = [
                                     # of near_dup_components (which
                                     # holds the driver slot); same
                                     # recursive-CTE oracle in pytest
-    "ivf_topk_quantized",           # int8-list IVF with exact-rerank
-                                    # shortlist — fully DuckDB-oracled
-                                    # since r7c (calibrate/quantize/
-                                    # probe/shortlist/rerank all
-                                    # hash-match); recall pinned
     "ivf_topk_pq",                  # rows-only; IVF-PQ: product-
                                     # quantized lists + ADC LUT
                                     # scoring + exact rerank (new r5);
@@ -503,12 +536,6 @@ _TAIL = [
                                     # percentiles (the 100 TB path);
                                     # rank-error bound vs the exact
                                     # query pinned in pytest
-    "bpe_merge_sequence",           # rows-only; 16 greedy merge
-                                    # rounds — pinned vs pure-Python
-                                    # BPE in pytest; new r4
-    "doc_bpe_tokenization",         # rows-only; encode corpus with
-                                    # the learned merges (memoized by
-                                    # distinct pretoken); new r4
     "doc_rag_chunks",               # overlapping 64/48 token-window
                                     # chunking with offsets (RAG prep);
                                     # DuckDB-oracled; new r4
@@ -574,12 +601,6 @@ _TAIL = [
                                     # r^2) from decimal moment sums,
                                     # closed-form, no UDF;
                                     # DuckDB-oracled; new r5b
-    "global_near_dup_pairs",        # rows-only; PPJoin-style global
-                                    # prefix-filtered exact-Jaccard
-                                    # join (no blocking key — finds
-                                    # cross-block dups); equality vs
-                                    # brute force pinned in pytest;
-                                    # new r5b
     "order_price_quantiles_by_status",  # per-group mergeable HDR
                                     # quantiles (one pass, bounded
                                     # state per group);
@@ -673,9 +694,6 @@ _TAIL = [
     "top_supplier_revenue_share",   # Q15 max-on-view tie set via
                                     # broadcast-scalar decorrelation;
                                     # DuckDB-oracled; r5c
-    "bm25_search_topk",             # Okapi BM25 top-10 for 3 fixed
-                                    # queries (ln -> rows-only;
-                                    # python parity 1e-9); r5c
     "token_countmin_sketch",        # count-min grid rep — hash-green
                                     # r5–r5c; slot yielded to
                                     # lang_token_hll_grid; the grid
@@ -689,9 +707,6 @@ _TAIL = [
     "weighted_doc_sample",          # A-ES weighted sampling (pow ->
                                     # rows-only; exact python parity
                                     # pinned); r5c
-    "doc_kn_perplexity",            # per-doc KN-LM perplexity filter
-                                    # (log2 -> rows-only; shuffled-
-                                    # text discrimination pinned); r5c
     # r6 window yields — all hash-green r1/r5 through r5c; each
     # family keeps an in-window representative (see _WINDOW notes)
     "pricing_summary",              # Q1 groupBy agg — hash-green
@@ -750,24 +765,10 @@ _TAIL = [
     "lang_temperature_mixture",     # sqrt-temperature rebalance —
                                     # hash-green r4-r6
     # r7 additions
-    "split_semantic_leakage",       # embedding-space eval-leakage
-                                    # audit (paraphrase twins the
-                                    # n-gram leakage report can't
-                                    # see); DuckDB-oracled; new r7
-    "lang_distinct_token_estimates",  # the HLL ESTIMATE itself
-                                    # hash-oracled (exact dyadic raw
-                                    # path; ln branch rounded last);
-                                    # DuckDB-oracled; new r7
     "source_shared_token_estimates",  # HLL inclusion-exclusion set
                                     # algebra, three-estimate
                                     # composition hash-oracled;
                                     # DuckDB-oracled; new r7
-    "split_leakage_repair",         # the decontamination ACTION: the
-                                    # non-train side of every cross-
-                                    # split near-dup pair moves to
-                                    # train; composition of oracled
-                                    # primitives; DuckDB-oracled;
-                                    # new r7c
     # r7c window yields — each driver-certified r5 AND r6; slots went
     # to the three new never-certified r7 queries (see _WINDOW notes)
     "substring_dup_fraction",       # content-defined-anchor substring
@@ -785,6 +786,48 @@ _TAIL = [
     "part_supplier_relationship",   # Q16 NOT-IN -> broadcast anti
                                     # join + count_distinct per
                                     # bucket; DuckDB-oracled; new r6
+    # r8 window yields — every one driver-certified in r7 (most in
+    # several earlier windows too); slots went to the 10 never-
+    # certified promotions per VERDICT r7 #2 (see _WINDOW notes for
+    # the per-slot coverage story)
+    "minhash_near_dups",            # banded-LSH near-dup — hash-green
+                                    # r1-r7; stays benched; near-dup
+                                    # keeps components + global pairs
+                                    # in-window
+    "cosine_topk_bruteforce",       # exact cosine top-k — hash-green
+                                    # r1-r7; stays benched; the exact-
+                                    # cosine rerank leg runs inside
+                                    # every in-window IVF tier
+    "semantic_dedup_keepers",       # SemDeDup capstone — hash-green
+                                    # r4-r7; blocked-cosine machinery
+                                    # recomputed inside in-window
+                                    # split_semantic_leakage
+    "bigram_kn_probs",              # trained KN bigram model — hash-
+                                    # green r6-r7; recomputed inside
+                                    # in-window doc_kn_perplexity;
+                                    # stays benched
+    "split_leakage_report",         # cross-split pair audit — hash-
+                                    # green r6-r7; recomputed inside
+                                    # in-window split_leakage_repair;
+                                    # stays benched
+    "bm25_doc_term_stats",          # BM25 index side — hash-green
+                                    # r5c-r7; tf/df stats recomputed
+                                    # inside in-window bm25_search_topk
+    "lang_token_hll_grid",          # HLL register grids — hash-green
+                                    # r5c-r7; the same grid is built
+                                    # inside in-window lang_distinct_
+                                    # token_estimates; stays benched
+    "doc_winnow_fingerprints",      # MOSS winnowing — hash-green
+                                    # r5-r7; stays sweep-oracled +
+                                    # benched
+    "doc_quality_logits",           # frozen quality model — hash-
+                                    # green r5-r7; features + logits
+                                    # recomputed inside in-window
+                                    # quality_model_auc
+    "bpe_pair_counts",              # BPE round-1 pair counts — hash-
+                                    # green r5-r7; recomputed inside
+                                    # in-window bpe_merge_sequence as
+                                    # its first merge round; benched
 ]
 
 
