@@ -333,8 +333,15 @@ _WINDOW = [
 ]
 
 # Past the driver window: redundant variants of operator classes already
-# represented above; all were hash-green in CORRECTNESS_r01.json (except
-# the by-design rows-only approx_distinct_users).
+# represented above; all were hash-green in CORRECTNESS_r01.json.
+# Rows-only residue (r8): exactly 7 entries, each terminally
+# engine-bound — 4 carry a driver-side eigh (OPQ/PCA rotations:
+# ivf_topk_pq, pca_ivf_topk, ann_recall_report,
+# embedding_pca_projection) and 3 carry libm transcendentals in a
+# training loop (sigmoid: quality_model_weights; Viterbi ln:
+# unigram_vocab, doc_unigram_tokenization). Bit-exact cross-engine
+# hashes are impossible for those ops; each is python-parity or
+# invariant-pinned in pytest instead.
 _TAIL = [
     "vwap_by_isin",                 # A2 weighted mean — hash-green
                                     # r1–r5b; slot yielded (r5c) to
@@ -508,12 +515,16 @@ _TAIL = [
                                     # recursive-CTE oracle in pytest
     "ivf_topk_pq",                  # rows-only; IVF-PQ: product-
                                     # quantized lists + ADC LUT
-                                    # scoring + exact rerank (new r5);
+                                    # scoring + exact rerank —
+                                    # engine-bound: OPQ rotation is a
+                                    # driver-side eigh (terminal);
                                     # recall floor pinned in pytest
     "pca_ivf_topk",                 # rows-only; IVF candidates in
                                     # PCA space (pca_k=24), exact
-                                    # full-dim rerank (new r5);
-                                    # recall floor pinned in pytest
+                                    # full-dim rerank — engine-bound:
+                                    # PCA basis is a driver-side eigh
+                                    # (terminal); recall floor pinned
+                                    # in pytest
     "twap_by_isin",                 # lead-duration weighted mean —
                                     # vwap holds the family's driver
                                     # slot; oracled in pytest
@@ -527,15 +538,24 @@ _TAIL = [
     "rich_inactive_customers",      # Q22 composed subquery + anti join
     "event_value_histogram",        # manual width-bucket agg
     "event_props_extract",          # JSON parse, cf. jobs_parse_dispatch
-    "approx_distinct_users",        # approx_count_distinct (rows-only)
+    "approx_distinct_users",        # distinct users per event type —
+                                    # PORTABLE HLL grid since r8
+                                    # (VERDICT r7 #5): fully DuckDB-
+                                    # oracled; the engine-native
+                                    # approx_count_distinct variant
+                                    # stays pytest-pinned
     "ann_recall_report",            # rows-only; recall@10 of every
-                                    # ANN method vs brute force,
-                                    # computed distributively —
-                                    # floors pinned in pytest
-    "approx_order_value_percentiles",  # rows-only; mergeable-sketch
-                                    # percentiles (the 100 TB path);
-                                    # rank-error bound vs the exact
-                                    # query pinned in pytest
+                                    # ANN method vs brute force —
+                                    # engine-bound: composes the PQ/
+                                    # PCA tiers' driver-side eigh
+                                    # rotations; floors pinned in
+                                    # pytest (terminal)
+    "approx_order_value_percentiles",  # mergeable-sketch percentiles
+                                    # (the 100 TB path) — PORTABLE
+                                    # HDR grid since r8 (VERDICT r7
+                                    # #5): fully DuckDB-oracled; the
+                                    # engine-native approx_percentile
+                                    # variant stays pytest-pinned
     "doc_rag_chunks",               # overlapping 64/48 token-window
                                     # chunking with offsets (RAG prep);
                                     # DuckDB-oracled; new r4
@@ -545,9 +565,10 @@ _TAIL = [
                                     # new r4
     "quality_model_weights",        # rows-only; distributed logistic-
                                     # regression training (decimal-
-                                    # accumulated batch GD) — pinned
-                                    # vs pure-numpy GD in pytest;
-                                    # new r5
+                                    # accumulated batch GD) — engine-
+                                    # bound: sigmoid exp() in the GD
+                                    # loop is libm (terminal); pinned
+                                    # vs pure-numpy GD in pytest
     "countmin_token_estimates",     # point-query estimates for a
                                     # deterministic 20% vocab probe
                                     # (rate sized to the fixture's
@@ -567,9 +588,11 @@ _TAIL = [
                                     # total_tf, postings head);
                                     # DuckDB-oracled; new r4
     "embedding_pca_projection",     # rows-only; k=8 PCA projection —
-                                    # distributed moments + driver
-                                    # eigh + in-plan folds; pinned vs
-                                    # numpy in pytest; new r4
+                                    # engine-bound: the eigenbasis is
+                                    # a driver-side eigh on the d^2
+                                    # moment matrix (terminal);
+                                    # distributed moments + in-plan
+                                    # folds pinned vs numpy in pytest
     "order_price_hdr_quantiles",    # quantile walk over the HDR grid
                                     # — hash-green r5–r5c; slot
                                     # yielded (r6) to the grid itself
@@ -619,11 +642,14 @@ _TAIL = [
                                     # per-key aggregate flags (one
                                     # shuffle, no correlated
                                     # re-scans); DuckDB-oracled; r5b
-    "lang_distinct_token_sketch",   # rows-only; mergeable HLL
-                                    # distinct-token cardinality
-                                    # (two-level sketch union — the
-                                    # rescan-free reaggregation path);
-                                    # error band pinned in pytest
+    "lang_distinct_token_sketch",   # mergeable distinct-token
+                                    # cardinality, two-level union
+                                    # (the rescan-free reaggregation
+                                    # path) — PORTABLE HLL grid since
+                                    # r8 (VERDICT r7 #5): fully
+                                    # DuckDB-oracled incl. the merge
+                                    # hop; Datasketches variant stays
+                                    # pytest-pinned
     "token_bloom_sketch",           # mergeable MEMBERSHIP bit set
                                     # (completes the sketch family:
                                     # HLL/count-min/HDR/Bloom);
@@ -676,13 +702,16 @@ _TAIL = [
                                     # vectors themselves hash-match);
                                     # DuckDB-oracled; new r5c
     "unigram_vocab",                # SentencePiece-family unigram-LM
-                                    # trainer (hard-EM over the word
-                                    # table; rows-only — ln); pinned
-                                    # vs pure-Python exactly; r5c
+                                    # trainer — engine-bound: hard-EM
+                                    # scores words with libm ln()
+                                    # (terminal); pinned vs
+                                    # pure-Python exactly in pytest
     "doc_unigram_tokenization",     # Viterbi encode under the
                                     # learned pieces (fit-once memo,
-                                    # mapInPandas apply); rows-only;
-                                    # invariants pinned; r5c
+                                    # mapInPandas apply) — engine-
+                                    # bound: piece log-probs are libm
+                                    # ln() (terminal); invariants
+                                    # pinned in pytest
     "simple_revenue_forecast",      # Q6 pure predicate-pushdown
                                     # aggregate; DuckDB-oracled; r5c
     "returned_item_customers",      # Q10 returns attribution top-20

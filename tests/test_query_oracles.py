@@ -43,6 +43,26 @@ def test_approx_percentiles_track_exact(spark, sf_dir):
     n/accuracy <= a couple of ranks at test scale, so values land
     within a tight relative band of the exact answer."""
     from stockanalyses_downloader_spark.queries.relational_queries import (
+        approx_order_value_percentiles_native, order_value_percentiles)
+    exact = {r["o_orderstatus"]: r for r in
+             order_value_percentiles(spark, sf_dir).collect()}
+    approx = {r["o_orderstatus"]: r for r in
+              approx_order_value_percentiles_native(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for status, e in exact.items():
+        a = approx[status]
+        assert a["n_orders"] == e["n_orders"]
+        for p in ("p50", "p90", "p99"):
+            assert abs(a[p] - e[p]) <= 0.05 * abs(e[p]) + 1e-9, (
+                f"{status}/{p}: approx={a[p]} exact={e[p]}")
+
+
+def test_portable_hdr_percentiles_track_exact(spark, sf_dir):
+    """The PORTABLE HDR path (now the registry entry, r8) obeys its
+    bucket-construction error contract vs exact percentiles: each
+    bucket spans a 1/16 slice of an octave, so the estimate is within
+    ~2/16 of the true value (bucket midpoint + rank granularity)."""
+    from stockanalyses_downloader_spark.queries.relational_queries import (
         approx_order_value_percentiles, order_value_percentiles)
     exact = {r["o_orderstatus"]: r for r in
              order_value_percentiles(spark, sf_dir).collect()}
@@ -53,5 +73,28 @@ def test_approx_percentiles_track_exact(spark, sf_dir):
         a = approx[status]
         assert a["n_orders"] == e["n_orders"]
         for p in ("p50", "p90", "p99"):
-            assert abs(a[p] - e[p]) <= 0.05 * abs(e[p]) + 1e-9, (
-                f"{status}/{p}: approx={a[p]} exact={e[p]}")
+            assert abs(a[p] - e[p]) <= 0.125 * abs(e[p]), (
+                f"{status}/{p}: portable={a[p]} exact={e[p]}")
+
+
+def test_portable_hll_users_track_exact(spark, sf_dir):
+    """The portable-HLL registry entry tracks exact count_distinct
+    within the m=256 error band (~6.5% stderr; assert 20% = ~3
+    sigma), and the engine-native alternate stays within HLL++'s
+    tighter default band (5%)."""
+    import pyspark.sql.functions as F
+    from stockanalyses_downloader_spark.queries.relational_queries import (
+        _t, approx_distinct_users, approx_distinct_users_native)
+    exact = {r["event_type"]: r["x"] for r in
+             _t(spark, sf_dir, "events").groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("x")).collect()}
+    portable = {r["event_type"]: r["approx_users"] for r in
+                approx_distinct_users(spark, sf_dir).collect()}
+    native = {r["event_type"]: r["approx_users"] for r in
+              approx_distinct_users_native(spark, sf_dir).collect()}
+    assert set(exact) == set(portable) == set(native)
+    for et, x in exact.items():
+        assert abs(portable[et] - x) <= 0.20 * x + 3, (
+            f"{et}: portable={portable[et]} exact={x}")
+        assert abs(native[et] - x) <= 0.05 * x + 3, (
+            f"{et}: native={native[et]} exact={x}")

@@ -161,11 +161,11 @@ def test_hll_sketch_union_tracks_exact(spark):
     stderr; assert 5% = ~3 sigma) at a cardinality where HLL actually
     approximates, and must be EXACT on the tiny fixture vocab."""
     from stockanalyses_downloader_spark.queries.text_queries import (
-        lang_distinct_token_sketch)
+        lang_distinct_token_sketch_native)
 
     # fixture: tiny vocab -> sketch is exact
     got = {r["lang"]: r for r in
-           lang_distinct_token_sketch(
+           lang_distinct_token_sketch_native(
                spark, "/root/testdata/sf0.001").collect()}
     from stockanalyses_downloader_spark.sources.tables import load_table
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
