@@ -127,6 +127,66 @@ def sweep_crash_artifacts(path: str) -> None:
         shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
 
 
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically SWAP two directories via Linux ``renameat2(...,
+    RENAME_EXCHANGE)`` — both paths exist before and after, so a
+    concurrent reader listing the table path can never observe it
+    missing (the two-rename fallback has an ENOENT window between its
+    renames). Returns False when the syscall/filesystem doesn't
+    support exchange (non-Linux, old kernel, some network mounts) —
+    callers fall back to the two-rename protocol."""
+    import ctypes
+    import ctypes.util
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6",
+                           use_errno=True)
+        renameat2 = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    rc = renameat2(AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b),
+                   RENAME_EXCHANGE)
+    if rc != 0:
+        err = ctypes.get_errno()
+        import errno as _errno
+        if err in (_errno.EINVAL, _errno.ENOSYS, _errno.ENOTSUP,
+                   getattr(_errno, "EXDEV", 18)):
+            return False
+        raise OSError(err, os.strerror(err), a)
+    return True
+
+
+def _carry_late_appends(old_root: str, new_root: str,
+                        planned: set[str]) -> int:
+    """Move any data file that landed in the table DURING the
+    compaction window (present in the pre-swap directory but absent
+    from the planned input listing) into the new directory — a
+    concurrent appender's committed output must survive the swap, not
+    vanish with the backup. Collisions are token-suffixed (committed
+    file names are part-UUIDs, so this is a formality)."""
+    carried = 0
+    for f, _sz in list_data_files(old_root):
+        rel = os.path.relpath(f, old_root)
+        if rel in planned:
+            continue
+        dest = os.path.join(new_root, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if os.path.exists(dest):
+            stem, ext = os.path.splitext(dest)
+            dest = f"{stem}-late-{uuid.uuid4().hex[:8]}{ext}"
+        os.rename(f, dest)
+        carried += 1
+    return carried
+
+
+# test-only injection seam: called between bin planning and the swap,
+# i.e. inside the window where an independent writer can race the
+# compaction. Tests assign a callable that appends to the live table;
+# production leaves it None.
+_pre_swap_hook = None
+
+
 def compact_parquet(spark: SparkSession, path: str,
                     target_bytes: int = 128 * 1024 * 1024,
                     parallelism: int = 4) -> dict[str, int]:
@@ -140,15 +200,42 @@ def compact_parquet(spark: SparkSession, path: str,
     concurrently from a thread pool (each submits its own Spark job —
     the cluster interleaves their tasks).
 
+    TWO-WRITER / CONCURRENT-READER CONTRACT (r8, VERDICT r7 #6) —
+    what an INDEPENDENT writer or reader observes while this runs:
+
+    * Reader: sees the OLD table or the NEW table, never a half-
+      compacted mix — all rewrites land in a staging dir and become
+      visible through one directory swap. On Linux the swap is a
+      single atomic ``renameat2(RENAME_EXCHANGE)``, so the path never
+      even transiently disappears; on filesystems without exchange
+      the two-rename fallback has a microseconds ENOENT window a
+      reader must treat as retryable (the pre-r8 behavior). A reader
+      holding open file handles keeps reading its snapshot either way
+      (POSIX semantics).
+    * Writer: a file COMMITTED into the table during the compaction
+      window (after the listing, before the swap) is NOT lost — the
+      post-swap diff moves every data file that wasn't in the planned
+      input set from the displaced directory into the new one
+      (``_carry_late_appends``), so a concurrent append lands in the
+      new directory. A commit that races the swap itself (the
+      committer's rename targets a path whose parent was just
+      displaced) fails with ENOENT and must retry — the standard
+      at-least-once sink contract; streaming/sinks.py's
+      maintenance_foreach_batch additionally SERIALIZES maintenance
+      with its own query's appends so the single-query case never
+      even hits the retry path. Files still being STAGED (hidden
+      ``_temporary``/dot-files) are invisible to the listing and to
+      the carry diff by the same rule parquet scans use.
+
     Returns {"files_before", "files_after", "bins_rewritten",
-    "bytes_total"}. Idempotent AND cheap when idempotent: if no bin
-    holds more than one file there is nothing to do and the function
-    returns without writing a byte — so periodic maintenance on an
-    already-compacted table costs one metadata listing, keeping the
-    maintenance_foreach_batch contract (cost proportional to churn).
-    Single-file bins that ride along a real rewrite are carried by
-    hardlink when the filesystem allows it (the local analogue of a
-    metadata-only move; falls back to copy)."""
+    "bytes_total", "late_appends_carried"}. Idempotent AND cheap when
+    idempotent: if no bin holds more than one file there is nothing to
+    do and the function returns without writing a byte — so periodic
+    maintenance on an already-compacted table costs one metadata
+    listing, keeping the maintenance_foreach_batch contract (cost
+    proportional to churn). Single-file bins that ride along a real
+    rewrite are carried by hardlink when the filesystem allows it (the
+    local analogue of a metadata-only move; falls back to copy)."""
     sweep_crash_artifacts(path)
     base = path.rstrip("/")
     files = list_data_files(base)
@@ -170,8 +257,9 @@ def compact_parquet(spark: SparkSession, path: str,
     rewritten = sum(1 for _, b in bins if len(b.files) > 1)
     if rewritten == 0:
         return {"files_before": len(files), "files_after": len(files),
-                "bins_rewritten": 0,
+                "bins_rewritten": 0, "late_appends_carried": 0,
                 "bytes_total": sum(sz for _, sz in files)}
+    planned = {os.path.relpath(f, base) for f, _sz in files}
     token = uuid.uuid4().hex[:8]
     tmp = f"{base}.__tmp-{token}"
     os.makedirs(tmp)
@@ -203,10 +291,24 @@ def compact_parquet(spark: SparkSession, path: str,
         for fut in [pool.submit(run_bin, rel, b) for rel, b in bins]:
             fut.result()
 
-    old_dir = f"{base}.__old-{token}"
-    os.rename(base, old_dir)
-    os.rename(tmp, base)
-    shutil.rmtree(old_dir, ignore_errors=True)
-    return {"files_before": len(files), "files_after": len(bins),
+    if _pre_swap_hook is not None:   # test seam: race an append here
+        _pre_swap_hook()
+
+    # Swap. Preferred: one atomic exchange (base <-> tmp) — readers
+    # never see the path missing; the displaced old content ends up
+    # AT the tmp path. Fallback: the two-rename protocol with its
+    # documented retryable ENOENT window.
+    if _exchange_dirs(base, tmp):
+        displaced = tmp
+    else:
+        old_dir = f"{base}.__old-{token}"
+        os.rename(base, old_dir)
+        os.rename(tmp, base)
+        displaced = old_dir
+    # a concurrent writer's committed appends survive the swap
+    carried = _carry_late_appends(displaced, base, planned)
+    shutil.rmtree(displaced, ignore_errors=True)
+    return {"files_before": len(files), "files_after": len(bins) + carried,
             "bins_rewritten": rewritten,
+            "late_appends_carried": carried,
             "bytes_total": sum(sz for _, sz in files)}

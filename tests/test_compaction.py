@@ -144,3 +144,98 @@ def test_compaction_plan_properties_fuzzed():
             assert b.total_bytes <= target or len(b.files) == 1
 
     check()
+
+
+def test_exchange_dirs_swaps_atomically(tmp_path):
+    """The renameat2(RENAME_EXCHANGE) helper swaps two directories in
+    one syscall (both paths exist before and after). Skipped when the
+    filesystem/kernel lacks exchange — the two-rename fallback is
+    covered by the crash-recovery tests above."""
+    import pytest
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a)
+    os.makedirs(b)
+    open(os.path.join(a, "was_a"), "w").close()
+    open(os.path.join(b, "was_b"), "w").close()
+    if not compaction._exchange_dirs(a, b):
+        pytest.skip("renameat2 RENAME_EXCHANGE unsupported here")
+    assert os.path.exists(os.path.join(a, "was_b"))
+    assert os.path.exists(os.path.join(b, "was_a"))
+
+
+def test_concurrent_append_during_compaction_survives(spark, tmp_path):
+    """TWO-WRITER contract (VERDICT r7 #6): a file COMMITTED into the
+    table after the compaction listing but before the swap (the full
+    race window, entered via the _pre_swap_hook seam) must land in
+    the new directory — not vanish with the displaced backup."""
+    path = str(tmp_path / "t")
+    _write_small_files(spark, path, n_rows=2000, n_files=12)
+    before = _rows(spark, path)
+
+    late = str(tmp_path / "late")
+    (spark.range(2000, 2100)
+     .select(F.col("id"), (F.col("id") % 7).alias("k"),
+             F.md5(F.col("id").cast("string")).alias("payload"))
+     .coalesce(1).write.mode("overwrite").parquet(late))
+    late_part = [f for f in os.listdir(late) if f.endswith(".parquet")][0]
+
+    def racing_append():
+        # commit-style append: the file appears in the table dir via
+        # one atomic rename, exactly like a FileOutputCommitter
+        os.rename(os.path.join(late, late_part),
+                  os.path.join(path, "part-late-append.parquet"))
+
+    compaction._pre_swap_hook = racing_append
+    try:
+        stats = compaction.compact_parquet(spark, path,
+                                           target_bytes=64 * 1024 * 1024)
+    finally:
+        compaction._pre_swap_hook = None
+    assert stats["late_appends_carried"] == 1
+    late_rows = sorted(tuple(r) for r in
+                       spark.read.parquet(path).collect()
+                       if r[0] >= 2000)
+    assert len(late_rows) == 100
+    all_rows = _rows(spark, path)
+    assert len(all_rows) == len(before) + 100
+    assert sorted(r for r in all_rows if r[0] < 2000) == before
+
+
+def test_concurrent_reader_sees_old_or_new_never_half(spark, tmp_path):
+    """CONCURRENT-READER contract (VERDICT r7 #6): a reader hammering
+    the table during compaction observes the complete old table or the
+    complete new table — never a mix, never a partial row set. A
+    listing/open that races the swap itself may fail (retryable by
+    contract — impossible on the renameat2 path, a microseconds window
+    on the fallback); every SUCCESSFUL read must be complete."""
+    import threading
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    _write_small_files(spark, path, n_rows=5000, n_files=24)
+    total = len(_rows(spark, path))
+    observed: list[int] = []
+    retries: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = sum(pq.read_table(f).num_rows
+                        for f, _sz in compaction.list_data_files(path))
+                observed.append(n)
+            except (FileNotFoundError, OSError):
+                retries.append(1)     # retryable by contract
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        compaction.compact_parquet(spark, path,
+                                   target_bytes=64 * 1024 * 1024)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert observed, "reader never completed a read"
+    bad = [n for n in observed if n != total]
+    assert not bad, f"partial/mixed reads observed: {sorted(set(bad))}"
