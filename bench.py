@@ -114,6 +114,10 @@ EXTENDED = [
     "ivf_topk_trained",             # kmeans train + IVF serve (the
                                     # full trained-ANN path, now
                                     # hash-oracled end to end)
+    # round-8 additions
+    "dsir_selection_report",        # hashed-ngram importance
+                                    # resampling (target/raw LLR fit
+                                    # + per-source keep)
 ]
 
 

@@ -1,0 +1,142 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+The standard pretraining-data selection recipe (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling"): fit
+two bag-of-hashed-ngrams distributions — one on a small TARGET corpus
+(the domain you want more of), one on the RAW pool — and score every
+raw document by its mean log-likelihood ratio under the two; keep the
+top slice. It is the cheap, model-free alternative to classifier
+filtering (quality_model.py) and the distribution-matching complement
+to the temperature mixture (sampling.py): where the mixture rebalances
+SOURCES, DSIR ranks individual DOCUMENTS by how target-like their
+n-gram profile is.
+
+Spark-first shape, and why it holds at 100 TB:
+- Features are word unigrams + bigrams hashed into ``n_buckets``
+  (default 4096) via the repo's md5-prefix family — the model is a
+  BOUNDED bucket table regardless of vocabulary size (the hashing
+  trick, same contract as the count-min/HLL grids), built in one
+  corpus scan with a groupBy(bucket) count.
+- The per-bucket log-likelihood-ratio table is model-sized and
+  broadcast; per-doc scoring is one explode + broadcast join +
+  groupBy(doc) mean — a single shuffle keyed by doc_id, no iteration.
+- Selection is a count + a rounded-score rank: deterministic,
+  reproducible, and resumable (the kept set is a pure function of the
+  corpus and the constants).
+
+Cross-engine determinism (the oracle story): bucket ids and counts are
+exact; the smoothed probabilities are single IEEE divisions; the one
+libm step — ln in the per-bucket ratio, averaged per doc — follows the
+doc_kn_perplexity precedent (full DuckDB oracle since r7): round to 5
+decimals as the LAST op, wide enough to absorb ulp-level ln/summation
+drift, tight enough to certify the feature join and the mean. The
+keep decision ranks the ROUNDED score (ties broken by doc_id), so
+membership is bit-stable in both engines.
+
+Reference: no counterpart (the reference is a ticker ETL); this
+operator exists for the LLM-pipeline mandate next to dedup.py,
+quality_model.py and sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+N_BUCKETS = 4096
+ALPHA = 0.5   # additive smoothing per bucket
+
+
+def _bucket(col: Column, n_buckets: int) -> Column:
+    """md5-prefix hash bucket — the repo's portable hash family
+    (sketches._hll_cell / sampling.hash_key), so a DuckDB oracle
+    reproduces the bucketing bit-for-bit."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+            % n_buckets).cast("int")
+
+
+def hashed_gram_buckets(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        n_buckets: int = N_BUCKETS) -> DataFrame:
+    """One row per unigram/bigram OCCURRENCE: (id_col, bucket).
+    Tokens are lowercased whitespace words; bigrams are adjacent
+    pairs joined by one space (zip_with over two slices — JVM-side,
+    no UDF)."""
+    ts = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = (docs.select(id_col, ts.alias("ts"))
+         .filter(F.size("ts") >= 1))
+    unis = t.select(id_col, F.explode("ts").alias("g"))
+    bis = (t.filter(F.size("ts") >= 2)
+           .select(id_col,
+                   F.explode(F.zip_with(
+                       F.slice(F.col("ts"), F.lit(1), F.size("ts") - 1),
+                       F.slice(F.col("ts"), F.lit(2), F.size("ts") - 1),
+                       lambda a, b: F.concat(a, F.lit(" "), b)))
+                   .alias("g")))
+    return (unis.unionByName(bis)
+            .select(id_col, _bucket(F.col("g"), n_buckets).alias("bucket")))
+
+
+def dsir_bucket_llr(target_grams: DataFrame, raw_grams: DataFrame,
+                    n_buckets: int = N_BUCKETS,
+                    alpha: float = ALPHA) -> DataFrame:
+    """Per-bucket log-likelihood ratio ln(p_target / p_raw) with
+    additive smoothing — the DSIR importance model. Output (bucket,
+    n_target, n_raw, llr): n_buckets rows, broadcast-sized by
+    construction. Buckets unseen in BOTH corpora still get a row
+    (llr from the smoothing alone) so scoring never drops a feature."""
+    tc = target_grams.groupBy("bucket").agg(F.count("*").alias("n_target"))
+    rc = raw_grams.groupBy("bucket").agg(F.count("*").alias("n_raw"))
+    spark = target_grams.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").cast("int")
+                                         .alias("bucket"))
+    joined = (grid.join(tc, "bucket", "left").join(rc, "bucket", "left")
+              .select("bucket",
+                      F.coalesce("n_target", F.lit(0)).alias("n_target"),
+                      F.coalesce("n_raw", F.lit(0)).alias("n_raw")))
+    tt = target_grams.count()
+    rt = raw_grams.count()
+    pt = (F.col("n_target") + F.lit(alpha)) / F.lit(tt + alpha * n_buckets)
+    pr = (F.col("n_raw") + F.lit(alpha)) / F.lit(rt + alpha * n_buckets)
+    return joined.withColumn("llr", F.log(pt) - F.log(pr))
+
+
+def dsir_scores(docs: DataFrame, llr: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Score each doc: mean llr over its hashed-gram occurrences,
+    rounded to 5 decimals LAST (the doc_kn_perplexity determinism
+    protocol). Output (id_col, n_grams, score). Docs with zero tokens
+    after trim still emit their unigram of '' — every doc scores."""
+    grams = hashed_gram_buckets(docs, id_col, text_col, n_buckets)
+    return (grams.join(F.broadcast(llr.select("bucket", "llr")), "bucket")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.round(F.avg("llr"), 5).alias("score")))
+
+
+def dsir_select(scores: DataFrame, keep_fraction: float,
+                partition_cols: list[str],
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the top ``keep_fraction`` of scored docs WITHIN each
+    partition (shard/source) by (rounded score desc, id asc) — a
+    deterministic in-plan rank against an in-plan per-partition
+    count: no collect, no global single-task sort (the partitioned
+    window is the scale-correct form; selecting within sources is
+    also what DSIR's authors do to avoid one domain monopolizing the
+    budget). Output: scores + (rank, kept); every partition keeps at
+    least one doc."""
+    if not partition_cols:
+        raise ValueError("dsir_select: partition_cols must be "
+                         "non-empty (a global top-k is a single-task "
+                         "sort at scale — select within shards)")
+    pw = Window.partitionBy(*partition_cols)
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col("score").desc(), F.col(id_col))
+    n_keep = F.greatest(
+        F.lit(1),
+        F.floor(F.count("*").over(pw) * F.lit(keep_fraction))
+        .cast("long"))
+    return (scores.withColumn("rank", F.row_number().over(w))
+            .withColumn("kept", F.col("rank") <= n_keep))

@@ -857,6 +857,14 @@ _TAIL = [
                                     # green r5-r7; recomputed inside
                                     # in-window bpe_merge_sequence as
                                     # its first merge round; benched
+    # r8 additions
+    "dsir_selection_report",        # DSIR importance resampling:
+                                    # hashed-ngram target/raw LLR
+                                    # scoring + per-source top-25%
+                                    # keep (Xie et al. 2023);
+                                    # DuckDB-oracled end to end
+                                    # (round-last ln protocol);
+                                    # new r8
 ]
 
 

@@ -3099,3 +3099,97 @@ QUERIES.update({
     "source_mixture_schedule": Q(source_mixture_schedule,
                                  _SOURCE_SCHEDULE_SQL),
 })
+
+
+_DSIR_TARGET_SOURCES = ("src0", "src1")
+_DSIR_KEEP_FRACTION = 0.25
+
+
+def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py — hashed-ngram
+    importance resampling, Xie et al. 2023): fit target (src0+src1)
+    vs raw bucket distributions, score every raw doc by its mean
+    log-likelihood ratio, keep the top 25% WITHIN each source
+    (partitioned rank — no global sort). Fully DuckDB-oracled: exact
+    bucket counts, IEEE-division probabilities, the ln/avg step
+    rounded to 5 decimals LAST (doc_kn_perplexity's protocol), and a
+    keep decision ranked on the ROUNDED score with doc_id ties.
+    Output: (doc_id, source, n_grams, score, rank, kept)."""
+    from ..operators import dsir
+    d = _docs(spark, sf_dir)
+    is_target = F.col("source").isin(list(_DSIR_TARGET_SOURCES))
+    target, raw = d.filter(is_target), d.filter(~is_target)
+    llr = dsir.dsir_bucket_llr(dsir.hashed_gram_buckets(target),
+                               dsir.hashed_gram_buckets(raw))
+    scored = (dsir.dsir_scores(raw, llr)
+              .join(d.select("doc_id", "source"), "doc_id"))
+    sel = dsir.dsir_select(scored, _DSIR_KEEP_FRACTION, ["source"])
+    return sel.select("doc_id", "source", "n_grams", "score",
+                      "rank", "kept")
+
+
+def _dsir_sql() -> str:
+    from ..operators.dsir import ALPHA, N_BUCKETS
+    b = N_BUCKETS
+    srcs = ", ".join(f"'{t}'" for t in _DSIR_TARGET_SOURCES)
+    frac = repr(_DSIR_KEEP_FRACTION)
+
+    def grams(rel: str) -> str:
+        return rf"""
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {b} AS INT)
+           AS bucket
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS g
+    FROM {rel}
+    UNION ALL
+    SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+    FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS ts
+                FROM {rel})
+          WHERE len(ts) >= 2)
+  )"""
+
+    return rf"""
+WITH tgt AS (
+  SELECT doc_id, text FROM documents WHERE source IN ({srcs})
+), raw AS (
+  SELECT doc_id, text FROM documents WHERE source NOT IN ({srcs})
+), tg AS ({grams('tgt')}
+), rg AS ({grams('raw')}
+), grid AS (
+  SELECT CAST(unnest(generate_series(0, {b} - 1)) AS INT) AS bucket
+), tc AS (
+  SELECT bucket, count(*) AS n_t FROM tg GROUP BY bucket
+), rc AS (
+  SELECT bucket, count(*) AS n_r FROM rg GROUP BY bucket
+), tt AS (SELECT count(*) AS c FROM tg
+), rt AS (SELECT count(*) AS c FROM rg
+), llr AS (
+  SELECT grid.bucket,
+         ln((COALESCE(n_t, 0) + {ALPHA!r}) / (tt.c + {ALPHA!r} * {b}))
+         - ln((COALESCE(n_r, 0) + {ALPHA!r}) / (rt.c + {ALPHA!r} * {b}))
+           AS llr
+  FROM grid LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt, rt
+), scores AS (
+  SELECT rg.doc_id, count(*) AS n_grams, round(avg(llr.llr), 5) AS score
+  FROM rg JOIN llr USING (bucket)
+  GROUP BY rg.doc_id
+), sel AS (
+  SELECT s.doc_id, d.source, s.n_grams, s.score,
+         CAST(row_number() OVER (PARTITION BY d.source
+                                 ORDER BY s.score DESC, s.doc_id) AS INT)
+           AS rank,
+         count(*) OVER (PARTITION BY d.source) AS n_src
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, n_grams, score, rank,
+       rank <= GREATEST(1, CAST(floor(n_src * {frac}) AS BIGINT)) AS kept
+FROM sel
+"""
+
+
+QUERIES.update({
+    "dsir_selection_report": Q(dsir_selection_report, _dsir_sql()),
+})
