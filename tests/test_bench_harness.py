@@ -1,8 +1,10 @@
 """bench.py is the driver's perf contract — a smoke test that the
-harness runs end to end and emits the r7 median-of-N schema
-(VERDICT r6 #1/#8), on a 2-query subset at the tiny SF so it stays
-unit-test-priced. Runs bench in a SUBPROCESS: bench owns its own
-SparkSession config and must not fight the test session."""
+harness runs end to end and emits the r8 TWO-LINE output contract
+(VERDICT r7 #1): the full median-of-N record first, a compact
+driver-parseable summary LAST (the driver tail-captures ~2000 chars of
+stdout, so the final line must be small and self-sufficient). Runs
+bench in a SUBPROCESS: bench owns its own SparkSession config and must
+not fight the test session."""
 
 from __future__ import annotations
 
@@ -24,17 +26,31 @@ def test_bench_smoke_subset_schema():
                          capture_output=True, text=True, timeout=420,
                          env=env, cwd=REPO)
     assert out.returncode == 0, out.stderr[-2000:]
-    line = out.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
-    assert d["metric"] == "headline_queries_total_wall"
-    assert d["timing"] == "median_of_warm"
-    assert d["n_iter"] == 2
+    lines = [ln for ln in out.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 2, out.stdout[-2000:]
+    full, summary = json.loads(lines[0]), json.loads(lines[-1])
+
+    # FINAL line: the driver-facing compact summary — small enough to
+    # survive the ~2000-char stdout tail capture, no detail block
+    assert len(lines[-1]) < 1800
+    assert "detail" not in summary
+    assert summary["metric"] == "headline_queries_total_wall"
+    assert summary["timing"] == "median_of_warm"
+    assert summary["n_iter"] == 2 and summary["n_err"] == 0
     # subset run: cross-round totals must be withheld
-    assert d["value"] is None and d["extended_total"] is None
-    assert set(d["queries"]) == {"flagship_latest_mid", "vwap_by_isin"}
-    assert "errors" not in d
-    for name, det in d["detail"].items():
+    assert summary["value"] is None and summary["extended_total"] is None
+    # the compact line carries HEADLINE-only per-query medians (both
+    # subset queries are headline members)
+    assert summary["queries"] == full["queries"]
+
+    # FIRST line + sidecar: the full record with per-query detail
+    assert set(full["queries"]) == {"flagship_latest_mid", "vwap_by_isin"}
+    assert "errors" not in full
+    for name, det in full["detail"].items():
         assert set(det) == {"median", "n_iter", "warm", "cold", "spread"}
         assert det["n_iter"] == len(det["warm"]) == 2
         assert det["median"] > 0 and det["cold"] > 0
-        assert d["queries"][name] == det["median"]
+        assert full["queries"][name] == det["median"]
+    with open(os.path.join(REPO, "bench_detail.json")) as fh:
+        assert json.load(fh) == full

@@ -1037,3 +1037,47 @@ def test_maintenance_foreach_batch_skips_small_tables(spark, tmp_path):
     files = compaction.list_data_files(out)
     assert len(files) == 4            # nothing was compacted
     assert all("compacted-" not in f for f, _ in files)
+
+
+def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
+    """ST7 for the DSIR tier (r8): the frozen hashed-ngram LLR model
+    (fit once in batch, broadcast) scores a document STREAM to exactly
+    the batch scores — the importance-resampling filter gates live
+    ingest with zero code divergence, the same contract as the
+    quality-model streaming test above. The per-doc mean is a
+    streaming aggregation (complete mode: every doc's grams arrive in
+    one file-source micro-batch here; at scale the same plan runs per
+    micro-batch with doc-complete files, or feeds foreachBatch)."""
+    from stockanalyses_downloader_spark.operators import dsir
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 2) for i in range(8)],
+        "doc_id long, text string")
+    raw_rows = [(100 + i,
+                 "alpha beta gamma prose sample"
+                 if i % 2 else f"zonk{i} quux blarg wibble frob")
+                for i in range(20)]
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(raw_rows, "doc_id long, text string") \
+        .write.parquet(src)
+    raw = spark.read.parquet(src)
+
+    llr = dsir.dsir_bucket_llr(dsir.hashed_gram_buckets(target),
+                               dsir.hashed_gram_buckets(raw))
+    llr = llr.localCheckpoint(eager=True)   # freeze the model
+
+    batch = {(r["doc_id"], r["n_grams"], r["score"])
+             for r in dsir.dsir_scores(raw, llr).collect()}
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    q = (dsir.dsir_scores(stream, llr)
+         .writeStream.format("memory").queryName("dsir_stream")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["n_grams"], r["score"])
+           for r in spark.sql("SELECT * FROM dsir_stream").collect()}
+    q.stop()
+    assert got == batch and len(got) == 20
