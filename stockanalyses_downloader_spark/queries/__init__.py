@@ -858,6 +858,12 @@ _TAIL = [
                                     # in-window bpe_merge_sequence as
                                     # its first merge round; benched
     # r8 additions
+    "embedding_drift_report",       # per-label embedding-distribution
+                                    # drift: mean-shift L2/worst-dim +
+                                    # SYMMETRIC diagonal-Gaussian KL
+                                    # (the ln terms cancel, so the
+                                    # whole statistic is ln-free and
+                                    # fully DuckDB-oracled); new r8
     "dsir_selection_report",        # DSIR importance resampling:
                                     # hashed-ngram target/raw LLR
                                     # scoring + per-source top-25%

@@ -981,6 +981,107 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.embedding_covariance(load_table(spark, sf_dir, "embeddings"))
 
 
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-DISTRIBUTION drift per label group vs the whole
+    corpus — the check an embedding owner runs when a new crawl or
+    encoder version lands: per-dimension mean shift (L2 and worst
+    dim) and the SYMMETRIC diagonal-Gaussian KL divergence between
+    the group and the corpus. The symmetric form is chosen
+    deliberately: KL(a||b) for Gaussians carries a ln(sigma_b/sigma_a)
+    term, but the symmetrized 0.5*(KL(a||b)+KL(b||a)) cancels it —
+    the whole statistic is ln-FREE closed-form arithmetic on
+    decimal-accumulated moments, so the query is fully DuckDB-oracled
+    with no libm step at all (rounding at 6dp absorbs only the
+    sorted-fold's ulp). Scale: two moment aggregates over the
+    posexploded corpus (labels x d and d rows out — model-sized),
+    everything after runs on the model frame; the per-label reduction
+    folds a pos-ORDERED list sequentially in both engines.
+    Output: (label, n_vecs, mean_shift_l2, worst_dim_shift,
+    sym_kl_diag)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pe = (e.select("label",
+                   F.transform("embedding",
+                               lambda x: x.cast("double")).alias("v"))
+          .filter(F.size("v") >= 1)
+          .select("label", F.posexplode("v").alias("pos", "x")))
+
+    def moments(df, keys):
+        return (df.groupBy(*keys)
+                .agg(F.count("*").alias("n"),
+                     (F.sum(F.col("x").cast("decimal(30,15)"))
+                      .cast("double") / F.count("*")).alias("m"),
+                     (F.sum((F.col("x") * F.col("x"))
+                            .cast("decimal(30,15)"))
+                      .cast("double") / F.count("*")).alias("m2")))
+
+    per = (moments(pe, ["label", "pos"])
+           .withColumn("var", F.col("m2") - F.col("m") * F.col("m")))
+    gl = (moments(pe, ["pos"])
+          .select("pos", F.col("m").alias("gm"),
+                  (F.col("m2") - F.col("m") * F.col("m")).alias("gvar")))
+    eps = F.lit(1e-09)
+    diff = F.col("m") - F.col("gm")
+    j = (per.join(F.broadcast(gl), "pos")
+         .withColumn("d2", diff * diff)
+         .withColumn("adiff", F.abs(diff))
+         .withColumn("tt", F.lit(0.5)
+                     * ((F.col("var") + F.col("d2"))
+                        / (F.lit(2.0) * (F.col("gvar") + eps))
+                        + (F.col("gvar") + F.col("d2"))
+                        / (F.lit(2.0) * (F.col("var") + eps))
+                        - F.lit(1.0))))
+    return (j.groupBy("label")
+            .agg(F.max("n").alias("n_vecs"),
+                 F.round(F.sqrt(F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("pos", "d2"))),
+                     F.lit(0.0), lambda a, r: a + r["d2"])), 6)
+                 .alias("mean_shift_l2"),
+                 F.round(F.max("adiff"), 6).alias("worst_dim_shift"),
+                 F.round(F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("pos", "tt"))),
+                     F.lit(0.0), lambda a, r: a + r["tt"]), 6)
+                 .alias("sym_kl_diag")))
+
+
+_DRIFT_SQL = """
+WITH pe AS (
+  SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x
+  FROM (SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) >= 1)
+), per AS (
+  SELECT label, pos, count(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS m,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS m2
+  FROM pe GROUP BY label, pos
+), gl AS (
+  SELECT pos,
+         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS gm,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS gm2
+  FROM pe GROUP BY pos
+), j AS (
+  SELECT per.label, per.pos, per.n,
+         (per.m - gl.gm) * (per.m - gl.gm) AS d2,
+         ABS(per.m - gl.gm) AS adiff,
+         per.m2 - per.m * per.m AS var,
+         gl.gm2 - gl.gm * gl.gm AS gvar
+  FROM per JOIN gl USING (pos)
+), t AS (
+  SELECT label, pos, n, d2, adiff,
+         0.5 * ((var + d2) / (2.0 * (gvar + 1e-09))
+                + (gvar + d2) / (2.0 * (var + 1e-09)) - 1.0) AS tt
+  FROM j
+)
+SELECT label, MAX(n) AS n_vecs,
+       round(sqrt(list_reduce(list(d2 ORDER BY pos), (a, b) -> a + b)), 6)
+         AS mean_shift_l2,
+       round(MAX(adiff), 6) AS worst_dim_shift,
+       round(list_reduce(list(tt ORDER BY pos), (a, b) -> a + b), 6)
+         AS sym_kl_diag
+FROM t GROUP BY label
+"""
+
+
 _COV_SQL = """
 WITH e AS (
   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1189,6 +1290,7 @@ QUERIES: dict[str, Q] = {
     "embedding_quantization_error": Q(embedding_quantization_error,
                                       _QUANT_SQL),
     "embedding_covariance": Q(embedding_covariance, _COV_SQL),
+    "embedding_drift_report": Q(embedding_drift_report, _DRIFT_SQL),
     "embedding_pca_projection": Q(embedding_pca_projection, None),
     "ngram_jaccard_near_dups": Q(ngram_jaccard_near_dups, _JACCARD_SQL),
     "near_dup_components": Q(near_dup_components, _COMPONENTS_SQL),
