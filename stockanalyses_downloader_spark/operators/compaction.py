@@ -225,7 +225,12 @@ def compact_parquet(spark: SparkSession, path: str,
       with its own query's appends so the single-query case never
       even hits the retry path. Files still being STAGED (hidden
       ``_temporary``/dot-files) are invisible to the listing and to
-      the carry diff by the same rule parquet scans use.
+      the carry diff by the same rule parquet scans use. One residual
+      window: a CRASH between the swap and the carry diff leaves a
+      not-yet-carried late append inside the displaced dir, which the
+      next run's sweep garbage-collects — recovery is the appender's
+      at-least-once replay (a checkpointed sink re-emits the batch),
+      the same contract that covers its racing-commit failure.
 
     Returns {"files_before", "files_after", "bins_rewritten",
     "bytes_total", "late_appends_carried"}. Idempotent AND cheap when

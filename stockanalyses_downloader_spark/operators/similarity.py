@@ -848,7 +848,7 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                      F.explode(_subvectors(F.col("qrv"), m)).alias("p"))
              .select("query_id", "qnorm", "p.sub_id", "p.sv"))
     lut = (qsubs.join(F.broadcast(cb), "sub_id")
-           .select("query_id", "qnorm", "sub_id", "code_id", "sqn",
+           .select("query_id", "qnorm", "sub_id", "code_id",
                    dot(F.col("sv"), F.col("cv")).alias("pdot")))
 
     q = probes.select(F.col(id_col).alias("query_id"), "v", "norm",
