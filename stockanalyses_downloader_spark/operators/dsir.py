@@ -94,12 +94,24 @@ def dsir_bucket_llr(target_grams: DataFrame, raw_grams: DataFrame,
     joined = (grid.join(tc, "bucket", "left").join(rc, "bucket", "left")
               .select("bucket",
                       F.coalesce("n_target", F.lit(0)).alias("n_target"),
-                      F.coalesce("n_raw", F.lit(0)).alias("n_raw")))
-    tt = target_grams.count()
-    rt = raw_grams.count()
-    pt = (F.col("n_target") + F.lit(alpha)) / F.lit(tt + alpha * n_buckets)
-    pr = (F.col("n_raw") + F.lit(alpha)) / F.lit(rt + alpha * n_buckets)
-    return joined.withColumn("llr", F.log(pt) - F.log(pr))
+                      F.coalesce("n_raw", F.lit(0)).alias("n_raw"))
+              # the model is n_buckets rows; checkpointing it makes
+              # each corpus scan exactly ONCE (the frame is read twice
+              # below — totals + ratios) and keeps every downstream
+              # plan flat (kmeans/bpe rationale)
+              .localCheckpoint(eager=True))
+    # corpus totals are the SUMS of the already-aggregated bucket
+    # counts — computed from the model-sized checkpoint (broadcast
+    # 1-row crossJoin), not by re-counting the gram frames
+    tot = joined.agg(F.sum("n_target").alias("__tt"),
+                     F.sum("n_raw").alias("__rt"))
+    pt = ((F.col("n_target") + F.lit(alpha))
+          / (F.col("__tt") + F.lit(alpha * n_buckets)))
+    pr = ((F.col("n_raw") + F.lit(alpha))
+          / (F.col("__rt") + F.lit(alpha * n_buckets)))
+    return (joined.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_target", "n_raw",
+                    (F.log(pt) - F.log(pr)).alias("llr")))
 
 
 def dsir_scores(docs: DataFrame, llr: DataFrame,
