@@ -991,11 +991,14 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, but the symmetrized 0.5*(KL(a||b)+KL(b||a)) cancels it —
     the whole statistic is ln-FREE closed-form arithmetic on
     decimal-accumulated moments, so the query is fully DuckDB-oracled
-    with no libm step at all (rounding at 6dp absorbs only the
-    sorted-fold's ulp). Scale: two moment aggregates over the
+    with no libm step at all. Scale: two moment aggregates over the
     posexploded corpus (labels x d and d rows out — model-sized),
-    everything after runs on the model frame; the per-label reduction
-    folds a pos-ORDERED list sequentially in both engines.
+    everything after runs on the model frame. The per-label reductions
+    are plain SUMs over the d per-dimension terms with round(6) LAST —
+    the doc_kn_perplexity protocol: summation-order ulp (~1e-13 over
+    64 doubles) is absorbed by the rounding, and the sorted-fold
+    alternative measured 2x the plan-compile cost for no correctness
+    gain.
     Output: (label, n_vecs, mean_shift_l2, worst_dim_shift,
     sym_kl_diag)."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -1032,15 +1035,9 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - F.lit(1.0))))
     return (j.groupBy("label")
             .agg(F.max("n").alias("n_vecs"),
-                 F.round(F.sqrt(F.aggregate(
-                     F.array_sort(F.collect_list(F.struct("pos", "d2"))),
-                     F.lit(0.0), lambda a, r: a + r["d2"])), 6)
-                 .alias("mean_shift_l2"),
+                 F.round(F.sqrt(F.sum("d2")), 6).alias("mean_shift_l2"),
                  F.round(F.max("adiff"), 6).alias("worst_dim_shift"),
-                 F.round(F.aggregate(
-                     F.array_sort(F.collect_list(F.struct("pos", "tt"))),
-                     F.lit(0.0), lambda a, r: a + r["tt"]), 6)
-                 .alias("sym_kl_diag")))
+                 F.round(F.sum("tt"), 6).alias("sym_kl_diag")))
 
 
 _DRIFT_SQL = """
@@ -1073,11 +1070,9 @@ WITH pe AS (
   FROM j
 )
 SELECT label, MAX(n) AS n_vecs,
-       round(sqrt(list_reduce(list(d2 ORDER BY pos), (a, b) -> a + b)), 6)
-         AS mean_shift_l2,
+       round(sqrt(SUM(d2)), 6) AS mean_shift_l2,
        round(MAX(adiff), 6) AS worst_dim_shift,
-       round(list_reduce(list(tt ORDER BY pos), (a, b) -> a + b), 6)
-         AS sym_kl_diag
+       round(SUM(tt), 6) AS sym_kl_diag
 FROM t GROUP BY label
 """
 
