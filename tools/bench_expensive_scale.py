@@ -272,6 +272,31 @@ def bench_trained_ivf(spark, factor: int) -> dict:
 
 
 
+def bench_dsir(spark, factor: int) -> dict:
+    """DSIR fit+score at a blown-up corpus (disjoint-block copies:
+    same target sources, factor-1x more raw docs to model and score).
+    The model is a fixed 4096-row grid whatever the corpus, so wall
+    must track the three corpus scans (target grams, raw grams, raw
+    scoring) — linear, never corpus^2."""
+    from stockanalyses_downloader_spark.operators import dsir
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        _DSIR_KEEP_FRACTION, _DSIR_TARGET_SOURCES)
+    corpus = _doc_copies_disjoint_blocks(spark, factor)
+    n = corpus.count()
+    t0 = time.perf_counter()
+    is_target = F.col("source").isin(list(_DSIR_TARGET_SOURCES))
+    target, raw = corpus.filter(is_target), corpus.filter(~is_target)
+    llr = dsir.dsir_bucket_llr(dsir.hashed_gram_buckets(target),
+                               dsir.hashed_gram_buckets(raw))
+    scored = (dsir.dsir_scores(raw, llr)
+              .join(corpus.select("doc_id", "source"), "doc_id"))
+    out = dsir.dsir_select(scored, _DSIR_KEEP_FRACTION, ["source"])
+    n_out = out.filter(F.col("kept")).count()
+    return {"query": "dsir_selection_report", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
 BENCHES = {
     "global": bench_global_near_dups,
     "triangles": bench_triangles,
@@ -285,6 +310,8 @@ BENCHES = {
     "anomalies": bench_anomalies,
     # r7c: the trained-ANN path promoted into the bench tier
     "trained_ivf": bench_trained_ivf,
+    # r8: DSIR joins the >2 s bench tier
+    "dsir": bench_dsir,
 }
 
 
