@@ -118,6 +118,8 @@ EXTENDED = [
     "dsir_selection_report",        # hashed-ngram importance
                                     # resampling (target/raw LLR fit
                                     # + per-source keep)
+    "embedding_drift_report",       # mergeable moment grids ->
+                                    # ln-free symmetric Gaussian KL
 ]
 
 

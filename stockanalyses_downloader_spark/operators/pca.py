@@ -29,6 +29,51 @@ from .dedup import spread
 from .similarity import as_double
 
 
+def moment_grid(embeddings: DataFrame, group_cols: list[str],
+                vec_col: str = "embedding") -> DataFrame:
+    """MERGEABLE per-(group, dimension) moment grid: (group_cols...,
+    pos, n, sx, sxx) with DECIMAL(30,15)-accumulated sums — the
+    sufficient statistics for means/variances/covariance diagonals
+    (and so for embedding_drift_report), in a representation that
+    re-aggregates by ADDITION: store a grid per day/partition/
+    micro-batch and merge_moment_grids() them at question time
+    WITHOUT rescanning vectors, exactly like the count-min/HLL/HDR
+    tiers. Decimal accumulation makes the merge EXACT — the merged
+    grid equals the one-shot grid bit-for-bit regardless of how the
+    corpus was split (pinned by the streaming merge test). Grid size:
+    groups x d rows, model-sized by construction."""
+    e = (embeddings.select(*group_cols,
+                           as_double(F.col(vec_col)).alias("v"))
+         .filter(F.size("v") >= 1))
+    pe = e.select(*group_cols, F.posexplode("v").alias("pos", "x"))
+    return (pe.groupBy(*group_cols, "pos")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("x").cast("decimal(30,15)")).alias("sx"),
+                 F.sum((F.col("x") * F.col("x"))
+                       .cast("decimal(30,15)")).alias("sxx")))
+
+
+def merge_moment_grids(grids: DataFrame,
+                       group_cols: list[str]) -> DataFrame:
+    """Merge stored moment grids (UNION ALL of moment_grid outputs,
+    e.g. one per micro-batch/day): counts and decimal sums ADD —
+    exact, partitioning- and split-independent."""
+    return (grids.groupBy(*group_cols, "pos")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sx").alias("sx"),
+                 F.sum("sxx").alias("sxx")))
+
+
+def moments_from_grid(grid: DataFrame) -> DataFrame:
+    """Decode a (merged) grid to per-row mean/raw-second-moment
+    doubles: the division happens LAST, on the exact decimal sums, so
+    a merged grid decodes to the identical doubles a one-shot pass
+    produces."""
+    return grid.withColumn(
+        "m", F.col("sx").cast("double") / F.col("n")).withColumn(
+        "m2", F.col("sxx").cast("double") / F.col("n"))
+
+
 def embedding_covariance(embeddings: DataFrame,
                          vec_col: str = "embedding") -> DataFrame:
     """Upper-triangle population covariance of the embedding

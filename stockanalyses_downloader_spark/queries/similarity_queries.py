@@ -1001,25 +1001,15 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     gain.
     Output: (label, n_vecs, mean_shift_l2, worst_dim_shift,
     sym_kl_diag)."""
+    from ..operators import pca
     e = load_table(spark, sf_dir, "embeddings")
-    pe = (e.select("label",
-                   F.transform("embedding",
-                               lambda x: x.cast("double")).alias("v"))
-          .filter(F.size("v") >= 1)
-          .select("label", F.posexplode("v").alias("pos", "x")))
-
-    def moments(df, keys):
-        return (df.groupBy(*keys)
-                .agg(F.count("*").alias("n"),
-                     (F.sum(F.col("x").cast("decimal(30,15)"))
-                      .cast("double") / F.count("*")).alias("m"),
-                     (F.sum((F.col("x") * F.col("x"))
-                            .cast("decimal(30,15)"))
-                      .cast("double") / F.count("*")).alias("m2")))
-
-    per = (moments(pe, ["label", "pos"])
+    # sufficient statistics via the MERGEABLE moment grid (pca.py):
+    # the same numbers decode from stored per-day/per-batch grids
+    # merged by addition — drift-over-time without rescans (streaming
+    # merge-equals-batch pinned in tests)
+    per = (pca.moments_from_grid(pca.moment_grid(e, ["label"]))
            .withColumn("var", F.col("m2") - F.col("m") * F.col("m")))
-    gl = (moments(pe, ["pos"])
+    gl = (pca.moments_from_grid(pca.moment_grid(e, []))
           .select("pos", F.col("m").alias("gm"),
                   (F.col("m2") - F.col("m") * F.col("m")).alias("gvar")))
     eps = F.lit(1e-09)

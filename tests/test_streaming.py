@@ -1081,3 +1081,44 @@ def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
            for r in spark.sql("SELECT * FROM dsir_stream").collect()}
     q.stop()
     assert got == batch and len(got) == 20
+
+
+def test_streaming_moment_grids_merge_to_batch(spark, tmp_path):
+    """Live MOMENT-GRID maintenance (r8, the drift tier's sibling of
+    the count-min/HDR merge tests above): each micro-batch appends its
+    decimal-accumulated (n, sx, sxx) grid; merging the stored grids by
+    addition equals the whole-corpus grid from one batch pass
+    BIT-FOR-BIT (decimal sums are exact under any split) — so
+    embedding-drift-over-time stays answerable from stored per-day
+    grids without rescanning vectors."""
+    from stockanalyses_downloader_spark.operators import pca
+
+    rows = [(i, [float((i * 3 + d) % 7) / 3.0 for d in range(6)], i % 3)
+            for i in range(90)]
+    src = str(tmp_path / "emb")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<double>, "
+                                 "label int")
+     .repartition(3).write.parquet(src))
+
+    sink = str(tmp_path / "grids")
+
+    def emit(batch_df, _bid):
+        pca.moment_grid(batch_df, ["label"]) \
+            .write.mode("append").parquet(sink)
+
+    q = (spark.readStream.schema("vec_id long, "
+                                 "embedding array<double>, label int")
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(emit)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(sink)
+    assert stored.select("n").groupBy().sum().collect()[0][0] == 90 * 6
+    merged = {(r["label"], r["pos"]): (r["n"], r["sx"], r["sxx"])
+              for r in pca.merge_moment_grids(stored, ["label"]).collect()}
+    one_shot = {(r["label"], r["pos"]): (r["n"], r["sx"], r["sxx"])
+                for r in pca.moment_grid(spark.read.parquet(src),
+                                         ["label"]).collect()}
+    assert merged == one_shot and len(one_shot) == 3 * 6
