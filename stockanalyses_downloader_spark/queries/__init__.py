@@ -59,12 +59,14 @@ _WINDOW = [
                                 # indicators' in-window machinery;
                                 # anomalies stays sweep-oracled +
                                 # benched after its r6 driver row)
-    "copurchase_lift",          # market-basket lift (r5c rotation
-                                # in — took vwap's slot: the
-                                # volume-weighted mean family stays
-                                # driver-visible inside pricing_
-                                # summary's weighted aggs and twap
-                                # stays pytest-oracled in the tail)
+    "dsir_selection_report",    # DSIR importance resampling — new
+                                # r8, never driver-certified (r8
+                                # rotation in; took copurchase_lift's
+                                # slot: lift was certified r5c-r7 and
+                                # its basket pair-join shape is a
+                                # subset of in-window copurchase_
+                                # triangles' wedge join; lift stays
+                                # sweep-oracled + benched + curved)
     "tick_feed_islands",        # gaps-and-islands outage report (r5c
                                 # rotation in — took jobs_parse_
                                 # dispatch's slot: S1 job parsing
@@ -197,8 +199,17 @@ _WINDOW = [
                                 # cosine near-dup machinery is
                                 # recomputed inside this audit before
                                 # the cross-split filter)
-    "corpus_datacard",          # release-report rollup (r4 rotation
-                                # in — VERDICT r3 #3)
+    "embedding_drift_report",   # embedding-distribution drift — new
+                                # r8, never driver-certified (r8
+                                # rotation in; took corpus_datacard's
+                                # slot: the datacard was certified
+                                # r4-r7 four windows running; its
+                                # per-(lang,source) rollup machinery
+                                # is a groupBy composition whose
+                                # signal inputs keep driver rows via
+                                # corpus_curation_decisions and
+                                # multimodal_chunk_dedup; stays
+                                # sweep-oracled + benched)
     # text analysis (X1/X4) + deterministic sampling
     "quality_model_auc",        # midrank ROC-AUC of the quality
                                 # prior (r5c rotation in — took
@@ -858,19 +869,18 @@ _TAIL = [
                                     # in-window bpe_merge_sequence as
                                     # its first merge round; benched
     # r8 additions
-    "embedding_drift_report",       # per-label embedding-distribution
-                                    # drift: mean-shift L2/worst-dim +
-                                    # SYMMETRIC diagonal-Gaussian KL
-                                    # (the ln terms cancel, so the
-                                    # whole statistic is ln-free and
-                                    # fully DuckDB-oracled); new r8
-    "dsir_selection_report",        # DSIR importance resampling:
-                                    # hashed-ngram target/raw LLR
-                                    # scoring + per-source top-25%
-                                    # keep (Xie et al. 2023);
-                                    # DuckDB-oracled end to end
-                                    # (round-last ln protocol);
-                                    # new r8
+    "copurchase_lift",              # market-basket lift — hash-green
+                                    # r5c-r7; slot yielded (r8) to
+                                    # dsir_selection_report; the
+                                    # basket pair join stays driver-
+                                    # visible inside copurchase_
+                                    # triangles; benched + curved
+    "corpus_datacard",              # release-report rollup — hash-
+                                    # green r4-r7; slot yielded (r8)
+                                    # to embedding_drift_report; its
+                                    # signal inputs keep driver rows
+                                    # via curation + chunk dedup;
+                                    # still benched
 ]
 
 
