@@ -647,7 +647,8 @@ def _subvectors(v: Column, m: int) -> Column:
 
 def pq_codebooks(embeddings: DataFrame, m: int = 8, ksub: int = 16,
                  n_iter: int = 3, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 portable: bool = False) -> DataFrame:
     """Train product-quantization codebooks: an L2 k-means of ``ksub``
     centroids in EACH of the ``m`` subspaces — run as ONE joint Lloyd
     loop over all subspaces (the subspace id is just another grouping
@@ -672,8 +673,15 @@ def pq_codebooks(embeddings: DataFrame, m: int = 8, ksub: int = 16,
         e.select(id_col, F.explode(_subvectors(F.col("v"), m)).alias("p"))
         .select(id_col, "p.sub_id", "p.sv"))
 
-    w = Window.partitionBy("sub_id").orderBy(
-        F.xxhash64(F.col(id_col)), F.col(id_col))
+    # portable=True draws the init ordering from the md5-prefix family
+    # so a DuckDB oracle can replay the whole subspace-Lloyd loop
+    # (kmeans_centroids' rationale); xxhash64 stays the default
+    if portable:
+        from .sampling import hash_key
+        order_expr = hash_key(F.col(id_col))
+    else:
+        order_expr = F.xxhash64(F.col(id_col))
+    w = Window.partitionBy("sub_id").orderBy(order_expr, F.col(id_col))
     cb = (subs.withColumn("__r", F.row_number().over(w))
           .filter(F.col("__r") <= ksub)
           .select("sub_id", (F.col("__r") - 1).cast("int").alias("code_id"),
@@ -749,7 +757,9 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 probe_oversample: int = 4,
                 coarse_iters: int = 3,
-                residual: bool = True) -> DataFrame:
+                residual: bool = True,
+                rotate: bool = True,
+                portable: bool = False) -> DataFrame:
     """IVF with PRODUCT-QUANTIZED inverted lists + asymmetric distance
     (ADC) scoring + exact float rerank — the standard 100 TB ANN
     compression stack (IVF-PQ): lists hold m codes per vector (vs d
@@ -808,7 +818,7 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     # persisted lists afterwards (they need the assignment first).
     cent = kmeans_centroids(embeddings, k=n_centroids,
                             n_iter=coarse_iters, id_col=id_col,
-                            vec_col=vec_col)
+                            vec_col=vec_col, portable=portable)
     lists, probes = _ivf_lists_probes(
         base, cent, query_ids, k, n_probe, probe_oversample, id_col, [])
 
@@ -822,23 +832,29 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                                    lambda x, c: x - c).alias("rv0")))
     else:
         rsrc = lists.select(id_col, F.col("v").alias("rv0"))
-    rot = pca_rotation_balanced(rsrc, m, "rv0")
-    zero = [0.0] * len(rot)     # uncentered: rotation must preserve dots
-    rx = tracked_persist(
-        project_embeddings(rsrc, zero, rot, id_col, "rv0")
-        .withColumnRenamed("proj", "rv"))
+    if rotate:
+        rot = pca_rotation_balanced(rsrc, m, "rv0")
+        zero = [0.0] * len(rot)  # uncentered: rotation must preserve dots
+        rx = (project_embeddings(rsrc, zero, rot, id_col, "rv0")
+              .withColumnRenamed("proj", "rv"))
+        # per-query side: the RAW query rotated through the
+        # residual-fitted basis (R is orthonormal, so dot(q, r) =
+        # dot(Rq, Rr) regardless of what R was fitted on)
+        qrot = (project_embeddings(
+                    base.filter(F.col(id_col).isin(query_ids)),
+                    zero, rot, id_col, "v")
+                .withColumnRenamed("proj", "qrv"))
+    else:
+        # identity basis — no driver-side eigh anywhere in the plan
+        # (the portable/oracle mode; see ivf_topk_pq_portable)
+        rx = rsrc.withColumnRenamed("rv0", "rv")
+        qrot = (base.filter(F.col(id_col).isin(query_ids))
+                .select(id_col, F.col("v").alias("qrv")))
+    rx = tracked_persist(rx)
     cb = tracked_persist(
-        pq_codebooks(rx, m, ksub, n_iter, id_col, vec_col="rv"))
+        pq_codebooks(rx, m, ksub, n_iter, id_col, vec_col="rv",
+                     portable=portable))
     codes = pq_encode(rx, cb, m, id_col, vec_col="rv")
-
-    # per-query subspace LUT (broadcast): dot((Rq)_s, codebook[s][c])
-    # — the RAW query rotated through the residual-fitted basis (R is
-    # orthonormal, so dot(q, r) = dot(Rq, Rr) regardless of what R
-    # was fitted on)
-    qrot = (project_embeddings(
-                base.filter(F.col(id_col).isin(query_ids)),
-                zero, rot, id_col, "v")
-            .withColumnRenamed("proj", "qrv"))
     qsubs = (probes.select(F.col(id_col).alias("query_id"),
                            F.col("norm").alias("qnorm"))
              .dropDuplicates(["query_id"])

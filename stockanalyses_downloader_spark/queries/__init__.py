@@ -869,6 +869,15 @@ _TAIL = [
                                     # in-window bpe_merge_sequence as
                                     # its first merge round; benched
     # r8 additions
+    "ivf_topk_pq_portable",         # the FULL IVFADC stack fully
+                                    # DuckDB-oracled (r8): both Lloyd
+                                    # loops (coarse + PQ subspaces)
+                                    # unrolled as CTEs, residual ADC
+                                    # with stored norms has no libm
+                                    # step, so train+encode+serve all
+                                    # hash-match; unrotated (the OPQ
+                                    # eigh stays the default tier's
+                                    # one engine-bound step); new r8
     "copurchase_lift",              # market-basket lift — hash-green
                                     # r5c-r7; slot yielded (r8) to
                                     # dsir_selection_report; the

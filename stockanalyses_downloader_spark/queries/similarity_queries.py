@@ -406,9 +406,23 @@ def _ivf_topk_trained_sql(n_centroids: int = 16, n_iter: int = 3,
     (rank-1 per vector) -> DECIMAL-exact elementwise means ->
     left-join keep-previous for empty clusters; then the standard
     lists/probes/rerank machinery against the trained centroids."""
+    return (f"WITH {_EV_CTE}"
+            + _kmeans_cte_chain(n_centroids, n_iter)
+            + ", " + _ivf_probe_ctes("ev", f"cent{n_iter}", (), n_probe,
+                                     k, probe_oversample)
+            + _ivf_rerank_tail(k))
+
+
+def _kmeans_cte_chain(n_centroids: int, n_iter: int) -> str:
+    """cent0..cent{n_iter} — the SQL twin of portable kmeans_centroids
+    (md5-prefix TakeOrdered init; each Lloyd round = rank-1 cosine
+    assignment -> DECIMAL-exact elementwise means -> keep-previous for
+    empty clusters). Factored r8 so the trained-IVF oracle and the
+    portable IVF-PQ oracle share one copy (the r7c probe-rule
+    rationale). Emits a leading comma; callers prepend the ev CTE."""
     l2 = ("sqrt(list_reduce(list_transform({v}, x -> x * x), "
           "(a, b) -> a + b))")
-    parts = [f"""WITH {_EV_CTE}, cent0 AS (
+    parts = [f""", cent0 AS (
   SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS cv, norm AS cnorm
   FROM (
     SELECT v, norm, row_number() OVER (
@@ -445,10 +459,166 @@ def _ivf_topk_trained_sql(n_centroids: int = 16, n_iter: int = 3,
               ELSE {l2.format(v='n.cv')} END AS cnorm
   FROM cent{i} p LEFT JOIN n{i} n USING (centroid_id)
 )""")
-    parts.append(
-        ", " + _ivf_probe_ctes("ev", f"cent{n_iter}", (), n_probe, k,
-                               probe_oversample)
-        + _ivf_rerank_tail(k))
+    return "".join(parts)
+
+
+def ivf_topk_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVFADC compression stack, fully DuckDB-oracled (r8):
+    trained coarse quantizer (3 portable Lloyd rounds) -> per-list
+    RESIDUALS -> product-quantization codebooks (3 more portable Lloyd
+    rounds, jointly over the m subspaces) -> codes -> ADC scoring from
+    the per-query LUT + the exact per-(query, probed-list) coarse dot
+    -> stored-norm denominator -> shortlist -> exact rerank. Possible
+    because the r8 residual/stored-norm formulation removed every libm
+    step from ADC: subtraction, squares, sequential-fold dots, DECIMAL
+    partial sums and IEEE division only — so the oracle replays BOTH
+    training loops and the whole serving path and the driver hash
+    certifies the compressed index end to end. This portable tier runs
+    UNROTATED (identity basis — the OPQ rotation is a driver-side
+    eigh, the one engine-bound step of the default tier) and with
+    md5-prefix init draws; measured recall-at-10: 0.76/0.86 at
+    sf0.001/sf0.01 vs the rotated default's 0.84/0.86 — the sf0.001
+    dip is init-draw sensitivity on the 200-vector fixture (the
+    xxhash64 draw at the identical config measures 0.84), and at
+    sf0.01 the portable tier TIES the default; floor pinned in tests.
+    Library default stays rotated + xxhash64 (``ivf_topk_pq``)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_pq(e, _QUERY_IDS, k=_TOPK,
+                                  rotate=False, portable=True)
+
+
+def _pq_subs_cte(rel: str, vec: str, m: int, keys: str) -> str:
+    """Subvector split of ``rel.vec`` (SQL twin of _subvectors):
+    per-row adaptive width ceil(d/m), tail clamped, empty slices
+    dropped."""
+    return f"""
+  SELECT {keys}, CAST(s AS INT) AS sub_id,
+         list_slice({vec}, s * ds + 1,
+                    least((s + 1) * ds, len({vec}))) AS sv
+  FROM (SELECT *, CAST(ceil(len({vec}) * 1.0 / {m}) AS INT) AS ds,
+               unnest(generate_series(0, {m} - 1)) AS s
+        FROM {rel})
+  WHERE s * ds + 1 <= len({vec})"""
+
+
+def _ivf_topk_pq_portable_sql(m: int = 8, ksub: int = 32,
+                              n_centroids: int = 16,
+                              coarse_iters: int = 3, n_iter: int = 3,
+                              n_probe: int = 8, oversample: int = 12,
+                              k: int = 10,
+                              probe_oversample: int = 4) -> str:
+    """DuckDB twin of ivf_topk_pq(rotate=False, portable=True): the
+    shared kmeans chain + probe machinery, then the PQ training loop
+    unrolled (cb0..cb{n_iter} — md5-prefix init per subspace, rank-1
+    L2 assignment on sequential-fold distances, DECIMAL-exact means,
+    keep-previous for empty codes), the encode pass, and the ADC
+    serve (per-query LUT, DECIMAL partial sums, exact coarse term,
+    stored-norm denominator, shortlist, exact rerank)."""
+    d2 = ("list_reduce(list_transform(list_zip({a}, {b}), "
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+          "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
+          "(x, y) -> x + y)")
+    parts = [f"WITH {_EV_CTE}",
+             _kmeans_cte_chain(n_centroids, coarse_iters),
+             ", " + _ivf_probe_ctes("ev", f"cent{coarse_iters}", (),
+                                    n_probe, k, probe_oversample)]
+    parts.append(f""", res AS (
+  SELECT l.vec_id,
+         list_transform(list_zip(l.v, c.cv),
+           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rv
+  FROM lists l JOIN cent{coarse_iters} c ON l.list_id = c.centroid_id
+), subs AS ({_pq_subs_cte('res', 'rv', m, 'vec_id')}
+), cb0 AS (
+  SELECT sub_id, CAST(rn - 1 AS INT) AS code_id, sv AS cv
+  FROM (
+    SELECT sub_id, sv, row_number() OVER (PARTITION BY sub_id
+        ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || ''), 1, 8),
+                 vec_id) AS rn
+    FROM subs
+  ) WHERE rn <= {ksub}
+)""")
+    for r in range(n_iter):
+        parts.append(f""", pqs{r} AS (
+  SELECT s.vec_id, s.sub_id, s.sv, c.code_id,
+         {d2.format(a='s.sv', b='c.cv')} AS d2
+  FROM subs s JOIN cb{r} c USING (sub_id)
+), pqa{r} AS (
+  SELECT sub_id, code_id, sv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                ORDER BY d2, code_id) AS rr
+    FROM pqs{r}
+  ) WHERE rr = 1
+), pqm{r} AS (
+  SELECT sub_id, code_id, pos,
+         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE)
+           / count(*) AS c
+  FROM (SELECT sub_id, code_id, unnest(range(len(sv))) AS pos,
+               unnest(sv) AS x FROM pqa{r})
+  GROUP BY sub_id, code_id, pos
+), pqn{r} AS (
+  SELECT sub_id, code_id, list(c ORDER BY pos) AS cv FROM pqm{r}
+  GROUP BY sub_id, code_id
+), cb{r + 1} AS (
+  SELECT p.sub_id, p.code_id, coalesce(n.cv, p.cv) AS cv
+  FROM cb{r} p LEFT JOIN pqn{r} n USING (sub_id, code_id)
+)""")
+    cbf = f"cb{n_iter}"
+    parts.append(f""", encs AS (
+  SELECT s.vec_id, s.sub_id, c.code_id,
+         {d2.format(a='s.sv', b='c.cv')} AS d2
+  FROM subs s JOIN {cbf} c USING (sub_id)
+), enc AS (
+  SELECT vec_id, sub_id, code_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                ORDER BY d2, code_id) AS rr
+    FROM encs
+  ) WHERE rr = 1
+), qv AS (
+  SELECT DISTINCT vec_id AS query_id, v, norm AS qnorm FROM probes
+), qsubs AS ({_pq_subs_cte('qv', 'v', m, 'query_id, qnorm')}
+), lut AS (
+  SELECT q.query_id, q.qnorm, q.sub_id, c.code_id,
+         {_DOTP.format(a='q.sv', b='c.cv')} AS pdot
+  FROM qsubs q JOIN {cbf} c USING (sub_id)
+), qc AS (
+  SELECT p.vec_id AS query_id, p.list_id,
+         {_DOTP.format(a='p.v', b='c.cv')} AS cdot
+  FROM probes p JOIN cent{coarse_iters} c ON p.list_id = c.centroid_id
+), cand AS (
+  SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id, l.list_id,
+         l.norm AS cnorm2, e.sub_id, e.code_id
+  FROM lists l JOIN probes p USING (list_id)
+  JOIN enc e ON e.vec_id = l.vec_id
+), pqparts AS (
+  SELECT c.query_id, c.neighbor_id, c.list_id,
+         CAST(SUM(CAST(t.pdot AS DECIMAL(25,15))) AS DOUBLE) AS rdot,
+         MAX(t.qnorm) AS qnorm, MAX(c.cnorm2) AS cnorm2
+  FROM cand c JOIN lut t USING (query_id, sub_id, code_id)
+  GROUP BY c.query_id, c.neighbor_id, c.list_id
+), approx AS (
+  SELECT p.query_id, p.neighbor_id,
+         (q.cdot + p.rdot) / (p.qnorm * p.cnorm2) AS approx_cos
+  FROM pqparts p JOIN qc q USING (query_id, list_id)
+), shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_cos DESC, neighbor_id) AS ss
+    FROM approx
+  ) WHERE ss <= {k * oversample}
+), rr2 AS (
+  SELECT sl.query_id, sl.neighbor_id,
+         {_DOTP.format(a='qe.v', b='ne.v')} / (qe.norm * ne.norm)
+           AS cosine
+  FROM shortlist sl
+  JOIN ev qe ON qe.vec_id = sl.query_id
+  JOIN ev ne ON ne.vec_id = sl.neighbor_id
+), rankedpq AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rr2
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM rankedpq WHERE rank <= {k}""")
     return "".join(parts)
 
 
@@ -1232,6 +1402,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_pq": similarity.ivf_topk_pq(e, _QUERY_IDS, k=_TOPK),
         "ivf_pq_raw": similarity.ivf_topk_pq(e, _QUERY_IDS, k=_TOPK,
                                              residual=False),
+        "ivf_pq_portable": similarity.ivf_topk_pq(
+            e, _QUERY_IDS, k=_TOPK, rotate=False, portable=True),
         "pca_ivf": pca.pca_ivf_topk(e, _QUERY_IDS, k=_TOPK),
     }
     reports = []
@@ -1263,6 +1435,8 @@ QUERIES: dict[str, Q] = {
     "signlsh_topk_approx": Q(signlsh_topk_approx, _signlsh_topk_sql()),
     "ivf_topk_approx": Q(ivf_topk_approx, _ivf_topk_sql()),
     "ivf_topk_trained": Q(ivf_topk_trained, _ivf_topk_trained_sql()),
+    "ivf_topk_pq_portable": Q(ivf_topk_pq_portable,
+                              _ivf_topk_pq_portable_sql()),
     "ivf_topk_pq": Q(ivf_topk_pq, None),
     "pca_ivf_topk": Q(pca_ivf_topk, None),
     "ivf_topk_quantized": Q(ivf_topk_quantized,

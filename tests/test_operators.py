@@ -923,7 +923,8 @@ def test_ann_recall_report_floors(spark):
         ann_recall_report)
     rows = {r["method"]: r for r in ann_recall_report(spark, SF).collect()}
     assert set(rows) == {"ivf", "ivf_trained", "signlsh", "ivf_quantized",
-                         "ivf_pq", "ivf_pq_raw", "pca_ivf"}
+                         "ivf_pq", "ivf_pq_raw", "ivf_pq_portable",
+                         "pca_ivf"}
     for r in rows.values():
         assert 0.0 <= r["worst_query_recall"] <= r["recall_at_k"] <= 1.0
     assert rows["ivf"]["recall_at_k"] >= 0.5
@@ -931,6 +932,12 @@ def test_ann_recall_report_floors(spark):
     assert rows["ivf_quantized"]["recall_at_k"] >= rows["ivf"]["recall_at_k"] - 0.2
     assert rows["ivf_pq"]["recall_at_k"] >= 0.80
     assert rows["ivf_pq_raw"]["recall_at_k"] >= rows["ivf_pq"]["recall_at_k"] - 0.1
+    # the fully-oracled unrotated+md5-init tier (r8): measured
+    # 0.76/0.86 at sf0.001/sf0.01 — the md5 init draw is unlucky on
+    # the 200-vector fixture (the xxhash64 draw at the same config
+    # measures 0.84), while at sf0.01 the portable tier TIES the
+    # rotated default (0.86); floor set to the r7 default-tier floor
+    assert rows["ivf_pq_portable"]["recall_at_k"] >= 0.72
     assert rows["pca_ivf"]["recall_at_k"] >= 0.55
 
 

@@ -79,7 +79,12 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "ivf_topk_trained": 1,
     "ivf_topk_pq": 1,       # r6: trained coarse quantizer brings the
                             # same k-row kmeans init window
-    "ann_recall_report": 1,
+    "ivf_topk_pq_portable": 1,  # r8: same k-row kmeans init window
+    # r8: the report now fits THREE trained coarse quantizers
+    # (ivf_trained, ivf_pq, ivf_pq_portable) — each init window is
+    # the same k-row post-limit numbering; Spark dedupes some but not
+    # all across the unioned method plans
+    "ann_recall_report": 3,
     # collocation ranking over the bigram candidate table (min-count
     # thresholded, vocab-bounded — domain-bounded per VERDICT r5)
     "bigram_collocations": 1,
