@@ -38,7 +38,11 @@ CHECKPOINTING = {
     # per Lloyd round — in ivf_topk_pq directly and inside
     # ann_recall_report's ivf_pq method row (r5)
     "ivf_topk_pq",
+    "ivf_topk_pq_portable",     # r8: same per-round codebook blocks
     "ann_recall_report",
+    # DSIR localCheckpoints the 4096-row LLR model once at fit (r8):
+    # the block holds the model the scoring join reads
+    "dsir_selection_report",
     # PageRank localCheckpoints the rank table per power-iteration
     # round (r5b) — the checkpoint RDDs hold the final ranks
     "supplier_purchase_pagerank",
