@@ -1010,6 +1010,8 @@ def test_pq_and_pca_ivf_exact_rerank_contract(spark):
     exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
              for r in similarity.cosine_topk(e, qids, k=50).collect()}
     for df in (similarity.ivf_topk_pq(e, qids, k=10),
+               similarity.ivf_topk_pq(e, qids, k=10, rotate=False,
+                                      portable=True),
                pca.pca_ivf_topk(e, qids, k=10)):
         rows = df.collect()
         per_q = {}
