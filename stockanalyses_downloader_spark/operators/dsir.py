@@ -58,24 +58,33 @@ def _bucket(col: Column, n_buckets: int) -> Column:
 
 def hashed_gram_buckets(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
-                        n_buckets: int = N_BUCKETS) -> DataFrame:
-    """One row per unigram/bigram OCCURRENCE: (id_col, bucket).
-    Tokens are lowercased whitespace words; bigrams are adjacent
-    pairs joined by one space (zip_with over two slices — JVM-side,
-    no UDF)."""
-    ts = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    t = (docs.select(id_col, ts.alias("ts"))
+                        n_buckets: int = N_BUCKETS,
+                        carry_cols: tuple = ()) -> DataFrame:
+    """One row per unigram/bigram OCCURRENCE: (id_col, *carry_cols,
+    bucket). Tokens are lowercased whitespace words; bigrams are
+    adjacent pairs joined by one space (zip_with over two slices —
+    JVM-side, no UDF). NULL text is coalesced to '' first so
+    NULL-text docs emit the same single ''-unigram an empty doc does
+    — every doc scores (ADVICE r8: size(split(NULL))=-1 would
+    otherwise silently drop them from scoring AND from dsir_select's
+    denominator). ``carry_cols`` rides extra doc attributes (e.g. the
+    source for the per-group model) through the explode so grouped
+    scoring never needs a grams⋈docs re-join."""
+    keys = [id_col, *carry_cols]
+    ts = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                 r"\s+")
+    t = (docs.select(*keys, ts.alias("ts"))
          .filter(F.size("ts") >= 1))
-    unis = t.select(id_col, F.explode("ts").alias("g"))
+    unis = t.select(*keys, F.explode("ts").alias("g"))
     bis = (t.filter(F.size("ts") >= 2)
-           .select(id_col,
+           .select(*keys,
                    F.explode(F.zip_with(
                        F.slice(F.col("ts"), F.lit(1), F.size("ts") - 1),
                        F.slice(F.col("ts"), F.lit(2), F.size("ts") - 1),
                        lambda a, b: F.concat(a, F.lit(" "), b)))
                    .alias("g")))
     return (unis.unionByName(bis)
-            .select(id_col, _bucket(F.col("g"), n_buckets).alias("bucket")))
+            .select(*keys, _bucket(F.col("g"), n_buckets).alias("bucket")))
 
 
 def dsir_bucket_llr(target_grams: DataFrame, raw_grams: DataFrame,
@@ -112,6 +121,75 @@ def dsir_bucket_llr(target_grams: DataFrame, raw_grams: DataFrame,
     return (joined.crossJoin(F.broadcast(tot))
             .select("bucket", "n_target", "n_raw",
                     (F.log(pt) - F.log(pr)).alias("llr")))
+
+
+def dsir_bucket_llr_by_group(target_grams: DataFrame,
+                             raw_grams: DataFrame,
+                             group_col: str = "source",
+                             n_buckets: int = N_BUCKETS,
+                             alpha: float = ALPHA) -> DataFrame:
+    """Domain-conditional DSIR model (VERDICT r8 #3): one LLR table
+    per raw GROUP (source/shard) against the SHARED target
+    distribution — llr_g = ln(p_target / p_raw_g), where p_raw_g is
+    the proposal distribution fitted WITHIN group g. This is what the
+    Xie et al. recipe becomes on a multi-domain corpus: a gram that is
+    merely common in one source stops inflating (or deflating) scores
+    in every other source, so selection within each domain ranks
+    against that domain's own background.
+
+    ``raw_grams`` must carry ``group_col`` (hashed_gram_buckets'
+    ``carry_cols``). Output (group_col, bucket, n_target, n_raw, llr):
+    n_groups × n_buckets rows — still broadcast-sized for any real
+    source count (1,000 sources × 4096 buckets ≈ 4M rows of ints),
+    and both corpora are still scanned exactly once (the two bucket
+    aggregates are checkpointed model-sized tables; grid, totals and
+    ratios all derive from the checkpoints)."""
+    tc = (target_grams.groupBy("bucket")
+          .agg(F.count("*").alias("n_target"))
+          .localCheckpoint(eager=True))
+    rc = (raw_grams.groupBy(group_col, "bucket")
+          .agg(F.count("*").alias("n_raw"))
+          .localCheckpoint(eager=True))
+    spark = target_grams.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int")
+                                            .alias("bucket"))
+    # groups come from the checkpointed aggregate, not a raw rescan;
+    # the grid crossJoin is model-sized on both sides
+    grid = rc.select(group_col).distinct().crossJoin(buckets)
+    tot_t = tc.agg(F.sum("n_target").alias("__tt"))
+    tot_r = rc.groupBy(group_col).agg(F.sum("n_raw").alias("__rt"))
+    pt = ((F.col("n_target") + F.lit(alpha))
+          / (F.col("__tt") + F.lit(alpha * n_buckets)))
+    pr = ((F.col("n_raw") + F.lit(alpha))
+          / (F.col("__rt") + F.lit(alpha * n_buckets)))
+    return (grid.join(tc, "bucket", "left")
+            .join(rc, [group_col, "bucket"], "left")
+            .select(group_col, "bucket",
+                    F.coalesce("n_target", F.lit(0)).alias("n_target"),
+                    F.coalesce("n_raw", F.lit(0)).alias("n_raw"))
+            .crossJoin(F.broadcast(tot_t))
+            .join(F.broadcast(tot_r), group_col)
+            .select(group_col, "bucket", "n_target", "n_raw",
+                    (F.log(pt) - F.log(pr)).alias("llr")))
+
+
+def dsir_scores_by_group(docs: DataFrame, llr_by_group: DataFrame,
+                         group_col: str = "source",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Score each doc against ITS OWN group's LLR model: mean llr_g
+    over the doc's hashed-gram occurrences, rounded to 5 decimals LAST
+    (dsir_scores' determinism protocol). The group rides the explode
+    (carry_cols) and the model join is a broadcast on (group, bucket)
+    — still one doc-keyed shuffle, no grams⋈docs re-join. Output
+    (id_col, group_col, n_grams, score)."""
+    grams = hashed_gram_buckets(docs, id_col, text_col, n_buckets,
+                                carry_cols=(group_col,))
+    model = F.broadcast(llr_by_group.select(group_col, "bucket", "llr"))
+    return (grams.join(model, [group_col, "bucket"])
+            .groupBy(id_col, group_col)
+            .agg(F.count("*").alias("n_grams"),
+                 F.round(F.avg("llr"), 5).alias("score")))
 
 
 def dsir_scores(docs: DataFrame, llr: DataFrame,

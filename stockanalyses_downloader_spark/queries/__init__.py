@@ -37,28 +37,31 @@ _WINDOW = [
     "rest_fetch_pipeline",
     "ticks_asof_quotes",
     "ticks_in_candle_ranges",   # range/interval join (bucketed)
-    "weekly_retention_cohorts",  # cohort-week x offset retention
-                                # triangle — never driver-certified
-                                # (r7 rotation in per VERDICT r6 #2;
-                                # took ticks_asof_quotes_tolerant's
-                                # slot: the as-of family keeps
-                                # ticks_asof_quotes in-window, the
-                                # tolerant variant stays sweep-
-                                # oracled + pytest-pinned)
-    "hopping_volume_windows",   # 14d/7d sliding windows — never
-                                # driver-certified (r7 rotation in
-                                # per VERDICT r6 #2; took tick_grid_
-                                # hourly's slot: grid-ffill machinery
-                                # is the same as-of bind certified
-                                # r6, stays sweep-oracled + benched)
-    "event_type_drift_chi2",    # chi-squared drift report — never
-                                # driver-certified (r7 rotation in
-                                # per VERDICT r6 #2; took tick_price_
-                                # anomalies' slot: trailing z-score
-                                # windows share tick_rolling_
-                                # indicators' in-window machinery;
-                                # anomalies stays sweep-oracled +
-                                # benched after its r6 driver row)
+    "approx_order_value_percentiles",  # PORTABLE HDR-grid mergeable
+                                # percentiles (the 100 TB path) —
+                                # fully oracled since the r8 swap but
+                                # never driver-certified (r9 rotation
+                                # in per VERDICT r8 #1; took weekly_
+                                # retention_cohorts' slot: certified
+                                # r7+r8; its cohort-triangle window
+                                # machinery stays repped in-window by
+                                # order_window_analytics + tick_feed_
+                                # islands, sweep-oracled + benched)
+    "cheapest_supplier_per_part",  # TPC-H Q2 correlated-minimum
+                                # decorrelated into a part-key window
+                                # — oracled since r5c, never driver-
+                                # certified (r9 rotation in per
+                                # VERDICT r8 #1; took hopping_volume_
+                                # windows' slot: certified r7+r8;
+                                # sliding time windows stay repped by
+                                # weekly_ohlc_candles in-window)
+    "regional_market_share",    # TPC-H Q8 conditional revenue share
+                                # per year — oracled since r5c, never
+                                # driver-certified (r9 rotation in
+                                # per VERDICT r8 #1; took event_type_
+                                # drift_chi2's slot: certified r7+r8;
+                                # the drift tier keeps embedding_
+                                # drift_report in-window)
     "dsir_selection_report",    # DSIR importance resampling — new
                                 # r8, never driver-certified (r8
                                 # rotation in; took copurchase_lift's
@@ -100,12 +103,16 @@ _WINDOW = [
                                 # stays driver-visible via in-window
                                 # ingest_dead_letter_rates)
     "job_state_claim_counts",
-    "user_profile_merged",      # CDC changelog MERGE apply (r5 second
-                                # block rotation in — took job_state_
-                                # outcomes' slot: ST6 keeps claim_
-                                # counts driver-visible, and the CDC
-                                # merge is the state machine's
-                                # batch-writeback dual)
+    "dsir_selection_by_source", # domain-conditional DSIR (per-source
+                                # proposal models, VERDICT r8 #3) —
+                                # new r9, never driver-certified (r9
+                                # rotation in; took user_profile_
+                                # merged's slot: the CDC MERGE apply
+                                # was certified r5-r8 across four
+                                # windows; changelog machinery stays
+                                # driver-visible via user_state_
+                                # history's SCD2 build + job_state_
+                                # claim_counts' state writeback)
     "wss_enriched_messages",
     "weekly_ohlc_candles",
     # similarity / dedup / multimodal (X2/X3/X5) — driver-unverified in r1
@@ -116,29 +123,33 @@ _WINDOW = [
                                 # multimodal digest rows; the
                                 # membership-sketch tier earns its
                                 # first driver row)
-    "ivf_topk_approx",          # untrained sample-centroid IVF —
-                                # fully DuckDB-oracled since r7c,
-                                # never driver-certified (r8 rotation
-                                # in per VERDICT r7 #2; took cosine_
-                                # topk_bruteforce's slot: certified
-                                # r1-r7; exact-cosine scoring stays
-                                # driver-visible as the rerank leg
-                                # inside every in-window IVF tier)
-    "customer_kanonymity_report",  # k-anonymity privacy audit —
-                                # never driver-certified (r7 rotation
-                                # in per VERDICT r6 #2; took event_
-                                # zorder_keys' slot: Morton bit math
-                                # was certified r5c-r6 twice, stays
-                                # sweep-oracled + pytest-pinned)
-    "stratified_docs_by_lang",  # hash-ordered per-stratum sample —
-                                # never driver-certified (r7 rotation
-                                # in per VERDICT r6 #2; took near_
-                                # dup_edit_distances' slot: the
-                                # jaccard-candidate + levenshtein
-                                # machinery stays sweep-oracled +
-                                # benched after its r6 driver row;
-                                # near-dup keeps minhash/components/
-                                # substring driver rows)
+    "ivf_topk_pq_portable",     # the FULL IVFADC stack (both Lloyd
+                                # loops + residual encode + ADC LUT
+                                # serve + exact rerank) hash-oracled
+                                # cross-engine — the r8 flagship
+                                # certification artifact, never
+                                # driver-certified (r9 rotation in
+                                # per VERDICT r8 #1, the named lead;
+                                # took ivf_topk_approx's slot:
+                                # certified r8; the untrained sample-
+                                # centroid tier is a strict subset of
+                                # this trained stack and stays sweep-
+                                # oracled + benched)
+    "pii_redaction_report",     # PII detect+redact — certified r5+r6
+                                # then rotated out; back in (r9 per
+                                # VERDICT r8 #1's named list; took
+                                # customer_kanonymity_report's slot:
+                                # certified r7+r8; the privacy tier
+                                # keeps forget_cascade_report in-
+                                # window and gains this redaction row)
+    "quality_calibration_deciles",  # equal-width logit calibration
+                                # bands — oracled since r5c, never
+                                # driver-certified (r9 rotation in
+                                # per VERDICT r8 #1; took stratified_
+                                # docs_by_lang's slot: certified
+                                # r7+r8; hash-ordered sampling stays
+                                # repped by source_mixture_schedule
+                                # in-window + sweep-oracled)
     "orders_join_size_estimate",  # AMS join-size forecast (r5c
                                 # rotation in — took ngram_jaccard's
                                 # slot: the jaccard pair machinery
@@ -148,15 +159,16 @@ _WINDOW = [
                                 # its closure)
     "near_dup_components",      # transitive dedup keeper selection
     "multimodal_asset_stats",
-    "doc_sequence_packing",     # greedy sequence packing via bucket
-                                # prefix sums — never driver-
-                                # certified (r7 rotation in per
-                                # VERDICT r6 #2; took dedup_passages_
-                                # rebuild's slot: C4-style passage
-                                # dedup was certified r5-r6, its
-                                # explode+window machinery stays
-                                # sweep-oracled + benched; X1 keeps
-                                # multimodal_chunk_dedup in-window)
+    "approx_distinct_users",    # PORTABLE HLL grid per event type —
+                                # fully oracled since the r8 swap but
+                                # never driver-certified (r9 rotation
+                                # in per VERDICT r8 #1; took doc_
+                                # sequence_packing's slot: certified
+                                # r7+r8; bucket-prefix-sum packing
+                                # machinery stays sweep-oracled +
+                                # benched, and the token-budget tier
+                                # keeps source_mixture_schedule
+                                # in-window)
     "multimodal_chunk_dedup",   # binary content dedup via chunk digests
     "global_near_dup_pairs",    # PPJoin global prefix-filtered
                                 # exact-Jaccard join — fully DuckDB-
@@ -169,21 +181,26 @@ _WINDOW = [
                                 # benched; near-dup keeps near_dup_
                                 # components + multimodal_chunk_dedup
                                 # in-window)
-    "tick_rolling_indicators",  # rolling SMA/vol/RSI (r5 second block
-                                # rotation in — took simhash's slot:
-                                # near-dup keeps minhash/jaccard/CC
-                                # driver rows, simhash stays pytest-
-                                # pinned with its radius guarantee)
-    "lineitem_grouping_sets",   # GROUPING SETS aggregate — never
-                                # driver-certified (r7 rotation in
-                                # per VERDICT r6 #2; took order_
-                                # price_hdr_sketch's slot: the HDR
-                                # grid state was certified r6, stays
-                                # sweep-oracled + pytest-pinned; the
-                                # sketch family keeps lang_token_
-                                # hll_grid + orders_join_size_
-                                # estimate's count-min grids
-                                # in-window)
+    "token_bloom_sketch",       # mergeable Bloom MEMBERSHIP bit set
+                                # — oracled since r5c (bit positions
+                                # included), never driver-certified
+                                # (r9 rotation in per VERDICT r8 #1;
+                                # took tick_rolling_indicators' slot:
+                                # certified r5-r8 across four
+                                # windows; rolling-frame machinery
+                                # stays repped in-window by order_
+                                # window_analytics + tick_feed_
+                                # islands, sweep-oracled + benched)
+    "suppliers_with_excess_supply",  # TPC-H Q20 nested-agg subquery
+                                # as two aggregates off one shuffled
+                                # frame — oracled since r5c, never
+                                # driver-certified (r9 rotation in
+                                # per VERDICT r8 #1; took lineitem_
+                                # grouping_sets' slot: certified
+                                # r7+r8; the multi-grouping family
+                                # stays repped by regional_revenue's
+                                # agg + rollup/cube/grouping-sets
+                                # sweep oracles)
     "ivf_topk_trained",         # the production IVF shape (kmeans
                                 # centroids, recall ≥ 0.7 pinned);
                                 # r4 rotation — took ivf_topk_approx's
@@ -243,15 +260,17 @@ _WINDOW = [
                                 # was certified r5c-r7 and its tf/df
                                 # stats are recomputed INSIDE the
                                 # scorer before ranking)
-    "lang_distinct_token_estimates",  # the HLL ESTIMATE itself —
-                                # full DuckDB oracle since r7 (exact
-                                # dyadic raw path, ln branch rounded
-                                # last), never driver-certified (r8
-                                # rotation in per VERDICT r7 #2; took
-                                # lang_token_hll_grid's slot: the
-                                # same register grid is built INSIDE
-                                # this estimator before the harmonic
-                                # composition — a strict superset)
+    "source_shared_token_estimates",  # HLL inclusion-exclusion set
+                                # algebra (union/intersection/overlap
+                                # from three mergeable estimates) —
+                                # oracled since r7, never driver-
+                                # certified (r9 rotation in per
+                                # VERDICT r8 #1; took lang_distinct_
+                                # token_estimates' slot: certified
+                                # r8; the single-estimate harmonic
+                                # path is recomputed INSIDE this
+                                # composition three times over — a
+                                # strict superset)
     "ivf_topk_quantized",       # int8-list IVF with exact rerank —
                                 # fully DuckDB-oracled since r7c
                                 # (calibrate/quantize/probe/shortlist/
@@ -300,15 +319,16 @@ _WINDOW = [
                                 # its driver row via in-window
                                 # bloom_decontamination_probes,
                                 # whose exact-join leg rides along)
-    "doc_tfidf_top_terms",      # TF-IDF top terms per doc — never
-                                # driver-certified (r7 rotation in
-                                # per VERDICT r6 #2; took lang_
-                                # temperature_mixture's slot: the
-                                # sqrt-temperature rebalance was
-                                # certified r4-r6 and stays sweep-
-                                # oracled + pytest-pinned; the
-                                # sampling family gains stratified_
-                                # docs_by_lang this round)
+    "doc_rag_chunks",           # overlapping 64/48 token-window
+                                # chunking with offsets (RAG prep) —
+                                # oracled since r4, never driver-
+                                # certified (r9 rotation in per
+                                # VERDICT r8 #1; took doc_tfidf_top_
+                                # terms' slot: certified r7+r8; the
+                                # tf/df ranking machinery stays
+                                # driver-visible inside in-window
+                                # bm25_search_topk, which recomputes
+                                # the same stats before scoring)
     "hard_negative_mining",     # contrastive hard negatives — new r7,
                                 # never driver-certified (r7c rotation
                                 # in; took substring_dup_fraction's
@@ -549,27 +569,12 @@ _TAIL = [
     "rich_inactive_customers",      # Q22 composed subquery + anti join
     "event_value_histogram",        # manual width-bucket agg
     "event_props_extract",          # JSON parse, cf. jobs_parse_dispatch
-    "approx_distinct_users",        # distinct users per event type —
-                                    # PORTABLE HLL grid since r8
-                                    # (VERDICT r7 #5): fully DuckDB-
-                                    # oracled; the engine-native
-                                    # approx_count_distinct variant
-                                    # stays pytest-pinned
     "ann_recall_report",            # rows-only; recall@10 of every
                                     # ANN method vs brute force —
                                     # engine-bound: composes the PQ/
                                     # PCA tiers' driver-side eigh
                                     # rotations; floors pinned in
                                     # pytest (terminal)
-    "approx_order_value_percentiles",  # mergeable-sketch percentiles
-                                    # (the 100 TB path) — PORTABLE
-                                    # HDR grid since r8 (VERDICT r7
-                                    # #5): fully DuckDB-oracled; the
-                                    # engine-native approx_percentile
-                                    # variant stays pytest-pinned
-    "doc_rag_chunks",               # overlapping 64/48 token-window
-                                    # chunking with offsets (RAG prep);
-                                    # DuckDB-oracled; new r4
     "doc_unigram_surprisal",        # unigram-LM inverse-frequency
                                     # quality signal (ln-free,
                                     # decimal-stable); DuckDB-oracled;
@@ -661,24 +666,6 @@ _TAIL = [
                                     # DuckDB-oracled incl. the merge
                                     # hop; Datasketches variant stays
                                     # pytest-pinned
-    "token_bloom_sketch",           # mergeable MEMBERSHIP bit set
-                                    # (completes the sketch family:
-                                    # HLL/count-min/HDR/Bloom);
-                                    # DuckDB-oracled incl. the bit
-                                    # positions; new r5c
-    "quality_calibration_deciles",  # equal-width logit bands with
-                                    # per-band positive rate;
-                                    # DuckDB-oracled; new r5c
-    "cheapest_supplier_per_part",   # Q2 correlated-minimum shape,
-                                    # decorrelated into a window over
-                                    # the part key; DuckDB-oracled;
-                                    # new r5c
-    "regional_market_share",        # Q8 conditional revenue share per
-                                    # year (single-aggregate num/den);
-                                    # DuckDB-oracled; new r5c
-    "suppliers_with_excess_supply", # Q20 nested-agg subquery as two
-                                    # aggregates off one shuffled
-                                    # frame; DuckDB-oracled; new r5c
     "token_heavy_hitters",          # count-min heavy hitters (no
                                     # false dismissals, exact count
                                     # alongside); DuckDB-oracled; r5c
@@ -804,17 +791,10 @@ _TAIL = [
                                     # quantile walk stays benched
     "lang_temperature_mixture",     # sqrt-temperature rebalance —
                                     # hash-green r4-r6
-    # r7 additions
-    "source_shared_token_estimates",  # HLL inclusion-exclusion set
-                                    # algebra, three-estimate
-                                    # composition hash-oracled;
-                                    # DuckDB-oracled; new r7
     # r7c window yields — each driver-certified r5 AND r6; slots went
     # to the three new never-certified r7 queries (see _WINDOW notes)
     "substring_dup_fraction",       # content-defined-anchor substring
                                     # dup signal — hash-green r5+r6
-    "pii_redaction_report",         # PII detect+redact — hash-green
-                                    # r5+r6
     "embedding_covariance",         # PCA fit pass, decimal-stable
                                     # moments — hash-green r5+r6
     "important_part_stock",         # Q11 HAVING-vs-global-scalar
@@ -868,16 +848,6 @@ _TAIL = [
                                     # green r5-r7; recomputed inside
                                     # in-window bpe_merge_sequence as
                                     # its first merge round; benched
-    # r8 additions
-    "ivf_topk_pq_portable",         # the FULL IVFADC stack fully
-                                    # DuckDB-oracled (r8): both Lloyd
-                                    # loops (coarse + PQ subspaces)
-                                    # unrolled as CTEs, residual ADC
-                                    # with stored norms has no libm
-                                    # step, so train+encode+serve all
-                                    # hash-match; unrotated (the OPQ
-                                    # eigh stays the default tier's
-                                    # one engine-bound step); new r8
     "copurchase_lift",              # market-basket lift — hash-green
                                     # r5c-r7; slot yielded (r8) to
                                     # dsir_selection_report; the
@@ -890,6 +860,57 @@ _TAIL = [
                                     # signal inputs keep driver rows
                                     # via curation + chunk dedup;
                                     # still benched
+    # r9 window yields — slots went to the 12 never-certified
+    # promotions per VERDICT r8 #1 (incl. the new dsir_selection_by_
+    # source); every demoted entry below was driver-certified at
+    # least twice except the two r8 first-timers whose machinery is a
+    # strict subset of a promoted superset (see _WINDOW notes)
+    "weekly_retention_cohorts",     # cohort-week triangle — hash-
+                                    # green r7+r8; window family keeps
+                                    # order_window_analytics + tick_
+                                    # feed_islands in-window
+    "hopping_volume_windows",       # 14d/7d sliding windows — hash-
+                                    # green r7+r8; time windows stay
+                                    # repped by weekly_ohlc_candles
+    "event_type_drift_chi2",        # chi-squared drift — hash-green
+                                    # r7+r8; drift tier keeps
+                                    # embedding_drift_report in-window
+    "user_profile_merged",          # CDC MERGE apply — hash-green
+                                    # r5-r8 across four windows;
+                                    # changelog machinery stays via
+                                    # user_state_history (SCD2) +
+                                    # job_state_claim_counts
+    "ivf_topk_approx",              # untrained sample-centroid IVF —
+                                    # hash-green r8; strict subset of
+                                    # promoted ivf_topk_pq_portable's
+                                    # trained stack; stays benched
+    "customer_kanonymity_report",   # k-anonymity audit — hash-green
+                                    # r7+r8; privacy tier keeps
+                                    # forget_cascade_report + promoted
+                                    # pii_redaction_report in-window
+    "stratified_docs_by_lang",      # per-stratum hash sample — hash-
+                                    # green r7+r8; sampling stays
+                                    # repped by source_mixture_
+                                    # schedule in-window
+    "doc_sequence_packing",         # greedy packing via bucket prefix
+                                    # sums — hash-green r7+r8; stays
+                                    # sweep-oracled + benched
+    "tick_rolling_indicators",      # rolling SMA/vol/RSI — hash-green
+                                    # r5-r8 across four windows;
+                                    # rolling frames stay repped by
+                                    # order_window_analytics
+    "lineitem_grouping_sets",       # GROUPING SETS — hash-green
+                                    # r7+r8; grouping family stays
+                                    # repped by regional_revenue +
+                                    # rollup/cube sweep oracles
+    "lang_distinct_token_estimates",  # single HLL estimate — hash-
+                                    # green r8; recomputed three times
+                                    # INSIDE promoted source_shared_
+                                    # token_estimates (strict subset)
+    "doc_tfidf_top_terms",          # TF-IDF top terms — hash-green
+                                    # r7+r8; tf/df machinery stays
+                                    # driver-visible inside in-window
+                                    # bm25_search_topk
 ]
 
 

@@ -3140,13 +3140,16 @@ def _dsir_sql() -> str:
          CAST(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {b} AS INT)
            AS bucket
   FROM (
-    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS g
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\s+')) AS g
     FROM {rel}
     UNION ALL
     SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
     FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS ts
+                       string_split_regex(lower(trim(coalesce(text, ''))),
+                                          '\s+') AS ts
                 FROM {rel})
           WHERE len(ts) >= 2)
   )"""
@@ -3190,6 +3193,106 @@ FROM sel
 """
 
 
+def dsir_selection_by_source(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Domain-conditional DSIR (operators/dsir.py
+    dsir_bucket_llr_by_group — VERDICT r8 #3): the SHARED target
+    (src0+src1) scored against each raw source's OWN proposal
+    distribution, so a gram that is merely common in one source stops
+    distorting every other source's ranking. Same determinism
+    protocol as the pooled report (exact bucket counts, IEEE
+    divisions, round-5-last, rank on the rounded score); keep the top
+    25% within each source. Output: (doc_id, source, n_grams, score,
+    rank, kept)."""
+    from ..operators import dsir
+    d = _docs(spark, sf_dir)
+    is_target = F.col("source").isin(list(_DSIR_TARGET_SOURCES))
+    target, raw = d.filter(is_target), d.filter(~is_target)
+    llr = dsir.dsir_bucket_llr_by_group(
+        dsir.hashed_gram_buckets(target),
+        dsir.hashed_gram_buckets(raw, carry_cols=("source",)),
+        group_col="source")
+    scored = dsir.dsir_scores_by_group(raw, llr, group_col="source")
+    sel = dsir.dsir_select(scored, _DSIR_KEEP_FRACTION, ["source"])
+    return sel.select("doc_id", "source", "n_grams", "score",
+                      "rank", "kept")
+
+
+def _dsir_by_source_sql() -> str:
+    from ..operators.dsir import ALPHA, N_BUCKETS
+    b = N_BUCKETS
+    srcs = ", ".join(f"'{t}'" for t in _DSIR_TARGET_SOURCES)
+    frac = repr(_DSIR_KEEP_FRACTION)
+
+    def grams(rel: str, extra: str = "") -> str:
+        cols = f"doc_id{', ' + extra if extra else ''}"
+        return rf"""
+  SELECT {cols},
+         CAST(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {b} AS INT)
+           AS bucket
+  FROM (
+    SELECT {cols},
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\s+')) AS g
+    FROM {rel}
+    UNION ALL
+    SELECT {cols}, ts[i] || ' ' || ts[i + 1] AS g
+    FROM (SELECT {cols}, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+          FROM (SELECT {cols},
+                       string_split_regex(lower(trim(coalesce(text, ''))),
+                                          '\s+') AS ts
+                FROM {rel})
+          WHERE len(ts) >= 2)
+  )"""
+
+    return rf"""
+WITH tgt AS (
+  SELECT doc_id, text FROM documents WHERE source IN ({srcs})
+), raw AS (
+  SELECT doc_id, source, text FROM documents WHERE source NOT IN ({srcs})
+), tg AS ({grams('tgt')}
+), rg AS ({grams('raw', 'source')}
+), tc AS (
+  SELECT bucket, count(*) AS n_t FROM tg GROUP BY bucket
+), rc AS (
+  SELECT source, bucket, count(*) AS n_r FROM rg GROUP BY source, bucket
+), tt AS (SELECT count(*) AS c FROM tg
+), rt AS (SELECT source, count(*) AS c FROM rg GROUP BY source
+), grid AS (
+  SELECT s.source, g.bucket
+  FROM (SELECT DISTINCT source FROM rg) s,
+       (SELECT CAST(unnest(generate_series(0, {b} - 1)) AS INT)
+          AS bucket) g
+), llr AS (
+  SELECT grid.source, grid.bucket,
+         ln((COALESCE(tc.n_t, 0) + {ALPHA!r}) / (tt.c + {ALPHA!r} * {b}))
+         - ln((COALESCE(rc.n_r, 0) + {ALPHA!r}) / (rt.c + {ALPHA!r} * {b}))
+           AS llr
+  FROM grid
+  LEFT JOIN tc USING (bucket)
+  LEFT JOIN rc ON rc.source = grid.source AND rc.bucket = grid.bucket
+  JOIN rt ON rt.source = grid.source, tt
+), scores AS (
+  SELECT rg.doc_id, rg.source, count(*) AS n_grams,
+         round(avg(llr.llr), 5) AS score
+  FROM rg JOIN llr ON llr.source = rg.source AND llr.bucket = rg.bucket
+  GROUP BY rg.doc_id, rg.source
+), sel AS (
+  SELECT doc_id, source, n_grams, score,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY score DESC, doc_id) AS INT)
+           AS rank,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM scores
+)
+SELECT doc_id, source, n_grams, score, rank,
+       rank <= GREATEST(1, CAST(floor(n_src * {frac}) AS BIGINT)) AS kept
+FROM sel
+"""
+
+
 QUERIES.update({
     "dsir_selection_report": Q(dsir_selection_report, _dsir_sql()),
+    "dsir_selection_by_source": Q(dsir_selection_by_source,
+                                  _dsir_by_source_sql()),
 })
