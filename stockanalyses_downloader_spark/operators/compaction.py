@@ -101,13 +101,30 @@ def compaction_plan(files: list[tuple[str, int]],
     return bins
 
 
+def _manifest_path(base: str, token: str) -> str:
+    """The planned-input manifest: written into the STAGING dir before
+    the swap (so it travels into the live table path with the swap),
+    read back by ``sweep_crash_artifacts`` to salvage a concurrent
+    writer's late append out of a displaced dir a crash stranded. The
+    leading underscore keeps it invisible to parquet scans and to
+    ``list_data_files`` (the same rule that hides ``_SUCCESS``)."""
+    return os.path.join(base, f"_compaction-planned-{token}")
+
+
 def sweep_crash_artifacts(path: str) -> None:
     """Recover from a compaction (or any swap-protocol) crash: if the
     table path is missing and an ``__old-*`` backup exists, restore
     the backup — never delete the only surviving copy. Stale
     ``__tmp-*``/``__old-*`` dirs are garbage-collected only when the
     table path exists (same contract as forget.execute_forget's
-    sweep)."""
+    sweep) — and BEFORE deleting one, any data file in it that is not
+    in that run's planned-input manifest is carried into the live
+    table (ADVICE r8): a crash between the swap and the late-append
+    carry strands a concurrent writer's COMMITTED file inside the
+    displaced dir, and deleting it unconditionally would lose
+    committed data. A stale dir that still CONTAINS its manifest is
+    pre-swap staging (compacted duplicates of live data) and is
+    deleted whole, never carried — carrying it would double rows."""
     base = path.rstrip("/")
     parent, name = os.path.dirname(base), os.path.basename(base)
     if not os.path.isdir(parent or "."):
@@ -124,7 +141,26 @@ def sweep_crash_artifacts(path: str) -> None:
             # no backup: leave __tmp-* alone (may be a complete copy)
             return
     for entry in entries:
-        shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        stale = os.path.join(parent, entry)
+        token = entry.rsplit("-", 1)[-1]
+        manifest = _manifest_path(base, token)
+        if (os.path.isfile(manifest)
+                and not os.path.isfile(_manifest_path(stale, token))):
+            # manifest swapped into the live path but its displaced
+            # dir was never diffed: the crash hit between swap and
+            # carry — salvage the unplanned (late-append) files
+            with open(manifest) as fh:
+                planned = {ln.rstrip("\n") for ln in fh if ln.strip()}
+            _carry_late_appends(stale, base, planned)
+            os.remove(manifest)
+        shutil.rmtree(stale, ignore_errors=True)
+    # a crash between the displaced-dir rmtree and the manifest
+    # cleanup leaves an orphan manifest in the live dir — harmless to
+    # scans (underscore-hidden) but garbage; collect it
+    if os.path.isdir(base):
+        for f in os.listdir(base):
+            if f.startswith("_compaction-planned-"):
+                os.remove(os.path.join(base, f))
 
 
 def _exchange_dirs(a: str, b: str) -> bool:
@@ -147,14 +183,14 @@ def _exchange_dirs(a: str, b: str) -> bool:
     RENAME_EXCHANGE = 2
     rc = renameat2(AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b),
                    RENAME_EXCHANGE)
-    if rc != 0:
-        err = ctypes.get_errno()
-        import errno as _errno
-        if err in (_errno.EINVAL, _errno.ENOSYS, _errno.ENOTSUP,
-                   getattr(_errno, "EXDEV", 18)):
-            return False
-        raise OSError(err, os.strerror(err), a)
-    return True
+    # ANY failure falls back to the always-safe two-rename protocol
+    # (ADVICE r8): seccomp-filtered and otherwise restricted
+    # environments commonly return EPERM/EACCES from blocked
+    # renameat2, and hard-failing there would break compact_parquet
+    # where the pre-r8 path worked fine. The expected capability
+    # errnos (EINVAL/ENOSYS/ENOTSUP/EXDEV) are the common case; the
+    # rest are merely unexpected, not unrecoverable.
+    return rc == 0
 
 
 def _carry_late_appends(old_root: str, new_root: str,
@@ -173,9 +209,45 @@ def _carry_late_appends(old_root: str, new_root: str,
         dest = os.path.join(new_root, rel)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         if os.path.exists(dest):
+            # already carried by the pre-swap hardlink/copy pass
+            # (same inode, or same committed bytes when the fs lacks
+            # hardlinks) — don't duplicate it
+            try:
+                if (os.path.samefile(f, dest)
+                        or os.path.getsize(f) == os.path.getsize(dest)):
+                    continue
+            except OSError:
+                pass
             stem, ext = os.path.splitext(dest)
             dest = f"{stem}-late-{uuid.uuid4().hex[:8]}{ext}"
         os.rename(f, dest)
+        carried += 1
+    return carried
+
+
+def _pre_swap_carry(base: str, tmp: str, planned: set[str]) -> int:
+    """Hardlink (or copy) every already-committed late append from the
+    live table into the staging dir BEFORE the swap (ADVICE r8): with
+    the post-swap-only diff, a reader between the swap and the carry
+    saw the new table WITHOUT the late file — a committed row set that
+    shrank then regrew, which is neither 'the old table' nor 'the new
+    table'. Carrying ahead of the swap closes that window for every
+    file committed up to this pass; only a commit landing in the
+    microseconds between this listing and the swap itself still takes
+    the (counted, idempotent) post-swap carry path."""
+    carried = 0
+    for f, _sz in list_data_files(base):
+        rel = os.path.relpath(f, base)
+        if rel in planned:
+            continue
+        dest = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if os.path.exists(dest):
+            continue
+        try:
+            os.link(f, dest)
+        except OSError:
+            shutil.copy2(f, dest)
         carried += 1
     return carried
 
@@ -189,7 +261,8 @@ _pre_swap_hook = None
 
 def compact_parquet(spark: SparkSession, path: str,
                     target_bytes: int = 128 * 1024 * 1024,
-                    parallelism: int = 4) -> dict[str, int]:
+                    parallelism: int = 4,
+                    swap_mode: str = "auto") -> dict[str, int]:
     """Compact a parquet directory to ~``target_bytes`` files.
 
     Single-file bins are NOT rewritten (their bytes are already
@@ -213,24 +286,39 @@ def compact_parquet(spark: SparkSession, path: str,
       holding open file handles keeps reading its snapshot either way
       (POSIX semantics).
     * Writer: a file COMMITTED into the table during the compaction
-      window (after the listing, before the swap) is NOT lost — the
-      post-swap diff moves every data file that wasn't in the planned
-      input set from the displaced directory into the new one
-      (``_carry_late_appends``), so a concurrent append lands in the
-      new directory. A commit that races the swap itself (the
-      committer's rename targets a path whose parent was just
-      displaced) fails with ENOENT and must retry — the standard
-      at-least-once sink contract; streaming/sinks.py's
-      maintenance_foreach_batch additionally SERIALIZES maintenance
-      with its own query's appends so the single-query case never
-      even hits the retry path. Files still being STAGED (hidden
-      ``_temporary``/dot-files) are invisible to the listing and to
-      the carry diff by the same rule parquet scans use. One residual
-      window: a CRASH between the swap and the carry diff leaves a
-      not-yet-carried late append inside the displaced dir, which the
-      next run's sweep garbage-collects — recovery is the appender's
-      at-least-once replay (a checkpointed sink re-emits the batch),
-      the same contract that covers its racing-commit failure.
+      window (after the listing, before the swap) is NOT lost — it is
+      hardlinked/copied into the staging dir immediately BEFORE the
+      swap (``_pre_swap_carry``), so the new directory already
+      contains it when the swap lands and a reader never observes a
+      committed row set shrink then regrow; a post-swap diff
+      (``_carry_late_appends``) then moves anything that slipped into
+      the microseconds between that pass and the swap itself — only
+      such last-instant files are ever transiently invisible, and
+      only until the diff (readers tracking high-watermarks must
+      tolerate that residue on top of their at-least-once source). A
+      commit that races the swap itself (the committer's rename
+      targets a path whose parent was just displaced) fails with
+      ENOENT and must retry — the standard at-least-once sink
+      contract; streaming/sinks.py's maintenance_foreach_batch
+      additionally SERIALIZES maintenance with its own query's
+      appends so the single-query case never even hits the retry
+      path. Files still being STAGED (hidden ``_temporary``/
+      dot-files) are invisible to the listing and to the carry diff
+      by the same rule parquet scans use. A CRASH between the swap
+      and the carry diff is covered too (ADVICE r8): the planned-
+      input manifest is persisted into the staging dir before the
+      swap, and the next run's ``sweep_crash_artifacts`` salvages any
+      unplanned (i.e. late-append) data file out of the stranded
+      displaced dir into the live table before garbage-collecting it.
+
+    ``swap_mode`` pins the swap strategy explicitly (the CLI's
+    ``--maintenance-swap``): ``"auto"`` tries the atomic
+    ``renameat2(RENAME_EXCHANGE)`` and falls back to two renames;
+    ``"exchange"`` requires the atomic exchange (raises where the
+    kernel/filesystem/sandbox refuses it — for operators who need the
+    no-ENOENT-window reader guarantee); ``"rename"`` forces the
+    portable two-rename protocol (for filesystems where a failing
+    renameat2 probe itself is noisy, e.g. seccomp-audited hosts).
 
     Returns {"files_before", "files_after", "bins_rewritten",
     "bytes_total", "late_appends_carried"}. Idempotent AND cheap when
@@ -241,6 +329,9 @@ def compact_parquet(spark: SparkSession, path: str,
     proportional to churn). Single-file bins that ride along a real
     rewrite are carried by hardlink when the filesystem allows it (the
     local analogue of a metadata-only move; falls back to copy)."""
+    if swap_mode not in ("auto", "exchange", "rename"):
+        raise ValueError(f"swap_mode must be auto|exchange|rename, "
+                         f"got {swap_mode!r}")
     sweep_crash_artifacts(path)
     base = path.rstrip("/")
     files = list_data_files(base)
@@ -299,20 +390,36 @@ def compact_parquet(spark: SparkSession, path: str,
     if _pre_swap_hook is not None:   # test seam: race an append here
         _pre_swap_hook()
 
+    # Crash insurance (ADVICE r8): persist the planned-input set into
+    # the staging dir — the swap moves it into the live path, where
+    # the next run's sweep uses it to salvage late appends out of a
+    # displaced dir this run crashed before diffing.
+    with open(_manifest_path(tmp, token), "w") as fh:
+        fh.write("\n".join(sorted(planned)))
+    # Shrink-proof carry: late appends committed so far enter the
+    # staging dir BEFORE the swap, so the new table is a superset of
+    # them from its first visible instant.
+    carried = _pre_swap_carry(base, tmp, planned)
+
     # Swap. Preferred: one atomic exchange (base <-> tmp) — readers
     # never see the path missing; the displaced old content ends up
     # AT the tmp path. Fallback: the two-rename protocol with its
     # documented retryable ENOENT window.
-    if _exchange_dirs(base, tmp):
+    if swap_mode != "rename" and _exchange_dirs(base, tmp):
         displaced = tmp
+    elif swap_mode == "exchange":
+        raise OSError(
+            f"swap_mode='exchange' but renameat2(RENAME_EXCHANGE) is "
+            f"unavailable for {base!r}; rerun with auto or rename")
     else:
         old_dir = f"{base}.__old-{token}"
         os.rename(base, old_dir)
         os.rename(tmp, base)
         displaced = old_dir
-    # a concurrent writer's committed appends survive the swap
-    carried = _carry_late_appends(displaced, base, planned)
+    # anything committed between the pre-swap carry and the swap
+    carried += _carry_late_appends(displaced, base, planned)
     shutil.rmtree(displaced, ignore_errors=True)
+    os.remove(_manifest_path(base, token))
     return {"files_before": len(files), "files_after": len(bins) + carried,
             "bins_rewritten": rewritten,
             "late_appends_carried": carried,
