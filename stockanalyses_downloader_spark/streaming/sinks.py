@@ -303,6 +303,75 @@ def maintenance_foreach_batch(path: str,
     return _apply
 
 
+def drift_monitor_foreach_batch(reference_grid_path: str,
+                                grids_path: str, alerts_path: str,
+                                vec_col: str = "embedding",
+                                kl_threshold: float = 0.5) -> Callable:
+    """Streaming drift ALERTING on the mergeable moment grids
+    (VERDICT r8 #6) — the operational half of embedding_drift_report:
+    what a 100 TB ingest actually runs against a new crawl or encoder
+    version. Per micro-batch:
+
+    1. compute the batch's moment grid (pca.moment_grid — d rows of
+       DECIMAL-exact sufficient statistics) and persist it under
+       ``grids_path/batch_id=N`` — the grid STORE: drift-over-time,
+       week-vs-week comparisons and re-baselining all decode from
+       these by addition (merge_moment_grids), never by rescanning
+       vectors;
+    2. decode the batch grid against the PINNED reference grid (the
+       baseline the owner froze — itself just a stored moment_grid)
+       into the symmetric diagonal-Gaussian KL divergence — the same
+       ln-free closed form embedding_drift_report certifies — and
+       append one row (batch_id, n_vecs, sym_kl_diag, kl_threshold,
+       flagged) under ``alerts_path/batch_id=N``.
+
+    Replay-idempotent: both writes OVERWRITE their own batch_id
+    directory, so a crash-replayed batch rewrites identical content
+    instead of duplicating it (grids and alerts read back as one
+    hive-partitioned table each). Cost per batch: one scan of the
+    micro-batch (the grid aggregate) + arithmetic on 2·d model rows.
+
+    Threshold intuition: for same-distribution batches the statistic
+    hovers near 0 (sampling noise); a +3σ mean shift contributes
+    ~0.5·(9 + 9)/2 ≈ 4.5 per affected dimension, so the 0.5 default
+    flags a 3σ shift on even a single dimension of a wide embedding
+    while ignoring noise (pinned by the planted-shift stream test)."""
+    from ..operators import pca
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grid_dir = f"{grids_path.rstrip('/')}/batch_id={batch_id}"
+        pca.moment_grid(batch_df, [], vec_col) \
+            .write.mode("overwrite").parquet(grid_dir)
+        per = (pca.moments_from_grid(spark.read.parquet(grid_dir))
+               .withColumn("var", F.col("m2") - F.col("m") * F.col("m")))
+        ref = (pca.moments_from_grid(
+                   spark.read.parquet(reference_grid_path))
+               .select("pos", F.col("m").alias("gm"),
+                       (F.col("m2") - F.col("m") * F.col("m"))
+                       .alias("gvar")))
+        eps = F.lit(1e-09)
+        diff = F.col("m") - F.col("gm")
+        tt = (F.lit(0.5)
+              * ((F.col("var") + diff * diff)
+                 / (F.lit(2.0) * (F.col("gvar") + eps))
+                 + (F.col("gvar") + diff * diff)
+                 / (F.lit(2.0) * (F.col("var") + eps))
+                 - F.lit(1.0)))
+        # batch_id is supplied by the hive partition directory on read
+        # (a duplicate data column would collide with it)
+        alert = (per.join(F.broadcast(ref), "pos")
+                 .agg(F.max("n").alias("n_vecs"),
+                      F.round(F.sum(tt), 6).alias("sym_kl_diag"))
+                 .select("n_vecs", "sym_kl_diag",
+                         F.lit(kl_threshold).alias("kl_threshold"),
+                         (F.col("sym_kl_diag") > kl_threshold)
+                         .alias("flagged")))
+        alert.coalesce(1).write.mode("overwrite").parquet(
+            f"{alerts_path.rstrip('/')}/batch_id={batch_id}")
+    return _apply
+
+
 def parquet_sink_with_maintenance(df: DataFrame, path: str,
                                   checkpoint: str,
                                   target_bytes: int = 128 * 1024 * 1024,
