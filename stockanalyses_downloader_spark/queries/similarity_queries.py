@@ -413,51 +413,99 @@ def _ivf_topk_trained_sql(n_centroids: int = 16, n_iter: int = 3,
             + _ivf_rerank_tail(k))
 
 
-def _kmeans_cte_chain(n_centroids: int, n_iter: int) -> str:
-    """cent0..cent{n_iter} — the SQL twin of portable kmeans_centroids
-    (md5-prefix TakeOrdered init; each Lloyd round = rank-1 cosine
-    assignment -> DECIMAL-exact elementwise means -> keep-previous for
-    empty clusters). Factored r8 so the trained-IVF oracle and the
-    portable IVF-PQ oracle share one copy (the r7c probe-rule
-    rationale). Emits a leading comma; callers prepend the ev CTE."""
+def _kmeans_cte_chain(n_centroids: int, n_iter: int,
+                      salt: str = "", prefix: str = "") -> str:
+    """{prefix}cent0..{prefix}cent{n_iter} — the SQL twin of portable
+    kmeans_centroids (md5-prefix TakeOrdered init with ``salt``
+    appended exactly like sampling.hash_key; each Lloyd round = rank-1
+    cosine assignment -> DECIMAL-exact elementwise means ->
+    keep-previous for empty clusters). Factored r8 so the trained-IVF
+    oracle and the portable IVF-PQ oracle share one copy (the r7c
+    probe-rule rationale); ``prefix`` (r9) lets several independently
+    salted chains coexist for the restart-selection oracle. Emits a
+    leading comma; callers prepend the ev CTE."""
     l2 = ("sqrt(list_reduce(list_transform({v}, x -> x * x), "
           "(a, b) -> a + b))")
-    parts = [f""", cent0 AS (
+    p = prefix
+    parts = [f""", {p}cent0 AS (
   SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS cv, norm AS cnorm
   FROM (
     SELECT v, norm, row_number() OVER (
-        ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || ''), 1, 8),
+        ORDER BY substr(md5(CAST(vec_id AS VARCHAR) || '{salt}'), 1, 8),
                  vec_id) AS rn
     FROM ev
   ) WHERE rn <= {n_centroids}
 )"""]
     for i in range(n_iter):
-        parts.append(f""", s{i} AS (
+        parts.append(f""", {p}s{i} AS (
   SELECT e.vec_id, e.v, c.centroid_id,
          {_DOTP.format(a='e.v', b='c.cv')} / (e.norm * c.cnorm) AS csim
-  FROM ev e, cent{i} c
-), a{i} AS (
+  FROM ev e, {p}cent{i} c
+), {p}a{i} AS (
   SELECT vec_id, v, centroid_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
                 ORDER BY csim DESC, centroid_id) AS rr
-    FROM s{i}
+    FROM {p}s{i}
   ) WHERE rr = 1
-), m{i} AS (
+), {p}m{i} AS (
   SELECT centroid_id, pos,
          CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE)
            / count(*) AS c
   FROM (SELECT centroid_id, unnest(range(len(v))) AS pos,
-               unnest(v) AS x FROM a{i})
+               unnest(v) AS x FROM {p}a{i})
   GROUP BY centroid_id, pos
-), n{i} AS (
-  SELECT centroid_id, list(c ORDER BY pos) AS cv FROM m{i}
+), {p}n{i} AS (
+  SELECT centroid_id, list(c ORDER BY pos) AS cv FROM {p}m{i}
   GROUP BY centroid_id
-), cent{i + 1} AS (
+), {p}cent{i + 1} AS (
   SELECT p.centroid_id,
          coalesce(n.cv, p.cv) AS cv,
          CASE WHEN n.cv IS NULL THEN p.cnorm
               ELSE {l2.format(v='n.cv')} END AS cnorm
-  FROM cent{i} p LEFT JOIN n{i} n USING (centroid_id)
+  FROM {p}cent{i} p LEFT JOIN {p}n{i} n USING (centroid_id)
+)""")
+    return "".join(parts)
+
+
+def _kmeans_best_of_ctes(n_centroids: int, n_iter: int,
+                         restarts: int = 3) -> str:
+    """SQL twin of kmeans_centroids_best_of: ``restarts`` salted
+    chains (salts '', '|r1', '|r2', ... — sampling.hash_key's
+    convention), one DECIMAL-summed within-cluster-similarity
+    objective per chain, and a final ``cent`` CTE holding the argmax
+    chain (ties -> lowest restart index). Emits a leading comma."""
+    salts = [""] + [f"|r{i}" for i in range(1, restarts)]
+    parts = []
+    for i, s in enumerate(salts):
+        chain = _kmeans_cte_chain(n_centroids, n_iter,
+                                  salt=s, prefix=f"r{i}")
+        # MATERIALIZED pins: without it DuckDB re-inlines each chain
+        # at every downstream reference (cent feeds assigned/res/qc),
+        # multiplying the Lloyd CTE tree until an 8 GB cap OOMs at
+        # sf0.001; with the hints the same query runs in ~3 s. Purely
+        # an evaluation-strategy hint — results are identical.
+        chain = chain.replace(f"r{i}cent{n_iter} AS (",
+                              f"r{i}cent{n_iter} AS MATERIALIZED (")
+        parts.append(chain)
+        parts.append(f""", obj{i} AS MATERIALIZED (
+  SELECT {i} AS r, SUM(CAST(m AS DECIMAL(30,15))) AS o FROM (
+    SELECT e.vec_id,
+           MAX({_DOTP.format(a='e.v', b='c.cv')} / (e.norm * c.cnorm))
+             AS m
+    FROM ev e, r{i}cent{n_iter} c
+    GROUP BY e.vec_id
+  )
+)""")
+    union_obj = " UNION ALL ".join(f"SELECT * FROM obj{i}"
+                                   for i in range(restarts))
+    union_cent = " UNION ALL ".join(
+        f"SELECT {i} AS r, centroid_id, cv, cnorm FROM r{i}cent{n_iter}"
+        for i in range(restarts))
+    parts.append(f""", pick AS MATERIALIZED (
+  SELECT r FROM ({union_obj}) ORDER BY o DESC, r LIMIT 1
+), cent AS MATERIALIZED (
+  SELECT centroid_id, cv, cnorm FROM ({union_cent})
+  WHERE r = (SELECT r FROM pick)
 )""")
     return "".join(parts)
 
@@ -475,16 +523,19 @@ def ivf_topk_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     training loops and the whole serving path and the driver hash
     certifies the compressed index end to end. This portable tier runs
     UNROTATED (identity basis — the OPQ rotation is a driver-side
-    eigh, the one engine-bound step of the default tier) and with
-    md5-prefix init draws; measured recall-at-10: 0.76/0.86 at
-    sf0.001/sf0.01 vs the rotated default's 0.84/0.86 — the sf0.001
-    dip is init-draw sensitivity on the 200-vector fixture (the
-    xxhash64 draw at the identical config measures 0.84), and at
-    sf0.01 the portable tier TIES the default; floor pinned in tests.
-    Library default stays rotated + xxhash64 (``ivf_topk_pq``)."""
+    eigh, the one engine-bound step of the default tier) with
+    md5-prefix init draws and, since r9 (VERDICT r8 #2), BEST-OF-3
+    restart selection on the coarse quantizer
+    (kmeans_centroids_best_of — the DECIMAL-exact inertia argmax, so
+    the pick itself oracles): the r8 single-draw recall dip at the
+    200-vector fixture (0.76, draw luck) is gone — measured
+    recall-at-10 0.82/0.84 at sf0.001/sf0.01 vs the rotated default's
+    0.84/0.86; floor raised to 0.80 in tests. Library default stays
+    rotated + xxhash64 + single draw (``ivf_topk_pq``)."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_pq(e, _QUERY_IDS, k=_TOPK,
-                                  rotate=False, portable=True)
+                                  rotate=False, portable=True,
+                                  coarse_restarts=3)
 
 
 def _pq_subs_cte(rel: str, vec: str, m: int, keys: str) -> str:
@@ -507,8 +558,9 @@ def _ivf_topk_pq_portable_sql(m: int = 8, ksub: int = 32,
                               n_probe: int = 8, oversample: int = 12,
                               k: int = 10,
                               probe_oversample: int = 4) -> str:
-    """DuckDB twin of ivf_topk_pq(rotate=False, portable=True): the
-    shared kmeans chain + probe machinery, then the PQ training loop
+    """DuckDB twin of ivf_topk_pq(rotate=False, portable=True,
+    coarse_restarts=3): the best-of-3 restart-selected kmeans chains
+    (_kmeans_best_of_ctes) + probe machinery, then the PQ training loop
     unrolled (cb0..cb{n_iter} — md5-prefix init per subspace, rank-1
     L2 assignment on sequential-fold distances, DECIMAL-exact means,
     keep-previous for empty codes), the encode pass, and the ADC
@@ -519,14 +571,14 @@ def _ivf_topk_pq_portable_sql(m: int = 8, ksub: int = 32,
           "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), "
           "(x, y) -> x + y)")
     parts = [f"WITH {_EV_CTE}",
-             _kmeans_cte_chain(n_centroids, coarse_iters),
-             ", " + _ivf_probe_ctes("ev", f"cent{coarse_iters}", (),
+             _kmeans_best_of_ctes(n_centroids, coarse_iters),
+             ", " + _ivf_probe_ctes("ev", "cent", (),
                                     n_probe, k, probe_oversample)]
     parts.append(f""", res AS (
   SELECT l.vec_id,
          list_transform(list_zip(l.v, c.cv),
            p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS rv
-  FROM lists l JOIN cent{coarse_iters} c ON l.list_id = c.centroid_id
+  FROM lists l JOIN cent c ON l.list_id = c.centroid_id
 ), subs AS ({_pq_subs_cte('res', 'rv', m, 'vec_id')}
 ), cb0 AS (
   SELECT sub_id, CAST(rn - 1 AS INT) AS code_id, sv AS cv
@@ -583,7 +635,7 @@ def _ivf_topk_pq_portable_sql(m: int = 8, ksub: int = 32,
 ), qc AS (
   SELECT p.vec_id AS query_id, p.list_id,
          {_DOTP.format(a='p.v', b='c.cv')} AS cdot
-  FROM probes p JOIN cent{coarse_iters} c ON p.list_id = c.centroid_id
+  FROM probes p JOIN cent c ON p.list_id = c.centroid_id
 ), cand AS (
   SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id, l.list_id,
          l.norm AS cnorm2, e.sub_id, e.code_id
@@ -1403,7 +1455,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_pq_raw": similarity.ivf_topk_pq(e, _QUERY_IDS, k=_TOPK,
                                              residual=False),
         "ivf_pq_portable": similarity.ivf_topk_pq(
-            e, _QUERY_IDS, k=_TOPK, rotate=False, portable=True),
+            e, _QUERY_IDS, k=_TOPK, rotate=False, portable=True,
+            coarse_restarts=3),
         "pca_ivf": pca.pca_ivf_topk(e, _QUERY_IDS, k=_TOPK),
     }
     reports = []

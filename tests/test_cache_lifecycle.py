@@ -43,6 +43,9 @@ CHECKPOINTING = {
     # DSIR localCheckpoints the 4096-row LLR model once at fit (r8):
     # the block holds the model the scoring join reads
     "dsir_selection_report",
+    # the per-source variant (r9) checkpoints the two model-sized
+    # bucket aggregates (tc/rc) the grouped LLR derives from
+    "dsir_selection_by_source",
     # PageRank localCheckpoints the rank table per power-iteration
     # round (r5b) — the checkpoint RDDs hold the final ranks
     "supplier_purchase_pagerank",

@@ -297,6 +297,28 @@ def bench_dsir(spark, factor: int) -> dict:
             "wall_s": round(time.perf_counter() - t0, 2)}
 
 
+def bench_bpe_tokenization(spark, factor: int) -> dict:
+    """BPE fit+encode at a blown-up corpus (VERDICT r8 #5): the
+    trainer's 16 merge rounds are VOCAB-keyed (each round aggregates
+    the distinct-pretoken table, never per-doc), and the encoder
+    memoizes the merge walk over distinct pretokens then fans back to
+    docs with a broadcast-ish join — so wall should track the pretoken
+    scan (linear in fresh text volume), never corpus^2. Disjoint-block
+    copies add NEW sources with the same text distribution; the
+    distinct-pretoken table grows sub-linearly (suffixed sources share
+    the vocabulary), which is exactly the production shape."""
+    from stockanalyses_downloader_spark.operators import bpe
+    corpus = _doc_copies_disjoint_blocks(spark, factor)
+    n = corpus.count()
+    t0 = time.perf_counter()
+    merges = bpe.learn_bpe_merges(corpus, n_merges=16)
+    out = bpe.tokenize_with_merges(corpus, merges)
+    n_out = out.count()
+    return {"query": "doc_bpe_tokenization", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
 BENCHES = {
     "global": bench_global_near_dups,
     "triangles": bench_triangles,
@@ -312,6 +334,8 @@ BENCHES = {
     "trained_ivf": bench_trained_ivf,
     # r8: DSIR joins the >2 s bench tier
     "dsir": bench_dsir,
+    # r9 (VERDICT r8 #5): the last never-curved >1.5 s residents
+    "bpe": bench_bpe_tokenization,
 }
 
 
