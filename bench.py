@@ -120,6 +120,10 @@ EXTENDED = [
                                     # + per-source keep)
     "embedding_drift_report",       # mergeable moment grids ->
                                     # ln-free symmetric Gaussian KL
+    # round-9 additions
+    "dsir_selection_by_source",     # domain-conditional DSIR: per-
+                                    # source proposal models (grouped
+                                    # LLR fit + grouped scoring)
 ]
 
 

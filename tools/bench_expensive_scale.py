@@ -311,7 +311,8 @@ def bench_bpe_tokenization(spark, factor: int) -> dict:
     corpus = _doc_copies_disjoint_blocks(spark, factor)
     n = corpus.count()
     t0 = time.perf_counter()
-    merges = bpe.learn_bpe_merges(corpus, n_merges=16)
+    merges = [(r["sym_left"], r["sym_right"])
+              for r in bpe.learn_bpe_merges(corpus, n_merges=16).collect()]
     out = bpe.tokenize_with_merges(corpus, merges)
     n_out = out.count()
     return {"query": "doc_bpe_tokenization", "factor": factor,
