@@ -272,15 +272,10 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
     cent = tracked_persist(cent)
     cent.count()
     for _ in range(n_iter):
-        scored = (e.crossJoin(F.broadcast(cent))
-                  .select(id_col, "v", "centroid_id",
-                          (dot(F.col("v"), F.col("cv"))
-                           / (F.col("norm") * F.col("cnorm"))).alias("csim")))
-        aw = Window.partitionBy(id_col).orderBy(
-            F.col("csim").desc(), F.col("centroid_id"))
-        assigned = (scored.withColumn("__r", F.row_number().over(aw))
-                    .filter(F.col("__r") == 1)
-                    .select(id_col, "v", "centroid_id"))
+        # map-only argmax assignment (r9, nearest_centroid): the
+        # windowed rank-1 paid a k×-corpus exchange per Lloyd round
+        assigned = nearest_centroid(e, cent).select(id_col, "v",
+                                                    "centroid_id")
         pe = assigned.select(
             "centroid_id", F.posexplode("v").alias("pos", "x"))
         means = (pe.groupBy("centroid_id", "pos")
@@ -342,13 +337,17 @@ def kmeans_centroids_best_of(embeddings: DataFrame, k: int = 16,
     e = e.withColumn("norm", l2_norm(F.col("v")))
     objs = []
     for cent in candidates:
-        scored = (e.crossJoin(F.broadcast(cent))
-                  .select(id_col,
-                          (dot(F.col("v"), F.col("cv"))
-                           / (F.col("norm") * F.col("cnorm")))
-                          .alias("csim")))
-        o = (scored.groupBy(id_col).agg(F.max("csim").alias("m"))
-             .agg(F.sum(F.col("m").cast("decimal(30,15)")))
+        # per-row max csim via the broadcast centroid array (the
+        # nearest_centroid shape — no k× blowup, no shuffle), then
+        # one DECIMAL sum; identical values to the grouped form
+        carr = cent.agg(F.collect_list(
+            F.struct("cv", "cnorm")).alias("__cents"))
+        m = F.array_max(F.transform(
+            F.col("__cents"),
+            lambda c: dot(F.col("v"), c["cv"])
+            / (F.col("norm") * c["cnorm"])))
+        o = (e.crossJoin(F.broadcast(carr))
+             .agg(F.sum(m.cast("decimal(30,15)")))
              .collect()[0][0])          # 1-row model-sized collect
         objs.append(o)
     best = max(range(len(objs)), key=lambda i: (objs[i], -i))
@@ -356,6 +355,34 @@ def kmeans_centroids_best_of(embeddings: DataFrame, k: int = 16,
         if i != best:
             cent.unpersist()
     return candidates[best]
+
+
+def nearest_centroid(frame: DataFrame, cent: DataFrame,
+                     out_col: str = "centroid_id") -> DataFrame:
+    """Map-only nearest-centroid assignment (r9): ONE broadcast row
+    carries the whole centroid table as an array; a per-row fold
+    scores every centroid and ``array_max`` picks by (csim desc,
+    centroid_id asc) — exactly the windowed rank-1's tie order, with
+    NO row blowup and NO shuffle. The previous form crossJoined k
+    copies of every corpus row and re-partitioned them by id just to
+    keep one: a k×-corpus exchange per assignment (per Lloyd round,
+    per lists build — the dominant shuffle of every IVF tier at
+    100 TB) that this removes; assignment now fuses into the corpus
+    scan's codegen stage. Results are identical (same csim
+    expression per pair, same tie-break) — pinned by the windowed-twin
+    test and every IVF oracle hash. ``frame`` must carry (v, norm);
+    stays fully lazy (the centroid array is an agg transformation)."""
+    carr = cent.agg(F.collect_list(
+        F.struct("centroid_id", "cv", "cnorm")).alias("__cents"))
+    best = F.array_max(F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (dot(F.col("v"), c["cv"]) / (F.col("norm") * c["cnorm"]))
+            .alias("csim"),
+            (-c["centroid_id"]).alias("negid"))))
+    return (frame.crossJoin(F.broadcast(carr))
+            .withColumn(out_col, (-best["negid"]).cast("int"))
+            .drop("__cents"))
 
 
 def _ivf_lists_probes(e: DataFrame, cent: DataFrame, query_ids: list[int],
@@ -372,7 +399,13 @@ def _ivf_lists_probes(e: DataFrame, cent: DataFrame, query_ids: list[int],
     than k * probe_oversample candidates (computed IN-PLAN from the
     lists' own sizes via a broadcast n_centroids-row aggregate, so
     construction stays lazy). Returns (lists, probes), both shaped
-    (id_col, v, norm, *carry, list_id)."""
+    (id_col, v, norm, *carry, list_id).
+
+    r9: the LISTS side (corpus-sized, needs only the argmax) assigns
+    via the map-only nearest_centroid — no k× row blowup, no
+    shuffle; the windowed full ranking survives only on the PROBES
+    side, which genuinely needs the ordering and runs over the
+    n_queries × k rows only."""
     def ranked(frame: DataFrame) -> DataFrame:
         scored = (frame.crossJoin(F.broadcast(cent))
                   .select(frame[id_col], "v", "norm", *carry, "centroid_id",
@@ -383,8 +416,7 @@ def _ivf_lists_probes(e: DataFrame, cent: DataFrame, query_ids: list[int],
         return scored.withColumn("__r", F.row_number().over(w))
 
     lists = tracked_persist(
-        ranked(e.filter(~F.col(id_col).isin(query_ids)))
-        .filter(F.col("__r") == 1)
+        nearest_centroid(e.filter(~F.col(id_col).isin(query_ids)), cent)
         .select(id_col, "v", "norm", *carry,
                 F.col("centroid_id").alias("list_id")))
     list_sizes = (lists.groupBy("list_id")
@@ -771,6 +803,30 @@ def _subvectors(v: Column, m: int) -> Column:
         lambda st: F.size(st["sv"]) >= 1)
 
 
+def _nearest_code(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Map-only per-subspace code assignment (r9, the L2 twin of
+    nearest_centroid): per-sub_id codebook ARRAYS (m rows total)
+    broadcast-join on sub_id; a per-row fold computes every code's
+    squared distance and ``array_min`` picks by (d2 asc, code_id asc)
+    — the windowed rank-1's exact tie order with no ksub× row blowup
+    and no shuffle (the old form exploded every subrow into ksub
+    copies and re-partitioned by (id, sub) to keep one). ``subs``
+    must carry (sub_id, sv); adds ``code_id``."""
+    cbarr = (codebooks.groupBy("sub_id")
+             .agg(F.collect_list(F.struct("code_id", "cv"))
+                  .alias("__codes")))
+    best = F.array_min(F.transform(
+        F.col("__codes"),
+        lambda c: F.struct(
+            F.aggregate(F.zip_with(F.col("sv"), c["cv"],
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda acc, t: acc + t).alias("d2"),
+            c["code_id"].alias("code_id"))))
+    return (subs.join(F.broadcast(cbarr), "sub_id")
+            .withColumn("code_id", best["code_id"])
+            .drop("__codes"))
+
+
 def pq_codebooks(embeddings: DataFrame, m: int = 8, ksub: int = 16,
                  n_iter: int = 3, id_col: str = "vec_id",
                  vec_col: str = "embedding",
@@ -819,15 +875,10 @@ def pq_codebooks(embeddings: DataFrame, m: int = 8, ksub: int = 16,
           # keeps every downstream plan flat (bpe.py's rationale)
           .localCheckpoint(eager=True))
     for _ in range(n_iter):
-        d2 = F.aggregate(
-            F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0), lambda acc, t: acc + t)
-        aw = Window.partitionBy(id_col, "sub_id").orderBy("d2", "code_id")
-        assigned = (subs.join(F.broadcast(cb), "sub_id")
-                    .withColumn("d2", d2)
-                    .withColumn("__r", F.row_number().over(aw))
-                    .filter(F.col("__r") == 1)
-                    .select("sub_id", "code_id", "sv"))
+        # map-only argmin assignment (r9, _nearest_code): the windowed
+        # rank-1 paid a ksub×-subrows exchange per Lloyd round
+        assigned = _nearest_code(subs, cb).select("sub_id", "code_id",
+                                                  "sv")
         means = (assigned
                  .select("sub_id", "code_id",
                          F.posexplode("sv").alias("pos", "x"))
@@ -862,15 +913,10 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame, m: int = 8,
     subs = (e.select(id_col,
                      F.explode(_subvectors(F.col("v"), m)).alias("p"))
             .select(id_col, "p.sub_id", "p.sv"))
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0), lambda acc, t: acc + t)
-    aw = Window.partitionBy(id_col, "sub_id").orderBy("d2", "code_id")
-    assigned = (subs.join(F.broadcast(codebooks.select(
-                    "sub_id", "code_id", "cv")), "sub_id")
-                .withColumn("d2", d2)
-                .withColumn("__r", F.row_number().over(aw))
-                .filter(F.col("__r") == 1))
+    # map-only argmin (r9, _nearest_code): no ksub× blowup, no shuffle
+    # before the per-doc codes aggregate
+    assigned = _nearest_code(subs,
+                             codebooks.select("sub_id", "code_id", "cv"))
     return (assigned.groupBy(id_col)
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("sub_id", "code_id"))),
@@ -1080,14 +1126,7 @@ def _assign_to_lists(embeddings: DataFrame, cent: DataFrame,
     tests/test_analytics (append == one-shot parity)."""
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
     e = e.withColumn("norm", l2_norm(F.col("v")))
-    scored = (e.crossJoin(F.broadcast(cent))
-              .select(id_col, "v", "norm", "centroid_id",
-                      (dot(F.col("v"), F.col("cv"))
-                       / (F.col("norm") * F.col("cnorm"))).alias("csim")))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("csim").desc(), F.col("centroid_id"))
-    return (scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
+    return (nearest_centroid(e, cent)
             .select(id_col, "v", "norm",
                     F.col("centroid_id").alias("list_id")))
 
