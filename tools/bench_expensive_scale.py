@@ -297,6 +297,33 @@ def bench_dsir(spark, factor: int) -> dict:
             "wall_s": round(time.perf_counter() - t0, 2)}
 
 
+def bench_dsir_by_source(spark, factor: int) -> dict:
+    """Domain-conditional DSIR at a blown-up corpus (r9): same
+    disjoint-block axis as bench_dsir, but the model is now
+    sources × 4096 rows — the copies ADD sources, so the model grows
+    with the blow-up factor while staying broadcast-sized (30x = ~90
+    sources = 368k small rows); scoring stays one doc-keyed shuffle.
+    Wall should track the gram scans, linear like the pooled curve."""
+    from stockanalyses_downloader_spark.operators import dsir
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        _DSIR_KEEP_FRACTION, _DSIR_TARGET_SOURCES)
+    corpus = _doc_copies_disjoint_blocks(spark, factor)
+    n = corpus.count()
+    t0 = time.perf_counter()
+    is_target = F.col("source").isin(list(_DSIR_TARGET_SOURCES))
+    target, raw = corpus.filter(is_target), corpus.filter(~is_target)
+    llr = dsir.dsir_bucket_llr_by_group(
+        dsir.hashed_gram_buckets(target),
+        dsir.hashed_gram_buckets(raw, carry_cols=("source",)),
+        group_col="source")
+    scored = dsir.dsir_scores_by_group(raw, llr, group_col="source")
+    out = dsir.dsir_select(scored, _DSIR_KEEP_FRACTION, ["source"])
+    n_out = out.filter(F.col("kept")).count()
+    return {"query": "dsir_selection_by_source", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
 def bench_bpe_tokenization(spark, factor: int) -> dict:
     """BPE fit+encode at a blown-up corpus (VERDICT r8 #5): the
     trainer's 16 merge rounds are VOCAB-keyed (each round aggregates
@@ -337,6 +364,8 @@ BENCHES = {
     "dsir": bench_dsir,
     # r9 (VERDICT r8 #5): the last never-curved >1.5 s residents
     "bpe": bench_bpe_tokenization,
+    # r9: the new domain-conditional DSIR bench resident
+    "dsir_by_source": bench_dsir_by_source,
 }
 
 
