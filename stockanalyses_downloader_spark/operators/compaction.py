@@ -42,6 +42,8 @@ snapshot); use this one to keep a growing table healthy.
 
 from __future__ import annotations
 
+import contextlib
+import filecmp
 import os
 import shutil
 import uuid
@@ -140,9 +142,11 @@ def sweep_crash_artifacts(path: str) -> None:
         else:
             # no backup: leave __tmp-* alone (may be a complete copy)
             return
+    swept_tokens = set()
     for entry in entries:
         stale = os.path.join(parent, entry)
         token = entry.rsplit("-", 1)[-1]
+        swept_tokens.add(token)
         manifest = _manifest_path(base, token)
         if (os.path.isfile(manifest)
                 and not os.path.isfile(_manifest_path(stale, token))):
@@ -152,15 +156,24 @@ def sweep_crash_artifacts(path: str) -> None:
             with open(manifest) as fh:
                 planned = {ln.rstrip("\n") for ln in fh if ln.strip()}
             _carry_late_appends(stale, base, planned)
-            os.remove(manifest)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(manifest)
         shutil.rmtree(stale, ignore_errors=True)
     # a crash between the displaced-dir rmtree and the manifest
     # cleanup leaves an orphan manifest in the live dir — harmless to
-    # scans (underscore-hidden) but garbage; collect it
+    # scans (underscore-hidden) but garbage. Only GC manifests whose
+    # token matches a stale dir THIS sweep displaced (ADVICE r9): an
+    # unmatched manifest belongs to a compaction that is in flight
+    # RIGHT NOW (its staging dir hasn't swapped yet, so no __tmp/__old
+    # entry carries its token) — deleting it would make that otherwise
+    # successful run fail its own post-swap cleanup, and worse, strand
+    # its salvage breadcrumb if it crashes mid-swap.
     if os.path.isdir(base):
         for f in os.listdir(base):
-            if f.startswith("_compaction-planned-"):
-                os.remove(os.path.join(base, f))
+            if (f.startswith("_compaction-planned-")
+                    and f.rsplit("-", 1)[-1] in swept_tokens):
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(base, f))
 
 
 def _exchange_dirs(a: str, b: str) -> bool:
@@ -209,12 +222,16 @@ def _carry_late_appends(old_root: str, new_root: str,
         dest = os.path.join(new_root, rel)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         if os.path.exists(dest):
-            # already carried by the pre-swap hardlink/copy pass
-            # (same inode, or same committed bytes when the fs lacks
-            # hardlinks) — don't duplicate it
+            # already carried by the pre-swap hardlink/copy pass —
+            # same inode, or (when the fs lacks hardlinks and the
+            # pre-swap pass copied) the same committed BYTES. Content
+            # compare, not size compare (ADVICE r9): a genuinely
+            # different late append that collides on relative path and
+            # happens to match byte size must take the suffix-rename
+            # below, not be skipped and deleted with the displaced dir.
             try:
                 if (os.path.samefile(f, dest)
-                        or os.path.getsize(f) == os.path.getsize(dest)):
+                        or filecmp.cmp(f, dest, shallow=False)):
                     continue
             except OSError:
                 pass
@@ -419,7 +436,11 @@ def compact_parquet(spark: SparkSession, path: str,
     # anything committed between the pre-swap carry and the swap
     carried += _carry_late_appends(displaced, base, planned)
     shutil.rmtree(displaced, ignore_errors=True)
-    os.remove(_manifest_path(base, token))
+    # missing_ok (ADVICE r9): a concurrent sweep_crash_artifacts run
+    # may have GC'd this manifest already; the compaction itself
+    # succeeded, so a vanished breadcrumb must not fail it.
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_manifest_path(base, token))
     return {"files_before": len(files), "files_after": len(bins) + carried,
             "bins_rewritten": rewritten,
             "late_appends_carried": carried,

@@ -299,6 +299,82 @@ def test_sweep_never_carries_preswap_staging(spark, tmp_path):
     assert _rows(spark, path) == before           # no duplication
 
 
+def test_carry_suffix_renames_same_size_different_content(tmp_path):
+    """ADVICE r9 (carry dedupe): a late append that collides on
+    relative path AND byte size but differs in CONTENT must be
+    suffix-renamed into the table, not skipped (skip + rmtree of the
+    displaced dir = silent loss). Identical content (the pre-swap copy
+    case on a hardlink-less fs) is still deduped."""
+    old = tmp_path / "old"
+    new = tmp_path / "new"
+    old.mkdir(); new.mkdir()
+    (old / "part-a.parquet").write_bytes(b"AAAAAAAA")   # same size,
+    (new / "part-a.parquet").write_bytes(b"BBBBBBBB")   # different bytes
+    (old / "part-b.parquet").write_bytes(b"SAMEBYTES")  # identical copy
+    (new / "part-b.parquet").write_bytes(b"SAMEBYTES")
+    carried = compaction._carry_late_appends(str(old), str(new), set())
+    assert carried == 1                                 # a, not b
+    names = sorted(os.listdir(new))
+    assert "part-a.parquet" in names and "part-b.parquet" in names
+    late = [n for n in names if "-late-" in n]
+    assert len(late) == 1 and late[0].startswith("part-a")
+    assert (new / late[0]).read_bytes() == b"AAAAAAAA"
+    assert (new / "part-a.parquet").read_bytes() == b"BBBBBBBB"
+
+
+def test_sweep_leaves_inflight_manifest_alone(spark, tmp_path):
+    """ADVICE r9 (manifest GC): a manifest whose token matches no
+    displaced dir belongs to a compaction in flight RIGHT NOW — a
+    concurrent sweep must not delete it (the live run reads/removes it
+    after its own swap). Orphan manifests whose token matches a swept
+    dir are still collected."""
+    path = str(tmp_path / "t")
+    _write_small_files(spark, path, n_rows=200, n_files=2)
+    inflight = compaction._manifest_path(path, "11ff11ff")
+    with open(inflight, "w") as fh:
+        fh.write("part-whatever.parquet")
+    # an orphan from a past crash: its displaced dir exists and sweeps
+    token = "dead0123"
+    stale = path + ".__tmp-" + token
+    os.makedirs(stale)
+    with open(compaction._manifest_path(path, token), "w") as fh:
+        fh.write("x")
+    compaction.sweep_crash_artifacts(path)
+    assert os.path.exists(inflight)                     # in-flight kept
+    assert not os.path.exists(compaction._manifest_path(path, token))
+    assert not os.path.exists(stale)
+    os.remove(inflight)
+
+
+def test_compact_tolerates_manifest_swept_midrun(spark, tmp_path):
+    """ADVICE r9 (missing_ok): if a concurrent sweep GC'd this run's
+    manifest between the swap and the final cleanup, the otherwise
+    successful compaction must not raise FileNotFoundError."""
+    path = str(tmp_path / "t")
+    _write_small_files(spark, path, n_rows=400, n_files=4)
+    before = _rows(spark, path)
+
+    real_carry = compaction._carry_late_appends
+
+    def carry_then_sweep(old_root, new_root, planned):
+        n = real_carry(old_root, new_root, planned)
+        # emulate the concurrent sweep racing in after the swap: every
+        # manifest in the live dir vanishes before our final cleanup
+        for f in os.listdir(new_root):
+            if f.startswith("_compaction-planned-"):
+                os.remove(os.path.join(new_root, f))
+        return n
+
+    compaction._carry_late_appends = carry_then_sweep
+    try:
+        stats = compaction.compact_parquet(spark, path,
+                                           target_bytes=64 * 1024 * 1024)
+    finally:
+        compaction._carry_late_appends = real_carry
+    assert stats["bins_rewritten"] >= 1
+    assert _rows(spark, path) == before
+
+
 def test_exchange_dirs_returns_false_on_any_failure(tmp_path):
     """ADVICE r8: restricted environments (seccomp etc.) return
     EPERM/EACCES from blocked renameat2 — any nonzero rc must fall
