@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from typing import Callable, Iterator
+from typing import Callable, Iterator, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -306,7 +306,8 @@ def maintenance_foreach_batch(path: str,
 def drift_monitor_foreach_batch(reference_grid_path: str,
                                 grids_path: str, alerts_path: str,
                                 vec_col: str = "embedding",
-                                kl_threshold: float = 0.5) -> Callable:
+                                kl_threshold: float = 0.5,
+                                label_col: Optional[str] = None) -> Callable:
     """Streaming drift ALERTING on the mergeable moment grids
     (VERDICT r8 #6) — the operational half of embedding_drift_report:
     what a 100 TB ingest actually runs against a new crawl or encoder
@@ -335,19 +336,34 @@ def drift_monitor_foreach_batch(reference_grid_path: str,
     hovers near 0 (sampling noise); a +3σ mean shift contributes
     ~0.5·(9 + 9)/2 ≈ 4.5 per affected dimension, so the 0.5 default
     flags a 3σ shift on even a single dimension of a wide embedding
-    while ignoring noise (pinned by the planted-shift stream test)."""
+    while ignoring noise (pinned by the planted-shift stream test).
+
+    ``label_col`` (VERDICT r9 #6): when set, the grid is keyed by that
+    column and the alert table carries ONE ROW PER LABEL per batch
+    (label, n_vecs, sym_kl_diag, kl_threshold, flagged) — a single
+    drifting source can't hide in the corpus average. The reference
+    grid must then be label-keyed too (moment_grid with the same
+    group col). A batch label ABSENT from the reference (a brand-new
+    source) has no baseline to diverge from: it is flagged with
+    sym_kl_diag NULL — new-source review is drift by definition.
+    Empty micro-batches are a no-op (ADVICE r9: the old code wrote an
+    all-NULL alert row consumers had to special-case)."""
     from ..operators import pca
 
+    keys = [label_col] if label_col else []
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
         spark = batch_df.sparkSession
         grid_dir = f"{grids_path.rstrip('/')}/batch_id={batch_id}"
-        pca.moment_grid(batch_df, [], vec_col) \
+        pca.moment_grid(batch_df, keys, vec_col) \
             .write.mode("overwrite").parquet(grid_dir)
         per = (pca.moments_from_grid(spark.read.parquet(grid_dir))
                .withColumn("var", F.col("m2") - F.col("m") * F.col("m")))
         ref = (pca.moments_from_grid(
                    spark.read.parquet(reference_grid_path))
-               .select("pos", F.col("m").alias("gm"),
+               .select(*keys, "pos", F.col("m").alias("gm"),
                        (F.col("m2") - F.col("m") * F.col("m"))
                        .alias("gvar")))
         eps = F.lit(1e-09)
@@ -359,14 +375,18 @@ def drift_monitor_foreach_batch(reference_grid_path: str,
                  / (F.lit(2.0) * (F.col("var") + eps))
                  - F.lit(1.0)))
         # batch_id is supplied by the hive partition directory on read
-        # (a duplicate data column would collide with it)
-        alert = (per.join(F.broadcast(ref), "pos")
+        # (a duplicate data column would collide with it). Per-label
+        # mode LEFT-joins on the reference so a label the baseline has
+        # never seen still alerts (per_term NULL -> sym_kl NULL ->
+        # flagged, via the coalesce below).
+        alert = (per.join(F.broadcast(ref), keys + ["pos"], "left")
+                 .groupBy(*keys)
                  .agg(F.max("n").alias("n_vecs"),
                       F.round(F.sum(tt), 6).alias("sym_kl_diag"))
-                 .select("n_vecs", "sym_kl_diag",
+                 .select(*keys, "n_vecs", "sym_kl_diag",
                          F.lit(kl_threshold).alias("kl_threshold"),
-                         (F.col("sym_kl_diag") > kl_threshold)
-                         .alias("flagged")))
+                         F.coalesce(F.col("sym_kl_diag") > kl_threshold,
+                                    F.lit(True)).alias("flagged")))
         alert.coalesce(1).write.mode("overwrite").parquet(
             f"{alerts_path.rstrip('/')}/batch_id={batch_id}")
     return _apply

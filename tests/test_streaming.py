@@ -1193,3 +1193,82 @@ def test_drift_monitor_flags_planted_shift_in_its_batch(spark, tmp_path):
     monitor(spark.createDataFrame(vecs(900, 1100, 0.87), schema), 3)
     assert spark.read.parquet(alerts).count() == 4
     assert spark.read.parquet(grids).count() == 4 * d
+
+    # empty micro-batch: a no-op, not an all-NULL alert row (ADVICE r9)
+    monitor(spark.createDataFrame([], schema), 7)
+    assert spark.read.parquet(alerts).count() == 4
+    assert not os.path.exists(os.path.join(grids, "batch_id=7"))
+
+
+def test_drift_monitor_per_label_flags_only_shifted_source(spark,
+                                                           tmp_path):
+    """Per-label drift alerting (VERDICT r9 #6,
+    drift_monitor_foreach_batch(label_col=...)): a +3-sigma shift
+    planted in ONE source flags that source's row only — the corpus
+    average can't hide it and the healthy sources don't false-alarm.
+    A label absent from the reference grid (brand-new source) is
+    flagged with a NULL statistic."""
+    import time
+
+    from stockanalyses_downloader_spark.operators import pca
+    from stockanalyses_downloader_spark.streaming import sinks
+
+    d = 8
+
+    def vecs(lo, hi, label, shift=0.0):
+        return [(i, [((i * 37 + k * 11) % 97) / 97.0 + shift
+                     for k in range(d)], label)
+                for i in range(lo, hi)]
+
+    schema = "vec_id long, embedding array<double>, src string"
+    ref_path = str(tmp_path / "ref_grid")
+    pca.moment_grid(
+        spark.createDataFrame(vecs(0, 300, "web") + vecs(0, 300, "code"),
+                              schema), ["src"]) \
+        .write.parquet(ref_path)
+
+    src = str(tmp_path / "src")
+    # batch 0: both sources healthy; batch 1: "code" drifts +3 sigma
+    # while "web" stays healthy and a never-baselined "pdf" appears
+    (spark.createDataFrame(vecs(300, 500, "web") + vecs(300, 500, "code"),
+                           schema)
+     .coalesce(1).write.mode("append").parquet(src))
+    time.sleep(0.2)
+    (spark.createDataFrame(vecs(500, 700, "web")
+                           + vecs(500, 700, "code", 0.87)
+                           + vecs(500, 560, "pdf"), schema)
+     .coalesce(1).write.mode("append").parquet(src))
+
+    grids, alerts = str(tmp_path / "grids"), str(tmp_path / "alerts")
+    monitor = sinks.drift_monitor_foreach_batch(ref_path, grids, alerts,
+                                                label_col="src")
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(monitor)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["batch_id"], r["src"]): r
+           for r in spark.read.parquet(alerts).collect()}
+    assert sorted(got) == [(0, "code"), (0, "web"),
+                           (1, "code"), (1, "pdf"), (1, "web")]
+    # healthy rows everywhere except the planted (1, code) + new (1, pdf)
+    flagged = {k for k, r in got.items() if r["flagged"]}
+    assert flagged == {(1, "code"), (1, "pdf")}
+    assert got[(1, "code")]["sym_kl_diag"] > \
+        10 * got[(1, "code")]["kl_threshold"]
+    assert got[(1, "pdf")]["sym_kl_diag"] is None   # no baseline
+    assert got[(1, "web")]["sym_kl_diag"] < \
+        got[(1, "web")]["kl_threshold"]
+    assert got[(1, "web")]["n_vecs"] == 200
+
+    # the label-keyed grid store still merges to the one-shot grid
+    stored = spark.read.parquet(grids)
+    merged = {(r["src"], r["pos"]): (r["n"], r["sx"], r["sxx"]) for r in
+              pca.merge_moment_grids(stored.drop("batch_id"),
+                                     ["src"]).collect()}
+    one_shot = {(r["src"], r["pos"]): (r["n"], r["sx"], r["sxx"]) for r in
+                pca.moment_grid(spark.read.parquet(src),
+                                ["src"]).collect()}
+    assert merged == one_shot
