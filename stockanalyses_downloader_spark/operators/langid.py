@@ -100,20 +100,39 @@ def score_nb(docs: DataFrame, gram_logps: DataFrame,
             .groupBy(id_col, "label")
             .agg(F.sum("logp").alias("sum_logp"),
                  F.count("*").alias("n_seen")))
-    # every doc x label pair, including labels that saw none of the
-    # doc's grams
-    full = (per_doc.crossJoin(F.broadcast(label_stats))
-            .join(seen, [id_col, "label"], "left")
-            .select(id_col, "label", "n_grams", "log_prior",
-                    "log_unseen",
-                    F.coalesce("sum_logp", F.lit(0.0)).alias("sum_logp"),
-                    F.coalesce("n_seen", F.lit(0)).alias("n_seen")))
-    score = (F.col("log_prior") + F.col("sum_logp")
-             + (F.col("n_grams") - F.col("n_seen")) * F.col("log_unseen"))
-    from pyspark.sql import Window
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("label"))
-    return (full.withColumn("score", score)
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select(id_col, F.col("label").alias("predicted_lang"),
-                    F.col("score").alias("best_logp")))
+    # Map-only argmax (r10, the nearest_centroid pattern — VERDICT r9
+    # #3): the old form crossJoined a |labels|× copy of every doc row
+    # and window-ranked it back to one — a |labels|×-corpus exchange.
+    # Now the per-doc seen rows collapse to ONE array row, the label
+    # table rides in as a broadcast array, and a per-row fold scores
+    # every label and keeps the (score desc, label asc) maximum —
+    # identical comparator to the window's orderBy on identical float
+    # values (same sums, same expression), no row blowup, no window.
+    seen_arr = (seen.groupBy(id_col)
+                .agg(F.collect_list(F.struct("label", "sum_logp",
+                                             "n_seen")).alias("__seen")))
+    larr = label_stats.agg(F.collect_list(
+        F.struct("label", "log_prior", "log_unseen")).alias("__labels"))
+    empty = F.array().cast(
+        "array<struct<label:string,sum_logp:double,n_seen:bigint>>")
+    sarr = F.coalesce(F.col("__seen"), empty)
+
+    def _score(c):
+        hit = F.get(F.filter(sarr, lambda e: e["label"] == c["label"]), 0)
+        return F.struct(
+            (c["log_prior"] + F.coalesce(hit["sum_logp"], F.lit(0.0))
+             + (F.col("n_grams") - F.coalesce(hit["n_seen"], F.lit(0)))
+             * c["log_unseen"]).alias("score"),
+            c["label"].alias("label"))
+
+    scored = F.transform(F.col("__labels"), _score)
+    best = F.aggregate(
+        scored, F.element_at(scored, 1),
+        lambda acc, x: F.when(
+            (x["score"] > acc["score"])
+            | ((x["score"] == acc["score"])
+               & (x["label"] < acc["label"])), x).otherwise(acc))
+    return (per_doc.join(seen_arr, id_col, "left")
+            .crossJoin(F.broadcast(larr))
+            .select(id_col, best["label"].alias("predicted_lang"),
+                    best["score"].alias("best_logp")))

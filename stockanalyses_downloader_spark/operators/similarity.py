@@ -243,6 +243,15 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
     arithmetic in portable mode, so both oracle."""
     if init not in ("sample", "farthest"):
         raise ValueError(f"init must be sample|farthest, got {init!r}")
+    if init == "farthest" and init_salt:
+        # loud, not silent (ADVICE r9): the farthest-point selection is
+        # deterministic — it has no draw to salt, so best-of-N restarts
+        # composed over it would train N identical models and the
+        # caller's restart diversity would be an illusion.
+        raise ValueError(
+            "init='farthest' is deterministic and ignores init_salt; "
+            "use init='sample' for salted restarts "
+            "(kmeans_centroids_best_of)")
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
     e = tracked_persist(e.withColumn("norm", l2_norm(F.col("v"))))
     if init == "farthest":

@@ -9,6 +9,8 @@ rows-only for the driver and get recall/property tests instead.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -557,7 +559,8 @@ def _ivf_topk_pq_portable_sql(m: int = 8, ksub: int = 32,
                               coarse_iters: int = 3, n_iter: int = 3,
                               n_probe: int = 8, oversample: int = 12,
                               k: int = 10,
-                              probe_oversample: int = 4) -> str:
+                              probe_oversample: int = 4,
+                              tail: Optional[str] = None) -> str:
     """DuckDB twin of ivf_topk_pq(rotate=False, portable=True,
     coarse_restarts=3): the best-of-3 restart-selected kmeans chains
     (_kmeans_best_of_ctes) + probe machinery, then the PQ training loop
@@ -668,7 +671,8 @@ def _ivf_topk_pq_portable_sql(m: int = 8, ksub: int = 32,
   SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id) AS rank
   FROM rr2
-)
+)""")
+    parts.append(tail if tail is not None else f"""
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM rankedpq WHERE rank <= {k}""")
     return "".join(parts)
@@ -1007,9 +1011,14 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pairs come from the blocked exact-cosine generator
     (hot blocks route to sign-LSH via max_block_size at 100 TB — off
     here for oracle exactness), components from min-label propagation
-    with per-round lineage truncation, and keeper choice is one
-    window over (component) ordered by (quality desc, id) — a single
-    component-width shuffle. Nothing is corpus-quadratic.
+    with per-round lineage truncation, and keeper choice is a
+    map-side-combined ``max_by`` per component + a component-keyed
+    join back (r10, VERDICT r9 #3) — the old (quality desc, id)
+    window sorted every component inside ONE task, so web-scale's
+    classic giant boilerplate cluster serialized on a single core;
+    the aggregate form reduces it map-side. Same keeper per component
+    (identical comparator), pinned by the unchanged DuckDB oracle.
+    Nothing is corpus-quadratic.
 
     Output: vec_id, component, keeper_id, quality_score, is_kept."""
     from ..operators import graph
@@ -1028,11 +1037,13 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.coalesce("component", F.col("vec_id"))
                         .alias("component"))
                .join(q, "vec_id"))
-    from pyspark.sql import Window
-    w = (Window.partitionBy("component")
-         .orderBy(F.col("quality_score").desc(), F.col("vec_id")))
-    return (members
-            .withColumn("keeper_id", F.first("vec_id").over(w))
+    keepers = (members.groupBy("component")
+               .agg(F.max_by(
+                   "vec_id",
+                   F.struct(F.col("quality_score"),
+                            (-F.col("vec_id")).alias("__negid")))
+                   .alias("keeper_id")))
+    return (members.join(keepers, "component")
             .select("vec_id", "component", "keeper_id", "quality_score",
                     (F.col("vec_id") == F.col("keeper_id")).alias("is_kept")))
 
@@ -1480,8 +1491,70 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def retrieval_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query HIT COUNTS of the portable IVFADC tier against the
+    exact brute-force top-k (VERDICT r9 #7): the recall numerator of
+    ann_recall_report's ``ivf_pq_portable`` row, promoted to a fully
+    hash-oracled entry. Both top-k sets are individually oracled
+    (``ivf_topk_pq_portable``, ``cosine_topk_bruteforce``); this
+    certifies the exact-integer INTERSECTION between them — the ANN
+    quality claim itself — cross-engine. One row per query:
+    (query_id, n_hit, k); recall@k = sum(n_hit) / (|queries| * k).
+
+    Scale shape: both inputs are the already-audited serve paths; the
+    hit count is a left-semi join on (query, neighbor) over 2 * |Q| * k
+    model-sized rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(e, _QUERY_IDS, k=_TOPK) \
+        .select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk_pq(e, _QUERY_IDS, k=_TOPK,
+                                    rotate=False, portable=True,
+                                    coarse_restarts=3) \
+        .select("query_id", "neighbor_id")
+    qframe = spark.createDataFrame([(q,) for q in _QUERY_IDS],
+                                   "query_id long")
+    hits = (approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("n_hit")))
+    return (qframe.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hit", F.lit(0)).cast("int")
+                    .alias("n_hit"),
+                    F.lit(_TOPK).alias("k")))
+
+
+def _retrieval_hits_sql() -> str:
+    """Composes the (oracled) portable-IVFADC CTE chain with a
+    brute-force top-k chain over the SAME ``ev`` CTE and counts the
+    per-query intersection."""
+    qlist = ", ".join(map(str, _QUERY_IDS))
+    tail = f""", bfs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOTP.format(a='q.v', b='c.v')} / (q.norm * c.norm) AS cosine
+  FROM ev q JOIN ev c ON c.vec_id NOT IN ({qlist})
+  WHERE q.vec_id IN ({qlist})
+), bfr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM bfs
+  ) WHERE rank <= {_TOPK}
+), pq_hits AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM (SELECT query_id, neighbor_id FROM rankedpq
+        WHERE rank <= {_TOPK}) a
+  JOIN bfr b USING (query_id, neighbor_id)
+  GROUP BY a.query_id
+)
+SELECT q.query_id, CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit,
+       CAST({_TOPK} AS INT) AS k
+FROM (SELECT unnest([{qlist}]::BIGINT[]) AS query_id) q
+LEFT JOIN pq_hits h USING (query_id)"""
+    return _ivf_topk_pq_portable_sql(tail=tail)
+
+
 QUERIES: dict[str, Q] = {
     "ann_recall_report": Q(ann_recall_report, None),
+    "retrieval_hits": Q(retrieval_hits, _retrieval_hits_sql()),
     "embedding_norms": Q(embedding_norms, _NORMS_SQL),
     "embedding_exact_dups": Q(embedding_exact_dups, _EMB_DUP_SQL),
     "cosine_topk_bruteforce": Q(cosine_topk_bruteforce, _COSINE_SQL),

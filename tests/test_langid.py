@@ -93,6 +93,21 @@ def test_nb_gramless_docs_get_prior_only_prediction(spark):
     assert got[2] == "en"
 
 
+def test_nb_argmax_tie_breaks_to_lowest_label(spark):
+    """The map-only fold's tie order must equal the old window's
+    (score desc, label asc): with EQUAL priors, a gramless doc scores
+    identically under every label and must resolve to the
+    lexicographically lowest one."""
+    train = [("the cat sat on the mat", "en"),
+             ("der hund und die katze", "de")]   # 1 doc each: tied prior
+    tr = spark.createDataFrame(train, "text string, lang string")
+    logps, stats = langid.train_nb(tr)
+    sc = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    row = langid.score_nb(sc, logps, stats).collect()[0]
+    assert row["predicted_lang"] == "de"          # tie -> min label
+    assert abs(row["best_logp"] - math.log(0.5)) < 1e-12
+
+
 def test_nb_heldout_accuracy_on_planted_corpus(spark):
     """Held-out accuracy on a deterministic 4-language corpus with
     genuinely distinct character distributions (the FIXTURE's lang

@@ -851,6 +851,93 @@ def test_kmeans_best_of_picks_max_objective(spark):
     assert best.count() == 8
 
 
+def test_map_only_assignment_matches_windowed_rank1(spark):
+    """nearest_centroid / _nearest_code equal the windowed rank-1
+    assignment they replaced (ADVICE r9: the docstring claimed this
+    twin test existed; now it does) — including TIES, where both must
+    pick the lowest centroid_id / code_id. The fixture plants an exact
+    tie via two duplicate centroids / codewords."""
+    from pyspark.sql import Window as W
+    e = (load_table(spark, SF, "embeddings").limit(64)
+         .select("vec_id", similarity.as_double(F.col("embedding"))
+                 .alias("v")))
+    e = e.withColumn("norm", similarity.l2_norm(F.col("v")))
+    dim = len(e.first()["v"])
+    # centroids: 3 distinct + 1 exact duplicate of centroid 1 (every
+    # vector ties between ids 1 and 3 -> must resolve to 1)
+    base = similarity.kmeans_centroids(e.withColumnRenamed("v", "embedding")
+                                       .drop("norm"), k=3, n_iter=1,
+                                       vec_col="embedding")
+    rows = base.collect()
+    dup = [(3, rows[1]["cv"], rows[1]["cnorm"])]
+    cent = spark.createDataFrame(
+        [(r["centroid_id"], r["cv"], r["cnorm"]) for r in rows] + dup,
+        "centroid_id int, cv array<double>, cnorm double")
+
+    got = similarity.nearest_centroid(e, cent).select(
+        "vec_id", "centroid_id")
+    twin = (e.crossJoin(F.broadcast(cent))
+            .withColumn("csim", similarity.dot(F.col("v"), F.col("cv"))
+                        / (F.col("norm") * F.col("cnorm")))
+            .withColumn("__rk", F.row_number().over(
+                W.partitionBy("vec_id")
+                .orderBy(F.desc("csim"), F.asc("centroid_id"))))
+            .filter(F.col("__rk") == 1).select("vec_id", "centroid_id"))
+    g = {r["vec_id"]: r["centroid_id"] for r in got.collect()}
+    t = {r["vec_id"]: r["centroid_id"] for r in twin.collect()}
+    assert g == t
+    assert 3 not in g.values()  # ties broke to the lower duplicate id
+
+    # _nearest_code: per-subspace L2 argmin, with a planted duplicate
+    # codeword (code 2 duplicates code 0 in sub 0 -> ties pick 0)
+    half = dim // 2
+    subs = e.select(
+        "vec_id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("sub_id"),
+                     F.slice("v", 1, half).alias("sv")),
+            F.struct(F.lit(1).alias("sub_id"),
+                     F.slice("v", half + 1, dim - half).alias("sv"))))
+        .alias("s")).select("vec_id", "s.sub_id", "s.sv")
+    cb_rows = []
+    for sid in (0, 1):
+        vecs = [r["sv"] for r in subs.filter(F.col("sub_id") == sid)
+                .limit(2).collect()]
+        cb_rows += [(sid, 0, vecs[0]), (sid, 1, vecs[1]),
+                    (sid, 2, vecs[0])]  # 2 duplicates 0
+    cb = spark.createDataFrame(
+        cb_rows, "sub_id int, code_id int, cv array<double>")
+    got_c = similarity._nearest_code(subs, cb).select(
+        "vec_id", "sub_id", "code_id")
+    d2 = F.aggregate(F.zip_with(F.col("sv"), F.col("cv"),
+                                lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda acc, t2: acc + t2)
+    twin_c = (subs.join(F.broadcast(cb), "sub_id")
+              .withColumn("d2", d2)
+              .withColumn("__rk", F.row_number().over(
+                  W.partitionBy("vec_id", "sub_id")
+                  .orderBy(F.asc("d2"), F.asc("code_id"))))
+              .filter(F.col("__rk") == 1)
+              .select("vec_id", "sub_id", "code_id"))
+    gc = {(r["vec_id"], r["sub_id"]): r["code_id"]
+          for r in got_c.collect()}
+    tc = {(r["vec_id"], r["sub_id"]): r["code_id"]
+          for r in twin_c.collect()}
+    assert gc == tc
+    assert all(c != 2 for (v, s), c in gc.items() if s == 0)
+
+
+def test_kmeans_farthest_rejects_init_salt(spark):
+    """init='farthest' is deterministic: passing init_salt must raise
+    (ADVICE r9 — silently ignoring it would let best-of-N train N
+    identical restarts)."""
+    import pytest
+    e = load_table(spark, SF, "embeddings").limit(16)
+    with pytest.raises(ValueError, match="farthest"):
+        similarity.kmeans_centroids(e, k=4, n_iter=1,
+                                    init="farthest", init_salt="|r1")
+
+
 def test_quantized_ivf_recall(spark):
     """int8-list IVF: recall vs brute force holds, and the emitted
     cosines are EXACT (identical to brute-force scores for the pairs
