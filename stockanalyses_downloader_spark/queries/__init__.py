@@ -70,13 +70,27 @@ _WINDOW = [
                                 # subset of in-window copurchase_
                                 # triangles' wedge join; lift stays
                                 # sweep-oracled + benched + curved)
-    "tick_feed_islands",        # gaps-and-islands outage report (r5c
-                                # rotation in — took jobs_parse_
-                                # dispatch's slot: S1 job parsing
-                                # stays driver-visible through
-                                # job_state_claim_counts, which runs
-                                # the same parse machinery into the
-                                # state machine)
+    "simhash_near_pairs",       # Hamming-radius near-dup via SimHash
+                                # pigeonhole banding — fully oracled
+                                # since the r6 portable rewrite, but
+                                # the driver's LAST record is an r2-r4
+                                # `no_oracle` error from before it
+                                # (r10 rotation in, VERDICT r9 #1's
+                                # named lead; took tick_feed_islands'
+                                # slot: certified r5c-r9; gaps-and-
+                                # islands machinery stays repped by
+                                # order_window_analytics in-window +
+                                # sweep-oracled + benched)
+    "signlsh_topk_approx",      # sign-LSH bucketed ANN — same story:
+                                # full oracle since r6, last driver
+                                # record a pre-rewrite no_oracle row
+                                # (r10 rotation in, the other named
+                                # lead; took tick_quote_interval_
+                                # join's slot: certified r6-r9; the
+                                # interval-join family keeps ticks_
+                                # in_candle_ranges in-window and the
+                                # live-stream twin stays pinned in the
+                                # stream-matches-batch suite)
     "order_window_analytics",   # percent_rank/cume_dist/ntile/
                                 # nth_value breadth — never driver-
                                 # certified (r7 rotation in per
@@ -86,22 +100,31 @@ _WINDOW = [
                                 # machinery stays sweep-oracled;
                                 # source tier keeps flagship/rest/
                                 # wss driver rows)
-    "tick_quote_interval_join",  # stream-stream interval join's batch
-                                # bind (r6 rotation in per VERDICT r5
-                                # #7 — the ST+ tier's first driver
-                                # hash row; the same definition runs
-                                # live with watermarks in the stream-
-                                # matches-batch suite). Took rest_
-                                # pipeline_messages' slot: its
-                                # machinery is a strict subset of
-                                # in-window flagship_latest_mid
-                                # (same scan->filter->dim-join->mid
-                                # chain minus the top-1)
-    "part_entity_resolution",   # record linkage capstone (r5c
-                                # rotation in — took dead_letter_by_
-                                # exchange's slot: K5 dead-letter
-                                # stays driver-visible via in-window
-                                # ingest_dead_letter_rates)
+    "lang_distinct_token_sketch",  # two-level HLL union (the rescan-
+                                # free reaggregation path) — portable
+                                # grid fully oracled since r8, never
+                                # driver-certified (r10 rotation in
+                                # per VERDICT r9 #1; took part_entity_
+                                # resolution's slot: certified
+                                # r5c-r9; linkage stays sweep-oracled
+                                # + benched + scale-curved)
+    "token_heavy_hitters",      # count-min heavy hitters with the
+                                # no-false-dismissal guarantee —
+                                # oracled since r5c, never driver-
+                                # certified (r10 rotation in per
+                                # VERDICT r9 #1; took orders_join_
+                                # size_estimate's slot: certified
+                                # r5c-r9; the AMS grid build stays
+                                # sweep-oracled + benched)
+    "countmin_token_estimates", # count-min point queries over a
+                                # deterministic vocab probe — oracled
+                                # since r5, never driver-certified
+                                # (r10 rotation in per VERDICT r9 #1;
+                                # took global_near_dup_pairs' slot:
+                                # certified r8+r9; PPJoin stays
+                                # sweep-oracled + benched + curved,
+                                # near-dup keeps near_dup_components
+                                # in-window)
     "job_state_claim_counts",
     "dsir_selection_by_source", # domain-conditional DSIR (per-source
                                 # proposal models, VERDICT r8 #3) —
@@ -150,13 +173,21 @@ _WINDOW = [
                                 # r7+r8; hash-ordered sampling stays
                                 # repped by source_mixture_schedule
                                 # in-window + sweep-oracled)
-    "orders_join_size_estimate",  # AMS join-size forecast (r5c
-                                # rotation in — took ngram_jaccard's
-                                # slot: the jaccard pair machinery
-                                # stays driver-visible INSIDE
-                                # near_dup_components, which
-                                # recomputes the same pairs before
-                                # its closure)
+    "user_state_snapshot",      # point-in-time dim snapshot off the
+                                # SCD2 history — oracled since r5,
+                                # never driver-certified (r10 rotation
+                                # in per VERDICT r9 #1; took split_
+                                # semantic_leakage's slot: certified
+                                # r8+r9; the leakage family keeps
+                                # split_leakage_repair in-window)
+    "join_key_skew_report",     # per-key distribution probe (the
+                                # pre-salting diagnosis) — oracled
+                                # since r5, never driver-certified
+                                # (r10 rotation in per VERDICT r9 #1;
+                                # took doc_kn_perplexity's slot:
+                                # certified r8+r9; the KN model
+                                # machinery stays sweep-oracled +
+                                # benched)
     "near_dup_components",      # transitive dedup keeper selection
     "multimodal_asset_stats",
     "approx_distinct_users",    # PORTABLE HLL grid per event type —
@@ -170,17 +201,14 @@ _WINDOW = [
                                 # keeps source_mixture_schedule
                                 # in-window)
     "multimodal_chunk_dedup",   # binary content dedup via chunk digests
-    "global_near_dup_pairs",    # PPJoin global prefix-filtered
-                                # exact-Jaccard join — fully DuckDB-
-                                # oracled since r7 (gram-bucket twin),
-                                # never driver-certified (r8 rotation
-                                # in per VERDICT r7 #2; took minhash_
-                                # near_dups' slot: banded-LSH was
-                                # driver-certified r1-r7 across many
-                                # windows, stays sweep-oracled +
-                                # benched; near-dup keeps near_dup_
-                                # components + multimodal_chunk_dedup
-                                # in-window)
+    "corpus_snapshot_diff",     # incremental-ingest digest diff —
+                                # oracled since r5b, never driver-
+                                # certified (r10 rotation in per
+                                # VERDICT r9 #1; took copurchase_
+                                # triangles' slot: certified r6-r9;
+                                # the wedge-join family stays sweep-
+                                # oracled + benched + curved, graph
+                                # keeps near_dup_components in-window)
     "token_bloom_sketch",       # mergeable Bloom MEMBERSHIP bit set
                                 # — oracled since r5c (bit positions
                                 # included), never driver-certified
@@ -208,14 +236,14 @@ _WINDOW = [
                                 # (portable md5 init + unrolled Lloyd
                                 # CTEs) — the window's last rows-only
                                 # row is gone
-    "split_semantic_leakage",   # embedding-space eval-leakage audit
-                                # — new r7, never driver-certified
-                                # (r8 rotation in per VERDICT r7 #2;
-                                # took semantic_dedup_keepers' slot:
-                                # certified r4-r7; the same blocked-
-                                # cosine near-dup machinery is
-                                # recomputed inside this audit before
-                                # the cross-split filter)
+    "event_session_windows",    # native session_window aggregation —
+                                # oracled, never driver-certified
+                                # (r10 rotation in per VERDICT r9 #1;
+                                # took hard_negative_mining's slot:
+                                # certified r7c-r9; the mining chain
+                                # stays sweep-oracled + benched and
+                                # the retrieval tier gains retrieval_
+                                # hits below)
     "embedding_drift_report",   # embedding-distribution drift — new
                                 # r8, never driver-certified (r8
                                 # rotation in; took corpus_datacard's
@@ -234,15 +262,14 @@ _WINDOW = [
                                 # surprisal/winnowing/substring-dup/
                                 # pii driver rows; the EVAL tier
                                 # earns its first)
-    "doc_kn_perplexity",        # per-doc KN-LM perplexity — full
-                                # DuckDB oracle since r7 (log-space
-                                # output composed on hash-oracled
-                                # ratios), never driver-certified
-                                # (r8 rotation in per VERDICT r7 #2;
-                                # took bigram_kn_probs' slot: the
-                                # trained KN model was certified r6+
-                                # r7 and is recomputed INSIDE this
-                                # scorer before the per-doc walk)
+    "multimodal_cdc_dedup",     # content-defined-chunking dedup over
+                                # binary assets — oracled, never
+                                # driver-certified (r10 rotation in
+                                # per VERDICT r9 #1; took bm25_search_
+                                # topk's slot: certified r8+r9; the
+                                # tf/df scorer stays sweep-oracled +
+                                # benched; X5 keeps both multimodal
+                                # digest rows in-window)
     "split_leakage_repair",     # the decontamination ACTION — new
                                 # r7c, never driver-certified (r8
                                 # rotation in per VERDICT r7 #2; took
@@ -251,15 +278,15 @@ _WINDOW = [
                                 # assignment + cross-split pair join
                                 # are recomputed INSIDE the repair
                                 # before the move-to-train action)
-    "bm25_search_topk",         # Okapi BM25 scored top-k — full
-                                # DuckDB oracle since r7 (round-then-
-                                # rank at 6dp both engines), never
-                                # driver-certified (r8 rotation in
-                                # per VERDICT r7 #2; took bm25_doc_
-                                # term_stats' slot: the index side
-                                # was certified r5c-r7 and its tf/df
-                                # stats are recomputed INSIDE the
-                                # scorer before ranking)
+    "order_priority_check",     # TPC-H Q4 EXISTS-aggregate shape —
+                                # oracled since r5b, never driver-
+                                # certified (r10 rotation in per
+                                # VERDICT r9 #1; took ivf_topk_
+                                # quantized's slot: certified r8+r9;
+                                # the int8-list tier is a sibling of
+                                # in-window ivf_topk_trained and
+                                # ivf_topk_pq_portable and stays
+                                # sweep-oracled + benched)
     "source_shared_token_estimates",  # HLL inclusion-exclusion set
                                 # algebra (union/intersection/overlap
                                 # from three mergeable estimates) —
@@ -271,26 +298,23 @@ _WINDOW = [
                                 # path is recomputed INSIDE this
                                 # composition three times over — a
                                 # strict superset)
-    "ivf_topk_quantized",       # int8-list IVF with exact rerank —
-                                # fully DuckDB-oracled since r7c
-                                # (calibrate/quantize/probe/shortlist/
-                                # rerank all hash-match), never
-                                # driver-certified (r8 rotation in per
-                                # VERDICT r7 #2; took doc_winnow_
-                                # fingerprints' slot: winnowing was
-                                # certified r5-r7, stays sweep-
-                                # oracled + benched; X4 keeps
-                                # curation/tfidf/datacard in-window)
-    "doc_bpe_tokenization",     # encode corpus with the learned
-                                # merges — full DuckDB oracle since
-                                # r7 (the trained tokenizer hash-
-                                # verifies), never driver-certified
-                                # (r8 rotation in per VERDICT r7 #2;
-                                # took doc_quality_logits' slot: the
-                                # quality tier keeps quality_model_
-                                # auc in-window, which recomputes the
-                                # same in-plan features and logits
-                                # before the midrank AUC)
+    "promo_revenue_share",      # TPC-H Q14 conditional-ratio shape —
+                                # oracled since r5b, never driver-
+                                # certified (r10 rotation in per
+                                # VERDICT r9 #1; took doc_bpe_
+                                # tokenization's slot: certified
+                                # r8+r9; the trained-merges encode is
+                                # a strict downstream of in-window
+                                # bpe_merge_sequence and stays
+                                # sweep-oracled + benched)
+    "disjunctive_brand_revenue",  # TPC-H Q19 OR-ed cross-side clauses
+                                # as post-join residual — oracled
+                                # since r5b, never driver-certified
+                                # (r10 rotation in per VERDICT r9 #1;
+                                # took forget_cascade_report's slot:
+                                # certified r5c-r9; the GDPR cascade
+                                # stays sweep-oracled + pytest-pinned
+                                # incl. the two-phase purge)
     "bpe_merge_sequence",       # the BPE TRAINER itself: 16 greedy
                                 # merge rounds as materialized CTEs —
                                 # full DuckDB oracle since r7, never
@@ -300,25 +324,18 @@ _WINDOW = [
                                 # is recomputed INSIDE the trainer as
                                 # its first merge round — a strict
                                 # superset)
-    "copurchase_triangles",     # degree-oriented triangle counts
-                                # (Suri-Vassilvitskii wedges, support-
-                                # thresholded edges); r6 rotation in
-                                # per VERDICT r5 #3 — took exact_
-                                # dedup_docs' slot (X1 exact dedup
-                                # stays driver-visible via multimodal_
-                                # chunk_dedup's digest groupBy and
-                                # corpus_datacard's distinct-
-                                # fingerprint counts; the graph tier
-                                # earns its second driver row next to
-                                # near_dup_components)
+    "retrieval_hits",           # NEW r10 (VERDICT r9 #7): per-query
+                                # exact hit counts of the portable
+                                # IVFADC top-k vs brute force — the
+                                # recall claim of ann_recall_report's
+                                # ivf_pq_portable row, now fully
+                                # hash-oracled (took source_mixture_
+                                # schedule's slot: certified r8+r9;
+                                # the token-budget schedule stays
+                                # sweep-oracled + benched and the
+                                # sampling tier keeps its hash-order
+                                # machinery pytest-pinned)
     "corpus_curation_decisions",  # keep/drop + reason codes capstone
-    "forget_cascade_report",    # GDPR erasure cascade receipt (r5c
-                                # rotation in — took eval_ngram_
-                                # decontamination's slot: the
-                                # decontamination capability keeps
-                                # its driver row via in-window
-                                # bloom_decontamination_probes,
-                                # whose exact-join leg rides along)
     "doc_rag_chunks",           # overlapping 64/48 token-window
                                 # chunking with offsets (RAG prep) —
                                 # oracled since r4, never driver-
@@ -329,12 +346,6 @@ _WINDOW = [
                                 # driver-visible inside in-window
                                 # bm25_search_topk, which recomputes
                                 # the same stats before scoring)
-    "hard_negative_mining",     # contrastive hard negatives — new r7,
-                                # never driver-certified (r7c rotation
-                                # in; took substring_dup_fraction's
-                                # slot: certified r5+r6, dedup family
-                                # keeps minhash_near_dups and
-                                # near_dup_components in-window)
     "retrieval_quality_report", # precision/recall/MRR/NDCG@k vs label
                                 # ground truth — new r7, never driver-
                                 # certified (r7c rotation in; took
@@ -344,13 +355,6 @@ _WINDOW = [
                                 # semantic_dedup_keepers in-window)
     "ingest_dead_letter_rates", # malformed-rate by source over the real
                                 # line-ingest machinery (r5 rotation in)
-    "source_mixture_schedule",  # token-budget epoch schedule per
-                                # source — new r7, never driver-
-                                # certified (r7c rotation in; took
-                                # pii_redaction_report's slot:
-                                # certified r5+r6, text family keeps
-                                # corpus_curation_decisions and
-                                # doc_quality_logits in-window)
     # relational surface — one representative per operator class
     "regional_revenue",         # 6-way inner join (Q5) — also the
                                 # window's groupBy-agg rep since
@@ -414,15 +418,6 @@ _TAIL = [
     "multimodal_stub_features",     # X5 third rep — hash-green
                                     # r1–r5a; slot yielded (r5 second
                                     # block) to dedup_passages_rebuild
-    "simhash_near_pairs",           # rows-only by design; slot
-                                    # yielded (r5 second block) to
-                                    # tick_rolling_indicators; radius
-                                    # guarantee + hot-bucket worst
-                                    # case stay pytest-pinned
-    "signlsh_topk_approx",          # rows-only by design; slot
-                                    # yielded (r5 second block) to
-                                    # order_price_hdr_quantiles;
-                                    # recall floor stays pytest-pinned
     "top_tokens",                   # exact token histogram — hash-
                                     # green r1–r4; slot yielded (r5)
                                     # to token_countmin_sketch (the
@@ -519,9 +514,6 @@ _TAIL = [
     "customer_order_counts_left",   # left outer — outer-join family
                                     # stays repped by full outer; slot
                                     # yielded to doc_tfidf_top_terms
-    "event_session_windows",        # native session_window variant of
-                                    # event_sessionization (which holds
-                                    # the family's driver slot)
     "shipping_priority",            # Q3 multi-join agg — family stays
                                     # repped by regional_revenue (Q5);
                                     # slot yielded to chunk dedup
@@ -536,10 +528,6 @@ _TAIL = [
                                     # fidelity; oracled in pytest —
                                     # the ANN family's driver slots
                                     # stay with cosine/ivf/signlsh
-    "multimodal_cdc_dedup",         # content-defined-chunking variant
-                                    # of multimodal_chunk_dedup (which
-                                    # holds the driver slot); oracled
-                                    # in pytest
     "near_dup_components_star",     # large-star/small-star CC variant
                                     # of near_dup_components (which
                                     # holds the driver slot); same
@@ -585,21 +573,6 @@ _TAIL = [
                                     # bound: sigmoid exp() in the GD
                                     # loop is libm (terminal); pinned
                                     # vs pure-numpy GD in pytest
-    "countmin_token_estimates",     # point-query estimates for a
-                                    # deterministic 20% vocab probe
-                                    # (rate sized to the fixture's
-                                    # 31-token vocabulary);
-                                    # DuckDB-oracled end-to-end;
-                                    # error band pinned in pytest;
-                                    # new r5
-    "user_state_snapshot",          # point-in-time dim snapshot from
-                                    # the SCD2 history; DuckDB-
-                                    # oracled; new r5
-    "join_key_skew_report",         # per-key count distribution for
-                                    # the orders⋈lineitem probe side
-                                    # (max/p99/top1-share — the pre-
-                                    # salting diagnosis); DuckDB-
-                                    # oracled; new r5
     "token_postings",               # inverted-index stats (df,
                                     # total_tf, postings head);
                                     # DuckDB-oracled; new r4
@@ -619,20 +592,6 @@ _TAIL = [
                                     # the customer->supplier graph;
                                     # pinned vs pure-Python power
                                     # iteration; new r5b
-    "corpus_snapshot_diff",         # incremental-ingest snapshot
-                                    # diff: added/removed/changed/
-                                    # unchanged by digest compare;
-                                    # DuckDB-oracled; new r5b
-    "order_priority_check",         # Q4: EXISTS agg as a cross-
-                                    # column left-semi join;
-                                    # DuckDB-oracled; new r5b
-    "promo_revenue_share",          # Q14: conditional-aggregate
-                                    # ratio over a broadcast dim;
-                                    # DuckDB-oracled; new r5b
-    "disjunctive_brand_revenue",    # Q19: OR-ed cross-side clauses
-                                    # as post-join residual (no
-                                    # cartesian); DuckDB-oracled;
-                                    # new r5b
     "signup_conversion_funnel",     # order-sensitive funnel via
                                     # chained conditional aggs;
                                     # DuckDB-oracled; new r5b
@@ -658,17 +617,6 @@ _TAIL = [
                                     # per-key aggregate flags (one
                                     # shuffle, no correlated
                                     # re-scans); DuckDB-oracled; r5b
-    "lang_distinct_token_sketch",   # mergeable distinct-token
-                                    # cardinality, two-level union
-                                    # (the rescan-free reaggregation
-                                    # path) — PORTABLE HLL grid since
-                                    # r8 (VERDICT r7 #5): fully
-                                    # DuckDB-oracled incl. the merge
-                                    # hop; Datasketches variant stays
-                                    # pytest-pinned
-    "token_heavy_hitters",          # count-min heavy hitters (no
-                                    # false dismissals, exact count
-                                    # alongside); DuckDB-oracled; r5c
     "langid_nb_predictions",        # trained char-trigram NB langid
                                     # (rows-only: ln is libm-bound);
                                     # python-parity + planted-corpus
@@ -911,6 +859,58 @@ _TAIL = [
                                     # r7+r8; tf/df machinery stays
                                     # driver-visible inside in-window
                                     # bm25_search_topk
+    # r10 window yields — slots went to the 14 promotions per VERDICT
+    # r9 #1 + #7 (12 never-certified entries led by the two whose last
+    # driver record was a pre-rewrite no_oracle error, the Q4/Q14/Q19
+    # TPC-H reps, and the new retrieval_hits); every demoted entry was
+    # driver-certified at least twice (see _WINDOW notes for per-slot
+    # coverage)
+    "tick_feed_islands",            # gaps-and-islands — hash-green
+                                    # r5c-r9; window/island machinery
+                                    # stays repped by order_window_
+                                    # analytics in-window
+    "tick_quote_interval_join",     # interval join batch bind — hash-
+                                    # green r6-r9; family keeps ticks_
+                                    # in_candle_ranges in-window + the
+                                    # live stream-matches-batch pin
+    "part_entity_resolution",       # linkage capstone — hash-green
+                                    # r5c-r9; stays sweep-oracled +
+                                    # benched + scale-curved
+    "orders_join_size_estimate",    # AMS forecast — hash-green
+                                    # r5c-r9; sketch tier gains
+                                    # countmin_token_estimates +
+                                    # token_heavy_hitters in-window
+    "global_near_dup_pairs",        # PPJoin — hash-green r8+r9;
+                                    # near-dup keeps near_dup_
+                                    # components in-window; benched +
+                                    # curved
+    "split_semantic_leakage",       # embedding leakage audit — hash-
+                                    # green r8+r9; leakage tier keeps
+                                    # split_leakage_repair in-window
+    "doc_kn_perplexity",            # KN perplexity — hash-green
+                                    # r8+r9; the trained KN model
+                                    # stays sweep-oracled + benched
+    "bm25_search_topk",             # BM25 top-k — hash-green r8+r9;
+                                    # stays sweep-oracled + benched
+    "ivf_topk_quantized",           # int8-list IVF — hash-green
+                                    # r8+r9; ANN keeps trained +
+                                    # pq_portable + retrieval_hits
+                                    # in-window
+    "doc_bpe_tokenization",         # trained-merges encode — hash-
+                                    # green r8+r9; downstream of
+                                    # in-window bpe_merge_sequence
+    "copurchase_triangles",         # wedge triangles — hash-green
+                                    # r6-r9; stays benched + curved
+    "hard_negative_mining",         # contrastive negatives — hash-
+                                    # green r7c-r9; retrieval tier
+                                    # keeps retrieval_quality_report +
+                                    # retrieval_hits in-window
+    "forget_cascade_report",        # GDPR cascade — hash-green
+                                    # r5c-r9; stays sweep-oracled +
+                                    # pytest-pinned (two-phase purge)
+    "source_mixture_schedule",      # token-budget schedule — hash-
+                                    # green r7c-r9; stays sweep-
+                                    # oracled + benched
 ]
 
 

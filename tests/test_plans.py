@@ -80,6 +80,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "ivf_topk_pq": 1,       # r6: trained coarse quantizer brings the
                             # same k-row kmeans init window
     "ivf_topk_pq_portable": 1,  # r8: same k-row kmeans init window
+    "retrieval_hits": 1,    # r10: composes the portable-PQ stack, so
+                            # the same k-row post-limit init numbering
+                            # rides along (brute-force side windows
+                            # are query-partitioned)
     # r8: the report now fits THREE trained coarse quantizers
     # (ivf_trained, ivf_pq, ivf_pq_portable) — each init window is
     # the same k-row post-limit numbering; Spark dedupes some but not
