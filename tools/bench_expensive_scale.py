@@ -347,6 +347,59 @@ def bench_bpe_tokenization(spark, factor: int) -> dict:
             "wall_s": round(time.perf_counter() - t0, 2)}
 
 
+def bench_funnel(spark, factor: int) -> dict:
+    """Conversion funnel at a blown-up event log: factor-1 copies
+    under DISJOINT user ids — more users at the same per-user event
+    density. Every stage is a user-keyed conditional aggregate chained
+    on its predecessor's timestamp, so the whole chain co-partitions
+    on user_id and wall should track the event scans (flat-ish per
+    unit), never users^2."""
+    from stockanalyses_downloader_spark.sources.tables import load_table as lt
+    ev = lt(spark, SF_DIR, "events").select("user_id", "event_type", "ts")
+    ev = _copies(ev, factor, {"user_id": 100_000_000})
+    n = ev.count()
+    t0 = time.perf_counter()
+    t1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    t2 = (ev.filter(F.col("event_type") == "click")
+          .join(t1, "user_id")
+          .filter(F.col("ts") > F.col("signup_ts"))
+          .groupBy("user_id", "signup_ts")
+          .agg(F.min("ts").alias("click_ts")))
+    t3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(t2, "user_id")
+          .filter(F.col("ts") > F.col("click_ts"))
+          .groupBy("user_id", "click_ts")
+          .agg(F.min("ts").alias("purchase_ts")))
+    out = (t1.join(t2.select("user_id", "click_ts"), "user_id", "left")
+           .join(t3.select("user_id", "purchase_ts"), "user_id", "left"))
+    n_out = out.count()
+    return {"query": "signup_conversion_funnel", "factor": factor,
+            "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+def bench_ngram_routed(spark, factor: int) -> dict:
+    """ngram_jaccard with max_block_size ROUTING ON (VERDICT r9 #5):
+    the same adversarial near-dup blow-up as the headline scale tier,
+    but blocks above the cap route to banded MinHash-LSH instead of
+    the exact self-join — the production switch for hot blocks. The
+    curve quantifies what the routed path's slope buys vs the exact
+    path's measured 30x -> 7.75x wall."""
+    from tools.bench_dedup_scale import blow_up
+    base = load_table(spark, SF_DIR, "documents")
+    corpus = blow_up(base, factor)
+    n = corpus.count()
+    t0 = time.perf_counter()
+    pairs = dedup.ngram_jaccard_pairs(corpus, ["lang", "source"], n=3,
+                                      threshold=0.3, hashed=True,
+                                      max_block_size=2000)
+    n_out = pairs.count()
+    return {"query": "ngram_jaccard_near_dups[routed@2000]",
+            "factor": factor, "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
 BENCHES = {
     "global": bench_global_near_dups,
     "triangles": bench_triangles,
@@ -366,6 +419,10 @@ BENCHES = {
     "bpe": bench_bpe_tokenization,
     # r9: the new domain-conditional DSIR bench resident
     "dsir_by_source": bench_dsir_by_source,
+    # r10 (VERDICT r9 #4/#5): the last never-curved >2 s residents +
+    # the hot-block-routed ngram path
+    "funnel": bench_funnel,
+    "ngram_routed": bench_ngram_routed,
 }
 
 
