@@ -51,6 +51,19 @@ _WIDE_NODES = frozenset({
     "Repartition", "RepartitionByExpression"})
 
 
+def _is_broadcast_hint(node) -> bool:
+    """True for a ResolvedHint carrying strategy=broadcast — in the
+    ANALYZED plan ``F.broadcast(x)`` is a ResolvedHint child of the
+    Join (EliminateResolvedHint folds it into the Join only later, in
+    the optimizer)."""
+    if node.nodeName() != "ResolvedHint":
+        return False
+    try:
+        return "broadcast" in node.hints().strategy().toString().lower()
+    except Exception:  # noqa: BLE001 — py4j surface drift: stay wide
+        return False
+
+
 def _has_wide_node(jplan) -> bool:
     """Walk the analyzed logical plan TREE (children only, not
     expression-embedded subqueries) looking for an exchange-producing
@@ -58,15 +71,35 @@ def _has_wide_node(jplan) -> bool:
     was brittle across Spark versions AND false-skipped narrow scans
     whose FILTER merely embeds a scalar subquery containing a
     Join/Aggregate — subqueries live in expressions, not children, so
-    a node walk naturally excludes them."""
+    a node walk naturally excludes them.
+
+    r10: a Join with an explicitly BROADCAST-hinted side is NOT wide —
+    a broadcast join induces no exchange; the output inherits the
+    probe side's partitioning. The walk continues into the non-hinted
+    (probe) children only: wide nodes INSIDE the broadcast subtree
+    (e.g. the Aggregate building a broadcast dim) execute at their own
+    width without widening the probe stream. Before this, any narrow
+    scan enriched via a broadcast dim (or a test harness's
+    crossJoin(broadcast(range)) blow-up) false-counted as wide,
+    spread() no-op'd, and per-row CPU work downstream serialized onto
+    the raw scan's file count. Unhinted joins stay wide: at the
+    analyzed level the planner's size-estimate broadcast decision
+    hasn't happened yet, and assuming an exchange errs toward NOT
+    adding a redundant repartition."""
     stack = [jplan]
     while stack:
         node = stack.pop()
+        children = node.children()
+        kids = [children.apply(i) for i in range(children.size())]
+        if node.nodeName() == "Join":
+            probe = [k for k in kids if not _is_broadcast_hint(k)]
+            if len(probe) == len(kids):
+                return True         # no broadcast-hinted side: wide
+            stack.extend(probe)
+            continue
         if node.nodeName() in _WIDE_NODES:
             return True
-        children = node.children()
-        for i in range(children.size()):
-            stack.append(children.apply(i))
+        stack.extend(kids)
     return False
 
 
@@ -178,22 +211,41 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
       instead of O(block^2). This is the 100 TB switch: one hot
       (lang, source) block of 10^9 docs must never hit the self-join.
       Pairs from routed blocks carry LSH's estimate-verified exact
-      jaccard (same verify expression), so downstream semantics match.
+      jaccard (same verify expression) and form WITHIN blocks only
+      (the block key rides in the band bucket — r10), so downstream
+      semantics match the exact path modulo LSH recall.
     """
     make = with_hashed_shingles if hashed else with_shingles
     s = make(spread(docs), "text", n).select(id_col, *block_cols, "shingles")
+    lsh = None
     if max_block_size is not None:
         # one tiny agg on the block key decides routing; the count
         # join is a broadcast (distinct block keys are few by
-        # construction — they're the blocking dimension)
-        sizes = s.groupBy(*block_cols).agg(F.count("*").alias("__bn"))
+        # construction — they're the blocking dimension). Counted on
+        # the RAW docs (column-pruned scan of just the block cols),
+        # not the shingled frame — same counts, no shingle work.
+        sizes = tracked_persist(
+            docs.groupBy(*block_cols).agg(F.count("*").alias("__bn")))
+        hot_keys = (sizes.filter(F.col("__bn") > max_block_size)
+                    .select(*block_cols))
+        # metadata-plane decision (r10): |blocks| rows, model-sized
+        # by construction. When NOTHING is hot, the LSH subtree would
+        # still schedule its whole empty-stage stack (signatures,
+        # banding, distinct, two verify joins — measured ~4 s of
+        # fixture wall for zero routed docs); skip planning it.
+        if not hot_keys.limit(1).take(1):
+            max_block_size = None
+    if max_block_size is not None:
         s = s.join(F.broadcast(sizes), block_cols)
         exact_side = s.filter(F.col("__bn") <= max_block_size).drop("__bn")
-        hot_docs = (docs.join(F.broadcast(
-                        sizes.filter(F.col("__bn") > max_block_size)
-                             .select(*block_cols)), block_cols, "left_semi"))
+        hot_docs = docs.join(F.broadcast(hot_keys), block_cols, "left_semi")
+        # bucket_cols = the blocking key (r10): candidates form only
+        # within a block, matching the exact path's contract — and the
+        # id_a join-back for block labels is now provably consistent
+        # (both ids share the block by construction)
         lsh = minhash_lsh_pairs(hot_docs, threshold=threshold,
-                                id_col=id_col, n=n)
+                                id_col=id_col, n=n,
+                                bucket_cols=tuple(block_cols))
         lsh = lsh.join(docs.select(F.col(id_col).alias("id_a"), *block_cols),
                        "id_a")
         lsh = lsh.select(*block_cols, "id_a", "id_b", "jaccard")
@@ -304,7 +356,8 @@ def minhash_signatures_vectorized(docs: DataFrame, n_hashes: int = 64,
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
-                      portable: bool = False) -> DataFrame:
+                      portable: bool = False,
+                      bucket_cols: tuple[str, ...] = ()) -> DataFrame:
     """X2: banded-LSH candidate generation + exact Jaccard verification.
 
     bands=16 over 64 hashes -> r=4 rows/band; candidate iff any band
@@ -316,7 +369,17 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
     key (identical collisions by construction — no hash at all), and
     the md5-31-bit shingle family for the exact verify. The bucket key
     widens from 8 bytes to ~4 numbers' text, a bounded constant per
-    signature row."""
+    signature row.
+
+    ``bucket_cols`` (r10): extra doc columns appended to the band
+    bucket key, so candidates only form WITHIN equal values — the
+    within-block contract when LSH serves as the hot-block fallback
+    of a blocked join (ngram_jaccard_pairs' max_block_size routing).
+    Two wins at scale: parity (the routed path honors the same
+    blocking key as the exact path it replaces — no cross-block pairs
+    mislabeled with id_a's block), and bucket thinning (band buckets
+    can't melt ACROSS hot blocks that happen to share signatures —
+    e.g. templated boilerplate repeated per source)."""
     # Banding is shared verbatim with the at-rest index
     # (_banded_signatures) — probe-vs-one-shot parity holds by
     # construction. The signature build ends in an aggregate, so the
@@ -332,12 +395,16 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
     # pair expansion saves one exchange but runs 1.4x SLOWER at sf0.1 —
     # the in-bucket combination expansion is interpreted higher-order
     # code, while the self-join stays in codegen. Join wins.)
-    banded = tracked_persist(_banded_signatures(
-        docs, n_hashes, bands, id_col, text_col, n, portable))
-    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    banded = _banded_signatures(
+        docs, n_hashes, bands, id_col, text_col, n, portable)
+    if bucket_cols:
+        banded = banded.join(docs.select(id_col, *bucket_cols), id_col)
+    banded = tracked_persist(banded)
+    key = ["band_id", "band_hash", *bucket_cols]
+    a = banded.select(F.col(id_col).alias("id_a"), *key)
+    b = banded.select(F.col(id_col).alias("id_b"), *key)
     cand = tracked_persist(
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, key)
          .filter(F.col("id_a") < F.col("id_b"))
          .select("id_a", "id_b").distinct())
     # verify only the docs that appear in candidate pairs: shingle

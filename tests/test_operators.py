@@ -451,6 +451,76 @@ def test_ngram_hot_block_routes_to_lsh(spark, monkeypatch):
     assert routed["ids"] == {r["doc_id"] for r in hot.collect()}
 
 
+def test_no_hot_blocks_skips_lsh_subtree(spark, monkeypatch):
+    """r10: when no block exceeds the cap, the LSH fallback is never
+    even PLANNED (the empty subtree still cost ~4 s of scheduled
+    stages), and the result is identical to the plain exact path."""
+    called = {"n": 0}
+    real_lsh = dedup.minhash_lsh_pairs
+
+    def spy(docs, **kw):
+        called["n"] += 1
+        return real_lsh(docs, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_lsh_pairs", spy)
+    d = load_table(spark, SF, "documents").limit(80)
+    routed = dedup.ngram_jaccard_pairs(d, ["lang", "source"],
+                                       threshold=0.3, hashed=True,
+                                       max_block_size=10_000)
+    exact = dedup.ngram_jaccard_pairs(d, ["lang", "source"],
+                                      threshold=0.3, hashed=True)
+    assert called["n"] == 0
+    assert ({(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+             for r in routed.collect()}
+            == {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in exact.collect()})
+
+
+def test_routed_lsh_pairs_stay_within_block(spark):
+    """The hot-block LSH fallback honors the blocking key (r10): a
+    NEAR-IDENTICAL twin planted in a DIFFERENT hot block never pairs
+    (the exact path would not consider it), while the same text's twin
+    inside the SAME hot block does — and every emitted routed pair's
+    ids share one block."""
+    d = load_table(spark, SF, "documents").limit(60)
+    hot_a = d.withColumn("lang", F.lit("xx")) \
+             .withColumn("source", F.lit("block_a"))
+    # same-block twins: near-dup copies inside block_a
+    twins_a = hot_a.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                           F.concat("text", F.lit(" zz")).alias("text"),
+                           "lang", "source", "n_chars")
+    # cross-block twins: the SAME near-dup texts, but in block_b
+    twins_b = hot_a.select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                           F.concat("text", F.lit(" zz")).alias("text"),
+                           "lang", F.lit("block_b").alias("source"),
+                           "n_chars")
+    block_b_fill = d.select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                            F.reverse("text").alias("text"),
+                            F.lit("xx").alias("lang"),
+                            F.lit("block_b").alias("source"), "n_chars")
+    corpus = hot_a.unionByName(twins_a).unionByName(twins_b) \
+                  .unionByName(block_b_fill)
+    out = dedup.ngram_jaccard_pairs(corpus, ["lang", "source"],
+                                    threshold=0.5, hashed=True,
+                                    max_block_size=50)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    base_ids = [r["doc_id"] for r in d.collect()]
+    same_block = {(i, i + 1_000_000) for i in base_ids}
+    cross_block = {(i, i + 2_000_000) for i in base_ids} \
+        | {(i + 1_000_000, i + 2_000_000) for i in base_ids}
+    assert same_block - pairs == set(), (
+        f"same-block planted dups missed: {same_block - pairs}")
+    assert pairs & cross_block == set(), (
+        f"cross-block pairs leaked through the routed path: "
+        f"{pairs & cross_block}")
+    # block label on each routed row is consistent for BOTH ids
+    blocks = {r["doc_id"]: (r["lang"], r["source"])
+              for r in corpus.collect()}
+    for r in out.collect():
+        assert blocks[r["id_a"]] == blocks[r["id_b"]] \
+            == (r["lang"], r["source"])
+
+
 def test_ngram_prefilter_preserves_exactness(spark):
     """The size prefilter only removes pairs that cannot reach the
     threshold: results with and without it... the prefilter is always
@@ -1118,6 +1188,43 @@ def test_spread_widens_scans_not_shuffled_frames(spark, tmp_path):
     sub = spark.sql("SELECT * FROM spread_probe_t "
                     "WHERE id > (SELECT avg(id) FROM spread_probe_t)")
     assert dedup.spread(sub).rdd.getNumPartitions() == target
+
+
+def test_spread_sees_through_broadcast_joins(spark, tmp_path):
+    """r10: a BROADCAST-hinted join is not an exchange — the probe
+    side's narrow width flows through, so spread() must still widen.
+    Covers the two production shapes: a narrow scan enriched via a
+    broadcast dim (even one BUILT by an Aggregate — wide nodes inside
+    the broadcast subtree don't widen the probe stream), and the
+    blow-up harness's crossJoin(broadcast(range)). An UNHINTED join
+    stays classified wide (planner may shuffle it), and a broadcast
+    join over an already-shuffled probe side stays untouched."""
+    from pyspark.sql import functions as F
+    p = str(tmp_path / "one_file_bc")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    target = spark.sparkContext.defaultParallelism
+
+    dim = spark.range(7).select(F.col("id").alias("k"),
+                                F.lit("x").alias("v"))
+    enriched = df.join(F.broadcast(dim), df.id % 7 == dim.k)
+    assert dedup.spread(enriched).rdd.getNumPartitions() == target
+
+    agg_dim = (spark.range(100)
+               .groupBy((F.col("id") % 7).alias("k")).count())
+    enriched2 = df.join(F.broadcast(agg_dim), df.id % 7 == agg_dim.k)
+    assert dedup.spread(enriched2).rdd.getNumPartitions() == target
+
+    blown = df.crossJoin(F.broadcast(
+        spark.range(1, 3).select(F.col("id").alias("__c"))))
+    assert dedup.spread(blown).rdd.getNumPartitions() == target
+
+    unhinted = df.join(dim, df.id % 7 == dim.k)
+    assert dedup.spread(unhinted) is unhinted
+
+    shuffled_probe = (df.groupBy((F.col("id") % 5).alias("g")).count()
+                      .join(F.broadcast(dim), F.col("g") == dim.k))
+    assert dedup.spread(shuffled_probe) is shuffled_probe
 
 
 def test_pq_codebooks_and_encode(spark):
