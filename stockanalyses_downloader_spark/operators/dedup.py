@@ -213,10 +213,13 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
       Pairs from routed blocks carry LSH's estimate-verified exact
       jaccard (same verify expression) and form WITHIN blocks only
       (the block key rides in the band bucket — r10), so downstream
-      semantics match the exact path modulo LSH recall.
+      semantics match the exact path modulo LSH recall. Setting it
+      makes construction EAGER by one deliberate metadata-plane job
+      (a column-pruned block-count aggregate deciding the routing);
+      when no block is hot the LSH subtree isn't even planned.
     """
     make = with_hashed_shingles if hashed else with_shingles
-    s = make(spread(docs), "text", n).select(id_col, *block_cols, "shingles")
+    base = spread(docs)
     lsh = None
     if max_block_size is not None:
         # one tiny agg on the block key decides routing; the count
@@ -236,8 +239,12 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
         if not hot_keys.limit(1).take(1):
             max_block_size = None
     if max_block_size is not None:
-        s = s.join(F.broadcast(sizes), block_cols)
-        exact_side = s.filter(F.col("__bn") <= max_block_size).drop("__bn")
+        # hot-block filter BEFORE the shingle projection (r10): the
+        # exact side never shingles the docs LSH will handle (the
+        # filter is on the broadcast-joined count, so putting make()
+        # above it would shingle every hot doc and discard the work)
+        base = (base.join(F.broadcast(sizes), block_cols)
+                .filter(F.col("__bn") <= max_block_size).drop("__bn"))
         hot_docs = docs.join(F.broadcast(hot_keys), block_cols, "left_semi")
         # bucket_cols = the blocking key (r10): candidates form only
         # within a block, matching the exact path's contract — and the
@@ -249,7 +256,7 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
         lsh = lsh.join(docs.select(F.col(id_col).alias("id_a"), *block_cols),
                        "id_a")
         lsh = lsh.select(*block_cols, "id_a", "id_b", "jaccard")
-        s = exact_side
+    s = make(base, "text", n).select(id_col, *block_cols, "shingles")
     pre = s.withColumn("__nsh", F.size("shingles"))
     a = pre.select(*block_cols, F.col(id_col).alias("id_a"),
                    F.col("shingles").alias("sh_a"),

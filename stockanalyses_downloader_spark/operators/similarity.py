@@ -627,14 +627,26 @@ def cosine_near_dup_pairs(embeddings: DataFrame, block_cols: list[str],
     SAME exact-cosine verify — capping candidate generation at
     O(block * bands * bucket_width) instead of O(block^2). Routed
     blocks trade exact recall for boundedness (documented LSH miss
-    rate); the oracled query keeps the guard off.
+    rate); the oracled query keeps the guard off. Setting the guard
+    makes construction EAGER by one metadata-plane job (the
+    block-count aggregate deciding the routing); when no block is hot
+    the sign-LSH subtree isn't even planned.
 
     Output: *block_cols, id_a, id_b, cosine."""
     v = embeddings.select(*block_cols, id_col,
                           as_double(F.col(vec_col)).alias("v"))
     v = v.withColumn("norm", l2_norm(F.col("v")))
     if max_block_size is not None:
-        sizes = v.groupBy(*block_cols).agg(F.count("*").alias("__bn"))
+        # metadata-plane routing decision (r10, same as
+        # ngram_jaccard_pairs): the block-size aggregate is |blocks|
+        # rows — when nothing exceeds the cap, skip planning the
+        # sign-LSH subtree instead of scheduling its empty stages.
+        sizes = tracked_persist(embeddings.groupBy(*block_cols)
+                                .agg(F.count("*").alias("__bn")))
+        if not (sizes.filter(F.col("__bn") > max_block_size)
+                .select(*block_cols).take(1)):
+            max_block_size = None
+    if max_block_size is not None:
         v = v.join(F.broadcast(sizes), block_cols)
         hot = v.filter(F.col("__bn") > max_block_size).drop("__bn")
         v = v.filter(F.col("__bn") <= max_block_size).drop("__bn")

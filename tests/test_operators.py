@@ -555,6 +555,23 @@ def test_embedding_hot_block_guard_bounded_and_finds_dups(spark):
     assert expected <= found, f"missing planted dups: {expected - found}"
 
 
+def test_cosine_no_hot_blocks_skips_lsh_subtree(spark):
+    """r10: when no block exceeds the cap, cosine_near_dup_pairs
+    never plans the sign-LSH subtree (no Generate/explode node in the
+    plan) and equals the plain exact path."""
+    e = load_table(spark, SF, "embeddings").limit(60) \
+        .withColumn("label", F.lit("a"))
+    guarded = similarity.cosine_near_dup_pairs(
+        e, ["label"], threshold=0.9, max_block_size=10_000)
+    exact = similarity.cosine_near_dup_pairs(e, ["label"], threshold=0.9)
+    plan = guarded._jdf.queryExecution().analyzed().toString()
+    assert "Generate" not in plan      # the band explode never planned
+    assert ({(r["id_a"], r["id_b"], round(r["cosine"], 9))
+             for r in guarded.collect()}
+            == {(r["id_a"], r["id_b"], round(r["cosine"], 9))
+                for r in exact.collect()})
+
+
 def test_ann_construction_triggers_no_jobs(spark):
     """IVF/sign-LSH query CONSTRUCTION must be fully lazy — no
     count()/first() probes firing Spark jobs at plan-build time (they
