@@ -125,11 +125,17 @@ def bench_lift(spark, factor: int) -> dict:
 
 
 def bench_countmin(spark, factor: int) -> dict:
+    from stockanalyses_downloader_spark.operators.dedup import spread
     d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     corpus = _copies(d, factor, {"doc_id": 10_000_000})
     n = corpus.count()
     t0 = time.perf_counter()
-    toks = corpus.select(F.explode(
+    # spread the in-plan blow-up before the CPU-heavy explode (r10:
+    # production scans arrive in thousands of splits; the broadcast
+    # blow-up arrives at the base file's width and would serialize
+    # the token stream onto 1-2 cores — measured 187 s unspread vs
+    # 8.95 s spread at the 100x cell)
+    toks = spread(corpus).select(F.explode(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"))
     grid = sketches.countmin_build(toks, "token")
     n_out = grid.count()
