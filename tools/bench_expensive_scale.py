@@ -191,10 +191,17 @@ def _doc_copies_disjoint_blocks(spark, factor: int):
     (source suffixed per copy): per-block density stays constant while
     volume grows — the clean "more data, same shape" axis for the
     block-keyed near-dup machinery (blow_up's same-block near-dup
-    clique is the adversarial axis, covered by bench_global)."""
+    clique is the adversarial axis, covered by bench_global).
+
+    spread() before returning (r10): the broadcast blow-up arrives at
+    the base file's width; production corpora arrive in thousands of
+    splits. Without it, consumers' gram/pretoken explodes serialize
+    onto 1-2 cores and the measured slopes are the starvation's, not
+    the operator's (the countmin cell measured that at 21x)."""
+    from stockanalyses_downloader_spark.operators.dedup import spread
     d = load_table(spark, SF_DIR, "documents")
-    return _copies(d, factor, {"doc_id": 10_000_000},
-                   suffix_cols=("source",))
+    return spread(_copies(d, factor, {"doc_id": 10_000_000},
+                          suffix_cols=("source",)))
 
 
 def bench_split_leakage(spark, factor: int) -> dict:
