@@ -64,43 +64,104 @@ def _is_broadcast_hint(node) -> bool:
         return False
 
 
-def _has_wide_node(jplan) -> bool:
-    """Walk the analyzed logical plan TREE (children only, not
-    expression-embedded subqueries) looking for an exchange-producing
-    node. ADVICE r4: the previous regex over the plan's toString()
-    was brittle across Spark versions AND false-skipped narrow scans
-    whose FILTER merely embeds a scalar subquery containing a
-    Join/Aggregate — subqueries live in expressions, not children, so
-    a node walk naturally excludes them.
+# Join types for which Spark's JoinSelection can actually build a
+# broadcast hash table on the given side (canBuildBroadcastRight /
+# canBuildBroadcastLeft in SparkStrategies). A hint on a side the join
+# type cannot broadcast — e.g. the preserved (left) side of a LEFT
+# OUTER join, or either side of a FULL OUTER — is silently ignored by
+# the planner, which falls back to a shuffle join: that frame is
+# really shuffle-width (ADVICE r10 low #2).
+_BUILD_RIGHT_TYPES = frozenset(
+    {"Inner", "Cross", "LeftOuter", "LeftSemi", "LeftAnti"})
+_BUILD_LEFT_TYPES = frozenset({"Inner", "Cross", "RightOuter"})
 
-    r10: a Join with an explicitly BROADCAST-hinted side is NOT wide —
-    a broadcast join induces no exchange; the output inherits the
-    probe side's partitioning. The walk continues into the non-hinted
-    (probe) children only: wide nodes INSIDE the broadcast subtree
-    (e.g. the Aggregate building a broadcast dim) execute at their own
-    width without widening the probe stream. Before this, any narrow
-    scan enriched via a broadcast dim (or a test harness's
-    crossJoin(broadcast(range)) blow-up) false-counted as wide,
-    spread() no-op'd, and per-row CPU work downstream serialized onto
-    the raw scan's file count. Unhinted joins stay wide: at the
-    analyzed level the planner's size-estimate broadcast decision
-    hasn't happened yet, and assuming an exchange errs toward NOT
-    adding a redundant repartition."""
+
+def _join_probe_children(node, kids):
+    """For a Join node, the children spread()'s width walk should
+    continue into, or None when the join is exchange-producing.
+
+    A Join whose build side carries an explicit broadcast hint — AND
+    whose join type lets Spark honor the hint on that side — induces
+    no exchange: the output inherits the probe side's partitioning,
+    so the walk continues into the probe child only. ExistenceJoin
+    never surfaces in analyzed user plans (it is an optimizer rewrite
+    of IN/EXISTS subqueries), so it is deliberately absent from the
+    build-right set. Both-sides-hinted is degenerate (Spark picks one
+    by size, unknowable here): walk both children, erring toward the
+    conservative no-repartition outcome."""
+    if len(kids) != 2:
+        return None
+    jt = node.joinType().toString()
+    l_hint, r_hint = _is_broadcast_hint(kids[0]), _is_broadcast_hint(kids[1])
+    if l_hint and r_hint:
+        if jt in _BUILD_RIGHT_TYPES or jt in _BUILD_LEFT_TYPES:
+            return kids
+        return None
+    if r_hint and jt in _BUILD_RIGHT_TYPES:
+        return [kids[0]]
+    if l_hint and jt in _BUILD_LEFT_TYPES:
+        return [kids[1]]
+    return None
+
+
+def _leaf_input_files(node) -> int:
+    """File count behind one analyzed-plan leaf. Only file-backed
+    relations (LogicalRelation over HadoopFsRelation — the
+    FileRelation trait) expose ``inputFiles``; Range / LocalRelation /
+    DSv2 / streaming leaves contribute 0, preserving the 'non-file
+    sources are left untouched' contract."""
+    try:
+        return node.relation().inputFiles().__len__()
+    except Exception:  # noqa: BLE001 — leaf without a FileRelation
+        return 0
+
+
+def _probe_width(jplan) -> int | None:
+    """Walk the analyzed logical plan TREE (children only, not
+    expression-embedded subqueries). Returns ``None`` when the frame
+    is already wide (an exchange-producing node on the probe path),
+    else the input-file count of the PROBE subtree's file-backed
+    leaves. ADVICE r4: a node walk (vs the old toString() regex)
+    naturally excludes scalar subqueries, which live in expressions,
+    not children.
+
+    r10: a Join with an explicitly broadcast-hinted build side is NOT
+    wide — no exchange; the output inherits the probe side's
+    partitioning, so the walk continues into the probe children only
+    (wide nodes INSIDE the broadcast subtree, e.g. the Aggregate
+    building a dim, execute at their own width without widening the
+    probe stream). Unhinted joins stay wide: at the analyzed level
+    the planner's size-estimate broadcast decision hasn't happened
+    yet, and assuming an exchange errs toward NOT adding a redundant
+    repartition.
+
+    r11 (ADVICE r10 medium): the file count comes from THIS walk, not
+    ``df.inputFiles()`` — the Dataset-level listing counts leaves of
+    the WHOLE plan including broadcast build sides, so a 1-file probe
+    scan enriched by a parquet dim stored in >= defaultParallelism
+    files looked wide enough and the repartition was suppressed —
+    exactly the probe-stream starvation the r10 change set out to
+    fix. Skipping the hinted subtree keeps the count to the stream
+    the repartition would actually widen. r11 also gates the hint on
+    join type (see ``_join_probe_children``)."""
+    files = 0
     stack = [jplan]
     while stack:
         node = stack.pop()
         children = node.children()
         kids = [children.apply(i) for i in range(children.size())]
         if node.nodeName() == "Join":
-            probe = [k for k in kids if not _is_broadcast_hint(k)]
-            if len(probe) == len(kids):
-                return True         # no broadcast-hinted side: wide
+            probe = _join_probe_children(node, kids)
+            if probe is None:
+                return None         # hint absent or unhonorable: wide
             stack.extend(probe)
             continue
         if node.nodeName() in _WIDE_NODES:
-            return True
+            return None
+        if not kids:
+            files += _leaf_input_files(node)
         stack.extend(kids)
-    return False
+    return files
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -115,23 +176,25 @@ def spread(df: DataFrame) -> DataFrame:
     partition setting and a repartition here would only add a
     redundant exchange (the r3 shape: minhash's left-semi ``involved``
     frame passed the inputFiles probe and got re-spread after its
-    semi-join shuffle). Detection walks the analyzed plan's node tree
-    (see ``_has_wide_node``).
+    semi-join shuffle). Detection and the width probe are one walk of
+    the analyzed plan's node tree (see ``_probe_width``): the file
+    count covers the PROBE subtree only — broadcast build sides are
+    excluded, so a many-file parquet dim can't mask a 1-file probe
+    scan (ADVICE r10).
 
-    Scan width is probed via ``inputFiles()`` — a driver-side file
-    listing, no physical planning or RDD conversion. One file can
-    still split into many read partitions, so the file count only
-    UNDER-estimates width — the repartition trigger errs toward
-    spreading, which is the safe direction for the CPU-heavy
-    consumers this wraps. Non-file sources (no listing) are left
-    untouched."""
-    if _has_wide_node(df._jdf.queryExecution().analyzed()):
+    The file listing is driver-side metadata — no physical planning
+    or RDD conversion. One file can still split into many read
+    partitions, so the count only UNDER-estimates width — the
+    repartition trigger errs toward spreading, which is the safe
+    direction for the CPU-heavy consumers this wraps. Non-file
+    sources (no listing) are left untouched."""
+    try:
+        n_files = _probe_width(df._jdf.queryExecution().analyzed())
+    except Exception:  # noqa: BLE001 — e.g. streaming analysis errors
+        return df
+    if n_files is None:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:  # noqa: BLE001 — e.g. streaming/local relations
-        return df
     if 0 < n_files < target:
         return df.repartition(target)
     return df
@@ -237,6 +300,10 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
         # banding, distinct, two verify joins — measured ~4 s of
         # fixture wall for zero routed docs); skip planning it.
         if not hot_keys.limit(1).take(1):
+            # nothing downstream reuses the counts when no block is
+            # hot — drop the cache now rather than letting it occupy
+            # memory until the harness's release sweep (ADVICE r10)
+            sizes.unpersist()
             max_block_size = None
     if max_block_size is not None:
         # hot-block filter BEFORE the shingle projection (r10): the

@@ -645,6 +645,7 @@ def cosine_near_dup_pairs(embeddings: DataFrame, block_cols: list[str],
                                 .agg(F.count("*").alias("__bn")))
         if not (sizes.filter(F.col("__bn") > max_block_size)
                 .select(*block_cols).take(1)):
+            sizes.unpersist()   # nothing hot: no downstream reuse
             max_block_size = None
     if max_block_size is not None:
         v = v.join(F.broadcast(sizes), block_cols)

@@ -1244,6 +1244,74 @@ def test_spread_sees_through_broadcast_joins(spark, tmp_path):
     assert dedup.spread(shuffled_probe) is shuffled_probe
 
 
+def test_spread_counts_probe_side_files_only(spark, tmp_path):
+    """ADVICE r10 (medium): the width probe must count input files
+    from the PROBE subtree only. A 1-file scan enriched by a
+    parquet-backed broadcast dim stored in >= defaultParallelism
+    files used to pass the Dataset-level inputFiles() probe
+    (probe 1 + dim N >= target) and the repartition was suppressed —
+    the probe stream stayed serialized on one core."""
+    from pyspark.sql import functions as F
+    target = spark.sparkContext.defaultParallelism
+    p = str(tmp_path / "probe_one_file")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(p)
+    dimp = str(tmp_path / "dim_many_files")
+    (spark.range(target * 4)
+     .select((F.col("id") % 7).alias("k"), F.lit("x").alias("v"))
+     .repartition(target * 2).write.mode("overwrite").parquet(dimp))
+    df = spark.read.parquet(p)
+    dim = spark.read.parquet(dimp).dropDuplicates(["k"])
+    assert len(spark.read.parquet(dimp).inputFiles()) >= target
+
+    enriched = df.join(F.broadcast(dim), df.id % 7 == dim.k)
+    assert dedup.spread(enriched).rdd.getNumPartitions() == target
+
+    # and a probe side already stored wide stays untouched: its own
+    # file count, not the dim's, is what clears the threshold
+    widep = str(tmp_path / "probe_wide")
+    spark.range(10000).repartition(target).write.mode("overwrite").parquet(widep)
+    wide = spark.read.parquet(widep)
+    wide_enriched = wide.join(F.broadcast(dim), wide.id % 7 == dim.k)
+    assert dedup.spread(wide_enriched) is wide_enriched
+
+
+def test_spread_ignores_unhonorable_broadcast_hints(spark, tmp_path):
+    """ADVICE r10 (low): Spark silently ignores a broadcast hint the
+    join type cannot honor (the preserved side of an outer join; any
+    side of a full outer) and falls back to a shuffle join — the
+    frame is really shuffle-width, so spread() must classify it wide
+    and add no redundant repartition. Honorable placements (dim on
+    the non-preserved side) still widen."""
+    from pyspark.sql import functions as F
+    p = str(tmp_path / "one_file_outer")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    dim = spark.range(7).select(F.col("id").alias("k"),
+                                F.lit("x").alias("v"))
+    target = spark.sparkContext.defaultParallelism
+
+    # left outer, hint on the RIGHT (non-preserved) side: honorable
+    ok = df.join(F.broadcast(dim), df.id % 7 == dim.k, "left")
+    assert dedup.spread(ok).rdd.getNumPartitions() == target
+
+    # left outer, hint on the LEFT (preserved) side: Spark ignores
+    # it — shuffle join, already wide
+    bad = F.broadcast(df).join(dim, df.id % 7 == dim.k, "left")
+    assert dedup.spread(bad) is bad
+
+    # right outer, hint on the RIGHT (preserved) side: ignored too
+    bad2 = df.join(F.broadcast(dim), df.id % 7 == dim.k, "right")
+    assert dedup.spread(bad2) is bad2
+
+    # full outer: no side is broadcastable
+    bad3 = df.join(F.broadcast(dim), df.id % 7 == dim.k, "full")
+    assert dedup.spread(bad3) is bad3
+
+    # left semi with a broadcast filter dim: honorable
+    semi = df.join(F.broadcast(dim), df.id % 7 == dim.k, "left_semi")
+    assert dedup.spread(semi).rdd.getNumPartitions() == target
+
+
 def test_pq_codebooks_and_encode(spark):
     """PQ fit/encode semantics: codebooks hold ksub entries per
     subspace with per-entry squared norms; identical vectors encode

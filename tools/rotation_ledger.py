@@ -55,6 +55,12 @@ def load_history() -> dict[str, list[tuple[int, dict]]]:
         for name, rec in data.items():
             if isinstance(rec, dict):
                 hist.setdefault(name, []).append((rnd, rec))
+    # ADVICE r10: order by PARSED round, not by the glob's
+    # lexicographic file order — zero-padding holds only to r99, and
+    # an unpadded stray (CORRECTNESS_r9.json vs _r09) would otherwise
+    # make rows[-1] read a stale round.
+    for rows in hist.values():
+        rows.sort(key=lambda t: t[0])
     return hist
 
 
