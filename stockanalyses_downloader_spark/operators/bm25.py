@@ -32,12 +32,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import spread
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
+    # spread() first (r11 rollout): the term explode + downstream
+    # (doc, term) aggregate is the corpus-width CPU stage — a narrow
+    # upstream (single-file scan / broadcast-enriched frame) would
+    # serialize it onto the raw scan's file count
+    return spread(df).select(
         id_col,
         F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                           r"\s+")).alias("term"))

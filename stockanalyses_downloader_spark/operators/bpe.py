@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import spread
+
 #: pretokenizer — MUST stay in sync with text_queries._BPE_RX
 BPE_PRETOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -37,9 +39,11 @@ BPE_PRETOKEN_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def pretoken_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus -> (pretoken, n) word-count vocab. The ONLY corpus-wide
     scan in BPE training; shuffle key is the pretoken (bounded-width),
-    map-side partial agg collapses repeats before the wire."""
+    map-side partial agg collapses repeats before the wire. spread()
+    first (r11 rollout): the regex pretokenizer is the corpus-width
+    CPU stage — a narrow upstream would serialize it."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RX), 0)
-    return (docs.select(F.explode(toks).alias("pretoken"))
+    return (spread(docs).select(F.explode(toks).alias("pretoken"))
             .groupBy("pretoken").agg(F.count("*").alias("n")))
 
 
@@ -147,7 +151,11 @@ def tokenize_with_merges(docs: DataFrame, merges: list[tuple[str, str]],
     not the corpus; the fan-back join is pretoken-keyed (same shuffle
     width as the vocab build)."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RX), 0)
-    ex = docs.select(id_col, F.posexplode(toks).alias("pos", "pretoken"))
+    # spread() before the regex pretokenize + posexplode (r11): the
+    # fan-back join keys on pretoken, so the corpus side's width here
+    # is what the whole encode pipeline inherits
+    ex = spread(docs).select(id_col,
+                             F.posexplode(toks).alias("pos", "pretoken"))
     distinct_pre = ex.select("pretoken").distinct()
     syms = _chars(F.col("pretoken"))
     for left, right in merges:

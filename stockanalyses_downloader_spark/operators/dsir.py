@@ -44,6 +44,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from .dedup import spread
+
 N_BUCKETS = 4096
 ALPHA = 0.5   # additive smoothing per bucket
 
@@ -69,7 +71,16 @@ def hashed_gram_buckets(docs: DataFrame, id_col: str = "doc_id",
     otherwise silently drop them from scoring AND from dsir_select's
     denominator). ``carry_cols`` rides extra doc attributes (e.g. the
     source for the per-group model) through the explode so grouped
-    scoring never needs a grams⋈docs re-join."""
+    scoring never needs a grams⋈docs re-join.
+
+    spread() first (r11 — the VERDICT r10 rollout): the gram explode
+    amplifies every doc by its token count ×2 (unigrams + bigrams)
+    and feeds the bucket hashing — per-row CPU work that would
+    otherwise run at the width of a narrow upstream (single-file
+    fixture scan, coalesced stage output, broadcast-enriched frame).
+    Its pre-fix 30× cell carried the 42–52 s variance band PERF.md
+    §r10 traced to the starved token stream."""
+    docs = spread(docs)
     keys = [id_col, *carry_cols]
     ts = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
                  r"\s+")

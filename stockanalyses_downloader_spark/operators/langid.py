@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import spread
+
 NB_N = 3          # character n-gram order
 NB_ALPHA = 1.0    # add-alpha smoothing
 
@@ -33,8 +35,13 @@ def train_nb(docs: DataFrame, text_col: str = "text",
     gram_logps = (label, gram, logp); label_stats = (label,
     log_prior, log_unseen) where log_unseen is the smoothed
     probability mass of a gram never seen with that label — the
-    constant every out-of-model gram contributes at scoring time."""
-    g = (docs.select(F.col(label_col).alias("label"),
+    constant every out-of-model gram contributes at scoring time.
+
+    spread() on the gram explode (r11 rollout): the char-n-gram
+    expression is per-row CPU over the whole corpus; a narrow
+    upstream would serialize it. The doc-count aggregates below scan
+    the unspread docs (column-pruned, no per-row text work)."""
+    g = (spread(docs).select(F.col(label_col).alias("label"),
                      F.explode(char_grams_col(F.col(text_col), n))
                      .alias("gram")))
     counts = g.groupBy("label", "gram").agg(F.count("*").alias("c"))
@@ -85,9 +92,12 @@ def score_nb(docs: DataFrame, gram_logps: DataFrame,
     sum(seen logps) + (n_grams - n_seen(label)) * log_unseen.
     Deterministic argmax tie-break on label order. Output: (id_col,
     predicted_lang, best_logp)."""
-    g = (docs.select(id_col,
-                     F.explode(char_grams_col(F.col(text_col), n))
-                     .alias("gram")))
+    # spread() on the scoring explode (r11): same rationale as
+    # train_nb — the n-gram expression dominates; the id-only
+    # projection for the left join below stays unspread
+    g = (spread(docs).select(id_col,
+                             F.explode(char_grams_col(F.col(text_col), n))
+                             .alias("gram")))
     # left join from docs so gramless documents (normalized text
     # shorter than n chars) still get a prior-only argmax row instead
     # of silently vanishing from the output

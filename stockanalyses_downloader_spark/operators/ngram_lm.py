@@ -53,9 +53,14 @@ def bigram_pairs(docs: DataFrame, id_col: str = "doc_id",
     7 s to produce 265k pairs at sf0.1; 10× less with the bound
     column). CollapseProject keeps the split separate because the
     array attribute is referenced more than once and split is
-    non-cheap (SPARK-36718)."""
+    non-cheap (SPARK-36718).
+
+    spread() first (r11 rollout): the split + interpreted pair
+    transform is the corpus-width CPU stage every KN consumer sits
+    on — a narrow upstream would serialize it."""
+    from .dedup import spread
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    w = docs.select(id_col, toks.alias("__ts"))
+    w = spread(docs).select(id_col, toks.alias("__ts"))
     ts = F.col("__ts")
     grams = F.when(
         F.size(ts) >= 2,

