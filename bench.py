@@ -256,13 +256,35 @@ def main() -> None:
     # a compact summary — headline value, tier subtotals, and the
     # headline-only per-query medians — guaranteed to fit the capture.
     print(json.dumps(out))
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_detail.json")
-    try:
-        with open(sidecar, "w") as fh:
-            json.dump(out, fh, indent=1)
-    except OSError as exc:
-        print(f"sidecar write failed: {exc!r}", file=sys.stderr)
+    # Sidecar destination (VERDICT r10 #3 — make the driver's record
+    # durable): --out/$SPARK_GRAFT_BENCH_OUT redirects the sidecar
+    # (tests point it at tmp_path so a post-round pytest run can never
+    # clobber the driver's dispersion record again). A FULL default
+    # run additionally archives itself as BENCH_DETAIL_r{N}.json
+    # (N inferred = 1 + the highest driver-committed BENCH_r*.json),
+    # so every round keeps its complete per-query dispersion detail
+    # next to the driver's truncated BENCH_r{N} capture. Subset runs
+    # (--out or $SPARK_GRAFT_BENCH_ONLY) never archive.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    sidecars = [out_path or os.path.join(repo, "bench_detail.json")]
+    if out_path is None and not only:
+        import glob
+        import re
+        rounds = [int(m.group(1)) for p in
+                  glob.glob(os.path.join(repo, "BENCH_r*.json"))
+                  if (m := re.search(r"_r(\d+)\.json$", p))]
+        nxt = (max(rounds) + 1) if rounds else 1
+        sidecars.append(os.path.join(repo, f"BENCH_DETAIL_r{nxt:02d}.json"))
+    for sidecar in sidecars:
+        try:
+            with open(sidecar, "w") as fh:
+                json.dump(out, fh, indent=1)
+        except OSError as exc:
+            print(f"sidecar write failed ({sidecar}): {exc!r}",
+                  file=sys.stderr)
     summary = {
         "metric": "headline_queries_total_wall",
         "value": total,

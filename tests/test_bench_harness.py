@@ -16,11 +16,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_smoke_subset_schema():
+def test_bench_smoke_subset_schema(tmp_path):
+    # sidecar redirected to tmp_path (VERDICT r10 #3): a pytest run
+    # must never overwrite the repo-root bench_detail.json — that file
+    # is the driver's only complete per-round dispersion record
+    detail_path = tmp_path / "bench_detail.json"
+    import glob
+    archives_before = set(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*")))
+    root_detail = os.path.join(REPO, "bench_detail.json")
+    root_detail_mtime = (os.path.getmtime(root_detail)
+                         if os.path.exists(root_detail) else None)
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
                SPARK_GRAFT_BENCH_ONLY="flagship_latest_mid,vwap_by_isin",
                SPARK_GRAFT_BENCH_ITERS="2",
+               SPARK_GRAFT_BENCH_OUT=str(detail_path),
                SPARK_GRAFT_CPUS="4")
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          capture_output=True, text=True, timeout=420,
@@ -52,5 +62,11 @@ def test_bench_smoke_subset_schema():
         assert det["n_iter"] == len(det["warm"]) == 2
         assert det["median"] > 0 and det["cold"] > 0
         assert full["queries"][name] == det["median"]
-    with open(os.path.join(REPO, "bench_detail.json")) as fh:
+    with open(detail_path) as fh:
         assert json.load(fh) == full
+    # a redirected subset run must neither create a round archive nor
+    # touch the repo-root sidecar (the driver's record stays intact)
+    assert set(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*"))) \
+        == archives_before
+    if root_detail_mtime is not None:
+        assert os.path.getmtime(root_detail) == root_detail_mtime
