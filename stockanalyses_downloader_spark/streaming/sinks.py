@@ -347,7 +347,13 @@ def drift_monitor_foreach_batch(reference_grid_path: str,
     source) has no baseline to diverge from: it is flagged with
     sym_kl_diag NULL — new-source review is drift by definition.
     Empty micro-batches are a no-op (ADVICE r9: the old code wrote an
-    all-NULL alert row consumers had to special-case)."""
+    all-NULL alert row consumers had to special-case).
+
+    Every alert row carries a ``reason`` code (VERDICT r10 #6):
+    ``drift`` (statistic over threshold), ``new_label`` (no baseline
+    — the NULL-statistic rows, now self-describing), or ``ok`` —
+    downstream consumers route on the string, never on NULL
+    ordering."""
     from ..operators import pca
 
     keys = [label_col] if label_col else []
@@ -379,14 +385,26 @@ def drift_monitor_foreach_batch(reference_grid_path: str,
         # mode LEFT-joins on the reference so a label the baseline has
         # never seen still alerts (per_term NULL -> sym_kl NULL ->
         # flagged, via the coalesce below).
+        # self-describing alerts (VERDICT r10 #6): a NULL statistic
+        # meaning "new label" forced consumers to special-case NULL
+        # ordering — the `reason` column says it outright: `drift`
+        # rows flagged on the statistic, `new_label` rows flagged
+        # because the baseline has never seen the label, `ok` rows
+        # below threshold.
+        flagged = F.coalesce(F.col("sym_kl_diag") > kl_threshold,
+                             F.lit(True))
         alert = (per.join(F.broadcast(ref), keys + ["pos"], "left")
                  .groupBy(*keys)
                  .agg(F.max("n").alias("n_vecs"),
                       F.round(F.sum(tt), 6).alias("sym_kl_diag"))
                  .select(*keys, "n_vecs", "sym_kl_diag",
                          F.lit(kl_threshold).alias("kl_threshold"),
-                         F.coalesce(F.col("sym_kl_diag") > kl_threshold,
-                                    F.lit(True)).alias("flagged")))
+                         flagged.alias("flagged"),
+                         F.when(F.col("sym_kl_diag").isNull(),
+                                F.lit("new_label"))
+                          .when(F.col("sym_kl_diag") > kl_threshold,
+                                F.lit("drift"))
+                          .otherwise(F.lit("ok")).alias("reason")))
         alert.coalesce(1).write.mode("overwrite").parquet(
             f"{alerts_path.rstrip('/')}/batch_id={batch_id}")
     return _apply

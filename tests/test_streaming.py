@@ -1256,6 +1256,12 @@ def test_drift_monitor_per_label_flags_only_shifted_source(spark,
     # healthy rows everywhere except the planted (1, code) + new (1, pdf)
     flagged = {k for k, r in got.items() if r["flagged"]}
     assert flagged == {(1, "code"), (1, "pdf")}
+    # self-describing reason codes (VERDICT r10 #6): consumers read
+    # `reason`, never NULL-ordering semantics
+    assert {k: r["reason"] for k, r in got.items()} == {
+        (0, "code"): "ok", (0, "web"): "ok",
+        (1, "code"): "drift", (1, "pdf"): "new_label",
+        (1, "web"): "ok"}
     assert got[(1, "code")]["sym_kl_diag"] > \
         10 * got[(1, "code")]["kl_threshold"]
     assert got[(1, "pdf")]["sym_kl_diag"] is None   # no baseline
