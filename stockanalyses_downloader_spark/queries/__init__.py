@@ -32,44 +32,10 @@ class Q:
 
 # First 50 names = the driver's correctness window.
 _WINDOW = [
-    # reference surface (S/K/P/J/A/ST operators)
     "flagship_latest_mid",
     "rest_fetch_pipeline",
     "ticks_asof_quotes",
     "ticks_in_candle_ranges",   # range/interval join (bucketed)
-    "approx_order_value_percentiles",  # PORTABLE HDR-grid mergeable
-                                # percentiles (the 100 TB path) —
-                                # fully oracled since the r8 swap but
-                                # never driver-certified (r9 rotation
-                                # in per VERDICT r8 #1; took weekly_
-                                # retention_cohorts' slot: certified
-                                # r7+r8; its cohort-triangle window
-                                # machinery stays repped in-window by
-                                # order_window_analytics + tick_feed_
-                                # islands, sweep-oracled + benched)
-    "cheapest_supplier_per_part",  # TPC-H Q2 correlated-minimum
-                                # decorrelated into a part-key window
-                                # — oracled since r5c, never driver-
-                                # certified (r9 rotation in per
-                                # VERDICT r8 #1; took hopping_volume_
-                                # windows' slot: certified r7+r8;
-                                # sliding time windows stay repped by
-                                # weekly_ohlc_candles in-window)
-    "regional_market_share",    # TPC-H Q8 conditional revenue share
-                                # per year — oracled since r5c, never
-                                # driver-certified (r9 rotation in
-                                # per VERDICT r8 #1; took event_type_
-                                # drift_chi2's slot: certified r7+r8;
-                                # the drift tier keeps embedding_
-                                # drift_report in-window)
-    "dsir_selection_report",    # DSIR importance resampling — new
-                                # r8, never driver-certified (r8
-                                # rotation in; took copurchase_lift's
-                                # slot: lift was certified r5c-r7 and
-                                # its basket pair-join shape is a
-                                # subset of in-window copurchase_
-                                # triangles' wedge join; lift stays
-                                # sweep-oracled + benched + curved)
     "simhash_near_pairs",       # Hamming-radius near-dup via SimHash
                                 # pigeonhole banding — fully oracled
                                 # since the r6 portable rewrite, but
@@ -81,16 +47,6 @@ _WINDOW = [
                                 # islands machinery stays repped by
                                 # order_window_analytics in-window +
                                 # sweep-oracled + benched)
-    "signlsh_topk_approx",      # sign-LSH bucketed ANN — same story:
-                                # full oracle since r6, last driver
-                                # record a pre-rewrite no_oracle row
-                                # (r10 rotation in, the other named
-                                # lead; took tick_quote_interval_
-                                # join's slot: certified r6-r9; the
-                                # interval-join family keeps ticks_
-                                # in_candle_ranges in-window and the
-                                # live-stream twin stays pinned in the
-                                # stream-matches-batch suite)
     "order_window_analytics",   # percent_rank/cume_dist/ntile/
                                 # nth_value breadth — never driver-
                                 # certified (r7 rotation in per
@@ -100,14 +56,6 @@ _WINDOW = [
                                 # machinery stays sweep-oracled;
                                 # source tier keeps flagship/rest/
                                 # wss driver rows)
-    "lang_distinct_token_sketch",  # two-level HLL union (the rescan-
-                                # free reaggregation path) — portable
-                                # grid fully oracled since r8, never
-                                # driver-certified (r10 rotation in
-                                # per VERDICT r9 #1; took part_entity_
-                                # resolution's slot: certified
-                                # r5c-r9; linkage stays sweep-oracled
-                                # + benched + scale-curved)
     "token_heavy_hitters",      # count-min heavy hitters with the
                                 # no-false-dismissal guarantee —
                                 # oracled since r5c, never driver-
@@ -116,15 +64,6 @@ _WINDOW = [
                                 # size_estimate's slot: certified
                                 # r5c-r9; the AMS grid build stays
                                 # sweep-oracled + benched)
-    "countmin_token_estimates", # count-min point queries over a
-                                # deterministic vocab probe — oracled
-                                # since r5, never driver-certified
-                                # (r10 rotation in per VERDICT r9 #1;
-                                # took global_near_dup_pairs' slot:
-                                # certified r8+r9; PPJoin stays
-                                # sweep-oracled + benched + curved,
-                                # near-dup keeps near_dup_components
-                                # in-window)
     "job_state_claim_counts",
     "dsir_selection_by_source", # domain-conditional DSIR (per-source
                                 # proposal models, VERDICT r8 #3) —
@@ -165,21 +104,6 @@ _WINDOW = [
                                 # certified r7+r8; the privacy tier
                                 # keeps forget_cascade_report in-
                                 # window and gains this redaction row)
-    "quality_calibration_deciles",  # equal-width logit calibration
-                                # bands — oracled since r5c, never
-                                # driver-certified (r9 rotation in
-                                # per VERDICT r8 #1; took stratified_
-                                # docs_by_lang's slot: certified
-                                # r7+r8; hash-ordered sampling stays
-                                # repped by source_mixture_schedule
-                                # in-window + sweep-oracled)
-    "user_state_snapshot",      # point-in-time dim snapshot off the
-                                # SCD2 history — oracled since r5,
-                                # never driver-certified (r10 rotation
-                                # in per VERDICT r9 #1; took split_
-                                # semantic_leakage's slot: certified
-                                # r8+r9; the leakage family keeps
-                                # split_leakage_repair in-window)
     "join_key_skew_report",     # per-key distribution probe (the
                                 # pre-salting diagnosis) — oracled
                                 # since r5, never driver-certified
@@ -188,19 +112,7 @@ _WINDOW = [
                                 # certified r8+r9; the KN model
                                 # machinery stays sweep-oracled +
                                 # benched)
-    "near_dup_components",      # transitive dedup keeper selection
     "multimodal_asset_stats",
-    "approx_distinct_users",    # PORTABLE HLL grid per event type —
-                                # fully oracled since the r8 swap but
-                                # never driver-certified (r9 rotation
-                                # in per VERDICT r8 #1; took doc_
-                                # sequence_packing's slot: certified
-                                # r7+r8; bucket-prefix-sum packing
-                                # machinery stays sweep-oracled +
-                                # benched, and the token-budget tier
-                                # keeps source_mixture_schedule
-                                # in-window)
-    "multimodal_chunk_dedup",   # binary content dedup via chunk digests
     "corpus_snapshot_diff",     # incremental-ingest digest diff —
                                 # oracled since r5b, never driver-
                                 # certified (r10 rotation in per
@@ -209,26 +121,6 @@ _WINDOW = [
                                 # the wedge-join family stays sweep-
                                 # oracled + benched + curved, graph
                                 # keeps near_dup_components in-window)
-    "token_bloom_sketch",       # mergeable Bloom MEMBERSHIP bit set
-                                # — oracled since r5c (bit positions
-                                # included), never driver-certified
-                                # (r9 rotation in per VERDICT r8 #1;
-                                # took tick_rolling_indicators' slot:
-                                # certified r5-r8 across four
-                                # windows; rolling-frame machinery
-                                # stays repped in-window by order_
-                                # window_analytics + tick_feed_
-                                # islands, sweep-oracled + benched)
-    "suppliers_with_excess_supply",  # TPC-H Q20 nested-agg subquery
-                                # as two aggregates off one shuffled
-                                # frame — oracled since r5c, never
-                                # driver-certified (r9 rotation in
-                                # per VERDICT r8 #1; took lineitem_
-                                # grouping_sets' slot: certified
-                                # r7+r8; the multi-grouping family
-                                # stays repped by regional_revenue's
-                                # agg + rollup/cube/grouping-sets
-                                # sweep oracles)
     "ivf_topk_trained",         # the production IVF shape (kmeans
                                 # centroids, recall ≥ 0.7 pinned);
                                 # r4 rotation — took ivf_topk_approx's
@@ -278,15 +170,6 @@ _WINDOW = [
                                 # assignment + cross-split pair join
                                 # are recomputed INSIDE the repair
                                 # before the move-to-train action)
-    "order_priority_check",     # TPC-H Q4 EXISTS-aggregate shape —
-                                # oracled since r5b, never driver-
-                                # certified (r10 rotation in per
-                                # VERDICT r9 #1; took ivf_topk_
-                                # quantized's slot: certified r8+r9;
-                                # the int8-list tier is a sibling of
-                                # in-window ivf_topk_trained and
-                                # ivf_topk_pq_portable and stays
-                                # sweep-oracled + benched)
     "source_shared_token_estimates",  # HLL inclusion-exclusion set
                                 # algebra (union/intersection/overlap
                                 # from three mergeable estimates) —
@@ -365,6 +248,137 @@ _WINDOW = [
                                 # anti-join family's driver coverage
                                 # via its FK leg after the semi/anti
                                 # reps yielded their slots)
+    "novel_docs_vs_corpus",     # incremental dedup: anti join on the
+                                # fingerprint index — oracled since
+                                # r4, never driver-certified (r11
+                                # rotation in per VERDICT r10 #2,
+                                # ledger-ordered burn-down; took
+                                # multimodal_chunk_dedup's slot:
+                                # certified r2-r10; content dedup
+                                # keeps multimodal_cdc_dedup +
+                                # multimodal_asset_stats in-window)
+    "corpus_training_sequences",  # curate -> train-split -> pack
+                                # composition — oracled since r6,
+                                # never driver-certified (r11 rotation
+                                # in per VERDICT r10 #2; took dsir_
+                                # selection_report's slot: certified
+                                # r8-r10; data selection keeps the
+                                # domain-conditional dsir_selection_
+                                # by_source in-window — the superset
+                                # path: grouped fit + scoring)
+    "doc_repetition_stats",     # dup-bigram / top-token-share quality
+                                # signals (Gopher-style) — oracled
+                                # since r4, never driver-certified
+                                # (r11 rotation in per VERDICT r10
+                                # #2; took countmin_token_estimates'
+                                # slot: certified r10; count-min
+                                # build+estimate stays repped by
+                                # token_heavy_hitters in-window)
+    "embedding_quantization_error",  # int8 scalar quantization +
+                                # reconstruction fidelity — oracled
+                                # since r6, never driver-certified
+                                # (r11 rotation in per VERDICT r10
+                                # #2; took signlsh_topk_approx's
+                                # slot: certified r10; ANN stays
+                                # repped by ivf_topk_trained,
+                                # ivf_topk_pq_portable and
+                                # retrieval_hits in-window)
+    "near_dup_components_star", # large-star/small-star CC variant —
+                                # same recursive-CTE oracle, never
+                                # driver-certified (r11 rotation in
+                                # per VERDICT r10 #2; took near_dup_
+                                # components' slot: certified r2-r10
+                                # — the alternating-join closure is
+                                # the 100 TB path and deserves its
+                                # own certificate; simhash_near_pairs
+                                # keeps near-dup in-window too)
+    "twap_by_isin",             # lead-duration weighted mean —
+                                # oracled since r2, never driver-
+                                # certified (r11 rotation in per
+                                # VERDICT r10 #2; took user_state_
+                                # snapshot's slot: certified r10;
+                                # SCD2 keeps user_state_history
+                                # in-window)
+    "doc_unigram_surprisal",    # unigram-LM inverse-frequency quality
+                                # signal (ln-free, decimal-stable) —
+                                # oracled since r4, never driver-
+                                # certified (r11 rotation in per
+                                # VERDICT r10 #2; took quality_
+                                # calibration_deciles' slot:
+                                # certified r9+r10; the quality tier
+                                # keeps quality_model_auc in-window)
+    "token_postings",           # inverted-index stats (df, total_tf,
+                                # postings head) — oracled since r4,
+                                # never driver-certified (r11 rotation
+                                # in per VERDICT r10 #2; took lang_
+                                # distinct_token_sketch's slot:
+                                # certified r10; HLL set algebra
+                                # stays repped by source_shared_
+                                # token_estimates in-window)
+    "supplier_purchase_pagerank",  # damped PageRank with dangling
+                                # redistribution (rows-only: iterative
+                                # float accumulation has no stable
+                                # cross-engine hash; pinned vs pure-
+                                # Python power iteration in pytest) —
+                                # never driver-windowed (r11 rotation
+                                # in per VERDICT r10 #2; took token_
+                                # bloom_sketch's slot: certified
+                                # r9+r10; bloom build+probe stays
+                                # repped by bloom_decontamination_
+                                # probes in-window)
+    "signup_conversion_funnel", # order-sensitive funnel via chained
+                                # conditional aggs — oracled since
+                                # r5b, never driver-certified (r11
+                                # rotation in per VERDICT r10 #2;
+                                # took approx_distinct_users' slot:
+                                # certified r9+r10; the portable-HLL
+                                # grid stays repped by source_shared_
+                                # token_estimates in-window)
+    "isin_price_trend",         # grouped OLS (slope/intercept/r^2)
+                                # from decimal moment sums, closed
+                                # form, no UDF — oracled since r5b,
+                                # never driver-certified (r11 rotation
+                                # in per VERDICT r10 #2; took
+                                # regional_market_share's slot:
+                                # certified r9+r10; TPC-H joins keep
+                                # regional_revenue (Q5), promo_
+                                # revenue_share (Q14) and disjunctive_
+                                # brand_revenue (Q19) in-window)
+    "order_price_quantiles_by_status",  # per-group mergeable HDR
+                                # quantiles (bounded state per group)
+                                # — oracled since r5b, never driver-
+                                # certified (r11 rotation in per
+                                # VERDICT r10 #2; took approx_order_
+                                # value_percentiles' slot: certified
+                                # r9+r10 — the GROUPED variant of the
+                                # same HDR grid now carries the
+                                # family's certificate)
+    "event_props_variant",      # Spark-4 VARIANT semi-structured path
+                                # (try_parse_json + variant_get) —
+                                # same oracle as the JSON-string twin,
+                                # never driver-certified (r11 rotation
+                                # in per VERDICT r10 #2; took order_
+                                # priority_check's slot: certified
+                                # r10; the EXISTS/semi family also
+                                # rides data_quality_report's FK leg
+                                # in-window)
+    "customer_order_distribution",  # TPC-H Q13 left-outer + double
+                                # agg keeping the zero bucket —
+                                # oracled since r5b, never driver-
+                                # certified (r11 rotation in per
+                                # VERDICT r10 #2; took cheapest_
+                                # supplier_per_part's slot: certified
+                                # r9+r10; correlated-minimum window
+                                # machinery stays repped by order_
+                                # window_analytics in-window)
+    "large_volume_customers",   # TPC-H Q18 HAVING-subquery semi-join
+                                # — oracled since r5b, never driver-
+                                # certified (r11 rotation in per
+                                # VERDICT r10 #2; took suppliers_
+                                # with_excess_supply's slot: certified
+                                # r9+r10; nested-agg machinery stays
+                                # repped by regional_revenue's agg +
+                                # the rollup/cube sweep oracles)
 ]
 
 # Past the driver window: redundant variants of operator classes already
@@ -378,6 +392,84 @@ _WINDOW = [
 # hashes are impossible for those ops; each is python-parity or
 # invariant-pinned in pytest instead.
 _TAIL = [
+    "approx_order_value_percentiles",  # PORTABLE HDR-grid percentiles
+                                    # — certified r9+r10; slot yielded
+                                    # (r11) to order_price_quantiles_
+                                    # by_status, the grouped variant
+                                    # of the same HDR machinery
+    "cheapest_supplier_per_part",   # TPC-H Q2 correlated minimum via
+                                    # part-key window — certified
+                                    # r9+r10; slot yielded (r11);
+                                    # TPC-H keeps Q5/Q13/Q14/Q18/Q19
+                                    # in-window
+    "regional_market_share",        # TPC-H Q8 conditional share —
+                                    # certified r9+r10; slot yielded
+                                    # (r11); same family coverage as
+                                    # Q2's note
+    "dsir_selection_report",        # pooled DSIR — certified r8-r10;
+                                    # slot yielded (r11); domain-
+                                    # conditional dsir_selection_by_
+                                    # source stays in-window (the
+                                    # superset path) and this stays
+                                    # benched + scale-curved
+    "signlsh_topk_approx",          # sign-LSH bucketed ANN — FIRST
+                                    # certified r10 (the r9 named
+                                    # lead, now banked); slot yielded
+                                    # (r11); ANN keeps ivf_topk_
+                                    # trained + ivf_topk_pq_portable
+                                    # + retrieval_hits in-window
+    "lang_distinct_token_sketch",   # two-level HLL union — first
+                                    # certified r10; slot yielded
+                                    # (r11); HLL set algebra stays
+                                    # repped by source_shared_token_
+                                    # estimates in-window
+    "countmin_token_estimates",     # count-min point queries — first
+                                    # certified r10; slot yielded
+                                    # (r11); build+estimate stays
+                                    # repped by token_heavy_hitters
+                                    # in-window
+    "token_bloom_sketch",           # Bloom membership bit set —
+                                    # certified r9+r10; slot yielded
+                                    # (r11); bloom build+probe stays
+                                    # repped by bloom_decontamination_
+                                    # probes in-window
+    "quality_calibration_deciles",  # logit calibration bands —
+                                    # certified r9+r10; slot yielded
+                                    # (r11); quality tier keeps
+                                    # quality_model_auc in-window
+    "user_state_snapshot",          # point-in-time dim snapshot —
+                                    # first certified r10; slot
+                                    # yielded (r11); SCD2 keeps
+                                    # user_state_history in-window
+    "near_dup_components",          # transitive dedup keeper
+                                    # selection — certified r2-r10
+                                    # (nine straight windows); slot
+                                    # yielded (r11) to near_dup_
+                                    # components_star, the large-star/
+                                    # small-star closure over the same
+                                    # pairs
+    "approx_distinct_users",        # portable HLL grid per event type
+                                    # — certified r9+r10; slot yielded
+                                    # (r11); HLL stays repped by
+                                    # source_shared_token_estimates
+                                    # in-window
+    "multimodal_chunk_dedup",       # fixed-window chunk digests —
+                                    # certified r2-r10; slot yielded
+                                    # (r11); content dedup keeps
+                                    # multimodal_cdc_dedup (the CDC
+                                    # variant) + multimodal_asset_
+                                    # stats in-window
+    "suppliers_with_excess_supply", # TPC-H Q20 nested-agg subquery —
+                                    # certified r9+r10; slot yielded
+                                    # (r11) to large_volume_customers
+                                    # (Q18), the other HAVING-subquery
+                                    # shape
+    "order_priority_check",         # TPC-H Q4 EXISTS-aggregate —
+                                    # first certified r10; slot
+                                    # yielded (r11) to event_props_
+                                    # variant; EXISTS/semi also rides
+                                    # data_quality_report's FK leg
+                                    # in-window
     "vwap_by_isin",                 # A2 weighted mean — hash-green
                                     # r1–r5b; slot yielded (r5c) to
                                     # copurchase_lift; VWAP machinery
@@ -482,22 +574,6 @@ _TAIL = [
                                     # recomputed inside the curation
                                     # capstone; slot yielded to the
                                     # temperature mixture
-    "novel_docs_vs_corpus",         # incremental dedup: anti join on
-                                    # the fingerprint index; oracled
-                                    # in pytest (anti-join family's
-                                    # driver slot: customers_without_
-                                    # orders; dedup family: exact_
-                                    # dedup_docs)
-    "corpus_training_sequences",    # curate -> train-split -> pack
-                                    # composition; oracled in pytest
-                                    # (curation + packing each hold a
-                                    # driver slot already)
-    "doc_repetition_stats",         # dup-bigram / top-token-share
-                                    # quality signals (Gopher-style);
-                                    # per-row array math, oracled in
-                                    # pytest — quality family's driver
-                                    # slot stays with the curation
-                                    # capstone
     "doc_token_stats",              # token/char stats — fully subsumed
                                     # by corpus_curation_decisions
                                     # (which recomputes n_tokens) and
@@ -524,14 +600,6 @@ _TAIL = [
     "latest_order_per_customer",    # row_number top-1 — family stays
                                     # repped by the flagship query;
                                     # slot yielded to collocations
-    "embedding_quantization_error", # int8 scalar quantization + recon
-                                    # fidelity; oracled in pytest —
-                                    # the ANN family's driver slots
-                                    # stay with cosine/ivf/signlsh
-    "near_dup_components_star",     # large-star/small-star CC variant
-                                    # of near_dup_components (which
-                                    # holds the driver slot); same
-                                    # recursive-CTE oracle in pytest
     "ivf_topk_pq",                  # rows-only; IVF-PQ: product-
                                     # quantized lists + ADC LUT
                                     # scoring + exact rerank —
@@ -544,9 +612,6 @@ _TAIL = [
                                     # PCA basis is a driver-side eigh
                                     # (terminal); recall floor pinned
                                     # in pytest
-    "twap_by_isin",                 # lead-duration weighted mean —
-                                    # vwap holds the family's driver
-                                    # slot; oracled in pytest
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets
@@ -563,19 +628,12 @@ _TAIL = [
                                     # PCA tiers' driver-side eigh
                                     # rotations; floors pinned in
                                     # pytest (terminal)
-    "doc_unigram_surprisal",        # unigram-LM inverse-frequency
-                                    # quality signal (ln-free,
-                                    # decimal-stable); DuckDB-oracled;
-                                    # new r4
     "quality_model_weights",        # rows-only; distributed logistic-
                                     # regression training (decimal-
                                     # accumulated batch GD) — engine-
                                     # bound: sigmoid exp() in the GD
                                     # loop is libm (terminal); pinned
                                     # vs pure-numpy GD in pytest
-    "token_postings",               # inverted-index stats (df,
-                                    # total_tf, postings head);
-                                    # DuckDB-oracled; new r4
     "embedding_pca_projection",     # rows-only; k=8 PCA projection —
                                     # engine-bound: the eigenbasis is
                                     # a driver-side eigh on the d^2
@@ -587,32 +645,6 @@ _TAIL = [
                                     # yielded (r6) to the grid itself
                                     # (order_price_hdr_sketch); stays
                                     # pytest-oracled + benched
-    "supplier_purchase_pagerank",   # rows-only; damped PageRank with
-                                    # dangling redistribution over
-                                    # the customer->supplier graph;
-                                    # pinned vs pure-Python power
-                                    # iteration; new r5b
-    "signup_conversion_funnel",     # order-sensitive funnel via
-                                    # chained conditional aggs;
-                                    # DuckDB-oracled; new r5b
-    "isin_price_trend",             # grouped OLS (slope/intercept/
-                                    # r^2) from decimal moment sums,
-                                    # closed-form, no UDF;
-                                    # DuckDB-oracled; new r5b
-    "order_price_quantiles_by_status",  # per-group mergeable HDR
-                                    # quantiles (one pass, bounded
-                                    # state per group);
-                                    # DuckDB-oracled; new r5b
-    "event_props_variant",          # Spark-4 VARIANT semi-structured
-                                    # path (try_parse_json +
-                                    # variant_get: parse once,
-                                    # traverse binary) — same oracle
-                                    # as the JSON-string path; r5b
-    "customer_order_distribution",  # Q13: left-outer + double agg
-                                    # keeping the zero bucket;
-                                    # DuckDB-oracled; new r5b
-    "large_volume_customers",       # Q18: HAVING-subquery semi-join
-                                    # shape; DuckDB-oracled; new r5b
     "suppliers_with_sole_late_lines",  # Q21: EXISTS + NOT-EXISTS as
                                     # per-key aggregate flags (one
                                     # shuffle, no correlated
