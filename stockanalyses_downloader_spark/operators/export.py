@@ -50,7 +50,14 @@ def export_training_shards(df: DataFrame, path: str, id_col: str,
     """Write ``df`` as ``{path}/shards/shard=K/`` JSONL plus
     ``{path}/manifest`` parquet with (shard, n_rows, n_tokens,
     checksum). Shard = md5(id) mod n_shards: deterministic,
-    engine-portable, independent of partitioning or run order."""
+    engine-portable, independent of partitioning or run order.
+
+    spread() first (r11 rollout): the JSON serialization + per-row
+    digest run map-side BEFORE the shard repartition, and both the
+    write and the manifest branch recompute them — a narrow upstream
+    would serialize the whole encode twice."""
+    from .dedup import spread
+    df = spread(df)
     line = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
     shard = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")
                                       .cast("binary")), 1, 8), 16, 10)

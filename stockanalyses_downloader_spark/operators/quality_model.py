@@ -38,7 +38,14 @@ def surface_features(docs: DataFrame, text_col: str = "text",
     fraction — all single-scan JVM expressions over the canonicalized
     text, each roughly unit-scaled so one learning rate fits all
     dimensions. The exact expressions are mirrored in
-    text_queries._QUALITY_LOGITS_SQL — change both together."""
+    text_queries._QUALITY_LOGITS_SQL — change both together.
+
+    spread() first (r11 rollout, beyond the verdict's eight): four
+    regexp passes + a token fold per row, pure map-side with no
+    exchange until the trainer's gradient aggregate — the exact
+    narrow-upstream exposure the guard exists for."""
+    from .dedup import spread
+    docs = spread(docs)
     c = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     ln = F.length(c).cast("double")
     safe = F.greatest(ln, F.lit(1.0))
