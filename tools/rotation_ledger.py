@@ -39,9 +39,9 @@ sys.path.insert(0, REPO)
 WINDOW = 50
 
 
-def load_history() -> dict[str, list[tuple[int, dict]]]:
+def load_history(root: str = REPO) -> dict[str, list[tuple[int, dict]]]:
     hist: dict[str, list[tuple[int, dict]]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
