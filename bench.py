@@ -266,9 +266,13 @@ def main() -> None:
     # next to the driver's truncated BENCH_r{N} capture. Subset runs
     # (--out or $SPARK_GRAFT_BENCH_ONLY) never archive.
     repo = os.path.dirname(os.path.abspath(__file__))
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or None
     if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+        i = sys.argv.index("--out") + 1
+        if i >= len(sys.argv) or not sys.argv[i]:
+            print("--out requires a path", file=sys.stderr)
+        else:
+            out_path = sys.argv[i]
     sidecars = [out_path or os.path.join(repo, "bench_detail.json")]
     if out_path is None and not only:
         import glob

@@ -39,11 +39,7 @@ BM25_B = 0.75
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    # spread() first (r11 rollout): the term explode + downstream
-    # (doc, term) aggregate is the corpus-width CPU stage — a narrow
-    # upstream (single-file scan / broadcast-enriched frame) would
-    # serialize it onto the raw scan's file count
-    return spread(df).select(
+    return df.select(
         id_col,
         F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                           r"\s+")).alias("term"))
@@ -55,8 +51,15 @@ def bm25_index(docs: DataFrame, id_col: str = "doc_id",
     """(tf, df, stats) index frames. One explode + one (doc, term)
     aggregate; df and doc lengths derive from tf without touching the
     corpus again. All three are incrementally maintainable: tf/df add
-    across corpus partitions, stats re-derives from df's parent."""
-    toks = _tokens(docs, id_col, text_col)
+    across corpus partitions, stats re-derives from df's parent.
+
+    spread() on the CORPUS only (r11 rollout): the term explode +
+    map-side partial agg is the corpus-width CPU stage a narrow
+    upstream would serialize. The guard deliberately does NOT live in
+    _tokens — bm25_topk tokenizes the model-sized QUERY frame through
+    the same helper, and repartitioning a table that is immediately
+    broadcast is a pure extra exchange."""
+    toks = _tokens(spread(docs), id_col, text_col)
     tf = (toks.groupBy(id_col, "term")
           .agg(F.count("*").alias("tf")))
     dl = (tf.groupBy(id_col)

@@ -86,20 +86,27 @@ def _join_probe_children(node, kids):
     so the walk continues into the probe child only. ExistenceJoin
     never surfaces in analyzed user plans (it is an optimizer rewrite
     of IN/EXISTS subqueries), so it is deliberately absent from the
-    build-right set. Both-sides-hinted is degenerate (Spark picks one
-    by size, unknowable here): walk both children, erring toward the
-    conservative no-repartition outcome."""
+    build-right set. Both-sides-hinted: when the join type can build
+    only ONE side (outer/semi/anti), the build side is knowable and
+    the walk continues into the unambiguous probe child — otherwise
+    (inner/cross, where Spark picks by size) walk both children,
+    erring toward the conservative no-repartition outcome."""
     if len(kids) != 2:
         return None
     jt = node.joinType().toString()
     l_hint, r_hint = _is_broadcast_hint(kids[0]), _is_broadcast_hint(kids[1])
+    can_l, can_r = jt in _BUILD_LEFT_TYPES, jt in _BUILD_RIGHT_TYPES
     if l_hint and r_hint:
-        if jt in _BUILD_RIGHT_TYPES or jt in _BUILD_LEFT_TYPES:
-            return kids
-        return None
-    if r_hint and jt in _BUILD_RIGHT_TYPES:
+        if can_r and not can_l:
+            return [kids[0]]        # only right buildable: probe=left
+        if can_l and not can_r:
+            return [kids[1]]        # only left buildable: probe=right
+        if can_l and can_r:
+            return kids             # inner/cross: genuinely ambiguous
+        return None                 # full outer: neither buildable
+    if r_hint and can_r:
         return [kids[0]]
-    if l_hint and jt in _BUILD_LEFT_TYPES:
+    if l_hint and can_l:
         return [kids[1]]
     return None
 

@@ -1311,6 +1311,19 @@ def test_spread_ignores_unhonorable_broadcast_hints(spark, tmp_path):
     semi = df.join(F.broadcast(dim), df.id % 7 == dim.k, "left_semi")
     assert dedup.spread(semi).rdd.getNumPartitions() == target
 
+    # BOTH sides hinted on a left outer join: only the right side is
+    # buildable, so the probe is unambiguously the left child — a
+    # many-file parquet dim on the right must not mask the 1-file
+    # probe (the review follow-up to the r11 probe-subtree fix)
+    dimp = str(tmp_path / "both_hint_dim")
+    (spark.range(target * 4)
+     .select((F.col("id") % 7).alias("k"), F.lit("y").alias("v"))
+     .repartition(target * 2).write.mode("overwrite").parquet(dimp))
+    fat_dim = spark.read.parquet(dimp).dropDuplicates(["k"])
+    both = F.broadcast(df).join(F.broadcast(fat_dim),
+                                df.id % 7 == fat_dim.k, "left")
+    assert dedup.spread(both).rdd.getNumPartitions() == target
+
 
 def test_pq_codebooks_and_encode(spark):
     """PQ fit/encode semantics: codebooks hold ksub entries per

@@ -108,19 +108,12 @@ def materialize(spark, factor: int, out_dir: str) -> None:
     ]).repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet"))
 
-    docs = load_table(spark, SF_DIR, "documents")
-    def doc_copy(df, c):
-        tagged = F.concat_ws(
-            " ",
-            F.transform(F.split("text", r"\s+"),
-                        lambda w: F.concat(F.lit("q"), c.cast("string"),
-                                           F.lit("x"), w)))
-        return [(F.col("doc_id") + c * _KEY_SHIFT).alias("doc_id"),
-                tagged.alias("text"), "lang",
-                F.concat(F.col("source"), F.lit("_"),
-                         c.cast("string")).alias("source"),
-                F.length(tagged).alias("n_chars")]
-    _with_copies(docs, factor, doc_copy).repartition(32) \
+    # documents: the shared disjoint recipe (tools/scale_common.py —
+    # also used by bench_ngram_spill and bench_spread_guard, so the
+    # three tools' curves stay comparable by construction)
+    from scale_common import blow_up_docs
+    blow_up_docs(load_table(spark, SF_DIR, "documents"), factor) \
+        .repartition(32) \
         .write.mode("overwrite").parquet(os.path.join(out_dir,
                                                       "documents.parquet"))
 

@@ -41,30 +41,8 @@ from stockanalyses_downloader_spark.session import get_session
 from stockanalyses_downloader_spark.sources.tables import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-_KEY_SHIFT = 10_000_000
 
-
-def blow_up_docs(docs, factor: int):
-    """The headline harness's DISJOINT doc recipe: per-copy word tag
-    (shingle vocabularies disjoint across copies) + per-copy source
-    suffix (blocks disjoint — block COUNT grows, block size fixed)."""
-    if factor <= 1:
-        return docs
-    c = F.col("__c")
-    tagged = F.concat_ws(
-        " ",
-        F.transform(F.split("text", r"\s+"),
-                    lambda w: F.concat(F.lit("q"), c.cast("string"),
-                                       F.lit("x"), w)))
-    copies = (docs.crossJoin(F.broadcast(
-                  docs.sparkSession.range(1, factor)
-                  .select(F.col("id").alias("__c"))))
-              .select((F.col("doc_id") + c * _KEY_SHIFT).alias("doc_id"),
-                      tagged.alias("text"), "lang",
-                      F.concat(F.col("source"), F.lit("_"),
-                               c.cast("string")).alias("source"),
-                      F.length(tagged).alias("n_chars")))
-    return docs.unionByName(copies)
+from scale_common import blow_up_docs  # noqa: E402 — shared disjoint recipe
 
 
 def stage_metrics(spark) -> list[dict]:

@@ -47,49 +47,45 @@ from stockanalyses_downloader_spark.session import get_session
 from stockanalyses_downloader_spark.sources.tables import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-_KEY_SHIFT = 10_000_000
 
-# every module that bound `spread` at import time; ngram_lm/textprep/
-# unigram and text_queries import it inside the function body, so
-# patching dedup.spread covers them
-_BOUND = [dsir, bm25, bpe, langid]
+from scale_common import blow_up_docs  # noqa: E402 — shared disjoint recipe
+
+# Modules whose `spread` binding must be identity-patched for the
+# "before" leg. Derived DYNAMICALLY: any operators/queries module
+# holding a module-level `spread` attribute gets rebound, so a future
+# refactor from function-level to module-level import cannot silently
+# run the "before" leg WITH the guard (a hand-maintained list would
+# understate the curve with no error).
+import stockanalyses_downloader_spark.operators as _ops_pkg
+import stockanalyses_downloader_spark.queries as _q_pkg
 
 
-def blow_up_docs(docs, factor: int):
-    """Disjoint-block recipe (the headline harness's): per-copy word
-    tag + per-copy source suffix, so vocabularies and blocks are
-    disjoint and the work grows linearly."""
-    if factor <= 1:
-        return docs
-    c = F.col("__c")
-    tagged = F.concat_ws(
-        " ",
-        F.transform(F.split("text", r"\s+"),
-                    lambda w: F.concat(F.lit("q"), c.cast("string"),
-                                       F.lit("x"), w)))
-    copies = (docs.crossJoin(F.broadcast(
-                  docs.sparkSession.range(1, factor)
-                  .select(F.col("id").alias("__c"))))
-              .select((F.col("doc_id") + c * _KEY_SHIFT).alias("doc_id"),
-                      tagged.alias("text"), "lang",
-                      F.concat(F.col("source"), F.lit("_"),
-                               c.cast("string")).alias("source"),
-                      F.length(tagged).alias("n_chars")))
-    return docs.unionByName(copies)
+def _spread_bound_modules():
+    import importlib
+    import pkgutil
+    mods = []
+    for pkg in (_ops_pkg, _q_pkg):
+        for info in pkgutil.iter_modules(pkg.__path__):
+            m = importlib.import_module(f"{pkg.__name__}.{info.name}")
+            if getattr(m, "spread", None) is dedup.spread and m is not dedup:
+                mods.append(m)
+    return mods
 
 
 def _patch_identity():
-    originals = [dedup.spread] + [m.spread for m in _BOUND]
+    bound = _spread_bound_modules()
+    originals = (bound, dedup.spread)
     dedup.spread = lambda df: df
-    for m in _BOUND:
+    for m in bound:
         m.spread = dedup.spread
     return originals
 
 
 def _restore(originals):
-    dedup.spread = originals[0]
-    for m, fn in zip(_BOUND, originals[1:]):
-        m.spread = fn
+    bound, real = originals
+    dedup.spread = real
+    for m in bound:
+        m.spread = real
 
 
 def main() -> None:
