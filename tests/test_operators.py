@@ -1182,6 +1182,64 @@ def test_ann_recall_report_floors(spark):
     assert rows["pca_ivf"]["recall_at_k"] >= 0.55
 
 
+def test_spread_guard_rollout_coverage(spark, tmp_path):
+    """r11 rollout regression pin: every guarded doc-consuming entry
+    point must widen a ONE-file docs scan — i.e. its analyzed plan
+    contains a Repartition — so a future refactor can't silently drop
+    a family's guard (the pre-r10 count-min 187 s shape). Checked at
+    the plan level (no execution): cheap and exact."""
+    from pyspark.sql import functions as F
+
+    from stockanalyses_downloader_spark.operators import (bm25, bpe,
+                                                          dsir, langid,
+                                                          ngram_lm,
+                                                          quality_model,
+                                                          textprep,
+                                                          unigram)
+
+    p = str(tmp_path / "sfdir" / "documents.parquet")
+    (spark.range(20)
+     .select(F.col("id").alias("doc_id"),
+             F.concat(F.lit("alpha beta gamma delta epsilon doc "),
+                      F.col("id").cast("string")).alias("text"),
+             F.lit("en").alias("lang"),
+             (F.col("id") % 3).cast("string").alias("source"))
+     .coalesce(1).write.mode("overwrite").parquet(p))
+    docs = spark.read.parquet(p)
+    assert len(docs.inputFiles()) == 1
+
+    def widened(df):
+        return "Repartition" in df._jdf.queryExecution() \
+            .analyzed().toString()
+
+    gram_logps, label_stats = langid.train_nb(docs, label_col="lang")
+    entry_points = {
+        "dsir.hashed_gram_buckets": dsir.hashed_gram_buckets(docs),
+        "bm25.bm25_index(tf)": bm25.bm25_index(docs)[0],
+        "bpe.pretoken_vocab": bpe.pretoken_vocab(docs),
+        "bpe.tokenize_with_merges":
+            bpe.tokenize_with_merges(docs, [("a", "l")]),
+        "langid.train_nb(logps)": gram_logps,
+        "langid.score_nb":
+            langid.score_nb(docs, gram_logps, label_stats),
+        "ngram_lm.bigram_pairs": ngram_lm.bigram_pairs(docs),
+        "textprep.with_pii_redaction":
+            textprep.with_pii_redaction(docs),
+        "textprep.chunk_documents": textprep.chunk_documents(docs),
+        "unigram.word_counts": unigram.word_counts(docs),
+        "quality_model.surface_features":
+            quality_model.surface_features(docs),
+    }
+    missing = [name for name, df in entry_points.items()
+               if not widened(df)]
+    assert not missing, f"guard missing at: {missing}"
+
+    # and the sketch-feeding query path widens via _docs_spread
+    from stockanalyses_downloader_spark.queries.text_queries import (
+        _docs_spread)
+    assert widened(_docs_spread(spark, str(tmp_path / "sfdir")))
+
+
 def test_spread_widens_scans_not_shuffled_frames(spark, tmp_path):
     """spread() (ADVICE r4 rewrite: logical-plan node walk, not a
     plan-string regex): a narrow one-file scan widens to the default
