@@ -139,17 +139,33 @@ def materialize(spark, factor: int, out_dir: str) -> None:
 
 
 def time_headline(spark, registry, sf_dir: str,
-                  n_iter: int = 2) -> dict[str, dict]:
+                  n_iter: int = 2, max_iters: int = 5) -> dict[str, dict]:
+    """1 cold + n_iter warm per query, plus bench.py's adaptive
+    dispersion control (r11 — the tier's ngram/minhash n=2 medians
+    swung ±30 % between rounds on unchanged plans): an EXPENSIVE
+    (>2 s) and NOISY (>10 % warm spread) cell keeps sampling up to
+    max_iters warm runs, so tier-over-tier comparisons of the heavy
+    dedup entries rest on an honest median."""
     out: dict[str, dict] = {}
     for name in HEADLINE:
         q = registry[name]
         runs = []
-        for _ in range(1 + n_iter):
+
+        def one_run():
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
             release_tracked()
+
+        for _ in range(1 + n_iter):
+            one_run()
+        while (len(runs) - 1) < max_iters:
+            warm = runs[1:]
+            med = statistics.median(warm)
+            if med <= 2.0 or (max(warm) - min(warm)) <= 0.10 * med:
+                break
+            one_run()
         out[name] = {"cold": runs[0], "warm": runs[1:],
                      "median": round(statistics.median(runs[1:]), 3)}
     return out
