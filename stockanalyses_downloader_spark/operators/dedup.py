@@ -89,8 +89,14 @@ def _join_probe_children(node, kids):
     build-right set. Both-sides-hinted: when the join type can build
     only ONE side (outer/semi/anti), the build side is knowable and
     the walk continues into the unambiguous probe child — otherwise
-    (inner/cross, where Spark picks by size) walk both children,
-    erring toward the conservative no-repartition outcome."""
+    (inner/cross, where Spark picks the build side by size estimate)
+    BOTH children are returned and the caller takes the MIN of the
+    two subtree widths (ADVICE r11 low: summing let a many-file
+    broadcast dim mask a 1-file probe scan in exactly the shape the
+    r11 probe-subtree fix addressed; min keeps the narrow side
+    visible whichever child the planner ends up probing — erring
+    toward the repartition, the safe direction for the CPU-heavy
+    consumers spread() wraps)."""
     if len(kids) != 2:
         return None
     jt = node.joinType().toString()
@@ -112,14 +118,35 @@ def _join_probe_children(node, kids):
 
 
 def _leaf_input_files(node) -> int:
-    """File count behind one analyzed-plan leaf. Only file-backed
-    relations (LogicalRelation over HadoopFsRelation — the
-    FileRelation trait) expose ``inputFiles``; Range / LocalRelation /
-    DSv2 / streaming leaves contribute 0, preserving the 'non-file
+    """File count behind one analyzed-plan leaf, mirroring the three
+    file-backed cases of ``Dataset.inputFiles`` (ADVICE r11 low: the
+    r11 walk only recognized V1 LogicalRelation leaves, so a DSv2 or
+    Hive scan silently stopped being widened — a behavior regression
+    vs the pre-r11 ``df.inputFiles()`` probe, which counted them):
+
+      LogicalRelation        relation().inputFiles() (FileRelation)
+      DataSourceV2Relation   table().fileIndex().inputFiles() — only
+                             file-backed FileTable exposes fileIndex;
+                             e.g. when spark.sql.sources.useV1SourceList
+                             drops a format from the V1 list
+      HiveTableRelation      the single storage location URI, counted
+                             as 1 exactly as Dataset.inputFiles does
+
+    Range / LocalRelation / streaming / non-file DSv2 leaves match
+    none of the probes and contribute 0, preserving the 'non-file
     sources are left untouched' contract."""
     try:
         return node.relation().inputFiles().__len__()
-    except Exception:  # noqa: BLE001 — leaf without a FileRelation
+    except Exception:  # noqa: BLE001 — not a V1 FileRelation leaf
+        pass
+    try:
+        return node.table().fileIndex().inputFiles().__len__()
+    except Exception:  # noqa: BLE001 — not a file-backed DSv2 leaf
+        pass
+    try:
+        return 1 if node.tableMeta().storage().locationUri().isDefined() \
+            else 0
+    except Exception:  # noqa: BLE001 — not a Hive table leaf
         return 0
 
 
@@ -161,6 +188,21 @@ def _probe_width(jplan) -> int | None:
             probe = _join_probe_children(node, kids)
             if probe is None:
                 return None         # hint absent or unhonorable: wide
+            if len(probe) == 2:
+                # both-hinted inner/cross: the planner picks the build
+                # side by size, so either child could be the probe.
+                # Take the MIN of the two subtree widths (ADVICE r11
+                # low: summing let a many-file broadcast dim mask a
+                # 1-file probe) — a wide (None) subtree is excluded
+                # because whichever side it is, it contributes an
+                # exchange only if probed; both wide => the output is
+                # exchange-partitioned either way => whole frame wide.
+                widths = [w for w in (_probe_width(k) for k in probe)
+                          if w is not None]
+                if not widths:
+                    return None
+                files += min(widths)
+                continue
             stack.extend(probe)
             continue
         if node.nodeName() in _WIDE_NODES:

@@ -58,10 +58,23 @@ def test_bench_smoke_subset_schema(tmp_path):
     assert set(full["queries"]) == {"flagship_latest_mid", "vwap_by_isin"}
     assert "errors" not in full
     for name, det in full["detail"].items():
-        assert set(det) == {"median", "n_iter", "warm", "cold", "spread"}
+        assert set(det) == {"median", "n_iter", "warm", "cold", "spread",
+                            "canary_t", "load_factor"}
         assert det["n_iter"] == len(det["warm"]) == 2
         assert det["median"] > 0 and det["cold"] > 0
         assert full["queries"][name] == det["median"]
+        assert det["load_factor"] >= 1.0
+
+    # load-canary block (VERDICT r11 #2): fixed-cell samples with
+    # loadavg snapshots — at least the opening and closing rows even
+    # on a 2-query subset run — and the compact line carries the
+    # max/min ratio so a loaded run is visible from the driver's
+    # ~2000-char capture alone
+    can = full["canary"]
+    assert len(can["samples"]) >= 2
+    for s in can["samples"]:
+        assert s["t"] > 0 and "after_n" in s and len(s["loadavg"]) == 3
+    assert can["spread_ratio"] == summary["canary_ratio"] >= 1.0
     with open(detail_path) as fh:
         assert json.load(fh) == full
     # a redirected subset run must neither create a round archive nor
@@ -70,3 +83,25 @@ def test_bench_smoke_subset_schema(tmp_path):
         == archives_before
     if root_detail_mtime is not None:
         assert os.path.getmtime(root_detail) == root_detail_mtime
+
+
+def test_bench_malformed_out_is_fatal_before_the_run():
+    """ADVICE r11 (low): `--out` with a missing value used to warn and
+    fall through to the DEFAULT sidecar — a full run would then write
+    the repo-root bench_detail.json AND a fresh round archive, the
+    exact driver-record clobber --out exists to prevent. Now it exits
+    2 up front (before the SparkSession even starts — failing after an
+    hour-long run would waste the measurement)."""
+    import glob
+    archives_before = set(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*")))
+    for argv in (["--out"], ["--out", ""], ["--out", "--something"]):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), *argv],
+            capture_output=True, text=True, timeout=60, cwd=REPO,
+            env=dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001"))
+        assert out.returncode == 2, (argv, out.stdout[-500:])
+        assert "--out requires a path" in out.stderr
+        # fatal BEFORE any Spark work: nothing on stdout, no sidecars
+        assert not out.stdout.strip()
+    assert set(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*"))) \
+        == archives_before

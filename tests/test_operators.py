@@ -1383,6 +1383,69 @@ def test_spread_ignores_unhonorable_broadcast_hints(spark, tmp_path):
     assert dedup.spread(both).rdd.getNumPartitions() == target
 
 
+def test_spread_both_hinted_inner_join_takes_min_width(spark, tmp_path):
+    """ADVICE r11 (low): a both-sides-hinted INNER join is genuinely
+    ambiguous (the planner picks the build side by size), and the r11
+    walk summed BOTH children's files — a many-file broadcast dim
+    masked a 1-file probe scan in exactly the shape the probe-subtree
+    fix addressed. The walk now takes the MIN of the two subtree
+    widths, so the narrow side still triggers the repartition
+    whichever child the planner ends up probing."""
+    from pyspark.sql import functions as F
+    target = spark.sparkContext.defaultParallelism
+    p = str(tmp_path / "bh_inner_narrow")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    dimp = str(tmp_path / "bh_inner_fat_dim")
+    (spark.range(target * 4)
+     .select((F.col("id") % 7).alias("k"), F.lit("z").alias("v"))
+     .repartition(target * 2).write.mode("overwrite").parquet(dimp))
+    fat_dim = spark.read.parquet(dimp)
+
+    both = F.broadcast(df).join(F.broadcast(fat_dim),
+                                df.id % 7 == fat_dim.k)
+    assert dedup.spread(both).rdd.getNumPartitions() == target
+
+    # both sides stored wide: min clears the threshold, no repartition
+    widep = str(tmp_path / "bh_inner_wide")
+    spark.range(10000).repartition(target).write.mode(
+        "overwrite").parquet(widep)
+    wide = spark.read.parquet(widep)
+    both_wide = F.broadcast(wide).join(F.broadcast(fat_dim),
+                                       wide.id % 7 == fat_dim.k)
+    assert dedup.spread(both_wide) is both_wide
+
+    # one side already exchange-partitioned (wide subtree), the other
+    # a 1-file scan: the narrow side's width is the one that matters
+    agged = fat_dim.groupBy("k").count()
+    mixed = F.broadcast(df).join(F.broadcast(agged),
+                                 df.id % 7 == agged.k)
+    assert dedup.spread(mixed).rdd.getNumPartitions() == target
+
+
+def test_spread_widens_dsv2_file_scans(spark, tmp_path):
+    """ADVICE r11 (low): the r11 leaf probe only recognized V1
+    LogicalRelation leaves — with parquet removed from
+    spark.sql.sources.useV1SourceList the scan analyzes as a
+    DataSourceV2Relation and contributed 0 files, so a 1-file DSv2
+    scan silently stopped being widened (a regression vs the pre-r11
+    Dataset.inputFiles probe, which counts DSv2 FileTable leaves).
+    The probe now mirrors Dataset.inputFiles' DSv2 case."""
+    p = str(tmp_path / "dsv2_one_file")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(p)
+    target = spark.sparkContext.defaultParallelism
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(p)
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        assert "DataSourceV2Relation" in leaves.apply(0).nodeName(), \
+            "conf did not produce a DSv2 scan — test setup is stale"
+        assert dedup.spread(df).rdd.getNumPartitions() == target
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+
+
 def test_pq_codebooks_and_encode(spark):
     """PQ fit/encode semantics: codebooks hold ksub entries per
     subspace with per-entry squared norms; identical vectors encode

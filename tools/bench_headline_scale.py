@@ -163,7 +163,11 @@ def time_headline(spark, registry, sf_dir: str,
         while (len(runs) - 1) < max_iters:
             warm = runs[1:]
             med = statistics.median(warm)
-            if med <= 2.0 or (max(warm) - min(warm)) <= 0.10 * med:
+            # trailing-3 stop rule, mirroring bench.py (ADVICE r11
+            # low: full-set max-min is monotonically non-decreasing —
+            # one outlier and the cell burned max_iters every time)
+            tail = warm[-3:]
+            if med <= 2.0 or (max(tail) - min(tail)) <= 0.10 * med:
                 break
             one_run()
         out[name] = {"cold": runs[0], "warm": runs[1:],

@@ -112,6 +112,36 @@ def cmd_supersede(args) -> int:
     return 1
 
 
+# Curve-SECTION citation rule (VERDICT r11 #6): any PERF.md `###`
+# section whose TITLE looks like a measured curve/tier/A-B report
+# must carry a `curve: <id>` citation in its body. The five titles
+# below predate the r11 citation convention and are grandfathered BY
+# EXACT TITLE — new sections never are.
+_CURVEY_TITLE = re.compile(r"(scale|tier|curve|a/b|blow-?up|\b\d+x\b)",
+                           re.IGNORECASE)
+_GRANDFATHERED = frozenset({
+    "Dedup scale curve (tools/bench_dedup_scale.py)",
+    "Round-2 scale guards (no bench effect at sf0.1 by design)",
+    "Round 5 — ANN compression tier",
+    "Round 5 — entity-resolution scale curve (measured, "
+    "tools/bench_linkage_scale.py)",
+    "Expensive-tier scale curves (tools/bench_expensive_scale.py, "
+    "sf0.1 base, local[32])",
+})
+
+
+def _uncited_curve_sections(perf_text: str) -> list[str]:
+    """Titles of curve-looking `###` sections with no `curve:`
+    citation anywhere in the section body (heading to next `###`)."""
+    out = []
+    for part in re.split(r"(?m)^### ", perf_text)[1:]:
+        title = part.splitlines()[0].strip()
+        if (title not in _GRANDFATHERED and _CURVEY_TITLE.search(title)
+                and "curve:" not in part):
+            out.append(title)
+    return out
+
+
 def cmd_check(args) -> int:
     data = load()
     ids = [c["id"] for c in data["curves"]]
@@ -129,14 +159,19 @@ def cmd_check(args) -> int:
         if tgt == c["id"]:
             print(f"{c['id']}: supersedes itself")
             bad += 1
-    perf = os.path.join(REPO, "PERF.md")
+    perf = getattr(args, "perf", None) or os.path.join(REPO, "PERF.md")
     cited = set()
     if os.path.exists(perf):
-        cited = set(re.findall(r"curve:\s*([A-Za-z0-9._-]+)",
-                               open(perf).read()))
+        text = open(perf).read()
+        cited = set(re.findall(r"curve:\s*([A-Za-z0-9._-]+)", text))
         unknown = cited - idset
         if unknown:
             print(f"PERF.md cites unknown curve ids: {sorted(unknown)}")
+            bad += 1
+        uncited_sections = _uncited_curve_sections(text)
+        if uncited_sections:
+            print("PERF.md curve sections without a `curve:` citation: "
+                  f"{uncited_sections}")
             bad += 1
     uncited = idset - cited
     if uncited:
@@ -167,6 +202,8 @@ def main() -> int:
     p.add_argument("new_id")
     p.set_defaults(fn=cmd_supersede)
     p = sub.add_parser("check")
+    p.add_argument("--perf", help="override the PERF.md path "
+                   "(tests point it at a fixture)")
     p.set_defaults(fn=cmd_check)
     args = ap.parse_args()
     return args.fn(args)
