@@ -86,63 +86,81 @@ def char_grams_col(text: Column, n: int = NB_N) -> Column:
 def score_nb(docs: DataFrame, gram_logps: DataFrame,
              label_stats: DataFrame, id_col: str = "doc_id",
              text_col: str = "text", n: int = NB_N) -> DataFrame:
-    """Per-doc argmax label. Each doc gram joins the model (gram ->
-    one row per label that has seen it); grams unseen by a label
-    contribute that label's log_unseen. score(label) = log_prior +
-    sum(seen logps) + (n_grams - n_seen(label)) * log_unseen.
+    """Per-doc argmax label. score(label) = log_prior + Σ over gram
+    OCCURRENCES of (logp if the label has seen the gram, else that
+    label's log_unseen) — algebraically identical to the r11 form
+    log_prior + sum(seen logps) + (n_grams - n_seen) * log_unseen.
     Deterministic argmax tie-break on label order. Output: (id_col,
-    predicted_lang, best_logp)."""
-    # spread() on the scoring explode (r11): same rationale as
-    # train_nb — the n-gram expression dominates; the id-only
-    # projection for the left join below stays unspread
+    predicted_lang, best_logp).
+
+    r12 shrink (VERDICT r11 #3 — the 131 s single-file-30× A/B cell):
+    the r11 plan joined the (label, gram, logp) model onto every gram
+    occurrence, multiplying each occurrence by every label that had
+    seen it (~|labels|× row blowup into a (doc, label)-keyed
+    aggregate), ran the scoring explode TWICE (once for n_grams, once
+    for the join), and regrouped through a collect_list. Now the
+    model is DENSIFIED first — one row per gram carrying the
+    k-vector of per-label contributions (logp where observed, that
+    label's log_unseen where not) — so scoring is ONE explode, ONE
+    no-blowup broadcast join, and ONE hash aggregate computing the k
+    per-label sums per doc (k = |labels|, model-sized). n_grams
+    disappears: a gram missing from the model contributes the
+    per-label unseen vector per-row instead of being counted and
+    multiplied at the end.
+
+    The label table is collected driver-side to parameterize the k
+    aggregate columns — model-sized by contract (the language
+    inventory), the same tier as the ANN index-meta collects. A doc's
+    occurrence rows stay contiguous in one explode partition, so each
+    per-label sum accumulates in document order — the exact fold the
+    pure-Python parity reference performs (tests/test_langid.py,
+    1e-9)."""
+    labs = sorted((r["label"], r["log_prior"], r["log_unseen"])
+                  for r in label_stats.collect())
+    if not labs:
+        return docs.select(
+            id_col, F.lit(None).cast("string").alias("predicted_lang"),
+            F.lit(None).cast("double").alias("best_logp"))
+    labels = [lb for lb, _, _ in labs]
+    unseens = [u for _, _, u in labs]
+
+    # dense per-gram contribution vector, aligned with the sorted
+    # label order (try_element_at: the map lacks labels that never
+    # saw the gram, and ANSI element_at throws on missing map keys)
+    dense = (gram_logps.groupBy("gram")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("label", "logp"))).alias("m"))
+             .select("gram", F.array(*[
+                 F.coalesce(F.try_element_at("m", F.lit(lb)), F.lit(u))
+                 for lb, u in zip(labels, unseens)]).alias("__vec")))
+
+    # spread() before the scoring explode (r11 rollout): the n-gram
+    # expression is per-row CPU over the whole corpus
     g = (spread(docs).select(id_col,
                              F.explode(char_grams_col(F.col(text_col), n))
                              .alias("gram")))
-    # left join from docs so gramless documents (normalized text
-    # shorter than n chars) still get a prior-only argmax row instead
-    # of silently vanishing from the output
-    per_doc = (docs.select(id_col)
-               .join(g.groupBy(id_col).agg(F.count("*").alias("n_grams")),
-                     id_col, "left")
-               .select(id_col,
-                       F.coalesce("n_grams", F.lit(0)).alias("n_grams")))
-    seen = (g.join(F.broadcast(gram_logps), "gram")
-            .groupBy(id_col, "label")
-            .agg(F.sum("logp").alias("sum_logp"),
-                 F.count("*").alias("n_seen")))
-    # Map-only argmax (r10, the nearest_centroid pattern — VERDICT r9
-    # #3): the old form crossJoined a |labels|× copy of every doc row
-    # and window-ranked it back to one — a |labels|×-corpus exchange.
-    # Now the per-doc seen rows collapse to ONE array row, the label
-    # table rides in as a broadcast array, and a per-row fold scores
-    # every label and keeps the (score desc, label asc) maximum —
-    # identical comparator to the window's orderBy on identical float
-    # values (same sums, same expression), no row blowup, no window.
-    seen_arr = (seen.groupBy(id_col)
-                .agg(F.collect_list(F.struct("label", "sum_logp",
-                                             "n_seen")).alias("__seen")))
-    larr = label_stats.agg(F.collect_list(
-        F.struct("label", "log_prior", "log_unseen")).alias("__labels"))
-    empty = F.array().cast(
-        "array<struct<label:string,sum_logp:double,n_seen:bigint>>")
-    sarr = F.coalesce(F.col("__seen"), empty)
+    unseen_vec = F.array(*[F.lit(u) for u in unseens])
+    j = (g.join(F.broadcast(dense), "gram", "left")
+         .select(id_col, F.coalesce("__vec", unseen_vec).alias("__vec")))
+    sums = (j.groupBy(id_col)
+            .agg(*[F.sum(F.element_at("__vec", i + 1)).alias(f"__s{i}")
+                   for i in range(len(labs))]))
 
-    def _score(c):
-        hit = F.get(F.filter(sarr, lambda e: e["label"] == c["label"]), 0)
-        return F.struct(
-            (c["log_prior"] + F.coalesce(hit["sum_logp"], F.lit(0.0))
-             + (F.col("n_grams") - F.coalesce(hit["n_seen"], F.lit(0)))
-             * c["log_unseen"]).alias("score"),
-            c["label"].alias("label"))
-
-    scored = F.transform(F.col("__labels"), _score)
+    # per-row argmax over the k scores with the same (score desc,
+    # label asc) comparator as the r10 fold; gramless documents
+    # (normalized text shorter than n chars) miss the left join and
+    # coalesce to the prior-only score instead of vanishing
+    scored = F.array(*[
+        F.struct((F.lit(p) + F.coalesce(F.col(f"__s{i}"), F.lit(0.0)))
+                 .alias("score"),
+                 F.lit(lb).alias("label"))
+        for i, (lb, p, _) in enumerate(labs)])
     best = F.aggregate(
         scored, F.element_at(scored, 1),
         lambda acc, x: F.when(
             (x["score"] > acc["score"])
             | ((x["score"] == acc["score"])
                & (x["label"] < acc["label"])), x).otherwise(acc))
-    return (per_doc.join(seen_arr, id_col, "left")
-            .crossJoin(F.broadcast(larr))
+    return (docs.select(id_col).join(sums, id_col, "left")
             .select(id_col, best["label"].alias("predicted_lang"),
                     best["score"].alias("best_logp")))

@@ -33,37 +33,7 @@ class Q:
 # First 50 names = the driver's correctness window.
 _WINDOW = [
     "flagship_latest_mid",
-    "rest_fetch_pipeline",
-    "ticks_asof_quotes",
     "ticks_in_candle_ranges",   # range/interval join (bucketed)
-    "simhash_near_pairs",       # Hamming-radius near-dup via SimHash
-                                # pigeonhole banding — fully oracled
-                                # since the r6 portable rewrite, but
-                                # the driver's LAST record is an r2-r4
-                                # `no_oracle` error from before it
-                                # (r10 rotation in, VERDICT r9 #1's
-                                # named lead; took tick_feed_islands'
-                                # slot: certified r5c-r9; gaps-and-
-                                # islands machinery stays repped by
-                                # order_window_analytics in-window +
-                                # sweep-oracled + benched)
-    "order_window_analytics",   # percent_rank/cume_dist/ntile/
-                                # nth_value breadth — never driver-
-                                # certified (r7 rotation in per
-                                # VERDICT r6 #2; took pyds_ticker_
-                                # snapshot's slot: the connector was
-                                # certified r5b-r6 twice, its scan
-                                # machinery stays sweep-oracled;
-                                # source tier keeps flagship/rest/
-                                # wss driver rows)
-    "token_heavy_hitters",      # count-min heavy hitters with the
-                                # no-false-dismissal guarantee —
-                                # oracled since r5c, never driver-
-                                # certified (r10 rotation in per
-                                # VERDICT r9 #1; took orders_join_
-                                # size_estimate's slot: certified
-                                # r5c-r9; the AMS grid build stays
-                                # sweep-oracled + benched)
     "job_state_claim_counts",
     "dsir_selection_by_source", # domain-conditional DSIR (per-source
                                 # proposal models, VERDICT r8 #3) —
@@ -77,26 +47,6 @@ _WINDOW = [
                                 # claim_counts' state writeback)
     "wss_enriched_messages",
     "weekly_ohlc_candles",
-    # similarity / dedup / multimodal (X2/X3/X5) — driver-unverified in r1
-    "bloom_decontamination_probes",  # bloom-vs-exact decontamination
-                                # (r5c rotation in — took embedding_
-                                # exact_dups' slot: X1 exact dedup
-                                # keeps exact_dedup_docs + the
-                                # multimodal digest rows; the
-                                # membership-sketch tier earns its
-                                # first driver row)
-    "ivf_topk_pq_portable",     # the FULL IVFADC stack (both Lloyd
-                                # loops + residual encode + ADC LUT
-                                # serve + exact rerank) hash-oracled
-                                # cross-engine — the r8 flagship
-                                # certification artifact, never
-                                # driver-certified (r9 rotation in
-                                # per VERDICT r8 #1, the named lead;
-                                # took ivf_topk_approx's slot:
-                                # certified r8; the untrained sample-
-                                # centroid tier is a strict subset of
-                                # this trained stack and stays sweep-
-                                # oracled + benched)
     "pii_redaction_report",     # PII detect+redact — certified r5+r6
                                 # then rotated out; back in (r9 per
                                 # VERDICT r8 #1's named list; took
@@ -104,23 +54,6 @@ _WINDOW = [
                                 # certified r7+r8; the privacy tier
                                 # keeps forget_cascade_report in-
                                 # window and gains this redaction row)
-    "join_key_skew_report",     # per-key distribution probe (the
-                                # pre-salting diagnosis) — oracled
-                                # since r5, never driver-certified
-                                # (r10 rotation in per VERDICT r9 #1;
-                                # took doc_kn_perplexity's slot:
-                                # certified r8+r9; the KN model
-                                # machinery stays sweep-oracled +
-                                # benched)
-    "multimodal_asset_stats",
-    "corpus_snapshot_diff",     # incremental-ingest digest diff —
-                                # oracled since r5b, never driver-
-                                # certified (r10 rotation in per
-                                # VERDICT r9 #1; took copurchase_
-                                # triangles' slot: certified r6-r9;
-                                # the wedge-join family stays sweep-
-                                # oracled + benched + curved, graph
-                                # keeps near_dup_components in-window)
     "ivf_topk_trained",         # the production IVF shape (kmeans
                                 # centroids, recall ≥ 0.7 pinned);
                                 # r4 rotation — took ivf_topk_approx's
@@ -128,14 +61,6 @@ _WINDOW = [
                                 # (portable md5 init + unrolled Lloyd
                                 # CTEs) — the window's last rows-only
                                 # row is gone
-    "event_session_windows",    # native session_window aggregation —
-                                # oracled, never driver-certified
-                                # (r10 rotation in per VERDICT r9 #1;
-                                # took hard_negative_mining's slot:
-                                # certified r7c-r9; the mining chain
-                                # stays sweep-oracled + benched and
-                                # the retrieval tier gains retrieval_
-                                # hits below)
     "embedding_drift_report",   # embedding-distribution drift — new
                                 # r8, never driver-certified (r8
                                 # rotation in; took corpus_datacard's
@@ -148,12 +73,6 @@ _WINDOW = [
                                 # multimodal_chunk_dedup; stays
                                 # sweep-oracled + benched)
     # text analysis (X1/X4) + deterministic sampling
-    "quality_model_auc",        # midrank ROC-AUC of the quality
-                                # prior (r5c rotation in — took
-                                # doc_tfidf_top_terms' slot: X4 keeps
-                                # surprisal/winnowing/substring-dup/
-                                # pii driver rows; the EVAL tier
-                                # earns its first)
     "multimodal_cdc_dedup",     # content-defined-chunking dedup over
                                 # binary assets — oracled, never
                                 # driver-certified (r10 rotation in
@@ -181,23 +100,6 @@ _WINDOW = [
                                 # path is recomputed INSIDE this
                                 # composition three times over — a
                                 # strict superset)
-    "promo_revenue_share",      # TPC-H Q14 conditional-ratio shape —
-                                # oracled since r5b, never driver-
-                                # certified (r10 rotation in per
-                                # VERDICT r9 #1; took doc_bpe_
-                                # tokenization's slot: certified
-                                # r8+r9; the trained-merges encode is
-                                # a strict downstream of in-window
-                                # bpe_merge_sequence and stays
-                                # sweep-oracled + benched)
-    "disjunctive_brand_revenue",  # TPC-H Q19 OR-ed cross-side clauses
-                                # as post-join residual — oracled
-                                # since r5b, never driver-certified
-                                # (r10 rotation in per VERDICT r9 #1;
-                                # took forget_cascade_report's slot:
-                                # certified r5c-r9; the GDPR cascade
-                                # stays sweep-oracled + pytest-pinned
-                                # incl. the two-phase purge)
     "bpe_merge_sequence",       # the BPE TRAINER itself: 16 greedy
                                 # merge rounds as materialized CTEs —
                                 # full DuckDB oracle since r7, never
@@ -207,28 +109,7 @@ _WINDOW = [
                                 # is recomputed INSIDE the trainer as
                                 # its first merge round — a strict
                                 # superset)
-    "retrieval_hits",           # NEW r10 (VERDICT r9 #7): per-query
-                                # exact hit counts of the portable
-                                # IVFADC top-k vs brute force — the
-                                # recall claim of ann_recall_report's
-                                # ivf_pq_portable row, now fully
-                                # hash-oracled (took source_mixture_
-                                # schedule's slot: certified r8+r9;
-                                # the token-budget schedule stays
-                                # sweep-oracled + benched and the
-                                # sampling tier keeps its hash-order
-                                # machinery pytest-pinned)
     "corpus_curation_decisions",  # keep/drop + reason codes capstone
-    "doc_rag_chunks",           # overlapping 64/48 token-window
-                                # chunking with offsets (RAG prep) —
-                                # oracled since r4, never driver-
-                                # certified (r9 rotation in per
-                                # VERDICT r8 #1; took doc_tfidf_top_
-                                # terms' slot: certified r7+r8; the
-                                # tf/df ranking machinery stays
-                                # driver-visible inside in-window
-                                # bm25_search_topk, which recomputes
-                                # the same stats before scoring)
     "retrieval_quality_report", # precision/recall/MRR/NDCG@k vs label
                                 # ground truth — new r7, never driver-
                                 # certified (r7c rotation in; took
@@ -379,6 +260,147 @@ _WINDOW = [
                                 # r9+r10; nested-agg machinery stays
                                 # repped by regional_revenue's agg +
                                 # the rollup/cube sweep oracles)
+    # ---- r12 rotation: the FINAL first-coverage window (VERDICT r11
+    # #1 — all 16 remaining certifiable never-windowed queries in one
+    # window; after this run the never-windowed ledger holds only the
+    # 7 terminally rows-only names and rotation shifts to
+    # re-certification freshness). Every demoted slot-giver was
+    # driver-certified >=2x; per-slot family notes in _TAIL.
+    "suppliers_with_sole_late_lines",  # Q21 EXISTS + NOT-EXISTS as
+                                # per-key aggregate flags — oracled
+                                # since r5b, never driver-windowed
+                                # (took ticks_asof_quotes' slot:
+                                # certified r1-r11 eleven straight;
+                                # as-of machinery stays sweep-oracled
+                                # + benched + stream-matches-batch
+                                # pinned; interval family keeps
+                                # ticks_in_candle_ranges in-window)
+    "simple_revenue_forecast",  # Q6 pure pushdown aggregate — oracled
+                                # since r5c, never driver-windowed
+                                # (took promo_revenue_share's slot:
+                                # certified r10+r11; Q14's
+                                # conditional-ratio shape stays
+                                # sweep-oracled; TPC-H keeps Q5/Q13/
+                                # Q18 + the seven fresh shapes here)
+    "returned_item_customers",  # Q10 returns attribution top-20 —
+                                # oracled since r5c, never driver-
+                                # windowed (took disjunctive_brand_
+                                # revenue's slot: certified r10+r11;
+                                # Q19's OR-residual stays sweep-
+                                # oracled)
+    "important_part_stock",     # Q11 HAVING-vs-global-scalar shape —
+                                # oracled since r6, never driver-
+                                # windowed (took retrieval_hits'
+                                # slot: certified r10+r11; the recall
+                                # hit-count machinery stays sweep-
+                                # oracled and retrieval keeps
+                                # retrieval_quality_report in-window)
+    "late_shipment_priorities", # Q12 lateness x priority conditional
+                                # pivot — oracled since r5c, never
+                                # driver-windowed (took event_session_
+                                # windows' slot: certified r10+r11;
+                                # native session_window stays sweep-
+                                # oracled + streaming-pinned; event
+                                # family keeps signup_conversion_
+                                # funnel + event_props_variant
+                                # in-window)
+    "top_supplier_revenue_share",  # Q15 max-on-view tie set via
+                                # broadcast-scalar decorrelation —
+                                # oracled since r5c, never driver-
+                                # windowed (took corpus_snapshot_
+                                # diff's slot: certified r10+r11; the
+                                # digest-diff export machinery stays
+                                # sweep-oracled + benched)
+    "part_supplier_relationship",  # Q16 NOT-IN -> broadcast anti join
+                                # + count_distinct per bucket —
+                                # oracled since r6, never driver-
+                                # windowed (took join_key_skew_
+                                # report's slot: certified r10+r11;
+                                # the pre-salting diagnostic stays
+                                # sweep-oracled + benched)
+    "tick_ema",                 # per-key EMA via applyInPandas — the
+                                # Arrow escape hatch itself HASH-
+                                # oracled vs a recursive-CTE fold —
+                                # never driver-windowed (took rest_
+                                # fetch_pipeline's slot: certified
+                                # r6-r11; the scan->filter->dim-join->
+                                # mid chain is recomputed INSIDE
+                                # in-window flagship_latest_mid)
+    "tick_trailing_hour_volume",  # RANGE-frame interval window
+                                # (value-based membership, exact
+                                # micros) — oracled since r5c, never
+                                # driver-windowed (took order_window_
+                                # analytics' slot: certified r7-r11
+                                # five straight; the percent_rank/
+                                # cume_dist/ntile/nth_value breadth
+                                # stays sweep-oracled + benched; this
+                                # keeps a window-frame rep in-window)
+    "isin_health_report",       # tick-side ops capstone (continuity
+                                # + anomalies + freshness + volume
+                                # per instrument) — oracled since
+                                # r5c, never driver-windowed (took
+                                # simhash_near_pairs' slot: certified
+                                # r10+r11; hamming-band near-dup
+                                # stays sweep-oracled + benched;
+                                # near-dup keeps near_dup_components_
+                                # star in-window)
+    "pareto_frontier_parts",    # skyline via sort-based sweep,
+                                # oracled against the all-pairs
+                                # NOT-EXISTS definition — never
+                                # driver-windowed (took multimodal_
+                                # asset_stats' slot: certified
+                                # r2-r11 ten straight; X5 keeps
+                                # multimodal_cdc_dedup in-window)
+    "revenue_bootstrap_se",     # deterministic Poisson bootstrap
+                                # (hash-derived weights, exact CDF
+                                # literals) — oracled since r5c,
+                                # never driver-windowed (took
+                                # bloom_decontamination_probes' slot:
+                                # certified r5-r11 seven straight;
+                                # bloom build+probe stays sweep-
+                                # oracled + benched; the
+                                # decontamination ACTION keeps
+                                # split_leakage_repair in-window)
+    "doc_hash_embeddings",      # hashing-trick doc vectors (the
+                                # model-free text->ANN bridge) —
+                                # oracled since r5c, never driver-
+                                # windowed (took ivf_topk_pq_
+                                # portable's slot: certified r9-r11;
+                                # the IVFADC stack stays sweep-
+                                # oracled + benched; ANN keeps
+                                # ivf_topk_trained + embedding_
+                                # quantization_error in-window)
+    "token_countmin_sketch",    # count-min register grid — oracled,
+                                # never driver-windowed (ledger-
+                                # verified against the raw r01-r11
+                                # history; took token_heavy_hitters'
+                                # slot: certified r10+r11 — the
+                                # heavy-hitter walk over the same
+                                # grid stays sweep-oracled + benched)
+    "weighted_doc_sample",      # Efraimidis-Spirakis weighted sample
+                                # — DuckDB-oracled on the integer
+                                # OUTPUT columns (pow enters only the
+                                # priority ORDER, which ulp drift
+                                # cannot flip off the keyed-md5
+                                # uniform; python selection parity
+                                # stays pinned) — never driver-
+                                # windowed (took doc_rag_chunks'
+                                # slot: certified r9-r11; the chunk
+                                # windowing stays sweep-oracled;
+                                # textprep keeps pii_redaction_report
+                                # in-window)
+    "langid_nb_predictions",    # trained char-trigram NB langid —
+                                # DuckDB-oracled on the ARGMAX output
+                                # (ln enters only the score ORDER;
+                                # the r12 dense-vector scoring plan
+                                # keeps the same fold, python parity
+                                # 1e-9-pinned) — never driver-
+                                # windowed (took quality_model_auc's
+                                # slot: certified r5-r11 seven
+                                # straight; the midrank-AUC machinery
+                                # stays sweep-oracled + benched;
+                                # quality signals keep doc_repetition_
+                                # stats in-window)
 ]
 
 # Past the driver window: redundant variants of operator classes already
@@ -645,40 +667,6 @@ _TAIL = [
                                     # yielded (r6) to the grid itself
                                     # (order_price_hdr_sketch); stays
                                     # pytest-oracled + benched
-    "suppliers_with_sole_late_lines",  # Q21: EXISTS + NOT-EXISTS as
-                                    # per-key aggregate flags (one
-                                    # shuffle, no correlated
-                                    # re-scans); DuckDB-oracled; r5b
-    "langid_nb_predictions",        # trained char-trigram NB langid
-                                    # (rows-only: ln is libm-bound);
-                                    # python-parity + planted-corpus
-                                    # accuracy pinned; new r5c
-    "tick_ema",                     # per-key EMA via applyInPandas —
-                                    # the Arrow escape hatch itself
-                                    # HASH-oracled vs a recursive-CTE
-                                    # fold; new r5c
-    "tick_trailing_hour_volume",    # RANGE-frame interval window
-                                    # (value-based membership, exact
-                                    # micros vs native INTERVAL);
-                                    # DuckDB-oracled; new r5c
-    "pareto_frontier_parts",        # skyline via sort-based sweep,
-                                    # oracled against the all-pairs
-                                    # NOT-EXISTS definition (distinct
-                                    # algorithms, one answer); r5c
-    "revenue_bootstrap_se",         # deterministic Poisson bootstrap
-                                    # (hash-derived weights, exact
-                                    # CDF literals) — reproducible
-                                    # uncertainty in ONE scan;
-                                    # DuckDB-oracled; new r5c
-    "isin_health_report",           # tick-side ops capstone: feed
-                                    # continuity + anomalies +
-                                    # freshness + volume per
-                                    # instrument in one row;
-                                    # DuckDB-oracled; new r5c
-    "doc_hash_embeddings",          # hashing-trick doc vectors (the
-                                    # model-free text->ANN bridge;
-                                    # vectors themselves hash-match);
-                                    # DuckDB-oracled; new r5c
     "unigram_vocab",                # SentencePiece-family unigram-LM
                                     # trainer — engine-bound: hard-EM
                                     # scores words with libm ln()
@@ -690,30 +678,11 @@ _TAIL = [
                                     # bound: piece log-probs are libm
                                     # ln() (terminal); invariants
                                     # pinned in pytest
-    "simple_revenue_forecast",      # Q6 pure predicate-pushdown
-                                    # aggregate; DuckDB-oracled; r5c
-    "returned_item_customers",      # Q10 returns attribution top-20
-                                    # (deterministic tiebreak);
-                                    # DuckDB-oracled; r5c
-    "late_shipment_priorities",     # Q12 lateness x priority
-                                    # conditional pivot;
-                                    # DuckDB-oracled; r5c
-    "top_supplier_revenue_share",   # Q15 max-on-view tie set via
-                                    # broadcast-scalar decorrelation;
-                                    # DuckDB-oracled; r5c
-    "token_countmin_sketch",        # count-min grid rep — hash-green
-                                    # r5–r5c; slot yielded to
-                                    # lang_token_hll_grid; the grid
-                                    # build stays driver-visible via
-                                    # orders_join_size_estimate
     "eval_ngram_decontamination",   # exact decontamination rep —
                                     # hash-green r1–r5c; slot yielded
                                     # to forget_cascade_report; the
                                     # capability keeps bloom_decon's
                                     # driver row (exact leg included)
-    "weighted_doc_sample",          # A-ES weighted sampling (pow ->
-                                    # rows-only; exact python parity
-                                    # pinned); r5c
     # r6 window yields — all hash-green r1/r5 through r5c; each
     # family keeps an in-window representative (see _WINDOW notes)
     "pricing_summary",              # Q1 groupBy agg — hash-green
@@ -777,15 +746,6 @@ _TAIL = [
                                     # dup signal — hash-green r5+r6
     "embedding_covariance",         # PCA fit pass, decimal-stable
                                     # moments — hash-green r5+r6
-    "important_part_stock",         # Q11 HAVING-vs-global-scalar
-                                    # shape (broadcast 1-row total,
-                                    # exact DECIMAL threshold);
-                                    # DuckDB-oracled; new r6 — the
-                                    # TPC-H shape family closes at
-                                    # 22/22
-    "part_supplier_relationship",   # Q16 NOT-IN -> broadcast anti
-                                    # join + count_distinct per
-                                    # bucket; DuckDB-oracled; new r6
     # r8 window yields — every one driver-certified in r7 (most in
     # several earlier windows too); slots went to the 10 never-
     # certified promotions per VERDICT r7 #2 (see _WINDOW notes for
@@ -943,6 +903,81 @@ _TAIL = [
     "source_mixture_schedule",      # token-budget schedule — hash-
                                     # green r7c-r9; stays sweep-
                                     # oracled + benched
+    # r12 window yields — slots went to the FINAL 16 never-windowed
+    # certifiable promotions per VERDICT r11 #1 (the rotation
+    # burn-down's closing window); every demoted entry below was
+    # driver-certified at least twice, most across many windows (see
+    # the promoted entries' _WINDOW notes for the per-slot pairing)
+    "ticks_asof_quotes",            # as-of join — hash-green r1-r11,
+                                    # ELEVEN straight windows; stays
+                                    # sweep-oracled + benched +
+                                    # stream-matches-batch pinned;
+                                    # interval family keeps ticks_in_
+                                    # candle_ranges in-window
+    "rest_fetch_pipeline",          # REST scan derivation — hash-
+                                    # green r6-r11; the same scan->
+                                    # filter->dim-join->mid chain is
+                                    # recomputed INSIDE in-window
+                                    # flagship_latest_mid
+    "simhash_near_pairs",           # hamming-band near-dup — hash-
+                                    # green r10+r11; near-dup keeps
+                                    # near_dup_components_star
+                                    # in-window; stays benched
+    "order_window_analytics",       # percent_rank/cume_dist/ntile/
+                                    # nth_value breadth — hash-green
+                                    # r7-r11; window frames keep
+                                    # tick_trailing_hour_volume
+                                    # (RANGE) in-window; stays
+                                    # sweep-oracled + benched
+    "token_heavy_hitters",          # count-min heavy hitters — hash-
+                                    # green r10+r11; the SAME grid's
+                                    # build carries the family via
+                                    # promoted token_countmin_sketch
+    "bloom_decontamination_probes", # bloom-vs-exact decontamination —
+                                    # hash-green r5-r11 seven
+                                    # straight; the decontamination
+                                    # ACTION keeps split_leakage_
+                                    # repair in-window; stays benched
+    "ivf_topk_pq_portable",         # full IVFADC stack — hash-green
+                                    # r9-r11; ANN keeps ivf_topk_
+                                    # trained + embedding_
+                                    # quantization_error in-window;
+                                    # stays sweep-oracled + benched
+    "join_key_skew_report",         # pre-salting skew diagnostic —
+                                    # hash-green r10+r11; stays
+                                    # sweep-oracled + benched
+    "multimodal_asset_stats",       # container parse + digest stats —
+                                    # hash-green r2-r11 TEN straight;
+                                    # X5 keeps multimodal_cdc_dedup
+                                    # in-window
+    "corpus_snapshot_diff",         # incremental digest diff — hash-
+                                    # green r10+r11; stays sweep-
+                                    # oracled + benched
+    "event_session_windows",        # native session_window agg —
+                                    # hash-green r10+r11; stays
+                                    # sweep-oracled + streaming-
+                                    # pinned; event family keeps
+                                    # signup_conversion_funnel +
+                                    # event_props_variant in-window
+    "quality_model_auc",            # midrank ROC-AUC — hash-green
+                                    # r5-r11 seven straight; quality
+                                    # signals keep doc_repetition_
+                                    # stats in-window; stays benched
+    "promo_revenue_share",          # TPC-H Q14 — hash-green r10+r11;
+                                    # TPC-H keeps Q5/Q13/Q18 + the
+                                    # seven freshly promoted shapes
+                                    # in-window
+    "disjunctive_brand_revenue",    # TPC-H Q19 — hash-green r10+r11;
+                                    # same family coverage as Q14's
+                                    # note
+    "retrieval_hits",               # IVFADC-vs-brute hit counts —
+                                    # hash-green r10+r11; retrieval
+                                    # keeps retrieval_quality_report
+                                    # in-window
+    "doc_rag_chunks",               # overlapping token-window
+                                    # chunking — hash-green r9-r11;
+                                    # textprep keeps pii_redaction_
+                                    # report in-window
 ]
 
 

@@ -27,6 +27,15 @@ def _py_train(texts, vocab_k=512, rounds=3,
                 cands[p] = cands.get(p, 0) + c
     cands = {p: c for p, c in cands.items()
              if len(p) == 1 or c >= min_count}
+    # r12 seed cap (re-baselined with the trainer): chars + top
+    # SEED_FACTOR*vocab_k multi-char candidates by (count desc,
+    # piece asc) — the same deterministic tie-break as the in-plan
+    # TakeOrderedAndProject
+    chars0 = {p: c for p, c in cands.items() if len(p) == 1}
+    multi0 = sorted(((p, c) for p, c in cands.items() if len(p) > 1),
+                    key=lambda t: (-t[1], t[0]))
+    cands = dict(chars0)
+    cands.update(dict(multi0[:unigram.SEED_FACTOR * vocab_k]))
     total0 = sum(cands.values())
     model = {p: math.log(c / total0) for p, c in cands.items()}
     for _ in range(rounds):
@@ -45,6 +54,36 @@ def _py_train(texts, vocab_k=512, rounds=3,
         model = dict(chars)
         model.update(dict(multi))
     return sorted(model.items())
+
+
+def test_unigram_seed_collect_is_bounded(spark):
+    """VERDICT r11 #5: the seed vocabulary the trainer collects is
+    capped in-plan at chars + SEED_FACTOR*vocab_k multi-char pieces —
+    on a corpus with MORE qualifying multi-char candidates than the
+    cap, the seed frame holds exactly the cap (top by count,
+    piece-ascending tie-break), and every char still rides along
+    uncapped."""
+    from pyspark.sql import functions as F
+    # 26*26 = 676 distinct bigrams, each seen twice (>= min_count)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    text = " ".join(2 * [a + b for a in alpha for b in alpha])
+    d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    words = unigram.word_counts(d)
+    vocab_k = 8                                  # cap = 160 < 676
+    seed = unigram.seed_pieces(words, vocab_k).collect()
+    multi = [r for r in seed if len(r["piece"]) > 1]
+    chars = [r for r in seed if len(r["piece"]) == 1]
+    assert len(multi) == unigram.SEED_FACTOR * vocab_k
+    assert len(chars) == 26
+    # top-by-count with piece tie-break: every bigram counts 2, so
+    # the kept set is the lexicographic head of the bigram grid
+    want = sorted(a + b for a in alpha for b in alpha)[:160]
+    assert sorted(r["piece"] for r in multi) == want
+    # and an under-cap corpus keeps every qualifying candidate
+    d2 = spark.createDataFrame([(0, "aa bb aa bb")],
+                               "doc_id long, text string")
+    seed2 = unigram.seed_pieces(unigram.word_counts(d2), vocab_k)
+    assert {r["piece"] for r in seed2.collect()} == {"a", "b", "aa", "bb"}
 
 
 def test_unigram_training_matches_pure_python(spark):
