@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from .dedup import spread
 
 NB_N = 3          # character n-gram order
@@ -44,7 +45,15 @@ def train_nb(docs: DataFrame, text_col: str = "text",
     g = (spread(docs).select(F.col(label_col).alias("label"),
                      F.explode(char_grams_col(F.col(text_col), n))
                      .alias("gram")))
-    counts = g.groupBy("label", "gram").agg(F.count("*").alias("c"))
+    # tracked_persist (r12, found by the langid A/B re-measure): the
+    # (label, gram) count table feeds THREE downstream subtrees
+    # (totals, vocab, logps) — and score_nb's model-sized stats
+    # collect adds a fourth materialization. Unpersisted, every one
+    # of them re-ran the corpus-wide gram explode; persisted, the
+    # training corpus is exploded exactly ONCE per fit. The table is
+    # model-sized (labels x seen-gram vocabulary), not corpus-sized.
+    counts = tracked_persist(
+        g.groupBy("label", "gram").agg(F.count("*").alias("c")))
     totals = counts.groupBy("label").agg(F.sum("c").alias("total"))
     vocab = counts.select("gram").distinct().agg(
         F.count("*").alias("v"))
