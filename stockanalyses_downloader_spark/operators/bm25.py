@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from .dedup import spread
 
 BM25_K1 = 1.2
@@ -60,12 +61,20 @@ def bm25_index(docs: DataFrame, id_col: str = "doc_id",
     the same helper, and repartitioning a table that is immediately
     broadcast is a pure extra exchange."""
     toks = _tokens(spread(docs), id_col, text_col)
-    tf = (toks.groupBy(id_col, "term")
-          .agg(F.count("*").alias("tf")))
-    dl = (tf.groupBy(id_col)
+    # tracked_persist (r12, the langid lesson generalized): tf0 is
+    # the parent of EVERY index frame — dl, the dl-joined tf, df, and
+    # stats all derive from it, and a consumer like bm25_topk holds
+    # all of them in ONE plan. Unpersisted, each subtree re-ran the
+    # corpus explode + (doc, term) aggregate (the executed
+    # bm25_search_topk plan carried SIX Generate explode nodes and
+    # zero reused exchanges); persisted, the corpus is tokenized
+    # exactly once per index build.
+    tf0 = tracked_persist(toks.groupBy(id_col, "term")
+                          .agg(F.count("*").alias("tf")))
+    dl = (tf0.groupBy(id_col)
           .agg(F.sum("tf").alias("dl")))
-    tf = tf.join(dl, id_col)
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf = tf0.join(dl, id_col)
+    df = tf0.groupBy("term").agg(F.count("*").alias("df"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))

@@ -152,9 +152,16 @@ def roc_auc(scored: DataFrame, score_col: str = "logit",
     from pyspark.sql import Window
 
     y = F.col(label_col).cast("int")
-    by_v = (scored.select(F.col(score_col).alias("s"), y.alias("y"))
-            .groupBy("s")
-            .agg(F.count("*").alias("n"), F.sum("y").alias("p")))
+    # tracked_persist (r12 audit): the distinct-score frame feeds the
+    # min/max broadcast, the bucketed window leg AND the per-bucket
+    # totals — unpersisted, each subtree re-ran the caller's whole
+    # scoring upstream (for quality_model_auc: the docs scan + regex
+    # feature extraction, 3x). |distinct scores| rows by construction.
+    from ..caching import tracked_persist
+    by_v = tracked_persist(
+        scored.select(F.col(score_col).alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("p")))
     stats = by_v.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
     span = F.col("hi") - F.col("lo")
     bucket = F.when(

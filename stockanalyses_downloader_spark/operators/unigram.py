@@ -140,15 +140,19 @@ def train_unigram(docs: DataFrame, text_col: str = "text",
     # seed model over the CAPPED candidates (seed_pieces): the seed
     # normalizer total0 sums over the capped seed so the seed
     # distribution stays a proper distribution over the pieces it
-    # actually contains
-    cands = seed_pieces(words, vocab_k)
-    total0 = cands.agg(F.sum("c").alias("t")).first()["t"]
-    if total0 is None:
+    # actually contains. ONE materialization: the seed is collected
+    # (bounded — chars + 20*vocab_k rows) and total0 summed from the
+    # collected rows, instead of a separate agg job that would re-run
+    # the substring explode a second time (the langid-r12 lesson:
+    # every extra action on an unpersisted derived frame re-executes
+    # its corpus-width upstream).
+    rows = seed_pieces(words, vocab_k).collect()
+    total0 = sum(r["c"] for r in rows)
+    if not rows:
         raise ValueError(
             "train_unigram: empty corpus — no candidate pieces "
             "(every document tokenized to nothing)")
-    model = {r["piece"]: math.log(r["c"] / total0)
-             for r in cands.collect()}
+    model = {r["piece"]: math.log(r["c"] / total0) for r in rows}
 
     for _ in range(rounds):
         logp = dict(model)

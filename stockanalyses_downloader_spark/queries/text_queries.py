@@ -934,15 +934,20 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash-matches bit-for-bit, and log is monotonic so ranking
     is identical). Bigram + unigram counts are two explode
     aggregates; totals ride along as broadcast scalars."""
+    from ..caching import tracked_persist
     from ..operators import ngram_lm
     d = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     # bound-column pair extraction — see ngram_lm.bigram_pairs on why
     # the inline-split transform is O(tokens²) per doc
-    bg = (ngram_lm.bigram_pairs(d)
-          .groupBy("w1", "w2").agg(F.count("*").alias("n_ab")))
-    uni = (d.select(F.explode(toks).alias("w"))
-           .groupBy("w").agg(F.count("*").alias("n")))
+    # tracked_persist (r12 audit): bg feeds the totals AND the scored
+    # join; uni feeds the totals and BOTH unigram join legs —
+    # unpersisted, this one plan exploded the corpus FIVE times (2x
+    # bigram, 3x unigram). Both frames are vocab-sized aggregates.
+    bg = tracked_persist(ngram_lm.bigram_pairs(d)
+                         .groupBy("w1", "w2").agg(F.count("*").alias("n_ab")))
+    uni = tracked_persist(d.select(F.explode(toks).alias("w"))
+                          .groupBy("w").agg(F.count("*").alias("n")))
     tot = (bg.agg(F.sum("n_ab").cast("double").alias("tb"))
            .crossJoin(F.broadcast(
                uni.agg(F.sum("n").cast("double").alias("tu")))))
@@ -2610,13 +2615,19 @@ def source_shared_token_estimates(spark: SparkSession,
     slightly negative for near-disjoint sets (compounded error,
     documented on the operator); not clamped, so the oracle certifies
     the raw algebra."""
+    from ..caching import tracked_persist
     from ..operators import sketches
     d = _docs_spread(spark, sf_dir)
     toks = (d.filter(F.col("source").isin(list(_SHARED_SOURCES)))
             .select("source",
                     F.explode(F.split(F.lower(F.trim(F.col("text"))),
                                       r"\s+")).alias("token")))
-    g = sketches.hll_build_grouped(toks, ["source"], "token")
+    # tracked_persist (r12 audit): the grid is model-sized (sources x
+    # HLL_M registers) but feeds THREE subtrees (both union-grid legs
+    # + the single-source estimates) — unpersisted, each one re-ran
+    # the corpus token explode
+    g = tracked_persist(sketches.hll_build_grouped(toks, ["source"],
+                                                   "token"))
     pairs = [(a, b) for i, a in enumerate(_SHARED_SOURCES)
              for b in _SHARED_SOURCES[i + 1:]]
     pdf = spark.createDataFrame(pairs, "src_a string, src_b string")
