@@ -327,6 +327,14 @@ def countmin_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
     contribute ip=0 (disjoint key sets → est 0), so the min is taken
     over ALL depth rows, not just the overlapping ones — an inner
     join alone would return NULL/inflated for disjoint grids."""
+    # tracked_persist (r12 recompute audit): each grid feeds BOTH the
+    # row-id union and the product join — unpersisted, an in-plan
+    # grid (countmin_build over a fact table) re-scanned its fact
+    # table twice. Grids are bounded at depth x width rows by
+    # construction, the canonical cache candidate; grids loaded from
+    # storage just cache their (tiny) scan.
+    from ..caching import tracked_persist
+    a, b = tracked_persist(a), tracked_persist(b)
     rows = (a.select("row_id").union(b.select("row_id")).distinct())
     prod = (a.alias("a").join(b.alias("b"), ["row_id", "bucket"])
             .groupBy("row_id")

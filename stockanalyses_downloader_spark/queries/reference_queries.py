@@ -973,8 +973,14 @@ def isin_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every leg shares the single (isin)-keyed sort; the final join is
     per-isin aggregates only. A consumer reads THIS table instead of
     four queries."""
+    from ..caching import tracked_persist
     from ..operators import indicators
-    t = pipeline.validate_http(synthetic.ticks(spark, sf_dir))
+    # tracked_persist (r12 recompute audit): the validated tick
+    # stream feeds all four health legs (continuity, anomalies,
+    # freshness, volume) — unpersisted, each leg re-derived it from
+    # the fact scan (4 scans for one report)
+    t = tracked_persist(pipeline.validate_http(
+        synthetic.ticks(spark, sf_dir)))
     w = Window.partitionBy("isin").orderBy("ts", "tick_id")
     prev = F.lag("ts").over(w)
     brk = F.when(prev.isNull()

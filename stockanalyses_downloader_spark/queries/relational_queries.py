@@ -1532,13 +1532,22 @@ def signup_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the chain co-partitions end to end. Output one row per user
     who entered the funnel, with NULL stages after the drop-off."""
     ev = _t(spark, sf_dir, "events")
-    t1 = (ev.filter(F.col("event_type") == "signup")
-          .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
-    t2 = (ev.filter(F.col("event_type") == "click")
-          .join(t1, "user_id")
-          .filter(F.col("ts") > F.col("signup_ts"))
-          .groupBy("user_id", "signup_ts")
-          .agg(F.min("ts").alias("click_ts")))
+    # tracked_persist (r12 recompute audit): t1 feeds t2, t2's copy
+    # inside t3, AND the final join (3 recomputes of the signup
+    # slice); t2 feeds t3 and the final join. Both are per-user
+    # aggregates (bounded by the user dimension) — persisted, each
+    # stage slice of the fact table is scanned exactly once, keeping
+    # its own pushed event_type filter.
+    from ..caching import tracked_persist
+    t1 = tracked_persist(
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    t2 = tracked_persist(
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("click_ts")))
     t3 = (ev.filter(F.col("event_type") == "purchase")
           .join(t2, "user_id")
           .filter(F.col("ts") > F.col("click_ts"))
