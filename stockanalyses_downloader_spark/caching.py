@@ -68,7 +68,7 @@ def tracked_scope() -> Iterator[None]:
         del _TRACKED[start:]
         for df in scoped:
             try:
-                df.unpersist()
+                df.unpersist(blocking=True)
             except Exception:  # noqa: BLE001 — session already stopped
                 pass
 
@@ -84,15 +84,20 @@ def tracked_persist(df: DataFrame,
 
 
 def release_tracked() -> int:
-    """Unpersist every tracked frame (blocking=False: async block
-    drop, same as bare unpersist). Returns how many were released.
-    Idempotent; unpersisting an already-unpersisted frame is a
-    no-op in Spark."""
+    """Unpersist every tracked frame. BLOCKING (r12): the async drop
+    left blocks visible in getPersistentRDDs for a beat after the
+    call, so "footprint returns to baseline after release" — the
+    contract the lifecycle sweep pins — was only eventually true and
+    flaked under suite load once the recompute-audit persists
+    multiplied the release count. The wait happens outside every
+    timed section (bench releases after the timer stops). Returns
+    how many were released. Idempotent; unpersisting an
+    already-unpersisted frame is a no-op in Spark."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
         try:
-            df.unpersist()
+            df.unpersist(blocking=True)
             n += 1
         except Exception:  # noqa: BLE001 — session already stopped
             pass
@@ -117,7 +122,7 @@ def release_all(spark) -> int:
     rdds = list(jmap.values())
     for rdd in rdds:
         try:
-            rdd.unpersist()
+            rdd.unpersist(True)          # JavaRDD: blocking variant
         except Exception:  # noqa: BLE001
             pass
     return len(rdds)
