@@ -40,6 +40,15 @@ CHECKPOINTING = {
     "ivf_topk_pq",
     "ivf_topk_pq_portable",     # r8: same per-round codebook blocks
     "ann_recall_report",
+    "retrieval_hits",           # r12: composes the portable IVFADC
+                                # serve (same per-round codebook +
+                                # best-of-3 coarse checkpoints as
+                                # ivf_topk_pq_portable) — it had
+                                # ridden on GC timing: in the old
+                                # registry order ContextCleaner frees
+                                # of the portable run's blocks
+                                # habitually offset its own, and the
+                                # r12 rotation changed the adjacency
     # DSIR localCheckpoints the 4096-row LLR model once at fit (r8):
     # the block holds the model the scoring join reads
     "dsir_selection_report",
