@@ -175,6 +175,20 @@ def _historical_canary_min(repo: str) -> float | None:
     return best
 
 
+def _canary_ref(cmin_so_far: float, hist_min: float | None) -> float:
+    """Idle reference for the per-cell loaded gate. ADVICE r12 low:
+    ignore the archived minimum when it is implausibly far below
+    everything this run ever measures — a reference captured on
+    faster hardware (or one freak sample) would otherwise make
+    `loaded` permanently true and burn max_iters on every sub-2 s
+    cell run-wide. A real loaded-throughout run inflates the canary
+    by tens of percent, not >50 %, so a run floor above
+    1.5 * hist_min says "different machine", not "load"."""
+    if hist_min is not None and cmin_so_far <= 1.5 * hist_min:
+        return min(cmin_so_far, hist_min)
+    return cmin_so_far
+
+
 def _parse_out_path() -> str | None:
     """--out/$SPARK_GRAFT_BENCH_OUT sidecar redirect, validated BEFORE
     the run: a malformed --out is fatal (ADVICE r11 low — falling
@@ -284,8 +298,7 @@ def main() -> None:
         # canary minimum AND the archived history (a uniformly loaded
         # run never sees an idle sample of its own).
         cmin_so_far = min(c["t"] for c in canaries)
-        ref = cmin_so_far if hist_min is None else min(cmin_so_far,
-                                                       hist_min)
+        ref = _canary_ref(cmin_so_far, hist_min)
         loaded = canaries[-1]["t"] > 1.15 * ref
         try:
             for _ in range(1 + n_iter):     # first run = cold
@@ -339,6 +352,10 @@ def main() -> None:
         "min": cmin, "max": cmax,
         "spread_ratio": round(cmax / cmin, 3),
         "hist_min": hist_min,
+        # whether the archived reference was close enough to this
+        # run's own floor to arm the loaded gate (ADVICE r12 low)
+        "hist_min_applied": bool(hist_min is not None
+                                 and cmin <= 1.5 * hist_min),
     }
 
     head_ok = [n for n in HEADLINE if n in timings]

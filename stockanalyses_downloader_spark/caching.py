@@ -83,6 +83,26 @@ def tracked_persist(df: DataFrame,
     return df
 
 
+def tracked_persist_if_cold(df: DataFrame,
+                            level: StorageLevel =
+                            StorageLevel.MEMORY_AND_DISK) -> DataFrame:
+    """``tracked_persist`` that respects caller ownership (ADVICE r12
+    low): when the input is ALREADY persisted — at any storage level —
+    leave it alone. Two failure modes otherwise: ``persist()`` on a
+    frame persisted at a different level raises
+    'cannot change storage level', and entering a caller-persisted
+    frame into the tracked registry lets a harness
+    ``release_tracked()`` unpersist cache blocks the caller still
+    owns (a cache drop, not a correctness bug — but the caller paid
+    for those blocks). Operators that accept caller-built frames
+    (countmin_inner_product's grids) route through this; frames the
+    operator derives itself keep using ``tracked_persist``."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+        return df
+    return tracked_persist(df, level)
+
+
 def release_tracked() -> int:
     """Unpersist every tracked frame. BLOCKING (r12): the async drop
     left blocks visible in getPersistentRDDs for a beat after the

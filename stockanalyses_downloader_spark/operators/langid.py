@@ -135,8 +135,18 @@ def score_nb(docs: DataFrame, gram_logps: DataFrame,
 
     # dense per-gram contribution vector, aligned with the sorted
     # label order (try_element_at: the map lacks labels that never
-    # saw the gram, and ANSI element_at throws on missing map keys)
-    dense = (gram_logps.groupBy("gram")
+    # saw the gram, and ANSI element_at throws on missing map keys).
+    # Defensive (gram, label) pre-aggregate (ADVICE r12 low): a
+    # fit_nb model is unique by construction, but an externally
+    # supplied/unioned gram_logps with duplicate (gram, label) rows
+    # would make map_from_entries THROW under the default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION — sum them instead,
+    # which is exactly what the r11 join-based scoring did silently
+    # (each duplicate row joined and summed into the per-label
+    # score). Model-sized shuffle, negligible.
+    dense = (gram_logps.groupBy("gram", "label")
+             .agg(F.sum("logp").alias("logp"))
+             .groupBy("gram")
              .agg(F.map_from_entries(
                  F.collect_list(F.struct("label", "logp"))).alias("m"))
              .select("gram", F.array(*[

@@ -332,9 +332,14 @@ def countmin_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
     # grid (countmin_build over a fact table) re-scanned its fact
     # table twice. Grids are bounded at depth x width rows by
     # construction, the canonical cache candidate; grids loaded from
-    # storage just cache their (tiny) scan.
-    from ..caching import tracked_persist
-    a, b = tracked_persist(a), tracked_persist(b)
+    # storage just cache their (tiny) scan. The _if_cold guard
+    # (ADVICE r12 low): these are CALLER-provided frames — a grid the
+    # caller already persisted (possibly at another storage level)
+    # must be neither re-persisted (raises) nor entered into the
+    # tracked registry (a harness release would drop the caller's
+    # blocks).
+    from ..caching import tracked_persist_if_cold
+    a, b = tracked_persist_if_cold(a), tracked_persist_if_cold(b)
     rows = (a.select("row_id").union(b.select("row_id")).distinct())
     prod = (a.alias("a").join(b.alias("b"), ["row_id", "bucket"])
             .groupBy("row_id")

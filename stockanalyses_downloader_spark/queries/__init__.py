@@ -33,8 +33,6 @@ class Q:
 # First 50 names = the driver's correctness window.
 _WINDOW = [
     "flagship_latest_mid",
-    "ticks_in_candle_ranges",   # range/interval join (bucketed)
-    "job_state_claim_counts",
     "dsir_selection_by_source", # domain-conditional DSIR (per-source
                                 # proposal models, VERDICT r8 #3) —
                                 # new r9, never driver-certified (r9
@@ -45,8 +43,6 @@ _WINDOW = [
                                 # driver-visible via user_state_
                                 # history's SCD2 build + job_state_
                                 # claim_counts' state writeback)
-    "wss_enriched_messages",
-    "weekly_ohlc_candles",
     "pii_redaction_report",     # PII detect+redact — certified r5+r6
                                 # then rotated out; back in (r9 per
                                 # VERDICT r8 #1's named list; took
@@ -109,7 +105,6 @@ _WINDOW = [
                                 # is recomputed INSIDE the trainer as
                                 # its first merge round — a strict
                                 # superset)
-    "corpus_curation_decisions",  # keep/drop + reason codes capstone
     "retrieval_quality_report", # precision/recall/MRR/NDCG@k vs label
                                 # ground truth — new r7, never driver-
                                 # certified (r7c rotation in; took
@@ -120,11 +115,6 @@ _WINDOW = [
     "ingest_dead_letter_rates", # malformed-rate by source over the real
                                 # line-ingest machinery (r5 rotation in)
     # relational surface — one representative per operator class
-    "regional_revenue",         # 6-way inner join (Q5) — also the
-                                # window's groupBy-agg rep since
-                                # pricing_summary yielded (r6)
-    "user_state_history",       # SCD2 build (r5 — lag-compaction +
-                                # lead-close validity intervals)
     "data_quality_report",      # constraint audit (r5 — carries the
                                 # anti-join family's driver coverage
                                 # via its FK leg after the semi/anti
@@ -401,6 +391,70 @@ _WINDOW = [
                                 # stays sweep-oracled + benched;
                                 # quality signals keep doc_repetition_
                                 # stats in-window)
+    # ---- r13 rotation (VERDICT r12 #4): the 7 TERMINAL rows-only
+    # queries get their first driver rows — the only registry entries
+    # never to face the driver at all (ledger-verified). Each is
+    # oracle-less by nature (driver-side eigh / libm ln / pow), so the
+    # driver records a rows-only row; with these in, every one of the
+    # 190 registry queries has held a driver row of its strongest
+    # checkable kind, and rotation shifts permanently to
+    # re-certification freshness. Each slot-giver below was certified
+    # >=8x (see _TAIL notes).
+    "ivf_topk_pq",              # IVF-PQ: product-quantized lists +
+                                # ADC LUT scoring + exact rerank —
+                                # rows-only (OPQ rotation is a driver-
+                                # side eigh); recall floor pinned in
+                                # pytest (took ticks_in_candle_ranges'
+                                # slot: certified 10x; interval-join
+                                # machinery stays sweep-oracled +
+                                # benched + stream-matches-batch
+                                # pinned; tick_trailing_hour_volume
+                                # keeps a range/interval rep in-window)
+    "pca_ivf_topk",             # IVF candidates in PCA space, exact
+                                # full-dim rerank — rows-only (PCA
+                                # basis is a driver-side eigh); recall
+                                # floor pinned in pytest (took
+                                # job_state_claim_counts' slot:
+                                # certified 12x; the state machine
+                                # stays sweep-oracled + streaming-
+                                # pinned via applyInPandasWithState
+                                # parity)
+    "ann_recall_report",        # recall@10 of every ANN method vs
+                                # brute force — rows-only (composes
+                                # the PQ/PCA eigh rotations); floors
+                                # pinned in pytest (took wss_enriched_
+                                # messages' slot: certified 11x; the
+                                # wire projection stays sweep-oracled
+                                # + stream-matches-batch pinned)
+    "quality_model_weights",    # distributed logistic-regression
+                                # training — rows-only (sigmoid exp()
+                                # in the GD loop is libm); pinned vs
+                                # pure-numpy GD in pytest (took
+                                # weekly_ohlc_candles' slot: certified
+                                # 12x; OHLC stays sweep-oracled +
+                                # benched + streaming-matches-batch
+                                # pinned)
+    "embedding_pca_projection", # k=8 PCA projection — rows-only (the
+                                # eigenbasis is a driver-side eigh on
+                                # the d^2 moment matrix); distributed
+                                # moments pinned vs numpy in pytest
+                                # (took regional_revenue's slot:
+                                # certified 12x; TPC-H keeps Q13/Q18 +
+                                # the seven r12-promoted shapes
+                                # in-window)
+    "unigram_vocab",            # unigram-LM trainer (hard-EM) —
+                                # rows-only (libm ln() scoring);
+                                # pinned vs pure-Python exactly in
+                                # pytest (took corpus_curation_
+                                # decisions' slot: certified 11x; the
+                                # curation capstone stays sweep-
+                                # oracled + benched)
+    "doc_unigram_tokenization", # Viterbi encode under the learned
+                                # pieces — rows-only (libm ln piece
+                                # log-probs); invariants pinned in
+                                # pytest (took user_state_history's
+                                # slot: certified 8x; SCD2 machinery
+                                # stays sweep-oracled + benched)
 ]
 
 # Past the driver window: redundant variants of operator classes already
@@ -622,18 +676,6 @@ _TAIL = [
     "latest_order_per_customer",    # row_number top-1 — family stays
                                     # repped by the flagship query;
                                     # slot yielded to collocations
-    "ivf_topk_pq",                  # rows-only; IVF-PQ: product-
-                                    # quantized lists + ADC LUT
-                                    # scoring + exact rerank —
-                                    # engine-bound: OPQ rotation is a
-                                    # driver-side eigh (terminal);
-                                    # recall floor pinned in pytest
-    "pca_ivf_topk",                 # rows-only; IVF candidates in
-                                    # PCA space (pca_k=24), exact
-                                    # full-dim rerank — engine-bound:
-                                    # PCA basis is a driver-side eigh
-                                    # (terminal); recall floor pinned
-                                    # in pytest
     "nation_trade_volume",          # Q7 — multi-join agg, cf. Q5/Q9
     "product_profit_by_nation_year",  # Q9 — multi-join agg
     "status_priority_cube",         # cube, cf. rollup/grouping sets
@@ -644,40 +686,11 @@ _TAIL = [
     "rich_inactive_customers",      # Q22 composed subquery + anti join
     "event_value_histogram",        # manual width-bucket agg
     "event_props_extract",          # JSON parse, cf. jobs_parse_dispatch
-    "ann_recall_report",            # rows-only; recall@10 of every
-                                    # ANN method vs brute force —
-                                    # engine-bound: composes the PQ/
-                                    # PCA tiers' driver-side eigh
-                                    # rotations; floors pinned in
-                                    # pytest (terminal)
-    "quality_model_weights",        # rows-only; distributed logistic-
-                                    # regression training (decimal-
-                                    # accumulated batch GD) — engine-
-                                    # bound: sigmoid exp() in the GD
-                                    # loop is libm (terminal); pinned
-                                    # vs pure-numpy GD in pytest
-    "embedding_pca_projection",     # rows-only; k=8 PCA projection —
-                                    # engine-bound: the eigenbasis is
-                                    # a driver-side eigh on the d^2
-                                    # moment matrix (terminal);
-                                    # distributed moments + in-plan
-                                    # folds pinned vs numpy in pytest
     "order_price_hdr_quantiles",    # quantile walk over the HDR grid
                                     # — hash-green r5–r5c; slot
                                     # yielded (r6) to the grid itself
                                     # (order_price_hdr_sketch); stays
                                     # pytest-oracled + benched
-    "unigram_vocab",                # SentencePiece-family unigram-LM
-                                    # trainer — engine-bound: hard-EM
-                                    # scores words with libm ln()
-                                    # (terminal); pinned vs
-                                    # pure-Python exactly in pytest
-    "doc_unigram_tokenization",     # Viterbi encode under the
-                                    # learned pieces (fit-once memo,
-                                    # mapInPandas apply) — engine-
-                                    # bound: piece log-probs are libm
-                                    # ln() (terminal); invariants
-                                    # pinned in pytest
     "eval_ngram_decontamination",   # exact decontamination rep —
                                     # hash-green r1–r5c; slot yielded
                                     # to forget_cascade_report; the
@@ -978,6 +991,44 @@ _TAIL = [
                                     # chunking — hash-green r9-r11;
                                     # textprep keeps pii_redaction_
                                     # report in-window
+    # r13 window yields — slots went to the 7 TERMINAL rows-only
+    # queries' first driver rows per VERDICT r12 #4 (the last entries
+    # never to face the driver); every demoted entry below was
+    # driver-certified >=8x, the deepest certificate stacks in the
+    # registry
+    "ticks_in_candle_ranges",       # bucketed range/interval join —
+                                    # hash-green r1-r12 across ten
+                                    # windows; stays sweep-oracled +
+                                    # benched; tick_trailing_hour_
+                                    # volume keeps a range-frame rep
+                                    # in-window
+    "job_state_claim_counts",       # per-key job state machine —
+                                    # hash-green twelve straight
+                                    # windows; applyInPandasWithState
+                                    # parity + writeback stay pytest-
+                                    # pinned
+    "wss_enriched_messages",        # positional wire projection +
+                                    # reverse lookup — hash-green
+                                    # eleven windows; stays sweep-
+                                    # oracled + stream-matches-batch
+                                    # pinned
+    "weekly_ohlc_candles",          # OHLC resampling — hash-green
+                                    # twelve windows; stays sweep-
+                                    # oracled + benched + streaming-
+                                    # matches-batch pinned
+    "regional_revenue",             # TPC-H Q5 6-way join — hash-green
+                                    # twelve windows; TPC-H keeps
+                                    # Q13/Q18 + seven r12 shapes
+                                    # in-window
+    "corpus_curation_decisions",    # keep/drop + reason codes
+                                    # capstone — hash-green eleven
+                                    # windows; stays sweep-oracled +
+                                    # benched; its signal inputs keep
+                                    # driver rows via doc_repetition_
+                                    # stats + multimodal_cdc_dedup
+    "user_state_history",           # SCD2 build — hash-green r5-r12
+                                    # eight windows; stays sweep-
+                                    # oracled + benched
 ]
 
 

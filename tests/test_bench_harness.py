@@ -105,3 +105,22 @@ def test_bench_malformed_out_is_fatal_before_the_run():
         assert not out.stdout.strip()
     assert set(glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*"))) \
         == archives_before
+
+
+def test_canary_ref_ignores_implausible_archived_minimum():
+    """ADVICE r12 low: an archived canary captured on faster hardware
+    (or one freak sample) must not arm the loaded gate permanently —
+    hist_min participates only when this run's own floor is within
+    1.5x of it; otherwise the run-local minimum stands alone."""
+    sys.path.insert(0, REPO)
+    from bench import _canary_ref
+
+    # no history: the run's own floor
+    assert _canary_ref(0.08, None) == 0.08
+    # plausible history (same machine, idle): takes the min
+    assert _canary_ref(0.08, 0.074) == 0.074
+    assert _canary_ref(0.07, 0.074) == 0.07
+    # implausible history (run floor > 1.5x hist_min): ignored
+    assert _canary_ref(0.08, 0.03) == 0.08
+    # boundary: exactly 1.5x is still plausible
+    assert _canary_ref(0.075, 0.05) == 0.05

@@ -142,3 +142,30 @@ def test_nb_heldout_accuracy_on_planted_corpus(spark):
     rows_out = joined.collect()
     acc = sum(r["hit"] for r in rows_out) / len(rows_out)
     assert acc >= 0.95, f"held-out accuracy {acc}"
+
+
+def test_nb_duplicate_model_rows_sum_not_throw(spark):
+    """ADVICE r12 low: an externally unioned gram_logps with duplicate
+    (gram, label) rows must SUM the duplicates — the r11 join-based
+    scoring's silent behavior — not hit map_from_entries'
+    mapKeyDedupPolicy=EXCEPTION at runtime. A fully doubled model must
+    therefore score identically to a model whose logps are doubled
+    up front (unseen contributions stay 1x either way)."""
+    train = [("the cat sat on the mat", "en"),
+             ("the dog and the cat", "en"),
+             ("der hund und die katze", "de")]
+    tr = spark.createDataFrame(train, "text string, lang string")
+    logps, stats = langid.train_nb(tr)
+    sc = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "der hund xyzzy")],
+        "doc_id long, text string")
+    dup = logps.unionByName(logps)
+    got = {r["doc_id"]: (r["predicted_lang"], r["best_logp"])
+           for r in langid.score_nb(sc, dup, stats).collect()}
+    doubled = logps.withColumn("logp", F.col("logp") * 2)
+    want = {r["doc_id"]: (r["predicted_lang"], r["best_logp"])
+            for r in langid.score_nb(sc, doubled, stats).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9

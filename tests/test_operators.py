@@ -2713,3 +2713,34 @@ def test_multimodal_container_edge_cases(spark):
                    + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
                    + b"data" + struct.pack("<I", 0xFFFFFFFF))
     assert multimodal._wav_meta(placeholder) == (1, 8000, 16, 0)
+
+
+def test_countmin_inner_product_respects_caller_persisted_grids(spark):
+    """ADVICE r12 low: grids are CALLER-provided — one already
+    persisted (at a non-default storage level) must be neither
+    re-persisted (persist() at a different level raises 'cannot
+    change storage level') nor entered into the tracked registry
+    (a harness release_tracked() would drop the caller's blocks).
+    Pin: the call succeeds, the caller's grid stays cached after
+    release_tracked, and only internally-cold frames were tracked."""
+    from pyspark import StorageLevel
+
+    from stockanalyses_downloader_spark import caching
+    from stockanalyses_downloader_spark.operators import sketches
+
+    caching.release_tracked()
+    a = spark.createDataFrame([(k,) for k in range(20)], "key int")
+    b = spark.createDataFrame([(k % 5,) for k in range(20)], "key int")
+    ga = sketches.countmin_build(a, "key", depth=3, width=64) \
+        .persist(StorageLevel.MEMORY_ONLY)
+    ga.count()   # materialize the caller's cache
+    gb = sketches.countmin_build(b, "key", depth=3, width=64)
+    est = sketches.countmin_inner_product(
+        ga, gb).collect()[0]["est_join_size"]
+    assert est >= 0
+    caching.release_tracked()
+    lvl = ga.storageLevel
+    assert lvl.useMemory and not lvl.useDisk, (
+        "caller-persisted grid was unpersisted or re-leveled by the "
+        "operator/harness release")
+    ga.unpersist(blocking=True)

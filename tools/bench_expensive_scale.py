@@ -471,20 +471,35 @@ def main() -> None:
     # on dispersion-aware numbers.
     n_iter = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "1")))
     spark = get_session("expensive-scale")
+    # canary contract (VERDICT r12 #3): one sample before every cell,
+    # per-cell canary_t in the run row, the run block in the summary —
+    # a curve's slope claim adjudicates its own load from the record
+    from scale_common import Canary
+    from stockanalyses_downloader_spark.caching import release_tracked
+    canary = Canary(spark)
     results = []
     for name in names:
         for f in factors:
-            samples = [BENCHES[name](spark, f) for _ in range(n_iter)]
+            c = canary.sample(f"{name}@{f}x")
+            samples = []
+            for _ in range(n_iter):
+                samples.append(BENCHES[name](spark, f))
+                release_tracked()   # each sample stands alone
             r = dict(samples[len(samples) // 2])  # carry rows from one run
             walls = sorted(s["wall_s"] for s in samples)
             r["wall_s"] = walls[len(walls) // 2] if n_iter % 2 else round(
                 (walls[n_iter // 2 - 1] + walls[n_iter // 2]) / 2, 2)
             if n_iter > 1:
                 r["wall_samples"] = [s["wall_s"] for s in samples]
+            r["canary_t"] = c["t"]
             results.append(r)
             print(json.dumps(r))
+    canary.sample("run_end")
+    cmin = min(s["t"] for s in canary.samples)
+    for r in results:
+        r["load_factor"] = round(r["canary_t"] / cmin, 3)
     print(json.dumps({"metric": "expensive_scale_curves",
-                      "runs": results}))
+                      "runs": results, "canary": canary.block()}))
 
 
 if __name__ == "__main__":

@@ -138,16 +138,23 @@ def materialize(spark, factor: int, out_dir: str) -> None:
             .parquet(os.path.join(out_dir, f"{dim}.parquet"))
 
 
-def time_headline(spark, registry, sf_dir: str,
+def time_headline(spark, registry, sf_dir: str, canary,
                   n_iter: int = 2, max_iters: int = 5) -> dict[str, dict]:
     """1 cold + n_iter warm per query, plus bench.py's adaptive
     dispersion control (r11 — the tier's ngram/minhash n=2 medians
     swung ±30 % between rounds on unchanged plans): an EXPENSIVE
     (>2 s) and NOISY (>10 % warm spread) cell keeps sampling up to
     max_iters warm runs, so tier-over-tier comparisons of the heavy
-    dedup entries rest on an honest median."""
+    dedup entries rest on an honest median. ``canary`` (VERDICT r12
+    #3, scale_common.Canary) is sampled at the tier start and every
+    5 cells; each cell records its nearest preceding canary_t +
+    load_factor, and — as in bench.py — a loaded machine disables
+    the sub-2 s early exit so noisy-under-load cells keep sampling."""
     out: dict[str, dict] = {}
-    for name in HEADLINE:
+    canary.sample("tier_start")
+    for idx, name in enumerate(HEADLINE):
+        if idx and idx % 5 == 0:
+            canary.sample(f"after_{idx}")
         q = registry[name]
         runs = []
 
@@ -158,6 +165,7 @@ def time_headline(spark, registry, sf_dir: str,
             runs.append(round(time.perf_counter() - t0, 3))
             release_tracked()
 
+        loaded = canary.loaded()
         for _ in range(1 + n_iter):
             one_run()
         while (len(runs) - 1) < max_iters:
@@ -167,11 +175,15 @@ def time_headline(spark, registry, sf_dir: str,
             # low: full-set max-min is monotonically non-decreasing —
             # one outlier and the cell burned max_iters every time)
             tail = warm[-3:]
-            if med <= 2.0 or (max(tail) - min(tail)) <= 0.10 * med:
+            if (max(tail) - min(tail)) <= 0.10 * med:
+                break
+            if med <= 2.0 and not loaded:
                 break
             one_run()
         out[name] = {"cold": runs[0], "warm": runs[1:],
-                     "median": round(statistics.median(runs[1:]), 3)}
+                     "median": round(statistics.median(runs[1:]), 3),
+                     "canary_t": canary.samples[-1]["t"]}
+    canary.sample("tier_end")
     return out
 
 
@@ -181,6 +193,9 @@ def main() -> None:
     registry = all_queries()
     work = tempfile.mkdtemp(prefix="headline_scale_")
     results: dict[int, dict] = {}
+    from scale_common import Canary
+    canary = Canary(spark)
+    tier_marks: dict[int, int] = {}
     try:
         for f in factors:
             d = SF_DIR if f == 1 else os.path.join(work, f"x{f}")
@@ -190,15 +205,27 @@ def main() -> None:
                 print(f"# materialized {f}x in "
                       f"{time.perf_counter() - t0:.1f}s -> {d}",
                       file=sys.stderr)
-            results[f] = time_headline(spark, registry, d)
+            tier_marks[f] = len(canary.samples)
+            results[f] = time_headline(spark, registry, d, canary)
             total = sum(v["median"] for v in results[f].values())
             print(f"# factor {f}: headline total {total:.2f}s",
                   file=sys.stderr)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # per-cell load_factor against the RUN's best canary (bench.py's
+    # post-processing rule): the record alone can now say "this tier
+    # ran while the machine was Yx loaded" — VERDICT r12 #3
+    cmin = min(s["t"] for s in canary.samples)
+    for f in factors:
+        for row in results[f].values():
+            row["load_factor"] = round(row["canary_t"] / cmin, 3)
+
     base = results.get(1, {})
-    report = {"sf_dir": SF_DIR, "factors": factors, "queries": {}}
+    report = {"sf_dir": SF_DIR, "factors": factors, "queries": {},
+              "canary": canary.block(),
+              "tier_canary_start": {str(f): i
+                                    for f, i in tier_marks.items()}}
     for name in HEADLINE:
         row = {str(f): results[f][name]["median"] for f in factors}
         if 1 in results and base.get(name, {}).get("median"):
@@ -207,6 +234,8 @@ def main() -> None:
                     row[f"ratio_{f}x"] = round(
                         results[f][name]["median"]
                         / base[name]["median"], 2)
+        for f in factors:
+            row[f"load_{f}x"] = results[f][name]["load_factor"]
         report["queries"][name] = row
     for f in factors:
         report[f"total_{f}x"] = round(
