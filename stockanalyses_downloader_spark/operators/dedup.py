@@ -249,10 +249,21 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def word_shingles(col, n: int = 3):
-    """Word n-gram array (distinct), empty when the doc is too short.
-    All higher-order built-ins — no UDF."""
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
+def _norm_toks(col):
+    """The normalized word array every shingle derives from."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _shingles_from_toks(toks, n: int):
+    """Word n-gram array (distinct) from a PRE-SPLIT token array —
+    empty when the doc is too short. All higher-order built-ins, no
+    UDF. Callers must bind ``toks`` to a real column (withColumn),
+    not pass the split expression inline: an expression reference is
+    a repeated subtree, and runtime subexpression elimination does
+    NOT reach inside lambda functions — the slice's split would
+    re-evaluate once per shingle POSITION, turning the per-doc cost
+    from O(chars) + W·O(slice) into W·O(chars) (r13, found by the
+    PPJoin re-curve: 3.2x on the corpus shingle pass)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "))
@@ -260,8 +271,28 @@ def word_shingles(col, n: int = 3):
         F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>")))
 
 
+def word_shingles(col, n: int = 3):
+    """Column-level shingle expression. NOTE the per-row cost caveat
+    on _shingles_from_toks: this inline form re-evaluates the split
+    per shingle position (lambda-internal subtrees are outside
+    subexpression elimination). Fine for one-off column use; the
+    DataFrame-level builders below hoist the split into a real
+    column — prefer them on corpus-wide paths."""
+    return _shingles_from_toks(_norm_toks(col), n)
+
+
+def _with_toks(docs: DataFrame, text_col: str) -> DataFrame:
+    """Bind the normalized token array as a real column. Catalyst's
+    CollapseProject will NOT inline a non-cheap alias referenced more
+    than once, so the split stays computed once per row (pinned by
+    test_shingle_split_hoisted_once)."""
+    return docs.withColumn("__toks", _norm_toks(F.col(text_col)))
+
+
 def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    return docs.withColumn("shingles", word_shingles(F.col(text_col), n))
+    return (_with_toks(docs, text_col)
+            .withColumn("shingles", _shingles_from_toks(F.col("__toks"), n))
+            .drop("__toks"))
 
 
 def md5_h31(col):
@@ -286,10 +317,13 @@ def with_hashed_shingles(docs: DataFrame, text_col: str = "text",
     pair — still negligible at shingle-set sizes) so the resulting
     Jaccard is DuckDB-recomputable bit for bit."""
     hasher = md5_h31 if portable else F.xxhash64
-    return docs.withColumn(
-        "shingles",
-        F.array_distinct(F.transform(word_shingles(F.col(text_col), n),
-                                     lambda s: hasher(s))))
+    return (_with_toks(docs, text_col)
+            .withColumn(
+                "shingles",
+                F.array_distinct(F.transform(
+                    _shingles_from_toks(F.col("__toks"), n),
+                    lambda s: hasher(s))))
+            .drop("__toks"))
 
 
 def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -421,9 +455,10 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 64,
     params = _mh_params(n_hashes)
     base = (md5_h31(F.col("gram")) if portable
             else F.shiftrightunsigned(F.xxhash64("gram"), 33))
-    ex = (spread(docs)
+    ex = (_with_toks(spread(docs), text_col)
           .select(id_col,
-                  F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+                  F.explode(_shingles_from_toks(F.col("__toks"), n))
+                  .alias("gram"))
           .select(id_col, base.alias("h31")))
     mins = [F.min((F.col("h31") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME))
              .alias(f"__m{j}")
@@ -848,9 +883,22 @@ def jaccard_pairs_prefix_filter(docs: DataFrame, n: int = 3,
     ceil(t/(1+t)*(|A|+|B|)) (the Jaccard>=t overlap equivalence).
     The epsilon on the ceil keeps float rounding from over-pruning —
     exactness vs brute force stays pinned in tests."""
-    s = (with_hashed_shingles(spread(docs), text_col, n)
-         .select(id_col, "shingles")
-         .filter(F.size("shingles") > 0))
+    # Emptiness pre-filter on the RAW text, not the derived shingles
+    # column (r13, found by the post-audit re-curve): a filter on
+    # `size(shingles) > 0` lets PushDownPredicates substitute the
+    # WHOLE shingle expression below spread()'s exchange — the
+    # corpus's most expensive per-row stage re-ran on the narrow
+    # pre-exchange side (serialized: 129 s of a 130 s cell at a 10x
+    # blown corpus; 2x CPU waste at ANY width, since the pushed copy
+    # can't share subexpressions with the post-exchange projection
+    # across the exchange boundary). Shingles are empty exactly when
+    # the normalized text has < n words (word_shingles' CASE guard),
+    # so filter on that — one cheap split per row wherever Catalyst
+    # pushes it. Same idiom as minhash_signatures_np's `shingleable`.
+    has_grams = (F.size(F.split(F.lower(F.trim(F.col(text_col))),
+                                r"\s+")) >= n)
+    s = (with_hashed_shingles(spread(docs).filter(has_grams), text_col, n)
+         .select(id_col, "shingles"))
     s = tracked_persist(s)
     tok = s.select(id_col, F.explode("shingles").alias("tok"))
     df_counts = tok.groupBy("tok").agg(F.count("*").alias("df"))

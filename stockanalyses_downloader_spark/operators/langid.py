@@ -42,9 +42,9 @@ def train_nb(docs: DataFrame, text_col: str = "text",
     expression is per-row CPU over the whole corpus; a narrow
     upstream would serialize it. The doc-count aggregates below scan
     the unspread docs (column-pruned, no per-row text work)."""
-    g = (spread(docs).select(F.col(label_col).alias("label"),
-                     F.explode(char_grams_col(F.col(text_col), n))
-                     .alias("gram")))
+    g = (with_char_grams(spread(docs), text_col, n)
+         .select(F.col(label_col).alias("label"),
+                 F.explode("__grams").alias("gram")))
     # tracked_persist (r12, found by the langid A/B re-measure): the
     # (label, gram) count table feeds THREE downstream subtrees
     # (totals, vocab, logps) — and score_nb's model-sized stats
@@ -82,7 +82,14 @@ def train_nb(docs: DataFrame, text_col: str = "text",
 def char_grams_col(text: Column, n: int = NB_N) -> Column:
     """char_grams as a single in-plan expression built on the Column
     API (transform over a sequence of start offsets; F.substring
-    accepts Column positions in Spark 4)."""
+    accepts Column positions in Spark 4). NOTE the per-row cost
+    caveat: inline, the lambda's substring re-evaluates the
+    normalization regex once per gram POSITION (lambda bodies sit
+    outside runtime subexpression elimination) — O(len²) regex per
+    doc. Fine for one-off column use; corpus-wide explodes use
+    with_char_grams, which hoists the normalized string into a real
+    column (r13, same lambda-recompute class as dedup's
+    word_shingles)."""
     c = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     ln = F.length(c)
     return F.when(ln >= n,
@@ -90,6 +97,26 @@ def char_grams_col(text: Column, n: int = NB_N) -> Column:
                               lambda i: F.substring(c, i, F.lit(n)))
                   ).otherwise(
         F.array().cast("array<string>"))
+
+
+def with_char_grams(docs: DataFrame, text_col: str = "text",
+                    n: int = NB_N, out_col: str = "__grams") -> DataFrame:
+    """char_grams with the normalized string BOUND as a real column,
+    so the \\s+ regex runs once per row instead of once per gram
+    position (Catalyst's CollapseProject will not inline a non-cheap
+    alias referenced more than once; pinned by
+    test_char_gram_normalize_once). Same grams, same order as
+    char_grams_col — parity pinned in tests/test_langid.py."""
+    d = docs.withColumn(
+        "__cg_norm",
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    norm = F.col("__cg_norm")
+    ln = F.length(norm)
+    grams = F.when(ln >= n,
+                   F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                               lambda i: F.substring(norm, i, F.lit(n)))
+                   ).otherwise(F.array().cast("array<string>"))
+    return d.withColumn(out_col, grams).drop("__cg_norm")
 
 
 def score_nb(docs: DataFrame, gram_logps: DataFrame,
@@ -154,10 +181,10 @@ def score_nb(docs: DataFrame, gram_logps: DataFrame,
                  for lb, u in zip(labels, unseens)]).alias("__vec")))
 
     # spread() before the scoring explode (r11 rollout): the n-gram
-    # expression is per-row CPU over the whole corpus
-    g = (spread(docs).select(id_col,
-                             F.explode(char_grams_col(F.col(text_col), n))
-                             .alias("gram")))
+    # expression is per-row CPU over the whole corpus; hoisted
+    # normalization (r13) keeps the regex at one run per doc
+    g = (with_char_grams(spread(docs), text_col, n)
+         .select(id_col, F.explode("__grams").alias("gram")))
     unseen_vec = F.array(*[F.lit(u) for u in unseens])
     j = (g.join(F.broadcast(dense), "gram", "left")
          .select(id_col, F.coalesce("__vec", unseen_vec).alias("__vec")))

@@ -440,7 +440,15 @@ def payload_cdc_chunks(assets: DataFrame, window: int = 16,
             lambda i: F.md5(F.col("payload").substr(i - (w - 1), F.lit(w)))
                        .startswith(cut_prefix))
     ).otherwise(F.array().cast("array<int>"))
-    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(plen))
+    # bounds BOUND as a real column (r13): the chunk lambda below
+    # references it 4x via element_at, and lambda bodies sit outside
+    # runtime subexpression elimination — inline, the O(len) md5
+    # sliding-window scan inside ``cuts`` re-ran once per CHUNK
+    # (O(len²/mean_chunk) md5 windows per asset). A non-cheap alias
+    # referenced more than once survives CollapseProject, so the cut
+    # scan runs once per row (the word_shingles/char_grams
+    # lambda-recompute class).
+    bounds = F.col("__bounds")
     chunks = F.transform(
         F.sequence(F.lit(1), F.size(bounds) - 1),
         lambda j: F.struct(
@@ -451,6 +459,8 @@ def payload_cdc_chunks(assets: DataFrame, window: int = 16,
                 F.element_at(bounds, j + 1) - F.element_at(bounds, j)))
              .alias("chunk_md5")))
     return (assets.filter(plen > 0)
+            .withColumn("__bounds",
+                        F.concat(F.array(F.lit(0)), cuts, F.array(plen)))
             .select("asset_id", F.explode(chunks).alias("c"))
             .select("asset_id", "c.chunk_seq", "c.chunk_start",
                     "c.chunk_md5"))

@@ -87,7 +87,13 @@ def chunk_documents(docs: DataFrame, window: int = 64, stride: int = 48,
     bounded by total tokens / stride."""
     if not 0 < stride <= window:
         raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # tokens BOUND as a real column (r13): inline, the lambda's slice
+    # re-evaluated the split once per CHUNK (lambda bodies sit outside
+    # runtime subexpression elimination — the word_shingles /
+    # char_grams lambda-recompute class); a non-cheap alias referenced
+    # more than once survives CollapseProject, so the split runs once
+    # per row
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1),
@@ -101,7 +107,9 @@ def chunk_documents(docs: DataFrame, window: int = 64, stride: int = 48,
     # spread() before the chunk explode (r11): tokenization + the
     # per-chunk slice/join expressions are the per-row CPU stage
     from .dedup import spread
-    ex = spread(docs).select(id_col, F.explode(chunks).alias("c"))
+    ex = (spread(docs)
+          .withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+          .select(id_col, F.explode(chunks).alias("c")))
     return ex.select(
         id_col, "c.chunk_id", "c.start_token",
         F.size("c.toks").alias("n_chunk_tokens"),

@@ -169,3 +169,28 @@ def test_nb_duplicate_model_rows_sum_not_throw(spark):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) < 1e-9
+
+
+def test_with_char_grams_matches_column_form(spark):
+    """r13 hoist parity: with_char_grams (normalization bound as a
+    column, regex once per row) must emit exactly the same gram array
+    as the inline char_grams_col expression."""
+    rows = [(0, "The  cat\tSAT "), (1, "ab"), (2, ""), (3, "ümlaut ğq")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["g"]
+           for r in langid.with_char_grams(d, "text", 3, "g").collect()}
+    want = {r["doc_id"]: r["g"]
+            for r in d.select("doc_id",
+                              langid.char_grams_col(F.col("text"), 3)
+                              .alias("g")).collect()}
+    assert got == want
+
+
+def test_char_gram_normalize_once(spark):
+    """r13: the corpus-explode path must evaluate the \\s+
+    normalization regex ONCE per row — the inline lambda form re-ran
+    it per gram position (O(len^2) regex per doc)."""
+    d = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    q = langid.with_char_grams(d, "text", 3, "g").select("doc_id", "g")
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 1, plan[:2000]

@@ -380,3 +380,39 @@ def test_window_pin_survives_warm_ann_caches(spark):
     finally:
         release_tracked()
         spark.catalog.clearCache()
+
+
+def test_shingle_split_hoisted_once(spark):
+    """r13 (PPJoin re-curve finding): the shingle builders bind the
+    normalized token split as a real column, so the split is computed
+    once per row — inline, the lambda re-evaluated it once per
+    shingle POSITION (lambda bodies sit outside runtime subexpression
+    elimination; measured 3.2x on the corpus shingle pass). Pin: ONE
+    split occurrence in the optimized single-consumer plan."""
+    from stockanalyses_downloader_spark.operators.dedup import (
+        with_hashed_shingles)
+    d = load_table(spark, SF, "documents")
+    q = with_hashed_shingles(d, "text", 3).select("doc_id", "shingles")
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(lower(trim") == 1, plan[:2000]
+
+
+def test_ppjoin_empty_filter_not_shingle_pushdown(spark):
+    """r13 (PPJoin re-curve finding): the emptiness filter must reach
+    the scan as the CHEAP word-count predicate, never as the
+    substituted shingle expression — PushDownPredicates re-expressing
+    `size(shingles) > 0` below spread()'s exchange re-ran the
+    corpus's most expensive per-row stage serialized on the narrow
+    pre-exchange side (129 s of a 130 s cell at a 10x corpus). Pin:
+    no scan-level DataFilter carries the shingle machinery."""
+    from stockanalyses_downloader_spark.operators import dedup
+    from stockanalyses_downloader_spark.plans import explain_str
+    d = load_table(spark, SF, "documents")
+    q = dedup.jaccard_pairs_prefix_filter(d, n=3, threshold=0.5)
+    plan = explain_str(q)
+    offending = [ln for ln in plan.splitlines()
+                 if "DataFilters" in ln
+                 and ("array_distinct" in ln or "xxhash64" in ln)]
+    assert not offending, offending
+    from stockanalyses_downloader_spark.caching import release_tracked
+    release_tracked()

@@ -81,6 +81,26 @@ def bench_global_near_dups(spark, factor: int) -> dict:
             "wall_s": round(time.perf_counter() - t0, 2)}
 
 
+def bench_global_near_dups_disjoint(spark, factor: int) -> dict:
+    """PPJoin on the DISJOINT blow-up axis (VERDICT r12 #5: the
+    biggest bench resident re-curved at 1x/10x/100x post-recompute-
+    audit). scale_common.blow_up_docs gives per-copy word prefixes, so
+    shingle vocabularies are disjoint across copies: candidate volume
+    and verified pairs grow LINEARLY with the corpus — the pure
+    data-volume axis, complementary to bench_global_near_dups'
+    adversarial clique axis (quadratic output by construction)."""
+    from tools.scale_common import blow_up_docs
+    base = load_table(spark, SF_DIR, "documents")
+    corpus = blow_up_docs(base, factor)
+    n = corpus.count()
+    t0 = time.perf_counter()
+    pairs = dedup.jaccard_pairs_prefix_filter(corpus, n=3, threshold=0.5)
+    n_out = pairs.count()
+    return {"query": "global_near_dup_pairs[disjoint]",
+            "factor": factor, "rows_in": n, "rows_out": n_out,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
 def _lineitem_copies(spark, factor: int):
     li = load_table(spark, SF_DIR, "lineitem") \
         .select("l_orderkey", "l_partkey")
@@ -434,6 +454,8 @@ def bench_ngram_routed(spark, factor: int) -> dict:
 
 BENCHES = {
     "global": bench_global_near_dups,
+    # r13 (VERDICT r12 #5): the disjoint (linear-output) PPJoin axis
+    "global_disjoint": bench_global_near_dups_disjoint,
     "triangles": bench_triangles,
     "lift": bench_lift,
     "countmin": bench_countmin,
