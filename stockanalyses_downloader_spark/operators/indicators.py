@@ -40,37 +40,61 @@ def with_rolling_indicators(ticks: DataFrame, price_col: str = "last_price",
                             n: int = 5) -> DataFrame:
     """Append sma_n / std_n / rsi_n columns (NULL until the frame holds
     n rows — a deterministic warm-up cutoff rather than noisy partial
-    averages)."""
+    averages).
+
+    Shared frame aggregates are bound as REAL columns before the
+    derived indicator expressions use them (r13 optimization round —
+    same rationale as with_anomaly_zscores below): every textual
+    occurrence of ``.over(frame)`` becomes its own window-function
+    instance in the plan, so the old inline form evaluated ~14
+    sliding decimal aggregates (plus one embedded lag per rsi sum
+    occurrence) where 6 + one lag suffice. Arithmetic per row is
+    unchanged; the hash-oracled output is identical."""
     order = [F.col(ts), F.col(tiebreak)]
     w = Window.partitionBy(key).orderBy(*order)
     frame = w.rowsBetween(-(n - 1), 0)
 
     price = F.col(price_col)
-    cnt = F.count(price).over(frame)
-    s1 = F.sum(price.cast(_DEC)).over(frame).cast("double")
-    s2 = F.sum((price * price).cast(_DEC)).over(frame).cast("double")
-    full = cnt == n
-
-    sma = F.when(full, s1 / n)
-    var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
-    std = F.when(full, F.sqrt(var))
-
-    diff = price - F.lag(price).over(w)
+    # lag bound first: the rsi sums consume it, and binding keeps the
+    # plan at two Window nodes (lag, then the six aggregates) sharing
+    # one exchange + sort instead of re-extracting lag per occurrence
+    d = ticks.withColumn("__ri_diff", price - F.lag(price).over(w))
+    diff = F.col("__ri_diff")
     gain = F.when(diff > 0, diff).otherwise(F.lit(0.0))
     loss = F.when(diff < 0, -diff).otherwise(F.lit(0.0))
     # diff is NULL on each key's first row; decimal SUM skips NULLs in
     # both engines, and the full-lookback gate below only opens once
     # n diffs exist anyway
-    gsum = F.sum(gain.cast(_DEC)).over(frame).cast("double")
-    lsum = F.sum(loss.cast(_DEC)).over(frame).cast("double")
-    ndiff = F.count(diff).over(frame)
-    rsi = F.when((ndiff == n) & (gsum + lsum > 0),
+    # one withColumns call = one Project = ONE Window node for all six
+    # aggregates — chained withColumn would interleave each aggregate's
+    # cast-input Project between Window nodes, which blocks Catalyst's
+    # CollapseWindow and leaves one Window operator per aggregate
+    d = d.withColumns({
+        "__ri_cnt": F.count(price).over(frame),
+        "__ri_s1": F.sum(price.cast(_DEC)).over(frame).cast("double"),
+        "__ri_s2": F.sum((price * price).cast(_DEC)).over(frame)
+                    .cast("double"),
+        "__ri_gsum": F.sum(gain.cast(_DEC)).over(frame).cast("double"),
+        "__ri_lsum": F.sum(loss.cast(_DEC)).over(frame).cast("double"),
+        "__ri_ndiff": F.count(diff).over(frame),
+    })
+
+    s1, s2 = F.col("__ri_s1"), F.col("__ri_s2")
+    gsum, lsum = F.col("__ri_gsum"), F.col("__ri_lsum")
+    full = F.col("__ri_cnt") == n
+
+    sma = F.when(full, s1 / n)
+    var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
+    std = F.when(full, F.sqrt(var))
+    rsi = F.when((F.col("__ri_ndiff") == n) & (gsum + lsum > 0),
                  100.0 * gsum / (gsum + lsum))
 
-    return (ticks
+    return (d
             .withColumn(f"sma_{n}", sma)
             .withColumn(f"std_{n}", std)
-            .withColumn(f"rsi_{n}", rsi))
+            .withColumn(f"rsi_{n}", rsi)
+            .drop("__ri_diff", "__ri_cnt", "__ri_s1", "__ri_s2",
+                  "__ri_gsum", "__ri_lsum", "__ri_ndiff"))
 
 
 def with_anomaly_zscores(ticks: DataFrame, price_col: str = "last_price",
@@ -87,23 +111,40 @@ def with_anomaly_zscores(ticks: DataFrame, price_col: str = "last_price",
     indicators above; one shuffle shared with them when composed (all
     frames sort on (ts, tiebreak) per key).
 
-    Appends ``zscore`` and ``is_anomaly`` (|z| > z_thresh)."""
+    Appends ``zscore`` and ``is_anomaly`` (|z| > z_thresh).
+
+    The three frame aggregates are bound as REAL columns before any
+    derived expression uses them (r13 optimization round): Catalyst
+    extracts each *occurrence* of a window expression as its own
+    window function — the old form's ``zscore``-then-``is_anomaly``
+    chain rendered as TWO Window operators evaluating 24 sliding
+    decimal aggregates (8 + 16) where 3 suffice. Binding once leaves
+    a single Window node with exactly count/sum/sum². Arithmetic per
+    row is unchanged — same exact decimal sums, same double
+    divisions — so the hash-oracled output is identical."""
     w = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
     frame = w.rowsBetween(-n, -1)
 
     price = F.col(price_col)
-    cnt = F.count(price).over(frame)
-    s1 = F.sum(price.cast(_DEC)).over(frame).cast("double")
-    s2 = F.sum((price * price).cast(_DEC)).over(frame).cast("double")
+    # one withColumns call = one Project = one Window node (see the
+    # CollapseWindow note in with_rolling_indicators)
+    d = ticks.withColumns({
+        "__az_cnt": F.count(price).over(frame),
+        "__az_s1": F.sum(price.cast(_DEC)).over(frame).cast("double"),
+        "__az_s2": F.sum((price * price).cast(_DEC)).over(frame)
+                    .cast("double"),
+    })
+    s1, s2 = F.col("__az_s1"), F.col("__az_s2")
     mean = s1 / n
     var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
     std = F.sqrt(var)
-    zscore = F.when((cnt == n) & (std > 0), (price - mean) / std)
-    return (ticks
-            .withColumn("zscore", zscore)
+    zscore = F.when((F.col("__az_cnt") == n) & (std > 0),
+                    (price - mean) / std)
+    return (d.withColumn("zscore", zscore)
             .withColumn("is_anomaly",
-                        F.when(zscore.isNotNull(),
-                               F.abs(zscore) > z_thresh)))
+                        F.when(F.col("zscore").isNotNull(),
+                               F.abs(F.col("zscore")) > z_thresh))
+            .drop("__az_cnt", "__az_s1", "__az_s2"))
 
 
 def ema_by_key(ticks: DataFrame, price_col: str = "last_price",

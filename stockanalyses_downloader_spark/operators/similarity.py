@@ -252,17 +252,23 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
             "init='farthest' is deterministic and ignores init_salt; "
             "use init='sample' for salted restarts "
             "(kmeans_centroids_best_of)")
+    spark = embeddings.sparkSession
     e = embeddings.select(id_col, as_double(F.col(vec_col)).alias("v"))
     e = tracked_persist(e.withColumn("norm", l2_norm(F.col("v"))))
+    schema = "centroid_id int, cv array<double>, cnorm double"
     if init == "farthest":
-        cent = _farthest_point_centroids(e, k, id_col)
+        cent_rows = [(i, [float(x) for x in r["v"]], float(r["norm"]))
+                     for i, r in enumerate(farthest_point_rows(e, k,
+                                                              id_col))]
     else:
-        # init selection is a distributed TakeOrdered (orderBy+limit);
-        # the partition-less numbering window then runs over the k-row
-        # result only — never the full corpus. portable=True draws the
-        # init ordering from the md5-prefix family so a DuckDB oracle
-        # can replay the whole training loop (every later step —
-        # assignment rank, DECIMAL-exact means — is already
+        # init selection is a distributed TakeOrdered (orderBy+limit)
+        # collected as k model-sized driver rows (the whitelisted
+        # collect class — same as _farthest_point_centroids); ids are
+        # the collect order, which IS the (hash, id) ordering the old
+        # k-row row_number window assigned. portable=True draws the
+        # ordering from the md5-prefix family so a DuckDB oracle can
+        # replay the whole training loop (every later step —
+        # assignment argmax, DECIMAL-exact means — is already
         # engine-portable); xxhash64 stays the production default.
         if portable:
             from .sampling import hash_key
@@ -271,15 +277,91 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
             order_expr = F.xxhash64(F.lit(init_salt), F.col(id_col))
         else:
             order_expr = F.xxhash64(F.col(id_col))
-        w = Window.orderBy(order_expr, F.col(id_col))
-        cent = (e.orderBy(order_expr, F.col(id_col)).limit(k)
-                .withColumn("__r", F.row_number().over(w))
-                .select((F.col("__r") - 1).cast("int")
-                        .alias("centroid_id"),
-                        F.col("v").alias("cv"),
-                        F.col("norm").alias("cnorm")))
-    cent = tracked_persist(cent)
+        cent_rows = [(i, [float(x) for x in r["v"]], float(r["norm"]))
+                     for i, r in enumerate(
+                         e.orderBy(order_expr, F.col(id_col)).limit(k)
+                          .select("v", "norm").collect())]
+    d = len(cent_rows[0][1]) if cent_rows else 0
+    # r13 optimization round: the Lloyd loop runs through MODEL-SIZED
+    # driver rows (k×d floats — the same whitelisted collect class as
+    # farthest-point init) instead of per-round persisted frames. Each
+    # round is then ONE job — a k-group wide aggregate collapsing the
+    # old posexplode + (centroid, pos) shuffle + collect_list shuffle +
+    # keep-previous broadcast join + persist/count barrier — and every
+    # consumer's plan sees a flat literal centroid table instead of a
+    # 3-deep InMemoryRelation stack (the warm trained-IVF plan rendered
+    # 10k lines / 616 Exchange occurrences before). The keep-previous
+    # rule for empty clusters becomes a dict default. Arithmetic is
+    # unchanged: same per-element DECIMAL(30,15) sums (exact, so
+    # regrouping by centroid instead of (centroid, pos) cannot change
+    # them), same double division by the cluster count, same l2_norm
+    # fold — the oracle hash certifies identity. Guarded by a k×d
+    # bound: past ~2^20 model floats (×n_iter round trips) the old
+    # in-plan merge is the scale-correct shape, so huge-k callers keep
+    # it (`_kmeans_centroids_inplan`).
+    if d and k * d <= (1 << 20):
+        import math
+        carr_schema = ("__cents array<struct<centroid_id:int,"
+                       "cv:array<double>,cnorm:double>>")
+        for _ in range(n_iter):
+            # assignment against the same broadcast __cents array
+            # nearest_centroid builds — but the one-row frame is
+            # assembled driver-side as a LocalRelation, so the
+            # broadcast build is a driver-local executeCollect with no
+            # aggregate job per round (the per-row argmax fold is the
+            # broadcast-column shape that measured fastest; an inline
+            # literal-array expression measured 2-5x WORSE and wildly
+            # dispersed)
+            carr_df = spark.createDataFrame(
+                [([tuple(r) for r in cent_rows],)], carr_schema)
+            best = F.array_max(F.transform(
+                F.col("__cents"),
+                lambda c: F.struct(
+                    (dot(F.col("v"), c["cv"])
+                     / (F.col("norm") * c["cnorm"])).alias("csim"),
+                    (-c["centroid_id"]).alias("negid"))))
+            assigned = (e.crossJoin(F.broadcast(carr_df))
+                        .select("v", (-best["negid"]).cast("int")
+                                .alias("centroid_id")))
+            # same exact per-(centroid, pos) DECIMAL means as the
+            # in-plan loop; the k×d mean rows are model-sized, so the
+            # array assembly and the l2 norm fold move to the driver
+            # (Python float ops are the same IEEE doubles evaluated in
+            # the same left-to-right order as the old in-plan
+            # F.aggregate fold — bit-identical, oracle-pinned)
+            pe = assigned.select(
+                "centroid_id", F.posexplode("v").alias("pos", "x"))
+            means = (pe.groupBy("centroid_id", "pos")
+                     .agg((F.sum(F.col("x").cast("decimal(30,15)"))
+                           .cast("double") / F.count("*")).alias("c")))
+            got: dict[int, list] = {}
+            for r in means.collect():
+                got.setdefault(r["centroid_id"], []).append(
+                    (r["pos"], r["c"]))
+            new_rows = []
+            for cid, cv, cn in cent_rows:
+                if cid in got:
+                    nv = [c for _, c in sorted(got[cid])]
+                    acc = 0.0
+                    for x in nv:
+                        acc += x * x
+                    new_rows.append((cid, nv, math.sqrt(acc)))
+                else:           # empty cluster: keep previous centroid
+                    new_rows.append((cid, cv, cn))
+            cent_rows = new_rows
+        e.unpersist()
+        return spark.createDataFrame(cent_rows, schema)
+    cent = tracked_persist(spark.createDataFrame(cent_rows, schema))
     cent.count()
+    return _kmeans_centroids_inplan(e, cent, n_iter, id_col)
+
+
+def _kmeans_centroids_inplan(e: DataFrame, cent: DataFrame, n_iter: int,
+                             id_col: str) -> DataFrame:
+    """The pre-r13 per-round in-plan Lloyd loop (posexplode means +
+    keep-previous merge join, per-round persist barrier) — kept for
+    huge-k models whose k×d rows are not driver-sized. ``e`` must be a
+    persisted (id, v, norm) frame; consumes and unpersists it."""
     for _ in range(n_iter):
         # map-only argmax assignment (r9, nearest_centroid): the
         # windowed rank-1 paid a k×-corpus exchange per Lloyd round
@@ -522,11 +604,18 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     c = lists.select(F.col(id_col).alias("neighbor_id"),
                      F.col("v").alias("cv2"), F.col("norm").alias("cnorm2"),
                      "list_id")
+    # no dedup needed (r13 optimization round): every corpus vector
+    # holds exactly ONE list_id (nearest_centroid argmax) and probes
+    # carry at most one row per (query, list), so the join cannot
+    # produce a (query, neighbor) pair twice — the old
+    # dropDuplicates([query_id, neighbor_id]) was a no-op that cost a
+    # full exchange + aggregate per serve (guide §2.4: a `distinct` on
+    # data that is already unique). The multi-band LSH tiers
+    # (signlsh_topk) keep theirs: banding genuinely duplicates pairs.
     scored = (c.join(q, "list_id")
               .select("query_id", "neighbor_id",
                       (dot(F.col("qv"), F.col("cv2"))
-                       / (F.col("qnorm") * F.col("cnorm2"))).alias("cosine"))
-              .dropDuplicates(["query_id", "neighbor_id"]))
+                       / (F.col("qnorm") * F.col("cnorm2"))).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
