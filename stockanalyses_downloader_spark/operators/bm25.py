@@ -96,9 +96,30 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     differ at the ulp level between JVM and any other libm consumer,
     and rounding as the LAST operation absorbs that — the r7 recipe
     that turned this query from rows-only into fully DuckDB-oracled.
-    Raw-score callers leave it None."""
-    tf, df, stats = bm25_index(docs, id_col, text_col)
+    Raw-score callers leave it None.
+
+    r13 optimization round: scoring derives df and the dl join FROM
+    THE QUERY-FILTERED tf frame instead of the full index. df of a
+    query term equals the row count of the term-filtered tf (one row
+    per doc containing it), so the old full-vocabulary df aggregate —
+    a |vocab|-wide shuffle + broadcast build job per search — is
+    replaced by a query-term-bounded aggregate that is broadcastable
+    at ANY corpus size; dl attaches after the term filter, so the
+    per-doc-length join runs at hit width, not corpus width. Same df
+    integers, same idf/norm doubles, same scores."""
+    toks = _tokens(spread(docs), id_col, text_col)
+    # tf0 persisted exactly as in bm25_index (the r12 langid lesson):
+    # it feeds dl, stats, and the hit-side probe in one plan
+    tf0 = tracked_persist(toks.groupBy(id_col, "term")
+                          .agg(F.count("*").alias("tf")))
+    dl = tf0.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
     qterms = (_tokens(queries, "query_id", "qtext").distinct())
+    terms = qterms.select("term").distinct()
+    hit0 = tf0.join(F.broadcast(terms), "term")
+    dfq = hit0.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(F.lit(1.0)
                 + (F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
@@ -106,8 +127,9 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             / (F.col("tf")
                + F.lit(k1) * (F.lit(1.0 - b)
                               + F.lit(b) * F.col("dl") / F.col("avgdl"))))
-    scored = (tf.join(F.broadcast(qterms), "term")
-              .join(F.broadcast(df), "term")
+    scored = (hit0.join(F.broadcast(dfq), "term")
+              .join(dl, id_col)
+              .join(F.broadcast(qterms), "term")
               .crossJoin(F.broadcast(stats))
               .groupBy("query_id", id_col)
               .agg(F.sum(idf * norm).alias("score")))

@@ -184,6 +184,79 @@ def dsir_bucket_llr_by_group(target_grams: DataFrame,
                     (F.log(pt) - F.log(pr)).alias("llr")))
 
 
+def dsir_bucket_llr_fused(grams: DataFrame, target_pred: Column,
+                          n_buckets: int = N_BUCKETS,
+                          alpha: float = ALPHA) -> DataFrame:
+    """dsir_bucket_llr from ONE gram frame covering BOTH corpora
+    (r13 optimization round): ``target_pred`` marks the target rows,
+    and a single groupBy(bucket) computes n_target and n_raw together
+    — one corpus-explode job instead of separate target/raw subtrees,
+    with the same exact counts (the corpora partition the frame, so
+    conditional sums equal the per-side counts). Same smoothing, same
+    IEEE divisions, same output schema as dsir_bucket_llr."""
+    flag = F.when(target_pred, F.lit(1)).otherwise(F.lit(0))
+    cnt = (grams.groupBy("bucket")
+           .agg(F.sum(flag).alias("n_target"),
+                F.sum(F.lit(1) - flag).alias("n_raw")))
+    spark = grams.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").cast("int")
+                                         .alias("bucket"))
+    joined = (grid.join(cnt, "bucket", "left")
+              .select("bucket",
+                      F.coalesce("n_target", F.lit(0)).alias("n_target"),
+                      F.coalesce("n_raw", F.lit(0)).alias("n_raw"))
+              .localCheckpoint(eager=True))
+    tot = joined.agg(F.sum("n_target").alias("__tt"),
+                     F.sum("n_raw").alias("__rt"))
+    pt = ((F.col("n_target") + F.lit(alpha))
+          / (F.col("__tt") + F.lit(alpha * n_buckets)))
+    pr = ((F.col("n_raw") + F.lit(alpha))
+          / (F.col("__rt") + F.lit(alpha * n_buckets)))
+    return (joined.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_target", "n_raw",
+                    (F.log(pt) - F.log(pr)).alias("llr")))
+
+
+def dsir_bucket_llr_by_group_fused(grams: DataFrame, target_pred: Column,
+                                   group_col: str = "source",
+                                   n_buckets: int = N_BUCKETS,
+                                   alpha: float = ALPHA) -> DataFrame:
+    """dsir_bucket_llr_by_group from ONE gram frame covering both
+    corpora (r13 optimization round): a single groupBy(group, bucket)
+    count feeds the pooled target distribution (sum over target
+    groups) AND every raw group's proposal — one corpus-explode job
+    and one model-sized checkpoint where the split form ran two of
+    each. Counts are exact integers either way, so the LLR doubles
+    are identical. ``grams`` must carry ``group_col``;
+    ``target_pred`` must be a predicate over it."""
+    cnt = (grams.groupBy(group_col, "bucket")
+           .agg(F.count("*").alias("__c"))
+           .localCheckpoint(eager=True))
+    tc = (cnt.filter(target_pred).groupBy("bucket")
+          .agg(F.sum("__c").alias("n_target")))
+    rc = (cnt.filter(~target_pred)
+          .select(group_col, "bucket", F.col("__c").alias("n_raw")))
+    spark = grams.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int")
+                                            .alias("bucket"))
+    grid = rc.select(group_col).distinct().crossJoin(buckets)
+    tot_t = tc.agg(F.sum("n_target").alias("__tt"))
+    tot_r = rc.groupBy(group_col).agg(F.sum("n_raw").alias("__rt"))
+    pt = ((F.col("n_target") + F.lit(alpha))
+          / (F.col("__tt") + F.lit(alpha * n_buckets)))
+    pr = ((F.col("n_raw") + F.lit(alpha))
+          / (F.col("__rt") + F.lit(alpha * n_buckets)))
+    return (grid.join(tc, "bucket", "left")
+            .join(rc, [group_col, "bucket"], "left")
+            .select(group_col, "bucket",
+                    F.coalesce("n_target", F.lit(0)).alias("n_target"),
+                    F.coalesce("n_raw", F.lit(0)).alias("n_raw"))
+            .crossJoin(F.broadcast(tot_t))
+            .join(F.broadcast(tot_r), group_col)
+            .select(group_col, "bucket", "n_target", "n_raw",
+                    (F.log(pt) - F.log(pr)).alias("llr")))
+
+
 def dsir_scores_by_group(docs: DataFrame, llr_by_group: DataFrame,
                          group_col: str = "source",
                          id_col: str = "doc_id", text_col: str = "text",

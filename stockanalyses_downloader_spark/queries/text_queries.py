@@ -3149,9 +3149,13 @@ def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dsir
     d = _docs(spark, sf_dir)
     is_target = F.col("source").isin(list(_DSIR_TARGET_SOURCES))
-    target, raw = d.filter(is_target), d.filter(~is_target)
-    llr = dsir.dsir_bucket_llr(dsir.hashed_gram_buckets(target),
-                               dsir.hashed_gram_buckets(raw))
+    raw = d.filter(~is_target)
+    # fused fit (r13 optimization round): one gram explode over the
+    # whole corpus computes both bucket distributions in one job —
+    # the split form exploded target and raw as separate subtrees.
+    # Counts (and therefore every LLR double) are identical.
+    llr = dsir.dsir_bucket_llr_fused(
+        dsir.hashed_gram_buckets(d, carry_cols=("source",)), is_target)
     scored = (dsir.dsir_scores(raw, llr)
               .join(d.select("doc_id", "source"), "doc_id"))
     sel = dsir.dsir_select(scored, _DSIR_KEEP_FRACTION, ["source"])
@@ -3238,10 +3242,14 @@ def dsir_selection_by_source(spark: SparkSession,
     from ..operators import dsir
     d = _docs(spark, sf_dir)
     is_target = F.col("source").isin(list(_DSIR_TARGET_SOURCES))
-    target, raw = d.filter(is_target), d.filter(~is_target)
-    llr = dsir.dsir_bucket_llr_by_group(
-        dsir.hashed_gram_buckets(target),
-        dsir.hashed_gram_buckets(raw, carry_cols=("source",)),
+    raw = d.filter(~is_target)
+    # fused fit (r13 optimization round): one (source, bucket) count
+    # over a single corpus-wide gram explode feeds the pooled target
+    # distribution AND every per-source proposal — one explode job and
+    # one checkpoint where the split form ran two of each. Exact
+    # counts, identical LLRs (see dsir_bucket_llr_by_group_fused).
+    llr = dsir.dsir_bucket_llr_by_group_fused(
+        dsir.hashed_gram_buckets(d, carry_cols=("source",)), is_target,
         group_col="source")
     scored = dsir.dsir_scores_by_group(raw, llr, group_col="source")
     sel = dsir.dsir_select(scored, _DSIR_KEEP_FRACTION, ["source"])

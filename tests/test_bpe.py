@@ -225,3 +225,44 @@ def test_bpe_oracles_survive_early_pair_exhaustion(spark, tmp_path):
     assert [(r["merge_rank"], r["sym_left"], r["sym_right"],
              r["merged"], r["pair_count"]) for r in learned] == oracle_seq
     assert encoded == oracle_tok
+
+
+def test_string_replace_encode_exhaustive_vs_fold(spark):
+    """The r13 literal-string-replace merge chain inside
+    tokenize_with_merges must reproduce single-pass greedy BPE
+    EXACTLY, including across a chain of merges where later pairs
+    consume earlier merged symbols. Exhaustive over every pretoken of
+    length <= 6 from {a, b} (runs + alternations are where the
+    delimiter emulation can go wrong) under a 3-deep merge chain
+    whose later pairs reference merged tokens, plus a doc whose
+    pretoken IS the delimiter control char (exercises the per-row
+    fold fallback)."""
+    import itertools
+
+    merges = [("a", "a"), ("a", "b"), ("aa", "ab")]
+
+    def py_merge(syms, left, right):
+        out = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        return out
+
+    def py_encode(word):
+        syms = list(word)
+        for left, right in merges:
+            syms = py_merge(syms, left, right)
+        return syms
+
+    words = ["".join(s) for n in range(1, 7)
+             for s in itertools.product("ab", repeat=n)]
+    docs = [(i, w) for i, w in enumerate(words)]
+    docs.append((len(docs), "\x00"))      # delimiter-collision fallback
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["tokens"]
+           for r in bpe.tokenize_with_merges(df, merges).collect()}
+    for i, w in enumerate(words):
+        assert got[i] == py_encode(w), (w, got[i])
+    assert got[len(words)] == ["\x00"]
