@@ -1874,16 +1874,36 @@ def bloom_decon_report(d: "DataFrame") -> "DataFrame":
           .select("doc_id", "gram").distinct())
     bloom = sketches.bloom_build(ev, "gram")
     k, bits = sketches.BLOOM_K, sketches.BLOOM_BITS
-    cells = F.explode(F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: sketches.cm_bucket(F.col("gram"), i, bits)))
-    probe_bits = tr.select("doc_id", "gram", cells.alias("bit"))
-    verdicts = (probe_bits
-                .join(F.broadcast(bloom.withColumn("hit", F.lit(1))),
-                      ["bit"], "left")
-                .groupBy("doc_id", "gram")
-                .agg((F.count("hit") == k).cast("int").alias("might")))
-    per_doc = (verdicts.groupBy("doc_id")
+    # r13 optimization round: probe against a DENSE membership array
+    # (one broadcast row, bits booleans) instead of exploding every
+    # train gram into k bit rows and re-aggregating them back
+    # (guide §2.3 "aggregate before you shuffle" / §2.4): the bit
+    # explode tripled the probe frame (k=4 rows per gram) through a
+    # broadcast join and a (doc, gram) hash aggregate whose only
+    # purpose was reassembling what a per-row expression can compute
+    # directly. The verdict per gram — ALL k probed bits set — is the
+    # same boolean the count(hit) == k aggregate produced, so
+    # n_bloom_hits is identical. The dense array is bits-bounded
+    # (BLOOM_BITS booleans, a few KB) regardless of corpus size.
+    spark = d.sparkSession
+    grid = spark.range(bits).select(F.col("id").cast("int").alias("bit"))
+    dense = (grid.join(bloom.withColumn("h", F.lit(True)), "bit", "left")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     F.col("bit"),
+                     F.coalesce("h", F.lit(False)).alias("h")))),
+                 lambda s: s["h"]).alias("__bloom_arr")))
+    hits = [F.element_at(
+                F.col("__bloom_arr"),
+                sketches.cm_bucket(F.col("gram"), F.lit(i), bits)
+                + F.lit(1))
+            for i in range(k)]
+    all_hit = hits[0]
+    for h in hits[1:]:
+        all_hit = all_hit & h
+    per_doc = (tr.crossJoin(F.broadcast(dense))
+               .select("doc_id", all_hit.cast("int").alias("might"))
+               .groupBy("doc_id")
                .agg(F.count("*").alias("n_probe_grams"),
                     F.sum("might").cast("long").alias("n_bloom_hits")))
     exact = (tr.join(ev.withColumn("ex", F.lit(1)), ["gram"], "left")
