@@ -53,6 +53,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     labels = (sym.select(F.col("a").alias("id")).distinct()
               .withColumn("component", F.col("id"))
               .localCheckpoint(eager=True))
+    # One job per iteration (r13 optimization round, guide §1.2/§5):
+    # the convergence signal rides IN the frame (a row's label changes
+    # exactly when some neighbor's component is smaller, i.e.
+    # nbr_component < component — the coalesce/least result differs
+    # from the old label iff that holds), and the convergence count is
+    # the action that materializes a LAZY localCheckpoint. The old
+    # shape paid two jobs per round: an eager-checkpoint job plus an
+    # old-vs-new JOIN recomputing the same comparison the new-label
+    # expression already knew. Labels and iteration count are
+    # identical — only the job structure changed.
     for _ in range(max_iter):
         nbr_min = (sym.join(labels.withColumnRenamed("id", "b"), "b")
                    .groupBy("a")
@@ -63,13 +73,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                               F.least(
                                   F.col("component"),
                                   F.coalesce("nbr_component", "component"))
-                               .alias("component"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new_labels
+                               .alias("component"),
+                              F.coalesce(
+                                  F.col("nbr_component")
+                                  < F.col("component"),
+                                  F.lit(False)).alias("__chg"))
+                      .localCheckpoint(eager=False))
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     else:
@@ -137,12 +148,23 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
     if cur.isEmpty():
         return edges.select(F.col(src).alias("id"),
                             F.col(src).alias("component")).limit(0)
+    # One convergence job per round (r13 optimization round, guide
+    # §1.2/§5): both edge sets are distinct by construction (each is a
+    # .distinct() output), so set equality is one signed-count
+    # symmetric difference — the old shape paid an eager-checkpoint
+    # job plus TWO exceptAll/isEmpty jobs per round. The diff action
+    # also materializes the lazy localCheckpoint. Same fixed-point,
+    # same round count, identical labels.
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # converged when every edge already points node -> component
         # min, i.e. one more alternation changes nothing
-        stable = (nxt.exceptAll(cur).isEmpty()
-                  and cur.exceptAll(nxt).isEmpty())
+        stable = (nxt.withColumn("__s", F.lit(1))
+                  .unionByName(cur.withColumn("__s", F.lit(-1)))
+                  .groupBy("u", "v")
+                  .agg(F.sum("__s").alias("__d"))
+                  .filter(F.col("__d") != 0)
+                  .isEmpty())
         cur = nxt
         if stable:
             break

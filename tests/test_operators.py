@@ -816,6 +816,29 @@ def test_star_cc_matches_propagation(spark):
     assert {r.component for r in got} == {1} and len(got) == 31
 
 
+def test_cc_fused_convergence_schema_and_fixed_point(spark):
+    """r13 optimization pin: both CC loops fused their convergence
+    check into the iteration's single materializing action (min-label:
+    a __chg flag counted by the checkpoint-materializing count; star:
+    one signed-count symmetric difference instead of two exceptAlls).
+    The internal flag/marker columns must NOT leak into the result
+    schema, and the fixed point must be exact — a graph whose LAST
+    round changes nothing (already-canonical star edges) must converge
+    rather than loop to max_iter."""
+    from stockanalyses_downloader_spark.operators.graph import (
+        connected_components, connected_components_star)
+    edges = spark.createDataFrame(
+        [(5, 1), (4, 1), (3, 1), (2, 1)], "id_a long, id_b long")
+    got = connected_components(edges, max_iter=3)
+    assert got.columns == ["id", "component"]
+    assert {(r.id, r.component) for r in got.collect()} == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1)}
+    got_star = connected_components_star(edges, max_iter=3)
+    assert got_star.columns == ["id", "component"]
+    assert ({(r.id, r.component) for r in got_star.collect()}
+            == {(r.id, r.component) for r in got.collect()})
+
+
 def test_cdc_chunking_shift_resilience(spark):
     """The CDC property: prefix insertion preserves most tail chunk
     digests, while aligned fixed-size chunking loses all of them (the
