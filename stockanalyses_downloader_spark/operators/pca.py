@@ -298,12 +298,15 @@ def pca_ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     c = lists.select(F.col(id_col).alias("neighbor_id"),
                      F.col("v").alias("nv"), F.col("norm").alias("nnorm"),
                      "list_id")
-    approx = (c.join(q, "list_id")
+    # broadcast the model-sized probes; no dedup — one list per
+    # vector, one probe row per (query, list), so the join cannot
+    # duplicate a pair (guide §3/§2.4, r13 optimization round; same
+    # argument as ivf_topk's removed no-op distinct)
+    approx = (c.join(F.broadcast(q), "list_id")
               .select("query_id", "neighbor_id",
                       (dot(F.col("qv"), F.col("nv"))
                        / (F.col("qnorm") * F.col("nnorm")))
-                      .alias("approx_cos"))
-              .dropDuplicates(["query_id", "neighbor_id"]))
+                      .alias("approx_cos")))
     sw = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("neighbor_id"))
     shortlist = (approx.withColumn("__s", F.row_number().over(sw))
@@ -315,7 +318,10 @@ def pca_ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                   F.col("fnorm").alias("qfnorm")))
     nv = e.select(F.col(id_col).alias("neighbor_id"),
                   F.col("fv").alias("cfv"), F.col("fnorm").alias("cfnorm"))
-    exact = (shortlist.join(nv, "neighbor_id")
+    # broadcast the O(k·oversample·queries) shortlist (guide §3): the
+    # full-dimension fetch is a model-sized id lookup against the
+    # corpus — unhinted, the corpus gets exchanged by neighbor_id.
+    exact = (F.broadcast(shortlist).join(nv, "neighbor_id")
              .join(F.broadcast(qf), "query_id")
              .select("query_id", "neighbor_id",
                      (dot(F.col("qfv"), F.col("cfv"))

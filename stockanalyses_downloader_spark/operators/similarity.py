@@ -148,14 +148,23 @@ def hard_negative_topk_ivf(embeddings: DataFrame, anchor_ids: list[int],
                      F.col("__lbl").alias("neighbor_label"),
                      F.col("v").alias("cv2"),
                      F.col("norm").alias("cnorm2"), "list_id")
-    scored = (c.join(q, "list_id")
+    # r13 optimization round (guide §3): the probe side is ALWAYS
+    # model-sized (n_anchors × probed lists), the lists side is the
+    # corpus — broadcast the probes so the candidate join never
+    # shuffles the inverted lists (the unhinted plan picked a
+    # SortMergeJoin and exchanged the full corpus by list_id). No
+    # dedup needed either: every vector holds exactly one list_id and
+    # probes carry at most one row per (anchor, list), so the join
+    # cannot produce an (anchor, neighbor) pair twice — the old
+    # dropDuplicates was a no-op full exchange + aggregate (same
+    # argument as ivf_topk's, removed earlier this round).
+    scored = (c.join(F.broadcast(q), "list_id")
               .filter(F.col("neighbor_label") != F.col("anchor_label"))
               .select("anchor_id", "anchor_label",
                       "neighbor_id", "neighbor_label",
                       (dot(F.col("av"), F.col("cv2"))
                        / (F.col("anorm") * F.col("cnorm2"))).alias("cosine"))
-              .filter(F.col("cosine") < dup_threshold)
-              .dropDuplicates(["anchor_id", "neighbor_id"]))
+              .filter(F.col("cosine") < dup_threshold))
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -612,7 +621,12 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     # full exchange + aggregate per serve (guide §2.4: a `distinct` on
     # data that is already unique). The multi-band LSH tiers
     # (signlsh_topk) keep theirs: banding genuinely duplicates pairs.
-    scored = (c.join(q, "list_id")
+    # broadcast the model-sized probe side (guide §3, r13 optimization
+    # round): q is n_queries × probed lists at ANY corpus size, while
+    # c is the corpus-sized inverted lists — without the hint the plan
+    # sort-merge-joined on list_id, i.e. exchanged + sorted the whole
+    # corpus to meet a handful of probe rows.
+    scored = (c.join(F.broadcast(q), "list_id")
               .select("query_id", "neighbor_id",
                       (dot(F.col("qv"), F.col("cv2"))
                        / (F.col("qnorm") * F.col("cnorm2"))).alias("cosine")))
@@ -689,7 +703,10 @@ def signlsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     c = (sig.filter(~F.col(id_col).isin(query_ids))
             .select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
                     F.col("norm").alias("cnorm"), "band_id", "band_key"))
-    cand = (c.join(q, ["band_id", "band_key"])
+    # broadcast the query bands (n_queries × n_bands rows at any
+    # corpus size — guide §3); the dedup STAYS: banding genuinely
+    # produces the same (query, neighbor) pair from multiple bands.
+    cand = (c.join(F.broadcast(q), ["band_id", "band_key"])
              .select("query_id", "neighbor_id", "qv", "qnorm", "cv", "cnorm")
              .dropDuplicates(["query_id", "neighbor_id"]))
     scored = cand.select(
@@ -878,12 +895,15 @@ def ivf_topk_quantized(embeddings: DataFrame, query_ids: list[int],
                      F.col("v").alias("xv"), F.col("norm").alias("xnorm"),
                      F.col("recon").alias("rv"), F.col("rnorm").alias("rn"),
                      "list_id")
-    approx = (c.join(q, "list_id")
+    # broadcast the model-sized probes; no dedup — one list per
+    # vector, one probe row per (query, list), so the join cannot
+    # duplicate a pair (guide §3/§2.4, r13 optimization round; same
+    # argument as ivf_topk's removed no-op distinct)
+    approx = (c.join(F.broadcast(q), "list_id")
               .select("query_id", "neighbor_id", "qv", "qnorm",
                       "xv", "xnorm",
                       (dot(F.col("qv"), F.col("rv"))
-                       / (F.col("qnorm") * F.col("rn"))).alias("approx_cos"))
-              .dropDuplicates(["query_id", "neighbor_id"]))
+                       / (F.col("qnorm") * F.col("rn"))).alias("approx_cos")))
     sw = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("neighbor_id"))
     shortlist = (approx.withColumn("__s", F.row_number().over(sw))
@@ -1174,7 +1194,7 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                       F.col("norm").alias("cnorm2"))
          .join(codes.withColumnRenamed(id_col, "neighbor_id"),
                "neighbor_id"))
-    cand = (c.join(q.select("query_id", "list_id"), "list_id")
+    cand = (c.join(F.broadcast(q.select("query_id", "list_id")), "list_id")
             .select("query_id", "neighbor_id", "list_id", "cnorm2",
                     F.posexplode("codes").alias("sub_id", "code_id")))
     parts = (cand.join(F.broadcast(lut),
@@ -1214,8 +1234,12 @@ def ivf_topk_pq(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                   F.col("v").alias("qv"), F.col("norm").alias("qnorm")))
     nv = base.select(F.col(id_col).alias("neighbor_id"),
                      F.col("v").alias("cv2"), F.col("norm").alias("cnorm2"))
-    exact = (shortlist.join(nv, "neighbor_id").join(F.broadcast(qv),
-                                                    "query_id")
+    # broadcast the O(k·oversample·queries) shortlist too (guide §3):
+    # the float fetch is a lookup of a model-sized id set against the
+    # corpus — without the hint the corpus gets exchanged by
+    # neighbor_id to meet it.
+    exact = (F.broadcast(shortlist).join(nv, "neighbor_id")
+             .join(F.broadcast(qv), "query_id")
              .select("query_id", "neighbor_id",
                      (dot(F.col("qv"), F.col("cv2"))
                       / (F.col("qnorm") * F.col("cnorm2"))).alias("cosine")))
