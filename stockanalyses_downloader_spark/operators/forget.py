@@ -43,6 +43,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 
 @dataclass(frozen=True)
 class FkEdge:
@@ -64,9 +66,19 @@ def doomed_keys(tables: dict[str, DataFrame], root_table: str,
     values that are doomed). ``subjects`` is a 1-column frame of
     root_pk values. Edges must be listed parent-before-child
     (topological) — the frontier only ever looks UP the list."""
+    # Every doomed frame is persisted (r13 optimization round, guide
+    # §1.2/§2.3): each one is request-sized by contract, yet feeds
+    # MULTIPLE consumers — the next cascade level's semi join, and a
+    # broadcast build per purge/audit leg. Unpersisted, every consumer
+    # re-derived the whole ancestor chain from the base tables (the
+    # audit plan re-scanned customer/orders once per leg — 48 scans
+    # for a 4-table cascade); cached, each level's derivation scans
+    # its table once. The frames are internally derived (not
+    # caller-owned), so tracked_persist is safe here (ADVICE r13).
     doomed: dict[str, DataFrame] = {
-        root_table: subjects.select(F.col(subjects.columns[0])
-                                    .alias(root_pk)).distinct()}
+        root_table: tracked_persist(
+            subjects.select(F.col(subjects.columns[0])
+                            .alias(root_pk)).distinct())}
     for e in edges:
         if e.parent not in doomed:
             raise ValueError(
@@ -78,7 +90,8 @@ def doomed_keys(tables: dict[str, DataFrame], root_table: str,
                         .select(F.col(e.parent_pk).alias(e.fk_col))),
             e.fk_col, "semi")
         out_col = e.child_pk or e.fk_col
-        doomed[e.child] = child_rows.select(out_col).distinct()
+        doomed[e.child] = tracked_persist(
+            child_rows.select(out_col).distinct())
     return doomed
 
 
@@ -107,18 +120,29 @@ def audit(tables: dict[str, DataFrame],
     erasure receipt. Computed as semi/anti splits of each table
     against its doomed set; unioned into one frame so the whole
     receipt is a single oracled result."""
+    # ONE scan per table (r13 optimization round, guide §1.2): the
+    # old semi-count + anti-count pair read every table twice and
+    # rebuilt its doomed broadcast twice, then met in a 1-row-x-1-row
+    # nested-loop join. A single left join against the (deduped,
+    # broadcast) doomed keys marks each row matched/unmatched, and one
+    # conditional aggregate yields both counts — semi = rows with >=1
+    # match, anti = rows with none, which for a DISTINCT key set are
+    # exactly count(match) and count(*) - count(match). The dropDuplicates
+    # keeps that identity for arbitrary caller-supplied doomed frames
+    # (doomed_keys' outputs are already distinct — it is a no-op
+    # aggregate on a request-sized cached frame there).
     parts = []
     for name in sorted(doomed):
         k = key_cols[name]
-        d = doomed[name].select(F.col(doomed[name].columns[0]).alias(k))
+        d = (doomed[name].select(F.col(doomed[name].columns[0]).alias(k))
+             .dropDuplicates([k])
+             .withColumn("__doomed", F.lit(1)))
         t = tables[name]
-        dropped = (t.join(F.broadcast(d), k, "semi")
-                   .agg(F.count("*").alias("n_dropped"))
-                   .withColumn("table_name", F.lit(name)))
-        kept = (t.join(F.broadcast(d), k, "anti")
-                .agg(F.count("*").alias("n_kept"))
-                .withColumn("table_name", F.lit(name)))
-        parts.append(dropped.join(kept, "table_name"))
+        parts.append(
+            t.join(F.broadcast(d), k, "left")
+             .agg(F.count("__doomed").alias("n_dropped"),
+                  (F.count("*") - F.count("__doomed")).alias("n_kept"))
+             .withColumn("table_name", F.lit(name)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

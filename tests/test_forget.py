@@ -262,3 +262,22 @@ def test_execute_forget_recovers_old_backup_after_crash(spark,
     got = spark.read.parquet(paths["customer"])
     assert got.filter(F.col("c_custkey") == 13).count() == 0
     assert got.count() == n_customers - 1
+
+
+def test_audit_single_scan_counts_match_semi_anti_with_dup_doomed(spark):
+    """r13 optimization pin: audit() computes (n_dropped, n_kept) from
+    ONE left-join scan per table (count(match) / count(*) -
+    count(match)) instead of a semi-count + anti-count pair. The
+    identity requires the broadcast doomed keys to be distinct, which
+    audit now enforces itself — so a caller-supplied doomed frame WITH
+    DUPLICATE KEYS must still produce semi/anti semantics (a duplicated
+    key must not double-count its rows)."""
+    t = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, v string")
+    # doomed key 1 listed twice — the trap the dedup guards
+    d = spark.createDataFrame([(1,), (1,), (9,)], "k long")
+    got = {r["table_name"]: (r["n_dropped"], r["n_kept"])
+           for r in forget.audit({"t": t}, {"t": d}, {"t": "k"}).collect()}
+    # semi semantics: rows of t with >=1 match = the two k=1 rows;
+    # anti: the k=2 and k=3 rows. Doomed key 9 matches nothing.
+    assert got == {"t": (2, 2)}
