@@ -283,6 +283,48 @@ def bench_anomalies(spark, factor: int) -> dict:
             "wall_s": round(time.perf_counter() - t0, 2)}
 
 
+def bench_forget(spark, factor: int) -> dict:
+    """GDPR cascade audit at a blown-up 4-table graph (r13
+    optimization round §11's scale leg): disjoint copies shift every
+    FK consistently (custkeys by a multiple of 13, so the
+    c_custkey % 13 == 0 subject density is copy-invariant; orderkeys
+    by their own constant), making each copy an independent cascade —
+    subjects, doomed sets and the (dropped, kept) splits all grow
+    linearly in the factor. What the curve adjudicates: the audit's
+    table reads are the data-bound cost; the persisted doomed sets +
+    one-scan conditional-aggregate audit must hold the read count at
+    O(tables), not O(tables × legs × depth)."""
+    from stockanalyses_downloader_spark.operators import forget
+    shifts = {
+        "customer": {"c_custkey": 13_000_000},
+        "orders": {"o_custkey": 13_000_000, "o_orderkey": 100_000_000},
+        "lineitem": {"l_orderkey": 100_000_000},
+        "events": {"user_id": 13_000_000},
+    }
+    tables = {n: _copies(load_table(spark, SF_DIR, n), factor, shifts[n])
+              for n in shifts}
+    n = sum(tables[t].count() for t in tables)
+    t0 = time.perf_counter()
+    subjects = (tables["customer"]
+                .filter(F.col("c_custkey") % 13 == 0)
+                .select("c_custkey"))
+    edges = [
+        forget.FkEdge("orders", "o_custkey", "customer", "c_custkey",
+                      child_pk="o_orderkey"),
+        forget.FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        forget.FkEdge("events", "user_id", "customer", "c_custkey"),
+    ]
+    doomed = forget.doomed_keys(tables, "customer", "c_custkey",
+                                subjects, edges)
+    key_cols = {"customer": "c_custkey", "orders": "o_orderkey",
+                "lineitem": "l_orderkey", "events": "user_id"}
+    rep = forget.audit(tables, doomed, key_cols).collect()
+    n_dropped = sum(r["n_dropped"] for r in rep)
+    return {"query": "forget_cascade_report", "factor": factor,
+            "rows_in": n, "rows_out": int(n_dropped),
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
 def bench_trained_ivf(spark, factor: int) -> dict:
     """Full fit+serve trained-ANN path at a blown-up corpus: kmeans
     (3 Lloyd rounds — one scan each) + IVF probe/rerank for 5 queries.
@@ -467,6 +509,8 @@ BENCHES = {
     "anomalies": bench_anomalies,
     # r7c: the trained-ANN path promoted into the bench tier
     "trained_ivf": bench_trained_ivf,
+    # r13 optimization round §11: the cascade-audit scale leg
+    "forget": bench_forget,
     # r8: DSIR joins the >2 s bench tier
     "dsir": bench_dsir,
     # r9 (VERDICT r8 #5): the last never-curved >1.5 s residents
