@@ -358,7 +358,18 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
                 else:           # empty cluster: keep previous centroid
                     new_rows.append((cid, cv, cn))
             cent_rows = new_rows
-        e.unpersist()
+        # Deliberately NOT unpersisted (r13 optimization round):
+        # CacheManager dedups cache entries by canonicalized plan, so
+        # an unpersist here DROPS the caller's entry too whenever the
+        # caller persisted the same (id, v, norm) projection —
+        # ivf_topk_pq/pca_ivf_topk persist `base` before training and
+        # were left running their whole lists/probes/codes build
+        # uncached; the trained ivf_topk serve half re-scanned parquet
+        # and re-materialized the projection the fit had just built;
+        # best-of-N restarts re-materialized it per candidate. The
+        # frame stays in the tracked registry, so the harness
+        # release_tracked() frees it exactly like every other
+        # query-path persist.
         return spark.createDataFrame(cent_rows, schema)
     cent = tracked_persist(spark.createDataFrame(cent_rows, schema))
     cent.count()
@@ -370,7 +381,10 @@ def _kmeans_centroids_inplan(e: DataFrame, cent: DataFrame, n_iter: int,
     """The pre-r13 per-round in-plan Lloyd loop (posexplode means +
     keep-previous merge join, per-round persist barrier) — kept for
     huge-k models whose k×d rows are not driver-sized. ``e`` must be a
-    persisted (id, v, norm) frame; consumes and unpersists it."""
+    persisted (id, v, norm) frame; it stays persisted (tracked, so the
+    harness releases it) — an unpersist here would also drop any
+    caller-owned cache entry for the same canonicalized plan (the
+    ivf_topk_pq ``base`` steal; see kmeans_centroids)."""
     for _ in range(n_iter):
         # map-only argmax assignment (r9, nearest_centroid): the
         # windowed rank-1 paid a k×-corpus exchange per Lloyd round
@@ -397,7 +411,6 @@ def _kmeans_centroids_inplan(e: DataFrame, cent: DataFrame, n_iter: int,
         merged.count()
         cent.unpersist()
         cent = merged
-    e.unpersist()
     return cent
 
 

@@ -291,6 +291,34 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+def test_kmeans_training_leaves_caller_cache_entry_alone(spark):
+    """r13 optimization round: CacheManager dedups cache entries by
+    canonicalized plan, so kmeans_centroids' old post-training
+    e.unpersist() DROPPED the caller's entry whenever the caller had
+    persisted the same (id, v, norm) projection — ivf_topk_pq /
+    pca_ivf_topk persist ``base`` before training and were left
+    running their whole lists/probes/codes build uncached, and the
+    trained ivf_topk serve half re-scanned parquet to re-materialize
+    the projection the fit had just built. Pin: after training, a
+    caller-persisted same-plan projection still resolves to an
+    InMemoryTableScan in its executed plan."""
+    from stockanalyses_downloader_spark.caching import (release_tracked,
+                                                        tracked_persist)
+    e = load_table(spark, SF, "embeddings")
+    base = tracked_persist(
+        e.select("vec_id",
+                 similarity.as_double(F.col("embedding")).alias("v"))
+         .withColumn("norm", similarity.l2_norm(F.col("v"))))
+    try:
+        similarity.kmeans_centroids(e, k=4, n_iter=1)
+        plan = base._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, (
+            "kmeans training dropped the caller's cache entry for the "
+            "shared (id, v, norm) projection")
+    finally:
+        release_tracked()
+
+
 def test_kmeans_trained_ivf_recall(spark):
     """Lloyd-trained centroids slot into the same IVF probe/rerank;
     recall vs brute force must hold, and training must produce k
