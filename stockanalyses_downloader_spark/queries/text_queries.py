@@ -1869,7 +1869,17 @@ def bloom_decon_report(d: "DataFrame") -> "DataFrame":
                          F.sequence(F.lit(1), F.col("nt") - n + 1),
                          lambda i: F.concat_ws(" ", F.slice("t", i, n)),
                      )).alias("gram")))
-    ev = grams.filter(F.col("split") == "test").select("gram").distinct()
+    # persisted (r13 optimization round, second session): ev feeds the
+    # bloom bit build AND the exact-flag broadcast join; without the
+    # persist each consumer re-ran the full eval gram pipeline
+    # (scan -> spread -> explode -> distinct) because the consumers'
+    # pushed projections/filters make the subtrees non-identical, so
+    # exchange reuse never fires. The frame is the EVAL side — bounded
+    # by the eval suite at any corpus size (the same contract that
+    # lets the exact leg broadcast it).
+    from ..caching import tracked_persist
+    ev = tracked_persist(
+        grams.filter(F.col("split") == "test").select("gram").distinct())
     tr = (grams.filter(F.col("split") == "train")
           .select("doc_id", "gram").distinct())
     bloom = sketches.bloom_build(ev, "gram")
@@ -1901,18 +1911,32 @@ def bloom_decon_report(d: "DataFrame") -> "DataFrame":
     all_hit = hits[0]
     for h in hits[1:]:
         all_hit = all_hit & h
+    # fused probe + exact leg (r13 optimization round, second session):
+    # the exact verdict already joined a BROADCAST of ev onto tr, but
+    # as its own subtree — and because the join pushes an extra
+    # isnotnull(gram) filter below tr's distinct, the optimizer cannot
+    # reuse the per_doc leg's exchange, so the WHOLE train gram
+    # pipeline (scan -> spread -> n-gram explode -> (doc, gram)
+    # distinct) ran twice, and a third aggregate + join zipped the two
+    # legs back together (plan: 4 gram pipelines / 8 scans). The ex
+    # flag now rides the same tr subtree as the bloom probe: one train
+    # pipeline, one (doc) aggregate, no final join. ev is distinct by
+    # construction, so the left join cannot duplicate rows —
+    # n_probe_grams still counts exactly the tr rows, and
+    # n_bloom_hits / n_exact_hits sum the same per-gram booleans the
+    # split legs produced (guide §1.2/§2.4: don't compute the same
+    # subtree twice).
     per_doc = (tr.crossJoin(F.broadcast(dense))
-               .select("doc_id", all_hit.cast("int").alias("might"))
+               .join(F.broadcast(ev.withColumn("ex", F.lit(1))),
+                     ["gram"], "left")
+               .select("doc_id", all_hit.cast("int").alias("might"),
+                       F.coalesce("ex", F.lit(0)).alias("ex"))
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_probe_grams"),
-                    F.sum("might").cast("long").alias("n_bloom_hits")))
-    exact = (tr.join(ev.withColumn("ex", F.lit(1)), ["gram"], "left")
-             .groupBy("doc_id")
-             .agg(F.sum(F.coalesce("ex", F.lit(0))).cast("long")
-                  .alias("n_exact_hits")))
-    return (per_doc.join(exact, "doc_id")
-            .select("doc_id", "n_probe_grams", "n_bloom_hits",
-                    "n_exact_hits"))
+                    F.sum("might").cast("long").alias("n_bloom_hits"),
+                    F.sum("ex").cast("long").alias("n_exact_hits")))
+    return per_doc.select("doc_id", "n_probe_grams", "n_bloom_hits",
+                          "n_exact_hits")
 
 
 def _bloom_decon_sql() -> str:
