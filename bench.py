@@ -256,6 +256,11 @@ def main() -> None:
     # gracefully, never to zero (BENCH_r02 died whole on one
     # AnalysisException; never again).
     n_iter = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    # An EXPLICIT iteration pin is a debugging/subset contract (the
+    # smoke test pins 2 and asserts exactly 2 warm runs land in the
+    # record); the loaded-headline oversampling rule below applies
+    # only to default-config runs — i.e. the driver's.
+    iters_pinned = "SPARK_GRAFT_BENCH_ITERS" in os.environ
     # Adaptive dispersion control (VERDICT r9 #2): a 3-sample median of
     # a >2 s query with >10 % warm spread is exactly the telemetry that
     # produced the r9 "regression trio" ambiguity (driver said +25-40 %,
@@ -305,6 +310,17 @@ def main() -> None:
                 one_run()
             while (len(runs) - 1) < max_iters:
                 warm = runs[1:]
+                # r14 (VERDICT r13 #7): the headline cells run FIRST,
+                # exactly when a loaded start hurts most (the r13
+                # driver record's 5.35× canary stretch sat on cell 0
+                # with only 3 warm iters). Under a loaded canary a
+                # HEADLINE cell keeps sampling to >=5 warm runs before
+                # any stop rule applies — additions-only: extra
+                # samples, never fewer; idle runs are unchanged.
+                if (loaded and not iters_pinned
+                        and name in HEADLINE and len(warm) < 5):
+                    one_run()
+                    continue
                 med = statistics.median(warm)
                 # Convergence over the TRAILING 3 samples (ADVICE r11
                 # low): the old max-min over ALL warm samples is
@@ -316,7 +332,11 @@ def main() -> None:
                 tail = warm[-3:]
                 if (max(tail) - min(tail)) <= 0.10 * med:
                     break
-                if med <= 2.0 and not loaded:
+                # a pinned-iteration (subset/debug) run opts out of
+                # load-adaptive oversampling entirely — determinism
+                # over dispersion there (r14; the smoke test observed
+                # n_iter 4 on a pinned-2 run under decaying load)
+                if med <= 2.0 and (not loaded or iters_pinned):
                     break
                 one_run()
         except Exception as exc:  # noqa: BLE001

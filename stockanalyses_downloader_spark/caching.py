@@ -27,7 +27,14 @@ inconvenient, should wrap each query in ``tracked_scope()`` — it
 releases exactly the frames persisted inside its own block and leaves
 everything else alone. A caller that never releases at all simply
 leans on Spark's LRU cache eviction; correctness is unaffected, only
-cache residency.
+cache residency. This matters most for ``similarity.kmeans_centroids``
+(ADVICE r13 low): since r13 it deliberately leaves its corpus-sized
+(id, v, norm) projection in the tracked registry (an internal
+unpersist would drop a caller's cache entry for the same canonicalized
+plan — the ivf_topk_pq ``base`` steal), so a library caller training
+many models outside the harness should wrap each fit in
+``tracked_scope()`` or accept one LRU-managed corpus projection per
+distinct input plan.
 
 Not tracked here: ``localCheckpoint`` frames (graph.py's iterative
 connected components, kmeans' per-iteration barrier). Those HOLD the
@@ -36,8 +43,9 @@ the caller consumes it would lose the frame), so their lifetime is
 correctly tied to the result DataFrame's lifetime: Spark's
 ContextCleaner frees the blocks when the frame is garbage-collected.
 The superseded per-iteration checkpoints inside those loops are
-already freed eagerly by the loop itself where safe (kmeans'
-``cent.unpersist()``).
+already freed eagerly by the loop itself where safe (the in-plan
+kmeans fallback's per-round ``cent.unpersist()`` of its own superseded
+centroid frame — never the shared input projection; see above).
 """
 
 from __future__ import annotations

@@ -109,9 +109,24 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     integers, same idf/norm doubles, same scores."""
     toks = _tokens(spread(docs), id_col, text_col)
     # tf0 persisted exactly as in bm25_index (the r12 langid lesson):
-    # it feeds dl, stats, and the hit-side probe in one plan
+    # it feeds dl, stats, and the hit-side probe in one plan.
+    # r14 (VERDICT r13 #6, guide §2.4/§3.3): tf0 is repartitioned by
+    # doc id BEFORE the persist, so the cached frame's partitioning
+    # satisfies every downstream doc-keyed requirement at once — the
+    # dl aggregate (groupBy id), the hit0⋈dl attach (both sides
+    # HashPartitioning(id): no exchange on either leg), and the final
+    # (query_id, id) score aggregate (id ⊆ the clustering keys). The
+    # old shape left tf0 on (id, term) and the corpus-row-count dl
+    # frame met the hits through an UNHINTED join — broadcast at
+    # fixture scale only because AQE's runtime stats said so; at
+    # 100 TB that is a corpus-width exchange per search. Cost: one
+    # tf-width exchange at index build (of (doc, term) AGGREGATED
+    # rows, after the map-side partial agg — never raw occurrences);
+    # saved: the dl-side corpus exchange + the hit-side exchange +
+    # the score aggregate's exchange on every search.
     tf0 = tracked_persist(toks.groupBy(id_col, "term")
-                          .agg(F.count("*").alias("tf")))
+                          .agg(F.count("*").alias("tf"))
+                          .repartition(id_col))
     dl = tf0.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),

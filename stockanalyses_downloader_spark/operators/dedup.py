@@ -557,8 +557,15 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 64, bands: int = 16,
         docs, n_hashes, bands, id_col, text_col, n, portable)
     if bucket_cols:
         banded = banded.join(docs.select(id_col, *bucket_cols), id_col)
-    banded = tracked_persist(banded)
     key = ["band_id", "band_hash", *bucket_cols]
+    # r14 (guide §2.4 — two operations keyed the same way share one
+    # exchange): repartition by the bucket key BEFORE the persist, so
+    # the cached frame's partitioning satisfies BOTH sides of the
+    # band-bucket self-join — the join below runs exchange-free
+    # instead of re-shuffling the banded frame twice (once per side).
+    # One band-width exchange at materialization replaces two at join
+    # time, at any corpus size.
+    banded = tracked_persist(banded.repartition(*key))
     a = banded.select(F.col(id_col).alias("id_a"), *key)
     b = banded.select(F.col(id_col).alias("id_b"), *key)
     cand = tracked_persist(
@@ -909,10 +916,17 @@ def jaccard_pairs_prefix_filter(docs: DataFrame, n: int = 3,
                    lambda x: x["tok"]).alias("toks")))
     plen = (F.size("toks")
             - F.ceil(F.lit(threshold) * F.size("toks")) + 1).cast("int")
+    # r14 (guide §2.4): repartition the prefix stream by its join key
+    # so BOTH sides of the token-bucket self-join hang off ONE
+    # identical Exchange — ReusedExchange dedups it, the prefix
+    # explode and its shuffle run once, and the join itself is
+    # exchange-free. The old shape re-ran the posexplode per side and
+    # exchanged the prefix stream twice (once per side) at any scale.
     prefixes = (ordered
                 .select(id_col, F.size("toks").alias("sz"),
                         F.posexplode(F.slice("toks", 1, plen))
-                        .alias("pos", "ptok")))
+                        .alias("pos", "ptok"))
+                .repartition("ptok"))
     a = prefixes.select(F.col(id_col).alias("id_a"), "ptok",
                         F.col("pos").alias("pos_a"),
                         F.col("sz").alias("sz_a"))

@@ -186,18 +186,27 @@ def dsir_bucket_llr_by_group(target_grams: DataFrame,
 
 def dsir_bucket_llr_fused(grams: DataFrame, target_pred: Column,
                           n_buckets: int = N_BUCKETS,
-                          alpha: float = ALPHA) -> DataFrame:
+                          alpha: float = ALPHA,
+                          weight_col: str | None = None) -> DataFrame:
     """dsir_bucket_llr from ONE gram frame covering BOTH corpora
     (r13 optimization round): ``target_pred`` marks the target rows,
     and a single groupBy(bucket) computes n_target and n_raw together
     — one corpus-explode job instead of separate target/raw subtrees,
     with the same exact counts (the corpora partition the frame, so
     conditional sums equal the per-side counts). Same smoothing, same
-    IEEE divisions, same output schema as dsir_bucket_llr."""
-    flag = F.when(target_pred, F.lit(1)).otherwise(F.lit(0))
+    IEEE divisions, same output schema as dsir_bucket_llr.
+
+    ``weight_col`` (r14): the input may be PRE-AGGREGATED occurrence
+    counts (doc_gram_bucket_counts) instead of raw occurrences — the
+    per-bucket totals are then sums of the exact integer counts,
+    which equal the raw counts exactly, so every LLR double is
+    identical."""
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
     cnt = (grams.groupBy("bucket")
-           .agg(F.sum(flag).alias("n_target"),
-                F.sum(F.lit(1) - flag).alias("n_raw")))
+           .agg(F.sum(F.when(target_pred, w).otherwise(F.lit(0)))
+                .alias("n_target"),
+                F.sum(F.when(target_pred, F.lit(0)).otherwise(w))
+                .alias("n_raw")))
     spark = grams.sparkSession
     grid = spark.range(n_buckets).select(F.col("id").cast("int")
                                          .alias("bucket"))
@@ -220,7 +229,9 @@ def dsir_bucket_llr_fused(grams: DataFrame, target_pred: Column,
 def dsir_bucket_llr_by_group_fused(grams: DataFrame, target_pred: Column,
                                    group_col: str = "source",
                                    n_buckets: int = N_BUCKETS,
-                                   alpha: float = ALPHA) -> DataFrame:
+                                   alpha: float = ALPHA,
+                                   weight_col: str | None = None
+                                   ) -> DataFrame:
     """dsir_bucket_llr_by_group from ONE gram frame covering both
     corpora (r13 optimization round): a single groupBy(group, bucket)
     count feeds the pooled target distribution (sum over target
@@ -228,9 +239,14 @@ def dsir_bucket_llr_by_group_fused(grams: DataFrame, target_pred: Column,
     and one model-sized checkpoint where the split form ran two of
     each. Counts are exact integers either way, so the LLR doubles
     are identical. ``grams`` must carry ``group_col``;
-    ``target_pred`` must be a predicate over it."""
+    ``target_pred`` must be a predicate over it.
+
+    ``weight_col`` (r14): accept PRE-AGGREGATED occurrence counts
+    (doc_gram_bucket_counts) — per-(group, bucket) totals become sums
+    of exact integer counts, equal to the raw counts exactly."""
+    w = F.count("*") if weight_col is None else F.sum(weight_col)
     cnt = (grams.groupBy(group_col, "bucket")
-           .agg(F.count("*").alias("__c"))
+           .agg(w.alias("__c"))
            .localCheckpoint(eager=True))
     tc = (cnt.filter(target_pred).groupBy("bucket")
           .agg(F.sum("__c").alias("n_target")))
@@ -257,6 +273,25 @@ def dsir_bucket_llr_by_group_fused(grams: DataFrame, target_pred: Column,
                     (F.log(pt) - F.log(pr)).alias("llr")))
 
 
+def doc_gram_bucket_counts(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n_buckets: int = N_BUCKETS,
+                           carry_cols: tuple = ()) -> DataFrame:
+    """hashed_gram_buckets aggregated to (id_col, *carry_cols, bucket,
+    n_occ) — the single-pass seam (r14, VERDICT r13 #5): ONE corpus
+    gram explode feeds BOTH the model fit (re-aggregate n_occ over
+    docs: sums of exact counts are the exact counts) and per-doc
+    scoring (weighted mean over the doc's buckets), so a fit+score
+    pipeline that persists this frame scans and hashes the corpus
+    once instead of once per half. The aggregate's map side runs at
+    full gram width but ships one row per (doc, bucket) — bounded by
+    min(doc grams, n_buckets) per doc at any corpus size."""
+    grams = hashed_gram_buckets(docs, id_col, text_col, n_buckets,
+                                carry_cols)
+    return (grams.groupBy(id_col, *carry_cols, "bucket")
+            .agg(F.count("*").alias("n_occ")))
+
+
 def dsir_scores_by_group(docs: DataFrame, llr_by_group: DataFrame,
                          group_col: str = "source",
                          id_col: str = "doc_id", text_col: str = "text",
@@ -274,6 +309,39 @@ def dsir_scores_by_group(docs: DataFrame, llr_by_group: DataFrame,
             .groupBy(id_col, group_col)
             .agg(F.count("*").alias("n_grams"),
                  F.round(F.avg("llr"), 5).alias("score")))
+
+
+def dsir_scores_by_group_from_occ(occ: DataFrame,
+                                  llr_by_group: DataFrame,
+                                  group_col: str = "source",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """dsir_scores_by_group from the PRE-AGGREGATED occurrence counts
+    (doc_gram_bucket_counts) instead of a fresh gram explode — the
+    scoring half of the r14 single-pass pipeline. n_grams is the sum
+    of exact integer counts (= the occurrence count exactly); the
+    mean LLR becomes the weighted form Σ(llr·n_occ)/Σ(n_occ), whose
+    double differs from per-occurrence repeated addition only at the
+    summation-order ulp level the round-5-last protocol already
+    absorbs (the same argument that lets the two engines' ln()/sum
+    orders differ). Output (id_col, group_col, n_grams, score)."""
+    model = F.broadcast(llr_by_group.select(group_col, "bucket", "llr"))
+    return (occ.join(model, [group_col, "bucket"])
+            .groupBy(id_col, group_col)
+            .agg(F.sum("n_occ").alias("n_grams"),
+                 F.round(F.sum(F.col("llr") * F.col("n_occ"))
+                         / F.sum("n_occ"), 5).alias("score")))
+
+
+def dsir_scores_from_occ(occ: DataFrame, llr: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """dsir_scores from pre-aggregated occurrence counts — pooled-
+    model twin of dsir_scores_by_group_from_occ (same exactness and
+    round-5-last arguments). Output (id_col, n_grams, score)."""
+    return (occ.join(F.broadcast(llr.select("bucket", "llr")), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum("n_occ").alias("n_grams"),
+                 F.round(F.sum(F.col("llr") * F.col("n_occ"))
+                         / F.sum("n_occ"), 5).alias("score")))
 
 
 def dsir_scores(docs: DataFrame, llr: DataFrame,

@@ -61,24 +61,40 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # the action that materializes a LAZY localCheckpoint. The old
     # shape paid two jobs per round: an eager-checkpoint job plus an
     # old-vs-new JOIN recomputing the same comparison the new-label
-    # expression already knew. Labels and iteration count are
-    # identical — only the job structure changed.
-    for _ in range(max_iter):
-        nbr_min = (sym.join(labels.withColumnRenamed("id", "b"), "b")
+    # expression already knew.
+    #
+    # r14 (VERDICT r13 #4, guide §5): TWO propagation steps per
+    # materialized round. Only the second step carries the flag —
+    # step 2 changing nothing means step 1's output was already the
+    # fixpoint, so detection stays exact. The mid frame is itself a
+    # LAZY localCheckpoint: both step-2 consumers (the neighbor-min
+    # aggregate and the label join) reference the SAME checkpoint RDD,
+    # so the round's single count job materializes mid and new_labels
+    # together — one driver action, one convergence scan and one
+    # checkpoint barrier per TWO label passes, with lineage depth
+    # still bounded at one step. Shuffles per step are unchanged; a
+    # graph whose diameter is odd pays at most one extra (no-op)
+    # propagation step at any scale. ``max_iter`` bounds materialized
+    # rounds (= 2x that many steps), so no caller converges later
+    # than before. Labels at the fixpoint are identical.
+    def _step(lbl: DataFrame, with_flag: bool) -> DataFrame:
+        nbr_min = (sym.join(lbl.withColumnRenamed("id", "b"), "b")
                    .groupBy("a")
                    .agg(F.min("component").alias("nbr_component")))
-        new_labels = (labels.join(nbr_min,
-                                  labels["id"] == nbr_min["a"], "left")
-                      .select(labels["id"],
-                              F.least(
-                                  F.col("component"),
-                                  F.coalesce("nbr_component", "component"))
-                               .alias("component"),
-                              F.coalesce(
-                                  F.col("nbr_component")
-                                  < F.col("component"),
-                                  F.lit(False)).alias("__chg"))
-                      .localCheckpoint(eager=False))
+        cols = [lbl["id"],
+                F.least(F.col("component"),
+                        F.coalesce("nbr_component", "component"))
+                .alias("component")]
+        if with_flag:
+            cols.append(F.coalesce(
+                F.col("nbr_component") < F.col("component"),
+                F.lit(False)).alias("__chg"))
+        return (lbl.join(nbr_min, lbl["id"] == nbr_min["a"], "left")
+                .select(*cols))
+
+    for _ in range(max_iter):
+        mid = _step(labels, False).localCheckpoint(eager=False)
+        new_labels = _step(mid, True).localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("__chg")).count()
         labels = new_labels.drop("__chg")
         if changed == 0:

@@ -1359,6 +1359,12 @@ WHERE doc_id % 2 = 1
 
 
 _DECON_N = 5  # token n-gram width for contamination matching
+# Eval-gram broadcast budget for bloom_decon_report's fused exact leg
+# (ADVICE r13 medium): distinct eval 5-grams up to this count ride a
+# forced broadcast (~60 B/gram => well under the 8 GB / 512M-row
+# relation cap with driver headroom); a larger eval suite falls back
+# to the unhinted join inside the SAME fused aggregate.
+_DECON_EV_BROADCAST_MAX = 4_000_000
 
 
 def eval_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1912,8 +1918,9 @@ def bloom_decon_report(d: "DataFrame") -> "DataFrame":
     for h in hits[1:]:
         all_hit = all_hit & h
     # fused probe + exact leg (r13 optimization round, second session):
-    # the exact verdict already joined a BROADCAST of ev onto tr, but
-    # as its own subtree — and because the join pushes an extra
+    # the pre-fusion exact verdict joined ev onto tr UNHINTED (AQE
+    # typically chose broadcast at bench scale, but it was not forced)
+    # as its own subtree — and because that join pushes an extra
     # isnotnull(gram) filter below tr's distinct, the optimizer cannot
     # reuse the per_doc leg's exchange, so the WHOLE train gram
     # pipeline (scan -> spread -> n-gram explode -> (doc, gram)
@@ -1926,9 +1933,21 @@ def bloom_decon_report(d: "DataFrame") -> "DataFrame":
     # n_bloom_hits / n_exact_hits sum the same per-gram booleans the
     # split legs produced (guide §1.2/§2.4: don't compute the same
     # subtree twice).
+    #
+    # r14 (ADVICE r13 medium): the fusion REQUIRES a broadcast of the
+    # raw distinct eval grams, which is capped (8 GB / 512M rows) and
+    # heavier than the BLOOM_BITS-bounded bit set this function's
+    # scale contract promises to broadcast. Gate it: count ev (one
+    # model-sized job against the tracked persist the plan was going
+    # to materialize anyway) and drop the hint past the budget — the
+    # fused expression is hint-independent, so the oversized-eval
+    # fallback is the SAME aggregate with the join left to the
+    # planner (sort-merge at true scale), not a second code path.
+    evx = ev.withColumn("ex", F.lit(1))
+    ev_side = (F.broadcast(evx)
+               if ev.count() <= _DECON_EV_BROADCAST_MAX else evx)
     per_doc = (tr.crossJoin(F.broadcast(dense))
-               .join(F.broadcast(ev.withColumn("ex", F.lit(1))),
-                     ["gram"], "left")
+               .join(ev_side, ["gram"], "left")
                .select("doc_id", all_hit.cast("int").alias("might"),
                        F.coalesce("ex", F.lit(0)).alias("ex"))
                .groupBy("doc_id")
@@ -3190,17 +3209,22 @@ def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 5 decimals LAST (doc_kn_perplexity's protocol), and a
     keep decision ranked on the ROUNDED score with doc_id ties.
     Output: (doc_id, source, n_grams, score, rank, kept)."""
+    from ..caching import tracked_persist
     from ..operators import dsir
     d = _docs(spark, sf_dir)
     is_target = F.col("source").isin(list(_DSIR_TARGET_SOURCES))
-    raw = d.filter(~is_target)
-    # fused fit (r13 optimization round): one gram explode over the
-    # whole corpus computes both bucket distributions in one job —
-    # the split form exploded target and raw as separate subtrees.
-    # Counts (and therefore every LLR double) are identical.
-    llr = dsir.dsir_bucket_llr_fused(
-        dsir.hashed_gram_buckets(d, carry_cols=("source",)), is_target)
-    scored = (dsir.dsir_scores(raw, llr)
+    # single corpus gram pass (r14, VERDICT r13 #5): the explode is
+    # aggregated once to (doc, source, bucket, n_occ) and PERSISTED;
+    # the fit's model-sized checkpoint materializes that cache as a
+    # side effect, and scoring reads it back instead of re-running
+    # the split+md5 explode (the r13 shape's second corpus pass).
+    # Fit counts are sums of exact integers (identical LLR doubles);
+    # the scoring mean moves to its weighted form, absorbed by the
+    # round-5-last protocol (see dsir_scores_from_occ).
+    occ = tracked_persist(
+        dsir.doc_gram_bucket_counts(d, carry_cols=("source",)))
+    llr = dsir.dsir_bucket_llr_fused(occ, is_target, weight_col="n_occ")
+    scored = (dsir.dsir_scores_from_occ(occ.filter(~is_target), llr)
               .join(d.select("doc_id", "source"), "doc_id"))
     sel = dsir.dsir_select(scored, _DSIR_KEEP_FRACTION, ["source"])
     return sel.select("doc_id", "source", "n_grams", "score",
@@ -3283,19 +3307,23 @@ def dsir_selection_by_source(spark: SparkSession,
     divisions, round-5-last, rank on the rounded score); keep the top
     25% within each source. Output: (doc_id, source, n_grams, score,
     rank, kept)."""
+    from ..caching import tracked_persist
     from ..operators import dsir
     d = _docs(spark, sf_dir)
     is_target = F.col("source").isin(list(_DSIR_TARGET_SOURCES))
-    raw = d.filter(~is_target)
-    # fused fit (r13 optimization round): one (source, bucket) count
-    # over a single corpus-wide gram explode feeds the pooled target
-    # distribution AND every per-source proposal — one explode job and
-    # one checkpoint where the split form ran two of each. Exact
-    # counts, identical LLRs (see dsir_bucket_llr_by_group_fused).
+    # single corpus gram pass (r14, VERDICT r13 #5): one explode,
+    # aggregated to (doc, source, bucket, n_occ) and persisted; the
+    # grouped fit's checkpoint materializes the cache, scoring reads
+    # it back — the r13 shape re-exploded the raw corpus for scoring.
+    # Fit counts stay exact (sums of integer counts); the scoring
+    # mean moves to its weighted form under the round-5-last protocol
+    # (see dsir_scores_by_group_from_occ).
+    occ = tracked_persist(
+        dsir.doc_gram_bucket_counts(d, carry_cols=("source",)))
     llr = dsir.dsir_bucket_llr_by_group_fused(
-        dsir.hashed_gram_buckets(d, carry_cols=("source",)), is_target,
-        group_col="source")
-    scored = dsir.dsir_scores_by_group(raw, llr, group_col="source")
+        occ, is_target, group_col="source", weight_col="n_occ")
+    scored = dsir.dsir_scores_by_group_from_occ(
+        occ.filter(~is_target), llr, group_col="source")
     sel = dsir.dsir_select(scored, _DSIR_KEEP_FRACTION, ["source"])
     return sel.select("doc_id", "source", "n_grams", "score",
                       "rank", "kept")
