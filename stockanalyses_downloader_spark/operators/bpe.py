@@ -137,6 +137,80 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int,
                 "merged string, pair_count long")
 
 
+def _encode_pretoken(merges: list[tuple[str, str]],
+                     pretoken: Column | None = None) -> Column:
+    """The BPE encode expression for one pretoken column: the literal
+    string-replace merge chain (fast path) with the per-row fold
+    fallback — exactly the r13 tokenize_with_merges body, factored
+    (r14) so the counts-only apply path shares it verbatim. Returns
+    array<string> of BPE tokens.
+
+    r13 rationale: the merge chain runs as LITERAL string replaces
+    over a delimited symbol string instead of n_merges interpreted
+    array folds (each fold rebuilt its accumulator array per element —
+    quadratic per pretoken, and F.aggregate evaluates outside codegen;
+    measured 1.07 s of the 1.9 s encode cell on the fixture).
+    Encoding: symbols joined by a DOUBLE delimiter with
+    double-delimiter ends; each merge replaces
+    D·left·DD·right·D -> D·leftright·D. Java's literal replace scans
+    left-to-right and never rescans replacement text, and the
+    double/single delimiter split reproduces greedy single-pass BPE
+    exactly: a freshly merged token keeps only single delimiters, so
+    it can never be the LEFT of another match this round (the fold's
+    tail != left rule), while the following original symbol retains
+    its spare delimiter and still can. Pretokens that contain the
+    delimiter char itself (possible only for pathological control
+    characters — the pretoken regex admits any single non-alnum char)
+    fall back per row to the fold chain, so equivalence is
+    unconditional (pinned by the exhaustive replace-vs-fold test)."""
+    pre = F.col("pretoken") if pretoken is None else pretoken
+    D = "\x00"
+    state = F.concat(F.lit(D * 2),
+                     F.array_join(_chars(pre), D * 2),
+                     F.lit(D * 2))
+    for left, right in merges:
+        state = F.replace(state,
+                          F.lit(D + left + D + D + right + D),
+                          F.lit(D + left + right + D))
+    fast = F.filter(F.split(state, D), lambda c: c != "")
+    syms = _chars(pre)
+    for left, right in merges:
+        syms = _merge_once(syms, left, right)
+    return F.when(pre.contains(D), syms).otherwise(fast)
+
+
+def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc BPE token COUNTS under a learned merge table — the
+    counts-only twin of tokenize_with_merges for consumers that never
+    read the token arrays (doc_bpe_tokenization's budget output).
+
+    r14 (guide §2.3 — shuffle fewer bytes / aggregate before you
+    shuffle): the full encoder fans array<string> encodings back to
+    every pretoken occurrence and collect_lists them per doc (every
+    occurrence row crosses the doc-keyed wire carrying its array) just
+    so the caller can take size(flatten(...)). Counting needs only
+    size(bpe) per DISTINCT pretoken: the fan-back join ships one int,
+    the order-restoring pos column disappears, and the per-doc
+    aggregate becomes a map-side-combined SUM instead of collect_list.
+    n_bpe_tokens = Σ size(bpe) over the doc's pretokens = the size of
+    the flattened encoding, exactly; empty/whitespace-only docs
+    surface as 0 via the same left join (= size(empty array))."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RX), 0)
+    ex = spread(docs).select(id_col, F.explode(toks).alias("pretoken"))
+    encoded = (ex.select("pretoken").distinct()
+               .withColumn("n_bpe",
+                           F.size(_encode_pretoken(merges))))
+    per_doc = (ex.join(encoded, "pretoken")
+               .groupBy(id_col)
+               .agg(F.sum("n_bpe").alias("__n")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .withColumn("n_bpe_tokens",
+                        F.coalesce(F.col("__n"), F.lit(0)).cast("int"))
+            .drop("__n"))
+
+
 def tokenize_with_merges(docs: DataFrame, merges: list[tuple[str, str]],
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
@@ -157,39 +231,7 @@ def tokenize_with_merges(docs: DataFrame, merges: list[tuple[str, str]],
     ex = spread(docs).select(id_col,
                              F.posexplode(toks).alias("pos", "pretoken"))
     distinct_pre = ex.select("pretoken").distinct()
-    # r13 optimization round: the merge chain runs as LITERAL string
-    # replaces over a delimited symbol string instead of n_merges
-    # interpreted array folds (each fold rebuilt its accumulator array
-    # per element — quadratic per pretoken, and F.aggregate evaluates
-    # outside codegen; measured 1.07 s of the 1.9 s encode cell on the
-    # fixture). Encoding: symbols joined by a DOUBLE delimiter with
-    # double-delimiter ends; each merge replaces
-    # D·left·DD·right·D -> D·leftright·D. Java's literal replace scans
-    # left-to-right and never rescans replacement text, and the
-    # double/single delimiter split reproduces greedy single-pass BPE
-    # exactly: a freshly merged token keeps only single delimiters, so
-    # it can never be the LEFT of another match this round (the fold's
-    # tail != left rule), while the following original symbol retains
-    # its spare delimiter and still can. Pretokens that contain the
-    # delimiter char itself (possible only for pathological control
-    # characters — the pretoken regex admits any single non-alnum
-    # char) fall back per row to the fold chain, so equivalence is
-    # unconditional.
-    D = "\x00"
-    state = F.concat(F.lit(D * 2),
-                     F.array_join(_chars(F.col("pretoken")), D * 2),
-                     F.lit(D * 2))
-    for left, right in merges:
-        state = F.replace(state,
-                          F.lit(D + left + D + D + right + D),
-                          F.lit(D + left + right + D))
-    fast = F.filter(F.split(state, D), lambda c: c != "")
-    syms = _chars(F.col("pretoken"))
-    for left, right in merges:
-        syms = _merge_once(syms, left, right)
-    encoded = distinct_pre.withColumn(
-        "bpe",
-        F.when(F.col("pretoken").contains(D), syms).otherwise(fast))
+    encoded = distinct_pre.withColumn("bpe", _encode_pretoken(merges))
     joined = ex.join(encoded, "pretoken")
     per_doc = (joined.groupBy(id_col)
                .agg(F.flatten(F.transform(

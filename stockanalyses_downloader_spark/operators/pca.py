@@ -89,7 +89,6 @@ def embedding_covariance(embeddings: DataFrame,
     task — measured 7.4 s -> 0.4 s at sf0.1 from widening alone."""
     e = spread(embeddings.select(as_double(F.col(vec_col)).alias("v"))
                .filter(F.size("v") >= 1))
-    d = F.size("v")
 
     # first moments: one posexplode, d-row aggregate
     means = (e.select(F.posexplode("v").alias("pos", "x"))
@@ -97,17 +96,30 @@ def embedding_covariance(embeddings: DataFrame,
              .agg((F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
                    / F.count("*")).alias("mu")))
 
-    # second moments: upper-triangle products per row, pair-keyed agg
-    pairs = F.explode(F.flatten(F.transform(
-        F.sequence(F.lit(1), d),
-        lambda i: F.transform(
-            F.sequence(i, d),
-            lambda j: F.struct(
-                (i - 1).cast("int").alias("dim_i"),
-                (j - 1).cast("int").alias("dim_j"),
-                (F.element_at("v", i) * F.element_at("v", j)).alias("xy"))))))
-    sec = (e.select(pairs.alias("p"))
-           .select("p.dim_i", "p.dim_j", "p.xy")
+    # second moments: upper-triangle products per row, pair-keyed agg.
+    # r14 (guide §4.1 — prefer codegen'd built-ins over interpreted
+    # higher-order functions): the pair stream is produced by TWO
+    # chained posexplode Generates — explode v to (i, x_i), then
+    # explode slice(v, i+1, d-i) to (joff, x_j) with dim_j = i + joff
+    # — instead of building a d(d+1)/2 struct array per row through
+    # NESTED F.transform lambdas (interpreted, outside whole-stage
+    # codegen; at d=64 that materialized 2080 three-field structs per
+    # row in the interpreted evaluator before the explode even ran).
+    # Same pair multiset per row — x_i·x_j over 0-based i<=j, null
+    # elements produce null products in both shapes and F.sum skips
+    # them identically while count(*) counts the row either way — so
+    # the exact decimal sums, the counts, and every output double are
+    # unchanged (oracle hash green).
+    pi = e.select(F.posexplode("v").alias("i", "xi"), "v")
+    sec_rows = pi.select(
+        "i", "xi",
+        F.posexplode(F.slice("v", F.col("i") + 1,
+                             F.size("v") - F.col("i")))
+        .alias("joff", "xj"))
+    sec = (sec_rows
+           .select(F.col("i").alias("dim_i"),
+                   (F.col("i") + F.col("joff")).alias("dim_j"),
+                   (F.col("xi") * F.col("xj")).alias("xy"))
            .groupBy("dim_i", "dim_j")
            .agg((F.sum(F.col("xy").cast("decimal(30,15)")).cast("double")
                  / F.count("*")).alias("exy")))

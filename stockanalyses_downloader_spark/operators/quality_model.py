@@ -40,10 +40,23 @@ def surface_features(docs: DataFrame, text_col: str = "text",
     dimensions. The exact expressions are mirrored in
     text_queries._QUALITY_LOGITS_SQL — change both together.
 
-    spread() first (r11 rollout, beyond the verdict's eight): four
-    regexp passes + a token fold per row, pure map-side with no
-    exchange until the trainer's gradient aggregate — the exact
-    narrow-upstream exposure the guard exists for."""
+    spread() first (r11 rollout, beyond the verdict's eight): the
+    canonicalizing regexp + char-class counts per row, pure map-side
+    with no exchange until the trainer's gradient aggregate — the
+    exact narrow-upstream exposure the guard exists for.
+
+    r14 (guide §4.1 — cheapest equivalent expression per row, VALUES
+    unchanged): on the canonicalized c (trimmed, \\s+ collapsed to
+    single spaces) three features reduce to exact integer identities
+    — token chars = len - (ntok-1) separator spaces, space count =
+    ntok - 1 — which kills the interpreted per-token
+    transform+aggregate fold AND one full regexp pass; the alpha and
+    digit class counts move from the regex engine
+    (regexp_replace("[^a-z]")) to O(1)-per-char translate deletion.
+    Every replaced expression produced an exact integer-valued double
+    (< 2^53), so each feature is bit-identical and the mirrored
+    DuckDB logits (text_queries._QUALITY_LOGITS_SQL, unchanged)
+    still hash-match — pinned by the quality-model oracle tests."""
     from .dedup import spread
     docs = spread(docs)
     c = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
@@ -51,27 +64,43 @@ def surface_features(docs: DataFrame, text_col: str = "text",
     safe = F.greatest(ln, F.lit(1.0))
     toks = F.split(c, " ")
     ntok = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
-    tok_chars = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
+    # c is trimmed with single separators: every token is non-empty
+    # and spaces = ntok - 1 exactly (split counts literal ' ' even
+    # for exotic non-\s whitespace tokens — still ntok - 1)
+    n_spaces = F.size(toks).cast("double") - F.lit(1.0)
+    tok_chars = ln - n_spaces
+    alpha = ln - F.length(
+        F.translate(c, "abcdefghijklmnopqrstuvwxyz", "")).cast("double")
+    digit = ln - F.length(F.translate(c, "0123456789", "")).cast("double")
     x = F.array(
         F.lit(1.0),
         F.least(ln / 1000.0, F.lit(10.0)),
-        F.length(F.regexp_replace(c, "[^a-z]", "")).cast("double") / safe,
-        F.length(F.regexp_replace(c, "[^0-9]", "")).cast("double") / safe,
+        alpha / safe,
+        digit / safe,
         tok_chars / ntok / 10.0,
-        (ln - F.length(F.regexp_replace(c, " ", ""))) / safe,
+        n_spaces / safe,
     )
     return docs.select(id_col, x.alias("x"))
 
 
 def logit(x: Column, weights: list[float]) -> Column:
-    """dot(weights, x) as a sequential fold — deterministic, and
-    exactly reproducible by the DuckDB oracle's list_reduce."""
-    return F.aggregate(
-        F.zip_with(x, F.array(*[F.lit(w) for w in weights]),
-                   lambda xi, wi: xi * wi),
-        F.lit(0.0), lambda acc, v: acc + v)
+    """dot(weights, x) as a sequential left-to-right sum —
+    deterministic, and exactly reproducible by the DuckDB oracle's
+    list_reduce.
+
+    r14 (guide §4.1): unrolled to an explicit left-associated chain
+    of codegen'd multiply-adds instead of an interpreted
+    zip_with + aggregate fold per row. Identical IEEE evaluation
+    order ((((0 + x0·w0) + x1·w1) + ...), so the same doubles to the
+    last ulp; a length-mismatched x yields NULL exactly like the old
+    null-padded zip_with did (guarded explicitly)."""
+    if isinstance(x, str):
+        x = F.col(x)
+    z = F.lit(0.0)
+    for i, w in enumerate(weights):
+        z = z + x[i] * F.lit(w)
+    return F.when(F.size(x) == len(weights), z) \
+            .otherwise(F.lit(None).cast("double"))
 
 
 def train_logistic(features: DataFrame, label_col: str,

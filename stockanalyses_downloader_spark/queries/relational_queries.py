@@ -1374,22 +1374,32 @@ def _pagerank_sql(n_iter: int = 8, damping: float = 0.85) -> str:
     """DuckDB twin of graph.pagerank over the purchase graph,
     unrolled: r0 = 1/n; each round computes the dangling mass (rank
     on vertices with no out-edges), the per-destination received sum,
-    and the damped update (1-d)/n + d*(received + dmass/n)."""
+    and the damped update (1-d)/n + d*(received + dmass/n).
+
+    Every round CTE is MATERIALIZED (r14): DuckDB's default CTE
+    inlining re-evaluates each referenced round in place, so the
+    unrolled 8-round chain — where round k references round k-1 three
+    times (dangling, contribs, update) — exploded combinatorially
+    (~3^k re-evaluations: measured 79 s at sf0.001, the single
+    slowest cell of the driver's whole correctness sweep; 0.06 s
+    materialized, results bit-identical). Pure evaluation hint — the
+    oracle's arithmetic, join shapes and rounding are untouched, so
+    the certified hash is the same."""
     its = []
     prev = "r0"
     for k in range(n_iter):
         cur = f"r{k + 1}"
-        its.append(f"""d{k} AS (
+        its.append(f"""d{k} AS MATERIALIZED (
   SELECT COALESCE(SUM(r.rank), 0.0) AS dmass
   FROM {prev} r LEFT JOIN outdeg o ON r.vertex = o.src
   WHERE o.src IS NULL
-), c{k} AS (
+), c{k} AS MATERIALIZED (
   SELECT e.dst AS vertex, SUM(r.rank / o.outdeg) AS received
   FROM edges e
   JOIN {prev} r ON e.src = r.vertex
   JOIN outdeg o ON e.src = o.src
   GROUP BY e.dst
-), {cur} AS (
+), {cur} AS MATERIALIZED (
   SELECT v.vertex,
          (1.0 - {damping}) / nn.n
            + {damping} * (COALESCE(c.received, 0.0) + d.dmass / nn.n)

@@ -470,21 +470,38 @@ def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = F.substring(
         F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, CAP)
     base = d.select("doc_id", canon.alias("c"))
+    # r14 (guide §4.1 — codegen built-ins over interpreted
+    # higher-order lambdas): the anchor scan used to run as
+    # F.filter(sequence(1, len), lambda: space & md5-prefix) plus an
+    # F.transform computing the window digests — BOTH interpreted,
+    # i.e. one non-codegen md5 + substr evaluation per space position
+    # per row (the r13 langid/textprep lambda lesson, one level up:
+    # here the lambda itself was the hot loop, not a recompute). Now
+    # the position stream EXPLODES through a codegen Generate and the
+    # anchor test + window digest run as whole-stage-codegen
+    # expressions on (doc, pos) rows. Same anchor rule (the And still
+    # short-circuits the md5 behind the space test), same digests,
+    # same head-anchor row via the union, so the (doc_id, wd) multiset
+    # into dropDuplicates — and the oracle hash — are unchanged.
     # sequence(1, 0) would run DESCENDING on an empty doc — guard it.
-    anchors = F.when(
-        F.length("c") >= 1,
-        F.filter(
-            F.sequence(F.lit(1), F.length("c")),
-            lambda i: (F.col("c").substr(i, F.lit(1)) == " ")
-            & F.substring(
-                F.md5(F.col("c").substr(i + 1, F.lit(AW)).cast("binary")),
-                1, 1).isin("0", "1", "2", "3"))
-    ).otherwise(F.array().cast("array<int>"))
-    all_anchors = F.concat(F.array(F.lit(0)), anchors)
-    wins = F.transform(
-        all_anchors,
-        lambda a: F.md5(F.col("c").substr(a + 1, F.lit(W)).cast("binary")))
-    ex = (base.select("doc_id", F.explode(wins).alias("wd"))
+    pos = F.explode(F.when(
+        F.length("c") >= 1, F.sequence(F.lit(1), F.length("c"))
+    ).otherwise(F.array().cast("array<int>"))).alias("i")
+    i = F.col("i")
+    anchor_rows = (base.select("doc_id", "c", pos)
+                   .filter((F.col("c").substr(i, F.lit(1)) == " ")
+                           & F.substring(
+                               F.md5(F.col("c").substr(i + 1, F.lit(AW))
+                                     .cast("binary")),
+                               1, 1).isin("0", "1", "2", "3"))
+                   .select("doc_id",
+                           F.md5(F.col("c").substr(i + 1, F.lit(W))
+                                 .cast("binary")).alias("wd")))
+    head_rows = base.select(
+        "doc_id",
+        F.md5(F.col("c").substr(F.lit(1), F.lit(W)).cast("binary"))
+        .alias("wd"))
+    ex = (head_rows.unionByName(anchor_rows)
           .dropDuplicates(["doc_id", "wd"]))
     df_counts = ex.groupBy("wd").agg(F.countDistinct("doc_id").alias("ndocs"))
     return (ex.join(df_counts, "wd")
@@ -840,12 +857,18 @@ def doc_bpe_tokenization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (module memo above — VERDICT r4 #3: fit/apply split); the
     fit+apply composition stays covered end-to-end by
     tests/test_bpe.py. Rows-only (merge table is data-dependent);
-    encode semantics pinned vs pure-Python in pytest."""
+    encode semantics pinned vs pure-Python in pytest.
+
+    r14: counts-only apply path (bpe.bpe_token_counts) — this query
+    never reads the token arrays, so the fan-back join ships one int
+    per occurrence instead of array<string> and the per-doc
+    collect_list becomes a map-side-combined SUM. Same (doc_id,
+    n_bpe_tokens) rows and schema; parity with the full encoder
+    pinned in tests/test_bpe.py."""
     from ..operators import bpe
     d = _docs(spark, sf_dir)
     merges = _bpe_merges_for(spark, sf_dir, 16)
-    return (bpe.tokenize_with_merges(d, merges)
-            .select("doc_id", "n_bpe_tokens"))
+    return bpe.bpe_token_counts(d, merges)
 
 
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

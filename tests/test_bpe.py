@@ -179,6 +179,24 @@ def test_tokenize_keeps_zero_pretoken_docs(spark):
     assert got[0]["n_bpe_tokens"] > 0 and got[3]["n_bpe_tokens"] > 0
 
 
+def test_token_counts_match_full_encoder(spark, corpus_df):
+    """r14 counts-only apply path: bpe_token_counts must equal the
+    full encoder's size(tokens) per doc — including the empty-doc 0 —
+    and keep the int schema the query's hash contract pins."""
+    merges = [(m[1], m[2]) for m in _py_learn(
+        [r.text for r in corpus_df.orderBy("doc_id").collect()], 10)]
+    rows = [(0, "cat sat"), (1, ""), (2, "   \t  "), (3, "dog")]
+    extra = spark.createDataFrame(rows, "doc_id long, text string")
+    for df in (corpus_df, extra):
+        full = {r["doc_id"]: r["n_bpe_tokens"]
+                for r in bpe.tokenize_with_merges(df, merges).collect()}
+        counts = bpe.bpe_token_counts(df, merges)
+        assert counts.schema["n_bpe_tokens"].dataType.simpleString() \
+            == "int"
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in counts.collect()}
+        assert got == full
+
+
 def test_bpe_apply_is_bounded_jobs(spark):
     """VERDICT r4 #3: with the merge table FIT once (module memo),
     the registered doc_bpe_tokenization query is pure APPLY — a small

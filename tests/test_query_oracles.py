@@ -1,7 +1,23 @@
 """The local mirror of the driver's correctness gate: every queries()
-entry runs; every oracle_sql() entry hash-matches at the test SF."""
+entry runs; every oracle_sql() entry hash-matches at the test SF.
+
+r14 (VERDICT r13 #2 — the driver's pytest must FINISH): the 190-query
+sweep runs as a handful of batched tests, each overlapping its
+members' Spark jobs + DuckDB oracle evaluations through a small
+thread pool (guide §2.6 — the scheduler happily runs concurrent jobs
+in one app; actions were only sequential because the old
+one-test-per-query shape called them sequentially, leaving 31 of 32
+cores idle through every oracle's single-threaded DuckDB run and
+every small query's stage tail). Coverage is IDENTICAL — same
+queries, same assert per query; a batch failure lists every failing
+member by name. Thread-safety inventory: duckdb_conn opens one
+connection per call (per task), Spark actions are thread-safe,
+tracked-persist registry appends are GIL-atomic list ops, and module
+model memos (e.g. the BPE merge cache) tolerate double-compute."""
 
 from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -9,16 +25,40 @@ from stockanalyses_downloader_spark.queries import all_queries
 from stockanalyses_downloader_spark.testing import assert_matches_oracle
 
 _ALL = all_queries()
+_NAMES = sorted(_ALL)
+_N_GROUPS = 6
+_POOL = 6
 
 
-@pytest.mark.parametrize("name", sorted(_ALL))
-def test_query_vs_oracle(spark, sf_dir, name):
+def _run_one(spark, sf_dir, name):
     q = _ALL[name]
     df = q.spark(spark, sf_dir)
     if q.oracle is None:
         assert df.count() >= 0  # rows-only: must run and be materializable
     else:
         assert_matches_oracle(df, q.oracle, sf_dir)
+
+
+def _run_batch(spark, sf_dir, names):
+    failures = []
+
+    def one(name):
+        try:
+            _run_one(spark, sf_dir, name)
+        except Exception as exc:  # noqa: BLE001 — reported per name
+            return f"{name}: {type(exc).__name__}: {exc}"
+        return None
+
+    with ThreadPoolExecutor(max_workers=_POOL) as pool:
+        failures = [f for f in pool.map(one, names) if f]
+    assert not failures, (
+        f"{len(failures)} of {len(names)} queries failed the oracle "
+        "gate:\n" + "\n".join(failures))
+
+
+@pytest.mark.parametrize("group", range(_N_GROUPS))
+def test_query_vs_oracle(spark, sf_dir, group):
+    _run_batch(spark, sf_dir, _NAMES[group::_N_GROUPS])
 
 
 def test_entry_smoke(spark):
@@ -32,8 +72,12 @@ def test_no_query_is_vacuously_empty(spark, sf_dir):
     """A query whose result AND oracle are both empty passes the hash
     compare without testing anything — pin non-emptiness so filters
     that match nothing (wrong literals, dead predicates) surface."""
-    empties = [name for name, q in _ALL.items()
-               if q.spark(spark, sf_dir).limit(1).count() == 0]
+    def probe(name):
+        return name if _ALL[name].spark(spark, sf_dir) \
+            .limit(1).count() == 0 else None
+
+    with ThreadPoolExecutor(max_workers=_POOL) as pool:
+        empties = [n for n in pool.map(probe, _NAMES) if n]
     assert not empties, f"vacuously empty queries: {empties}"
 
 
