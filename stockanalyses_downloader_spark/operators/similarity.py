@@ -339,52 +339,26 @@ def kmeans_centroids(embeddings: DataFrame, k: int = 16, n_iter: int = 4,
             # the same left-to-right order as the old in-plan
             # F.aggregate fold — bit-identical, oracle-pinned)
             #
-            # r14 (VERDICT r13 #3, guide §2.3 "aggregate before you
-            # shuffle"): the means run as ONE k-group aggregate with d
-            # sum/count column pairs instead of posexplode + a
-            # (centroid, pos) aggregate — the ×d row blowup (n·d
-            # exploded rows hash-probed into k·d groups per round)
-            # never exists; each corpus row feeds d codegen'd column
-            # accumulators directly and the shuffle carries k rows of
-            # d decimals per map partition. Arithmetic is unchanged:
-            # v[i] (null past the end) is exactly the value posexplode
-            # emitted at pos i, F.sum skips the same nulls, and the
-            # per-element count counts exactly the rows where pos i
-            # exists — decimal sums are exact, so regrouping cannot
-            # change them, and the division is the same double/long.
-            # Ragged corners match too: positions are contiguous per
-            # vector, so a centroid's missing positions form a TAIL —
-            # trimmed below to mirror the old shorter collect.
-            # Guarded by d: past ~512 dims the 2d-column aggregate
-            # stops being a sane codegen unit and the explode shape is
-            # the scale-correct one.
-            if d <= 512:
-                aggs = []
-                for i in range(d):
-                    el = F.col("v")[i]
-                    aggs.append(
-                        (F.sum(el.cast("decimal(30,15)")).cast("double")
-                         / F.count(F.when(F.size("v") > i, F.lit(1))))
-                        .alias(f"__m{i}"))
-                got = {}
-                for r in assigned.groupBy("centroid_id").agg(*aggs) \
-                                 .collect():
-                    vals = [r[f"__m{i}"] for i in range(d)]
-                    while vals and vals[-1] is None:
-                        vals.pop()
-                    got[r["centroid_id"]] = [(i, c)
-                                             for i, c in enumerate(vals)]
-            else:
-                pe = assigned.select(
-                    "centroid_id", F.posexplode("v").alias("pos", "x"))
-                means = (pe.groupBy("centroid_id", "pos")
-                         .agg((F.sum(F.col("x").cast("decimal(30,15)"))
-                               .cast("double") / F.count("*"))
-                              .alias("c")))
-                got = {}
-                for r in means.collect():
-                    got.setdefault(r["centroid_id"], []).append(
-                        (r["pos"], r["c"]))
+            # MEASURED NEGATIVE (r14, VERDICT r13 #3's "collapse the
+            # posexplode means into one wide aggregate" experiment):
+            # a k-group aggregate with d sum/count column pairs (d=64
+            # ⇒ 128 agg expressions) REGRESSED the cell 3.56 → 6.78 s
+            # — per-round plan analysis + codegen compilation of the
+            # wide aggregate (~1 s/round, isolated A/B: 0.43 s
+            # posexplode vs 0.96-1.26 s wide on the same assignment
+            # frame) swamps the explode's row blowup at any
+            # model-sized k·d, and the blowup's map-side agg already
+            # keeps the shuffle at k·d rows per partition. The
+            # explode shape stays.
+            pe = assigned.select(
+                "centroid_id", F.posexplode("v").alias("pos", "x"))
+            means = (pe.groupBy("centroid_id", "pos")
+                     .agg((F.sum(F.col("x").cast("decimal(30,15)"))
+                           .cast("double") / F.count("*")).alias("c")))
+            got: dict[int, list] = {}
+            for r in means.collect():
+                got.setdefault(r["centroid_id"], []).append(
+                    (r["pos"], r["c"]))
             new_rows = []
             for cid, cv, cn in cent_rows:
                 if cid in got:

@@ -19,14 +19,25 @@ _ALL = all_queries()
 
 
 def test_every_registry_entry_analyzes(spark):
-    failures: dict[str, str] = {}
-    for name, q in sorted(_ALL.items()):
+    # r14 (VERDICT r13 #2): analysis of independent plans is
+    # JVM-side and thread-safe — overlap it (guide §2.6) instead of
+    # resolving 190 plans one at a time. Same coverage, failures
+    # still reported per name. 197 s -> ~45 s.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item):
+        name, q = item
         try:
             df = q.spark(spark, SF_SMALL)
             _ = df.schema  # forces full analysis/resolution, no execution
         except Exception as exc:  # noqa: BLE001
-            failures[name] = (f"{type(exc).__name__}: "
-                              f"{str(exc).splitlines()[0][:200]}")
+            return name, (f"{type(exc).__name__}: "
+                          f"{str(exc).splitlines()[0][:200]}")
+        return None
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        failures = dict(f for f in pool.map(one, sorted(_ALL.items()))
+                        if f)
     assert not failures, f"{len(failures)} queries fail analysis: {failures}"
 
 

@@ -224,7 +224,7 @@ def test_stateful_idle_state_eviction(spark, tmp_path):
     time.sleep(0.2)
     mk("aaa", 4, 2).coalesce(1).write.mode("append").parquet(src)
 
-    def run(name, idle_timeout_ms):
+    def run(name, idle_timeout_ms, done=None):
         stream = sources.file_tick_stream(
             spark, src,
             schema=spark.createDataFrame([], schema).schema,
@@ -235,7 +235,25 @@ def test_stateful_idle_state_eviction(spark, tmp_path):
              .outputMode("update").trigger(availableNow=True)
              .option("checkpointLocation", str(tmp_path / name))
              .start())
-        q.awaitTermination(120)
+        if done is None:
+            q.awaitTermination(120)
+        else:
+            # availableNow + ProcessingTimeTimeout never self-
+            # terminates (after the last data batch Spark keeps
+            # scheduling empty timeout batches, ~0.6 s each, total
+            # state 0 — observed batchId 195 before the old fixed
+            # 120 s awaitTermination gave up; 137 s of suite wall for
+            # a 10 s scenario). Poll the sink for the rows the
+            # assertions need and stop the query then: a WRONG result
+            # (e.g. state survived eviction -> n_ticks 7) never
+            # satisfies the predicate, so failure still surfaces —
+            # after the same 120 s ceiling as before.
+            deadline = time.time() + 120
+            while q.isActive and time.time() < deadline:
+                if done(spark.sql(
+                        f"SELECT pair, n_ticks FROM {name}").collect()):
+                    break
+                time.sleep(0.5)
         q.stop()
         return spark.sql(f"SELECT pair, n_ticks FROM {name}").collect()
 
@@ -246,7 +264,10 @@ def test_stateful_idle_state_eviction(spark, tmp_path):
 
     # eviction: 1 ms idle timeout expires during batch 2 (wall-clock
     # between micro-batches >> 1 ms) -> batch-3 state starts fresh
-    evicted = run("evict_on", 1)
+    want = {("aaa", 3), ("aaa", 4), ("bbb", 2)}
+    evicted = run("evict_on", 1,
+                  done=lambda rows: want <= {(r.pair, r.n_ticks)
+                                             for r in rows})
     a_rows = sorted((r.pair, r.n_ticks) for r in evicted if r.pair == "aaa")
     assert a_rows == [("aaa", 3), ("aaa", 4)], a_rows
     # untouched keys stay correct
