@@ -907,6 +907,16 @@ def jaccard_pairs_prefix_filter(docs: DataFrame, n: int = 3,
     s = (with_hashed_shingles(spread(docs).filter(has_grams), text_col, n)
          .select(id_col, "shingles"))
     s = tracked_persist(s)
+    # MEASURED NEGATIVE (r14): repartition("tok") to share one
+    # exchange between the df-count aggregate and the ordering join
+    # (the prefix-stream trick below) REGRESSED the cell 2.03→2.62 s:
+    # the aggregate's input only ever crosses the wire as map-side
+    # (tok, count) partials, and AQE broadcast-joins the aggregated
+    # df_counts back onto the stream — so the old shape shuffles NO
+    # full token stream at all, while the "shared" exchange forces
+    # one. At vocabulary sizes past the broadcast budget AQE falls
+    # back to a shuffle join by itself; pre-forcing it only helps
+    # where it is already the plan.
     tok = s.select(id_col, F.explode("shingles").alias("tok"))
     df_counts = tok.groupBy("tok").agg(F.count("*").alias("df"))
     ordered = (tok.join(df_counts, "tok")

@@ -59,7 +59,8 @@ def _values_equal(a, b, rel: float = 1e-9) -> bool:
     return a == b
 
 
-def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
+def assert_matches_oracle(spark_df, sql: str, sf_dir: str,
+                          require_rows: bool = False) -> None:
     con = duckdb_conn(sf_dir)
     try:
         expected = con.execute(sql).fetchdf()
@@ -72,6 +73,12 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
         f"oracle={sorted(expected.columns)}")
     assert len(actual) == len(expected), (
         f"row count mismatch: spark={len(actual)} oracle={len(expected)}")
+    if require_rows:
+        # the vacuous-emptiness pin (r14: folded into the sweep's own
+        # materialization): a query whose result AND oracle are both
+        # empty passes the hash compare without testing anything —
+        # dead predicates/wrong literals must surface
+        assert len(actual) > 0, "vacuously empty result"
 
     a, e = _normalize(actual), _normalize(expected)
     # The driver's value hash is dtype-KIND-sensitive: DuckDB HUGEINT

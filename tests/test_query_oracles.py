@@ -34,9 +34,11 @@ def _run_one(spark, sf_dir, name):
     q = _ALL[name]
     df = q.spark(spark, sf_dir)
     if q.oracle is None:
-        assert df.count() >= 0  # rows-only: must run and be materializable
+        # rows-only: must run, be materializable, and be NON-empty
+        # (the vacuous-emptiness pin, folded into the sweep r14)
+        assert df.count() > 0, "vacuously empty rows-only result"
     else:
-        assert_matches_oracle(df, q.oracle, sf_dir)
+        assert_matches_oracle(df, q.oracle, sf_dir, require_rows=True)
 
 
 def _run_batch(spark, sf_dir, names):
@@ -68,17 +70,10 @@ def test_entry_smoke(spark):
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
-def test_no_query_is_vacuously_empty(spark, sf_dir):
-    """A query whose result AND oracle are both empty passes the hash
-    compare without testing anything — pin non-emptiness so filters
-    that match nothing (wrong literals, dead predicates) surface."""
-    def probe(name):
-        return name if _ALL[name].spark(spark, sf_dir) \
-            .limit(1).count() == 0 else None
-
-    with ThreadPoolExecutor(max_workers=_POOL) as pool:
-        empties = [n for n in pool.map(probe, _NAMES) if n]
-    assert not empties, f"vacuously empty queries: {empties}"
+# (the former test_no_query_is_vacuously_empty is folded into the
+# sweep itself — _run_one asserts non-emptiness on the SAME
+# materialization every query already pays, r14: 62 s of duplicated
+# plan compiles + probe jobs gone, identical pin)
 
 
 def test_approx_percentiles_track_exact(spark, sf_dir):
